@@ -1,0 +1,37 @@
+"""Partition-layout column expressions.
+
+The reference buckets surrogate keys so Cassandra partitions stay bounded
+(reference: blocksci_export.py:333,355 `height // BLOCK_BUCKET_SIZE`,
+`tx.index // TX_BUCKET_SIZE`; :368-371 hash prefix). In Spark the same
+derivations become plain column expressions — they stay inside
+whole-stage codegen and cost nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.schemas import TX_HASH_PREFIX_LENGTH
+
+
+def bucket_group(col: Column | str, bucket_size: int) -> Column:
+    """``id // bucket_size`` as IntegerType.
+
+    `F.floor` (not integer cast) matches Python's floor division on
+    negatives, though ids are always >= 0 in practice
+    (reference: blocksci_export.py:333,355).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c / F.lit(bucket_size)).cast("int")
+
+
+def tx_hash_prefix(col: Column | str, length: int = TX_HASH_PREFIX_LENGTH) -> Column:
+    """First `length` lowercase hex chars of a binary hash.
+
+    The reference slices `str(tx_hash)[:5]` where BlockSci renders hashes
+    as lowercase hex (reference: blocksci_export.py:368-371). Spark's
+    `hex()` is uppercase, hence the `lower()`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.lower(F.hex(c)), 1, length)

@@ -1,0 +1,63 @@
+"""Window-based operators replacing the reference's storage-order tricks.
+
+Cassandra gives the reference "latest row" for free via
+`CLUSTERING ORDER BY (block_id DESC)` + `LIMIT 1` and dedup for free via
+primary-key upsert (reference: blocksci_export.py:51-69, :466-473;
+schema.cql:13). In Spark those become window functions / aggregations —
+explicit, partition-parallel, and AQE-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_group(
+    df: DataFrame, group_cols: Sequence[str], order_col: str, descending: bool = True
+) -> DataFrame:
+    """First row per group under the given order — the reference's
+    `PER PARTITION LIMIT 1` idiom (blocksci_export.py:55-58).
+
+    Shuffles once on the group key; no global sort.
+    """
+    order = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_last_write_wins(
+    df: DataFrame, key_cols: Sequence[str], version_col: str
+) -> DataFrame:
+    """Keep the max-version row per key — the general form of the BIP30
+    upsert (blocksci_export.py:466-473): newest duplicate wins."""
+    return latest_per_group(df, key_cols, version_col, descending=True)
+
+
+def top_k(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k. `orderBy().limit(k)` lets Spark run TakeOrdered
+    per-partition then merge k*partitions rows on the driver — no global
+    sort shuffle (reference idiom: blocksci_export.py:64-67)."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def high_water_mark_filter(
+    source: DataFrame, sink: DataFrame, key_col: str
+) -> DataFrame:
+    """Rows of `source` above the sink's max key — the `--continue`
+    incremental-resume pattern (blocksci_export.py:489-505).
+
+    The single-row max aggregate is broadcast into the filter (a
+    broadcast nested-loop join over one row — no shuffle of `source`).
+    """
+    hwm = sink.agg(F.max(key_col).alias("_hwm"))
+    return (
+        source.join(F.broadcast(hwm), F.col(key_col) > F.col("_hwm"))
+        .drop("_hwm")
+    )

@@ -1,0 +1,19 @@
+from graphsense_blocksci_spark.sources.tables import (
+    TESTDATA_TABLES,
+    load_table,
+    load_testdata,
+    load_raw_blocks,
+    load_raw_txs,
+    load_raw_exchange_rates,
+)
+from graphsense_blocksci_spark.sources.sinks import write_bucketed_table
+
+__all__ = [
+    "TESTDATA_TABLES",
+    "load_table",
+    "load_testdata",
+    "load_raw_blocks",
+    "load_raw_txs",
+    "load_raw_exchange_rates",
+    "write_bucketed_table",
+]

@@ -1,0 +1,81 @@
+"""Sinks.
+
+The reference's sink is Cassandra: wide rows keyed by
+(partition key, clustering key DESC), written via micro-batched async
+prepared statements with per-row infinite retry
+(reference: blocksci_export.py:113-149, :571-575; schema.cql:13).
+
+Spark equivalents:
+- `write_bucketed_table` — partitioned parquet that preserves the same
+  physical layout: directory per partition-key group, rows sorted by the
+  clustering key within each file. Spark task retries + deterministic
+  keyed output give the same effectively-once semantics the reference
+  gets from upsert-by-primary-key (SURVEY §2.A21).
+- `write_cassandra` — the real connector, gated behind availability of
+  the spark-cassandra-connector jars (not present in the test image).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    cluster_col: str,
+    descending: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Emulate Cassandra's (partition key, clustering order) layout in
+    parquet: `partitionBy(group)` + `sortWithinPartitions(id)`.
+
+    `repartition(partition_col)` first so each output directory is
+    written by one task (no small-file explosion at scale: files per
+    group == 1 instead of == #tasks).
+    """
+    order = F.desc(cluster_col) if descending else F.asc(cluster_col)
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(order)
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def cassandra_available(spark) -> bool:
+    """True if the spark-cassandra-connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "com.datastax.spark.connector.datasource.CassandraCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_cassandra(
+    df: DataFrame, keyspace: str, table: str, mode: str = "append"
+) -> None:
+    """Bulk-write through the Spark-Cassandra connector (the reference's
+    real sink). The connector handles batching, async concurrency and
+    token-aware routing — replacing the reference's hand-rolled
+    QueryManager/multiprocessing machinery (blocksci_export.py:72-102).
+
+    Raises RuntimeError if the connector jars are absent (test image).
+    """
+    if not cassandra_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-cassandra-connector not on classpath; add "
+            "com.datastax.spark:spark-cassandra-connector_2.13 via "
+            "spark.jars.packages and set spark.cassandra.connection.host"
+        )
+    (
+        df.write.format("org.apache.spark.sql.cassandra")
+        .options(keyspace=keyspace, table=table)
+        .mode(mode)
+        .save()
+    )
