@@ -5,6 +5,7 @@ from graphsense_blocksci_spark.functions.layout import (
 from graphsense_blocksci_spark.functions.addresses import (
     address_type_code,
     render_address,
+    build_io_struct,
 )
 from graphsense_blocksci_spark.functions.coinjoin import is_coinjoin
 from graphsense_blocksci_spark.functions.io_aggs import (
@@ -17,6 +18,7 @@ __all__ = [
     "tx_hash_prefix",
     "address_type_code",
     "render_address",
+    "build_io_struct",
     "is_coinjoin",
     "io_total_value",
     "io_count",

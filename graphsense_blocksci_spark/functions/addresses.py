@@ -47,3 +47,30 @@ def render_address(
         .when(address_type.isin(*NULL_ADDRESS_TYPE_CODES), F.lit(None))
         .otherwise(F.array(address_string))
     )
+
+
+def build_io_struct(
+    type_name: Column | str,
+    address_string: Column | str,
+    multisig_addresses: Column | str,
+    value: Column | str,
+) -> Column:
+    """Derive the `tx_input_output` struct from FLAT columns — the
+    engine-side equivalent of `tx_io_summary` (reference:
+    blocksci_export.py:348-349): dictionary-encode the script-type name
+    (A10), render the address per the type CASE (A9), carry the satoshi
+    value as bigint. All codegen'd column expressions, no UDF."""
+    tn = F.col(type_name) if isinstance(type_name, str) else type_name
+    a = F.col(address_string) if isinstance(address_string, str) else address_string
+    m = (
+        F.col(multisig_addresses)
+        if isinstance(multisig_addresses, str)
+        else multisig_addresses
+    )
+    v = F.col(value) if isinstance(value, str) else value
+    code = address_type_code(tn)
+    return F.struct(
+        render_address(code, a, m).alias("address"),
+        v.cast("long").alias("value"),
+        code.alias("address_type"),
+    )

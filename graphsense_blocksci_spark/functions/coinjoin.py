@@ -17,10 +17,18 @@ Implemented as pure array expressions (`size`/`transform`/`filter`/
 `array_distinct`/`aggregate`) — no UDF, no shuffle; the per-row cost is
 O(n_outputs * n_distinct_values), fine for real transaction fan-outs.
 
-Divergence note: when several values tie for the max count, BlockSci
-picks an unspecified one (unordered_map iteration order). We define the
-tie deterministically: condition 5 holds iff the max count equals
-participantCount AND no max-count value is dust.
+Divergence notes (both documented, both deterministic):
+- when several values tie for the max count, BlockSci picks an
+  unspecified one (unordered_map iteration order). We define the tie
+  deterministically: condition 5 holds iff the max count equals
+  participantCount AND no max-count value is dust.
+- BlockSci counts one Address object per input regardless of type; we
+  count distinct rendered identities `struct(address_type, address)`
+  per input — multisig inputs stay ONE identity (not flattened into
+  constituents) and NULL-rendered inputs (nonstandard/witness_unknown)
+  still count, though several NULL-rendered inputs of the same type
+  collapse to one identity (BlockSci would keep them distinct; the
+  rendered row carries no further identity to distinguish them).
 """
 
 from __future__ import annotations
@@ -39,17 +47,19 @@ def is_coinjoin(inputs: Column | str, outputs: Column | str) -> Column:
     n_out = F.coalesce(F.size(outs), F.lit(0))
     participants = F.floor((n_out + F.lit(1)) / F.lit(2)).cast("int")
 
-    # Distinct input addresses: flatten the per-input address arrays
-    # (multisig inputs carry several constituents), drop NULL renderings.
-    input_addrs = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.filter(F.coalesce(ins, F.array()), lambda x: x["address"].isNotNull()),
-                lambda x: x["address"],
-            )
+    # Distinct input identities: one per input, keyed by the rendered
+    # (address_type, address) pair — multisig is one identity, not its
+    # flattened constituents; NULL-rendered inputs count too.
+    input_identities = F.array_distinct(
+        F.transform(
+            F.coalesce(ins, F.array()),
+            lambda x: F.struct(
+                x["address_type"].alias("address_type"),
+                x["address"].alias("address"),
+            ),
         )
     )
-    n_distinct_in_addrs = F.size(input_addrs)
+    n_distinct_in_addrs = F.size(input_identities)
 
     out_values = F.transform(F.coalesce(outs, F.array()), lambda x: x["value"])
     distinct_values = F.array_distinct(out_values)

@@ -5,6 +5,10 @@ from graphsense_blocksci_spark.operators.windows import (
     high_water_mark_filter,
 )
 from graphsense_blocksci_spark.operators.asof import asof_join
+from graphsense_blocksci_spark.operators.linkage import (
+    explode_outputs,
+    link_inputs_to_outputs,
+)
 
 __all__ = [
     "latest_per_group",
@@ -12,4 +16,6 @@ __all__ = [
     "top_k",
     "high_water_mark_filter",
     "asof_join",
+    "explode_outputs",
+    "link_inputs_to_outputs",
 ]

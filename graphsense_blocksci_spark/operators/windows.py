@@ -53,11 +53,20 @@ def high_water_mark_filter(
     """Rows of `source` above the sink's max key — the `--continue`
     incremental-resume pattern (blocksci_export.py:489-505).
 
+    An EMPTY sink means "nothing ingested yet": the reference starts
+    from block 0 and ingests everything (blocksci_export.py:497-505),
+    so the NULL max from an empty aggregate must pass all rows — hence
+    the `isNull()` arm of the predicate (`key > NULL` alone would be
+    NULL and silently drop the entire source on first run).
+
     The single-row max aggregate is broadcast into the filter (a
     broadcast nested-loop join over one row — no shuffle of `source`).
     """
     hwm = sink.agg(F.max(key_col).alias("_hwm"))
     return (
-        source.join(F.broadcast(hwm), F.col(key_col) > F.col("_hwm"))
+        source.join(
+            F.broadcast(hwm),
+            F.col("_hwm").isNull() | (F.col(key_col) > F.col("_hwm")),
+        )
         .drop("_hwm")
     )

@@ -162,6 +162,43 @@ def configuration_table(
     )
 
 
+def exchange_rates_table(raw_rates: DataFrame) -> DataFrame:
+    """`exchange_rates` — pass-through normalization of the rate feed the
+    sibling component writes (schema.cql:58-61): ISO date string key,
+    map<currency,float> values."""
+    return raw_rates.select(
+        F.col("date").cast("string").alias("date"),
+        "fiat_values",
+    )
+
+
+def transactions_with_rates(txs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Attach the latest rate at-or-before each transaction's day — the
+    downstream join the `exchange_rates` table exists for
+    (schema.cql:58-61). An as-of join so days with no rate row (weekend
+    gaps in fiat feeds) carry the previous rate forward.
+
+    The rate series is one small global table (no entity key), so this
+    uses the broadcast interval strategy: the only window runs over the
+    rates side; the tx side is never shuffled.
+    """
+    from graphsense_blocksci_spark.operators.asof import asof_join
+
+    dated = txs.withColumn(
+        "_tx_date", F.to_date(F.to_timestamp(F.col("timestamp").cast("long")))
+    )
+    rated = asof_join(
+        dated,
+        rates.withColumn("_rate_date", F.to_date("date")),
+        on="_tx_date",
+        right_on="_rate_date",
+        value_cols=["fiat_values"],
+        suffix="",
+        strategy="broadcast",
+    )
+    return rated.drop("_tx_date")
+
+
 def ingest_all(
     spark: SparkSession,
     raw_blocks: DataFrame,

