@@ -17,14 +17,12 @@ re-expresses every capability Spark-first:
                     plus the incremental (resume / previous-day / reorg-lag)
                     layer.
 - ``operators``   — generic large-scale operators: window dedup, top-k,
-                    as-of joins, text dedup (exact / MinHash-LSH / SimHash /
-                    n-gram Jaccard), embedding similarity search, text
-                    analysis.
+                    as-of joins, UTXO linkage, text dedup (exact /
+                    MinHash-LSH / SimHash / n-gram Jaccard), embedding
+                    similarity search, text analysis, multimodal columns.
 - ``sources``     — table registry over the parquet fixtures; sink writers
                     that emulate the Cassandra (partition key, clustering
                     order) layout in partitioned parquet.
-- ``streaming``   — Structured Streaming variant of the ingest daemon
-                    (reference: docker/ingest.sh continue/previous-day loop).
 
 Everything here derives from public knowledge only: the Apache Spark API,
 the reference repo, and the published BlockSci paper (Kalodner et al.,

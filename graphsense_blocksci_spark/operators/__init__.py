@@ -9,8 +9,44 @@ from graphsense_blocksci_spark.operators.linkage import (
     explode_outputs,
     link_inputs_to_outputs,
 )
+from graphsense_blocksci_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from graphsense_blocksci_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from graphsense_blocksci_spark.operators.text_analysis import (
+    text_stats,
+    quality_score,
+    language_id,
+    doc_fingerprint,
+)
+from graphsense_blocksci_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    frame_sample,
+)
 
 __all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "attach_payload",
+    "extract_features",
+    "frame_sample",
     "latest_per_group",
     "dedup_last_write_wins",
     "top_k",

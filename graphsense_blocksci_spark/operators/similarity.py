@@ -1,0 +1,175 @@
+"""Embedding similarity search over an `array<float>` column.
+
+Two paths, the standard baseline/scale pair:
+
+- ``cosine_topk_bruteforce`` — exact top-k per query vector. The
+  correctness baseline and the right tool when one side is small enough
+  to broadcast (query batches, centroid tables). Cost O(|Q| * |C|).
+- ``cosine_topk_lsh``       — random-hyperplane LSH: vectors sharing a
+  sign-pattern bucket are compared, others never meet. This is the
+  100 TB path: shuffle on the bucket key, per-bucket brute force,
+  multiple independent hyperplane tables to recover recall.
+
+All arithmetic is fixed-order double-precision folds (`zip_with` +
+`aggregate`), so results are bit-reproducible across runs AND across
+engines — the DuckDB oracle reproduces the same dot products exactly.
+The hyperplanes are seeded literals (embedded in the plan, broadcast
+with the task binary), not a driver-side random state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Fixed-order (left-to-right) double dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot(a,b) / (|a| * |b|) — formula mirrored verbatim in the oracle."""
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine.
+
+    `queries` defaults to `vectors` (all-pairs self-search — the
+    correctness baseline; quadratic, so only for small/broadcastable
+    sides). Ties break on the lower neighbor id, so ranking is total
+    and deterministic. Output: (vec_id, neighbor_id, rank, cos_sim).
+    """
+    if queries is None:
+        queries = vectors
+    q = queries.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_qv")
+    )
+    c = vectors.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state on the
+    driver): component h[j][i] from a splitmix64-style integer mix of
+    (seed, j, i), scaled to [-1, 1). Fixed literals — identical in every
+    task and every engine that re-derives them."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            z = (seed * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + i * 0x94D049BB133111EB) % (1 << 64)
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            z = z ^ (z >> 31)
+            row.append((z % (1 << 21)) / float(1 << 20) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit j set iff dot(v, plane_j) > 0."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                _as_double(vec_col),
+                F.array(*[F.lit(x) for x in p]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    k: int = 1,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: per LSH table, vectors meet only within their
+    sign-pattern bucket; results are unioned across tables and re-ranked.
+
+    Scale shape: `n_tables` shuffles on bucket keys (2^n_planes buckets
+    per table), per-bucket quadratic cost bounded by bucket size — never
+    a global cross join. Recall tunes with (n_planes ↓, n_tables ↑).
+    Output schema matches the brute-force variant.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        b = vectors.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col),
+            lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        )
+        left = b.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_qv"), "_bucket"
+        )
+        right = b.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
+        )
+        per_table.append(
+            left.join(right, "_bucket")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select(
+                "vec_id",
+                "neighbor_id",
+                cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            )
+        )
+    allc = per_table[0]
+    for df in per_table[1:]:
+        allc = allc.unionByName(df)
+    dedup = allc.groupBy("vec_id", "neighbor_id").agg(F.first("cos_sim").alias("cos_sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )

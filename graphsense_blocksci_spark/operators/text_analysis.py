@@ -1,0 +1,121 @@
+"""Text analysis for training-data curation: stats, quality scoring,
+language ID, document fingerprinting.
+
+All native column expressions over the `documents` table — every value
+is integer counts or fixed-order double ratios, so the DuckDB oracle
+reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.operators.textops import (
+    normalize_text,
+    shingle_hashes,
+    tokens,
+)
+
+# Tiny stopword profiles for the n-gram/stopword language heuristic.
+# Deliberately overlapping (es/fr share 'de', 'la') — the scorer must
+# break ties deterministically. Order = priority on ties.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "zu", "ist", "ein"),
+    "es": ("el", "la", "y", "los", "que", "es", "un"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un"),
+}
+FINGERPRINT_K = 4  # bottom-k sketch size
+
+
+def text_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc curation stats: token count, distinct tokens, normalized
+    length, mean token length, type-token ratio."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("_t"),
+        F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
+    )
+    n_tok = F.size("_t").cast("long")
+    n_distinct = F.size(F.array_distinct("_t")).cast("long")
+    total_len = F.aggregate(
+        F.col("_t"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return base.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        "n_chars_norm",
+        (total_len.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+        (n_distinct.cast("double") / n_tok.cast("double")).alias("type_token_ratio"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality gate (the Gopher-style rule family): flag docs
+    outside sane length bands or with degenerate repetition. Returns
+    (doc_id, n_tokens, type_token_ratio, quality_ok)."""
+    stats = text_stats(docs, text_col, id_col)
+    ok = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_token_len") >= 2.0)
+        & (F.col("mean_token_len") <= 12.0)
+        & (F.col("type_token_ratio") >= 0.1)
+    )
+    return stats.select(
+        id_col, "n_tokens", "type_token_ratio", ok.alias("quality_ok")
+    )
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-profile language heuristic: score = # tokens in each
+    language's stopword list; prediction = highest score in the fixed
+    priority order en > de > es > fr, 'und' (undetermined) when every
+    score is zero. Output: (doc_id, lang_pred, score)."""
+    toks = tokens(text_col)
+
+    def in_list(sw: tuple[str, ...]):
+        return lambda t: t.isin(*sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, in_list(sw))).cast("long")
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *[c.alias(f"_s_{lang}") for lang, c in scores.items()],
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # dict order = priority order
+        pred = pred.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+    return base.select(id_col, pred.alias("lang_pred"), best.alias("score"))
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = FINGERPRINT_K,
+) -> DataFrame:
+    """Bottom-k (KMV) sketch of the shingle-hash set as a compact
+    content fingerprint: the k smallest distinct shingle hashes, sorted,
+    joined with ','. Equal fingerprints <=> near-identical prefixes of
+    the hashed shingle universe — the standard cheap near-dup key.
+    Output: (doc_id, fingerprint, n_shingles)."""
+    sh = shingle_hashes(text_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.concat_ws(
+            ",", F.transform(F.slice(F.array_sort(sh), 1, k), lambda x: x.cast("string"))
+        ).alias("fingerprint"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

@@ -1,0 +1,195 @@
+"""Text deduplication at training-data-pipeline scale.
+
+Four operators over a `documents(doc_id, text, ...)` table:
+
+- ``exact_dedup``        — content-hash groupBy; the canonical first pass.
+- ``minhash_signatures`` — per-doc minhash signature (pure projection).
+- ``minhash_lsh_pairs``  — banded LSH candidate pairs: shuffle on band
+  key, pairs generated only WITHIN buckets — never all-pairs.
+- ``simhash``            — 32-bit simhash per doc (pure projection).
+- ``ngram_jaccard_pairs``— exact shingle-set Jaccard, evaluated only on
+  LSH candidates (the verify step of the candidate/verify pattern).
+
+Scale notes (the part that must survive 100 TB):
+- exact dedup shuffles once on a 128-bit content hash — uniformly
+  distributed, no skew, map-side partial aggregation applies.
+- LSH candidate generation is the textbook banding trick: a pair is
+  compared only if some band of their minhash signatures collides, so
+  the cost is sum over buckets of |bucket|^2, not |corpus|^2. Hot
+  buckets (boilerplate-heavy corpora) are the known failure mode:
+  `max_bucket` caps them (drop buckets above the cap, exactly what
+  production dedup pipelines do) and AQE skew-join splits the rest.
+- signatures/simhash are per-row column expressions — no shuffle at all.
+
+No UDFs anywhere: md5, array ops and folds are all JVM-side codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.operators.textops import (
+    LSH_BAND_ROWS,
+    MINHASH_PERMS,
+    minhash_signature,
+    normalize_text,
+    shingle_hashes,
+    tokens,
+)
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per normalized content hash.
+
+    Returns (content_hash, keep_id, n_dups). One shuffle on the hash.
+    """
+    hashed = docs.select(
+        F.md5(normalize_text(text_col)).alias("content_hash"),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """Per-document minhash signature columns mh0..mh{perms-1}.
+
+    Pure projection (no shuffle); docs too short to have any shingle
+    are dropped (NULL signature carries no LSH information).
+    """
+    sigs = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *minhash_signature(shingle_hashes(text_col), perms),
+    )
+    return sigs.filter(F.col("mh0").isNotNull())
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = LSH_BAND_ROWS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash LSH.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The self-join runs
+    on (band_index, band_key) — i.e. only within LSH buckets. At corpus
+    scale, set `max_bucket` to drop degenerate buckets (boilerplate).
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, perms)
+    n_bands = perms // band_rows
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * band_rows + r}")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key")
+        bands = bands.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit frequency-weighted simhash per document.
+
+    Bit j of the signature is set iff the sum over tokens of
+    (bit j of the token's 32-bit md5 hash ? +1 : -1) is positive.
+    Entirely per-row folds — zero shuffle; near-dup docs differ in
+    O(edit) bits, so hamming-distance banding gives the scale path.
+    """
+    # Materialize the token-hash array once (md5 is the expensive part)
+    # so the 32 per-bit folds reuse it instead of re-hashing.
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            tokens(text_col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("_th"),
+    )
+    def bit_fold(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j) % 2 == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [
+        F.aggregate(F.col("_th"), F.lit(0), bit_fold(j)) for j in range(bits)
+    ]
+    sig = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return hashed.select(id_col, sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs — the verify
+    step. Output: (id_a, id_b, jaccard) for candidates with
+    jaccard >= threshold.
+
+    The expensive exact measure runs ONLY on pairs LSH surfaced; the
+    shingle sets are joined in by id (two hash joins on ids, both
+    broadcast-able when the candidate set is small — the normal case).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col)
+    sets_ = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        shingle_hashes(text_col).alias("sh"),
+    )
+    ja = (
+        pairs.join(sets_.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets_.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return ja.filter(F.col("jaccard") >= threshold)

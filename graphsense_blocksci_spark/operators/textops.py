@@ -1,0 +1,95 @@
+"""Shared text primitives for the LLM-data-pipeline operators.
+
+Everything here is a native column expression (whole-stage codegen, no
+UDF, no shuffle): normalization, tokenization, word-shingling, and a
+deterministic 28-bit shingle hash built from md5 — chosen because md5 is
+bit-identical across engines, so the DuckDB correctness oracle can
+reproduce every derived value exactly (`('0x'||substr(md5(s),1,7))::BIGINT`
+≡ `conv(substring(md5(s),1,7),16,10)`).
+
+The 28-bit hash domain is deliberate: minhash permutations
+`(a*x + b) % p` with `p = 2^31-1` and `a,b < 2^31` stay below 2^60 —
+no 64-bit overflow in either engine (DuckDB raises on BIGINT overflow;
+Spark wraps silently — both are wrong answers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus of the minhash permutation family.
+MINHASH_PRIME = 2_147_483_647
+# Number of minhash permutations and LSH banding (4 bands x 2 rows).
+MINHASH_PERMS = 8
+LSH_BAND_ROWS = 2
+# Deterministic permutation coefficients, same literals in the SQL oracle.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    ((1_103_515_245 * (i + 1)) % MINHASH_PRIME, (12_345 + 2_654_435_761 * i) % MINHASH_PRIME)
+    for i in range(MINHASH_PERMS)
+]
+SHINGLE_K = 3  # word trigrams
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse internal whitespace to single spaces."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text; empty text -> []."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def word_shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-grams joined by single spaces.
+
+    1-based element_at indexing mirrors the oracle's DuckDB list
+    indexing so both engines enumerate identical shingles.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    # Guard n < k: Spark's sequence(1, 0) is DESCENDING ([1, 0]), not
+    # empty, and element_at(_, 0) raises — short docs get [] explicitly.
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(gram)
+
+
+def hash28(col: Column) -> Column:
+    """28-bit deterministic hash of a string: first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct 28-bit hashes of the word k-grams."""
+    return F.array_distinct(F.transform(word_shingles(col, k), hash28))
+
+
+def minhash_signature(hashes: Column, perms: int = MINHASH_PERMS) -> list[Column]:
+    """One min-over-permutation column per permutation; empty/NULL hash
+    arrays yield NULL minhashes (caller filters or coalesces)."""
+    def perm(a: int, b: int):
+        # closure factory: PySpark infers lambda arity from the Python
+        # signature, so default-arg captures would mis-bind
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    out = []
+    for i in range(perms):
+        a, b = MINHASH_COEFFS[i]
+        out.append(
+            F.array_min(F.transform(hashes, perm(a, b))).alias(f"mh{i}")
+        )
+    return out

@@ -52,7 +52,14 @@ def previous_day_cutoff(
         cutoff = F.date_trunc(
             "day", F.to_timestamp(F.lit(as_of_epoch).cast("long"))
         )
-    return df.filter(F.to_timestamp(F.col(ts_col).cast("long")) < cutoff)
+    # Epoch-seconds int columns (the reference's layout) need a decode;
+    # native timestamp columns are compared directly — casting them
+    # through long would truncate sub-second precision.
+    if dict(df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz"):
+        ts = F.col(ts_col)
+    else:
+        ts = F.to_timestamp(F.col(ts_col).cast("long"))
+    return df.filter(ts < cutoff)
 
 
 def reorg_safety_filter(

@@ -17,6 +17,7 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from graphsense_blocksci_spark import fixtures
 
@@ -36,8 +37,42 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — a type Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Sniffed
+    driver-side from the footer via pyarrow; one footer read, no data."""
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    target = p if p.is_file() else next(p.glob("**/*.parquet"), None)
+    if target is None:
+        return []
+    schema = pq.read_schema(str(target))
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+    """Parquet scan with nanosecond-timestamp compatibility.
+
+    TIMESTAMP(NANOS) columns (e.g. the driver testdata's `events.ts`)
+    are read as raw long nanoseconds (`nanosAsLong`) and decoded to
+    microsecond timestamps with exact integer division (`div 1000` —
+    truncation, matching how µs-native engines read the same file).
+    Plain tables take the normal vectorized-reader path untouched.
+    """
+    path = str(Path(sf_dir) / f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
