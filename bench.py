@@ -1,0 +1,77 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query is forced through the `noop` sink (full materialization, no
+driver collect). Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphsense_blocksci_spark.queries import QUERIES
+from graphsense_blocksci_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q05_grouped_array",
+    "q07_latest_per_group",
+    "q12_linkage_join",
+    "q13_join_agg",
+    "q14_asof_rates",
+    "q17_incremental_delta",
+    "q19_coinjoin",
+    "q21_sessionize",
+    "q30_dedup_exact",
+    "q31_text_stats",
+    "q36_lsh_pairs",
+    "q37_simhash",
+    "q39_knn_bruteforce",
+    "q40_knn_lsh",
+    "q41_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    spark = get_spark(app_name="graphsense-blocksci-spark-bench")
+    # JVM + parquet-footer warmup so q01 doesn't absorb session startup.
+    QUERIES["q02_range_scan"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,15 @@ re-expresses every capability Spark-first:
                     similarity search, text analysis, multimodal columns.
 - ``sources``     — table registry over the parquet fixtures; sink writers
                     that emulate the Cassandra (partition key, clustering
-                    order) layout in partitioned parquet.
+                    order) layout in partitioned parquet; catalog DDL
+                    bootstrap (create_keyspace.py parity).
+- ``streaming``   — Structured Streaming variant of the ingest daemon
+                    (docker/ingest.sh continue/previous-day loop):
+                    checkpoint ≙ high-water mark, watermark ≙ previous-day
+                    cutoff, idempotent foreachBatch ≙ PK-upsert retry.
+- ``queries``     — the driver-contract registry: every operator as a
+                    (Spark callable, DuckDB oracle SQL) pair over the
+                    testdata tables.
 
 Everything here derives from public knowledge only: the Apache Spark API,
 the reference repo, and the published BlockSci paper (Kalodner et al.,

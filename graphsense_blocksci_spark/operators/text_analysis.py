@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from graphsense_blocksci_spark.operators.textops import (
     normalize_text,
-    shingle_hashes,
+    shingle_hash_frame,
     tokens,
 )
 
@@ -111,11 +111,14 @@ def doc_fingerprint(
     joined with ','. Equal fingerprints <=> near-identical prefixes of
     the hashed shingle universe — the standard cheap near-dup key.
     Output: (doc_id, fingerprint, n_shingles)."""
-    sh = shingle_hashes(text_col)
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col),
+    sh = shingle_hash_frame(docs, text_col, id_col)
+    return sh.select(
+        id_col,
         F.concat_ws(
-            ",", F.transform(F.slice(F.array_sort(sh), 1, k), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.slice(F.array_sort("_sh"), 1, k), lambda x: x.cast("string")
+            ),
         ).alias("fingerprint"),
-        F.size(sh).cast("long").alias("n_shingles"),
+        F.size("_sh").cast("long").alias("n_shingles"),
     )

@@ -31,10 +31,11 @@ from pyspark.sql import functions as F
 
 from graphsense_blocksci_spark.operators.textops import (
     LSH_BAND_ROWS,
+    MINHASH_COEFFS,
     MINHASH_PERMS,
-    minhash_signature,
+    MINHASH_PRIME,
     normalize_text,
-    shingle_hashes,
+    shingle_hash_frame,
     tokens,
 )
 
@@ -65,11 +66,23 @@ def minhash_signatures(
     """Per-document minhash signature columns mh0..mh{perms-1}.
 
     Pure projection (no shuffle); docs too short to have any shingle
-    are dropped (NULL signature carries no LSH information).
+    are dropped (NULL signature carries no LSH information). Staged
+    through `shingle_hash_frame` so the hash array materializes once
+    per row — the `_sh` column is referenced by all `perms` min-folds,
+    which keeps CollapseProject from inlining it back.
     """
-    sigs = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        *minhash_signature(shingle_hashes(text_col), perms),
+
+    def perm(a: int, b: int):
+        # closure factory: default-arg captures would mis-bind arity
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sh = shingle_hash_frame(docs, text_col, id_col)
+    sigs = sh.select(
+        id_col,
+        *[
+            F.array_min(F.transform("_sh", perm(*MINHASH_COEFFS[i]))).alias(f"mh{i}")
+            for i in range(perms)
+        ],
     )
     return sigs.filter(F.col("mh0").isNotNull())
 
@@ -176,9 +189,8 @@ def ngram_jaccard_pairs(
     broadcast-able when the candidate set is small — the normal case).
     """
     pairs = minhash_lsh_pairs(docs, text_col, id_col)
-    sets_ = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        shingle_hashes(text_col).alias("sh"),
+    sets_ = shingle_hash_frame(docs, text_col, id_col).withColumnRenamed(
+        "_sh", "sh"
     )
     ja = (
         pairs.join(sets_.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

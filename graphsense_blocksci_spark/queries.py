@@ -1,0 +1,1026 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the LLM-data-pipeline extensions) expressed as a
+(Spark callable, DuckDB oracle SQL) pair over the driver testdata
+(TESTDATA.md: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Design rules that make the oracle comparison exact:
+
+- **No raw double aggregation.** Sums of doubles are order-dependent
+  across partitions; money flows through integer cents
+  (`round(price*100)::BIGINT`), counts through BIGINT, and the only
+  doubles in outputs are single IEEE operations on deterministic
+  inputs (one division, one multiply chain in fixed order) which both
+  engines reproduce bit-identically.
+- **Canonical types.** Integers → BIGINT, floats → DOUBLE, strings →
+  VARCHAR, bools → BOOLEAN, times → TIMESTAMP (session UTC), on BOTH
+  sides — the driver compares schema and value hashes after sorting
+  columns by name.
+- **Arrays stringified.** Nested outputs are joined to CSV strings so
+  the value hash is representation-independent.
+- **md5 as the cross-engine hash.** `conv(substr(md5(x),1,7),16,10)`
+  in Spark ≡ `('0x'||substr(md5(x),1,7))::BIGINT` in DuckDB — the
+  foundation of the dedup/minhash oracles (see operators/textops.py).
+
+Reference parity notes cite graphsense-blocksci files (file:line) next
+to each query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.functions import bucket_group, tx_hash_prefix
+from graphsense_blocksci_spark.functions.addresses import (
+    address_type_code,
+    render_address,
+)
+from graphsense_blocksci_spark.functions.coinjoin import is_coinjoin
+from graphsense_blocksci_spark.operators import (
+    asof_join,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    dedup_last_write_wins,
+    doc_fingerprint,
+    exact_dedup,
+    extract_features,
+    frame_sample,
+    attach_payload,
+    high_water_mark_filter,
+    language_id,
+    latest_per_group,
+    link_inputs_to_outputs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    text_stats,
+    top_k,
+)
+from graphsense_blocksci_spark.operators.textops import (
+    LSH_BAND_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+)
+from graphsense_blocksci_spark.plans.incremental import (
+    incremental_delta,
+    previous_day_cutoff,
+    reorg_safety_filter,
+)
+from graphsense_blocksci_spark.schemas import ADDRESS_TYPES
+from graphsense_blocksci_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Pinned "now" for the previous-day / incremental queries: 2024-01-15
+# 01:00:00 UTC (events span 2024-01-01..30) — cutoff = midnight Jan 15.
+PIN_EPOCH = 1705280400
+PIN_CUTOFF_SQL = "TIMESTAMP '2024-01-15 00:00:00'"
+
+_cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+
+
+# --------------------------------------------------------------------------
+# Relational / blockchain-analog operators (SURVEY §2.A/B) over testdata
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship groupBy aggregation (A13 family; TPC-H Q1 shape).
+
+    Money is aggregated in integer cents: double sums are partition-
+    order dependent, bigint sums are exact in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — range slice / partition-pruned scan (blocksci_export.py:513-517).
+
+    The predicate reaches the parquet scan as PushedFilters min/max.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 5000)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q03_bucket_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — projection with derived bucket group
+    (`height // BLOCK_BUCKET_SIZE`, blocksci_export.py:332-337)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        bucket_group("o_orderkey", 100).cast("long").alias("key_group"),
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_totalprice").alias("o_totalprice"),
+    )
+
+
+def q04_prefix_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — lowercase hex hash-prefix partition key
+    (blocksci_export.py:368-371) via unhex(md5) → hex → lower → substr."""
+    c = load_table(spark, sf_dir, "customer")
+    hashed = c.select(
+        F.col("c_custkey"), F.unhex(F.md5(F.col("c_name"))).alias("h")
+    )
+    return hashed.select(
+        "c_custkey", tx_hash_prefix("h", 5).alias("prefix")
+    )
+
+
+def q05_grouped_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — per-group chain-ordered array build (collect_list +
+    sort_array, blocksci_export.py:209-211), stringified for hashing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col("l_linenumber").cast("long"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("linenumbers_csv"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q06_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — chain totals: max-key+1, row count, timestamp of the
+    max-key row (max_by ≡ the reference's last-block timestamp,
+    blocksci_export.py:374-383)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        (F.max("o_orderkey") + 1).cast("long").alias("next_key"),
+        F.count(F.lit(1)).alias("no_orders"),
+        F.max_by("o_orderdate", "o_orderkey").alias("latest_date"),
+    )
+
+
+def q07_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — first row per group under an order — the reference's
+    `PER PARTITION LIMIT 1` idiom (blocksci_export.py:55-58)."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_group(ev, ["user_id"], "event_id", descending=True).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+
+
+def q08_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — global top-k by sort order (DESC clustering + LIMIT,
+    blocksci_export.py:64-67)."""
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+def q09_hwm_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — resume-from-high-water-mark `--continue`
+    (blocksci_export.py:489-505): sink holds ids ≤ 5000, the delta is
+    everything above the sink's max."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sink = ev.filter(F.col("event_id") <= 5000)
+    return high_water_mark_filter(ev, sink, "event_id")
+
+
+def q10_hwm_cold_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 cold start — EMPTY sink must mean "ingest everything"
+    (blocksci_export.py:497-505), not "drop everything" (the round-1
+    NULL-predicate bug, fixed in operators/windows.py)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    empty_sink = ev.filter(F.col("event_id") < 0)
+    return high_water_mark_filter(ev, empty_sink, "event_id")
+
+
+def q11_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — last-write-wins dedup, the general form of the BIP30
+    upsert (blocksci_export.py:466-473): max version row per key.
+    Version = event_id (unique), so the winner is deterministic — the
+    same property the reference gets from monotonically increasing
+    tx_ids."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_last_write_wins(
+        ev.select("user_id", "event_type", "event_id", "value"),
+        ["user_id", "event_type"],
+        "event_id",
+    )
+
+
+def q12_linkage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — the UTXO input→spent-output equi-join on a composite key
+    (SURVEY §2.B1), mapped onto (orderkey, linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    outputs = li.select(
+        F.col("l_orderkey").alias("tx_id"),
+        F.col("l_linenumber").cast("long").alias("output_index"),
+        _cents("l_extendedprice").alias("value"),
+    )
+    inputs = li.select(
+        F.col("l_orderkey").alias("spent_tx_id"),
+        F.col("l_linenumber").cast("long").alias("spent_index"),
+        F.col("l_suppkey"),
+    )
+    return link_inputs_to_outputs(inputs, outputs).select(
+        "spent_tx_id", "spent_index", "l_suppkey", "value"
+    )
+
+
+def q13_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim star join + aggregation: orders ⋈ customer ⋈
+    nation with the dims broadcast (SURVEY §2.C joins row)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+def q14_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C — backward-inclusive as-of join (exchange-rates shape,
+    schema.cql:58-61): daily rate series built from odd days only, so
+    even-day events must carry the previous day's rate forward.
+    Broadcast validity-interval strategy — the big side never shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rates = (
+        ev.filter(F.dayofmonth("ts") % 2 == 1)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.max("value").alias("rate"))
+    )
+    return asof_join(
+        ev.select("event_id", "ts"),
+        rates,
+        on="ts",
+        right_on="day",
+        value_cols=["rate"],
+        suffix="",
+        strategy="broadcast",
+    ).select("event_id", "ts", "rate")
+
+
+def q15_previous_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — previous-day watermark cutoff (blocksci_export.py:540-553)
+    pinned to 2024-01-15 01:00 UTC → keep rows before midnight UTC."""
+    ev = load_table(spark, sf_dir, "events")
+    return previous_day_cutoff(ev, "ts", as_of_epoch=PIN_EPOCH).select(
+        "event_id", "ts", "user_id"
+    )
+
+
+def q16_reorg_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 — chain-tip safety lag (conf/btc.cfg:20 `maxBlockNum: -6`):
+    never the newest 6 ids."""
+    ev = load_table(spark, sf_dir, "events")
+    return reorg_safety_filter(ev, "event_id", lag=6).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q17_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16+A17+B7 composed — the `--continue --previous-day` daemon
+    step (docker/ingest.sh:2-8): reorg lag ∘ day cutoff ∘ HWM."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    sink = ev.filter(F.col("event_id") <= 3000)
+    return incremental_delta(
+        ev, sink, block_col="event_id", ts_col="ts", as_of_epoch=PIN_EPOCH, lag=6
+    )
+
+
+_ADDR_NAMES = list(ADDRESS_TYPES.keys())
+
+
+def q18_address_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A10 — dictionary-encode script-type names to smallint codes
+    and render addresses per the type CASE (blocksci_export.py:22-33,
+    :318-329): multisig → constituent list, nonstandard/nulldata/
+    witness_unknown → NULL, else singleton."""
+    n = load_table(spark, sf_dir, "nation")
+    typed = n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _ADDR_NAMES]),
+            (F.col("n_nationkey") % 10 + 1).cast("int"),
+        ).alias("type_name"),
+    )
+    code = address_type_code("type_name")
+    rendered = render_address(
+        code, F.col("n_name"), F.array(F.col("n_name"), F.lit("ms2"))
+    )
+    return typed.select(
+        "n_nationkey",
+        "type_name",
+        code.cast("long").alias("type_code"),
+        F.array_join(rendered, ",").alias("rendered_csv"),
+    )
+
+
+def q19_coinjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — the BlockSci isCoinjoin heuristic (tx_identification.cpp
+    semantics; blocksci_export.py:365) over synthetic txs assembled
+    from lineitem: inputs keyed by supplier identity, output values =
+    integer quantities (equality classes with real collisions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    txs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.array(F.col("l_suppkey").cast("string")).alias("address"),
+                (F.col("l_suppkey") % 7).cast("smallint").alias("address_type"),
+            )
+        ).alias("inputs"),
+        F.collect_list(
+            F.struct(F.col("l_quantity").cast("long").alias("value"))
+        ).alias("outputs"),
+    )
+    return txs.select(
+        "l_orderkey", is_coinjoin("inputs", "outputs").alias("coinjoin")
+    )
+
+
+def q20_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (the batch shape of the
+    streaming ingest's windowed stats; SURVEY §2.C streaming row)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + running sum — the
+    batch analog of a session window, fully distributed per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)).alias("_new"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q22_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 general form — top-k per group via ranked window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q23_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY §2.C distinct row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup grouping sets (SURVEY §2.C grouping row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("l_extendedprice")).alias("sum_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators over documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup over normalized text — one shuffle on a
+    uniform 128-bit key; map-side partial agg applies at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+def q33_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+def q34_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs)
+
+
+def q35_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs)
+
+
+def q36_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs — compared only within LSH
+    buckets (sum |bucket|², never |corpus|²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+def q37_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def q38_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard, evaluated ONLY on LSH candidates (the
+    candidate/verify pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def q39_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 — the correctness baseline (quadratic;
+    broadcast right side). Fixed-order double folds → bit-identical
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, k=3)
+
+
+def q40_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH — the 100 TB
+    path (bucket joins, no cross join). Approximate ⇒ no SQL oracle;
+    the driver records a rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, k=1, n_planes=8, n_tables=2)
+
+
+def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
+    feature extraction (deterministic md5 fake decode, so the oracle
+    verifies the full batch path end-to-end)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(docs))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+def q42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-offset sampling — JVM-side sequence explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_payload(docs), every_n_bytes=64)
+    return frames.select(
+        "media_id", F.col("frame_no").cast("long").alias("frame_no"), "offset"
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_range_scan": q02_range_scan,
+    "q03_bucket_projection": q03_bucket_projection,
+    "q04_prefix_key": q04_prefix_key,
+    "q05_grouped_array": q05_grouped_array,
+    "q06_summary_stats": q06_summary_stats,
+    "q07_latest_per_group": q07_latest_per_group,
+    "q08_top_k": q08_top_k,
+    "q09_hwm_resume": q09_hwm_resume,
+    "q10_hwm_cold_start": q10_hwm_cold_start,
+    "q11_dedup_lww": q11_dedup_lww,
+    "q12_linkage_join": q12_linkage_join,
+    "q13_join_agg": q13_join_agg,
+    "q14_asof_rates": q14_asof_rates,
+    "q15_previous_day": q15_previous_day,
+    "q16_reorg_lag": q16_reorg_lag,
+    "q17_incremental_delta": q17_incremental_delta,
+    "q18_address_render": q18_address_render,
+    "q19_coinjoin": q19_coinjoin,
+    "q20_hourly_window": q20_hourly_window,
+    "q21_sessionize": q21_sessionize,
+    "q22_topk_per_group": q22_topk_per_group,
+    "q23_distinct_agg": q23_distinct_agg,
+    "q24_rollup": q24_rollup,
+    "q30_dedup_exact": q30_dedup_exact,
+    "q31_text_stats": q31_text_stats,
+    "q32_quality_score": q32_quality_score,
+    "q33_language_id": q33_language_id,
+    "q34_doc_fingerprint": q34_doc_fingerprint,
+    "q35_minhash_signatures": q35_minhash_signatures,
+    "q36_lsh_pairs": q36_lsh_pairs,
+    "q37_simhash": q37_simhash,
+    "q38_jaccard_pairs": q38_jaccard_pairs,
+    "q39_knn_bruteforce": q39_knn_bruteforce,
+    "q40_knn_lsh": q40_knn_lsh,
+    "q41_media_features": q41_media_features,
+    "q42_frame_sample": q42_frame_sample,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+# Shared text-normalization pipeline (mirror of operators/textops.py):
+# norm → whitespace tokens → distinct word trigrams → 28-bit md5 hashes.
+_TEXT_CTE = r"""
+norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END AS gs
+    FROM tok
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
+    FROM grams
+)
+"""
+
+
+def _minhash_sig_select() -> str:
+    cols = []
+    for i, (a, b) in enumerate(MINHASH_COEFFS):
+        cols.append(
+            f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+            f" AS mh{i}"
+        )
+    return ",\n           ".join(cols)
+
+
+_SIGS_CTE = (
+    _TEXT_CTE
+    + f""",
+sigs AS (
+    SELECT doc_id,
+           {_minhash_sig_select()}
+    FROM sh WHERE len(hs) > 0
+)
+"""
+)
+
+
+def _bands_sql() -> str:
+    n_bands = MINHASH_PERMS // LSH_BAND_ROWS
+    selects = []
+    for band in range(n_bands):
+        parts = " || '_' || ".join(
+            f"mh{band * LSH_BAND_ROWS + r}::VARCHAR" for r in range(LSH_BAND_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {band} AS band, {parts} AS key FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def _simhash_sql() -> str:
+    bit_terms = []
+    for j in range(32):
+        s = (
+            f"list_sum(list_transform(th, h -> CASE WHEN (h >> {j}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(
+            f"CASE WHEN {s} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        )
+    total = " + ".join(bit_terms)
+    return rf"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+th_t AS (
+    SELECT doc_id,
+           list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+    FROM tok
+)
+SELECT doc_id, {total} AS simhash FROM th_t
+"""
+
+
+def _dot64(a: str, b: str) -> str:
+    """Unrolled 64-term dot product — left-associated additions match
+    Spark's sequential aggregate fold bit-for-bit."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, 65))
+
+
+def _knn_bruteforce_sql(k: int = 3) -> str:
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, sqrt({_dot64('e', 'e')}) AS nrm FROM v
+),
+scored AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           ({_dot64('a.e', 'b.e')}) / (a.nrm * b.nrm) AS cos_sim
+    FROM n a CROSS JOIN n b
+    WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id,
+       CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+_ADDR_CASE = " ".join(
+    f"WHEN type_name = '{name}' THEN {code}" for name, code in ADDRESS_TYPES.items()
+)
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q02_range_scan": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+""",
+    "q03_bucket_projection": """
+SELECT CAST(floor(o_orderkey / 100) AS BIGINT) AS key_group,
+       o_orderkey, o_totalprice
+FROM orders
+""",
+    "q04_prefix_key": """
+SELECT c_custkey, substr(md5(c_name), 1, 5) AS prefix FROM customer
+""",
+    "q05_grouped_array": """
+SELECT l_orderkey,
+       string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS linenumbers_csv,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+""",
+    "q06_summary_stats": """
+SELECT CAST(max(o_orderkey) + 1 AS BIGINT) AS next_key,
+       count(*) AS no_orders,
+       arg_max(o_orderdate, o_orderkey) AS latest_date
+FROM orders
+""",
+    "q07_latest_per_group": """
+SELECT user_id, event_id, ts, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+""",
+    "q08_top_k": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    "q09_hwm_resume": """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_id > (SELECT max(event_id) FROM events WHERE event_id <= 5000)
+""",
+    "q10_hwm_cold_start": """
+SELECT event_id, user_id FROM events
+""",
+    "q11_dedup_lww": """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+""",
+    "q12_linkage_join": """
+SELECT a.l_orderkey AS spent_tx_id,
+       CAST(a.l_linenumber AS BIGINT) AS spent_index,
+       a.l_suppkey,
+       CAST(round(b.l_extendedprice * 100) AS BIGINT) AS value
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+""",
+    "q13_join_agg": """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "q14_asof_rates": """
+WITH rates AS (
+    SELECT date_trunc('day', ts) AS day, max(value) AS rate
+    FROM events
+    WHERE extract(day FROM ts) % 2 = 1
+    GROUP BY 1
+)
+SELECT e.event_id, e.ts, r.rate
+FROM events e ASOF LEFT JOIN rates r ON e.ts >= r.day
+""",
+    "q15_previous_day": f"""
+SELECT event_id, ts, user_id FROM events WHERE ts < {PIN_CUTOFF_SQL}
+""",
+    "q16_reorg_lag": """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id <= (SELECT max(event_id) - 6 FROM events)
+""",
+    "q17_incremental_delta": f"""
+SELECT event_id, ts, user_id FROM events
+WHERE event_id <= (SELECT max(event_id) - 6 FROM events)
+  AND ts < {PIN_CUTOFF_SQL}
+  AND event_id > (SELECT max(event_id) FROM events WHERE event_id <= 3000)
+""",
+    "q18_address_render": f"""
+WITH typed AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           (['{"','".join(_ADDR_NAMES)}'])[(n_nationkey % 10) + 1] AS type_name
+    FROM nation
+),
+coded AS (
+    SELECT *, CASE {_ADDR_CASE} ELSE NULL END AS code FROM typed
+)
+SELECT n_nationkey, type_name, CAST(code AS BIGINT) AS type_code,
+       CASE WHEN code = 6 THEN n_name || ',' || 'ms2'
+            WHEN code IN (1, 7, 10) THEN NULL
+            ELSE n_name END AS rendered_csv
+FROM coded
+""",
+    "q19_coinjoin": """
+WITH per_val AS (
+    SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+agg1 AS (
+    SELECT l_orderkey, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS maxc
+    FROM per_val GROUP BY 1
+),
+dust AS (
+    SELECT p.l_orderkey,
+           bool_or(p.c = a.maxc AND p.v IN (546, 2730)) AS is_dust
+    FROM per_val p JOIN agg1 a USING (l_orderkey) GROUP BY 1
+),
+addr AS (
+    SELECT l_orderkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS na
+    FROM lineitem GROUP BY 1
+)
+SELECT a.l_orderkey,
+       (a.n >= 2 AND a.n >= 3
+        AND ((a.n + 1) // 2) <= a.n
+        AND ((a.n + 1) // 2) <= d2.na
+        AND a.maxc = ((a.n + 1) // 2)
+        AND NOT d.is_dust) AS coinjoin
+FROM agg1 a JOIN dust d USING (l_orderkey) JOIN addr d2 USING (l_orderkey)
+""",
+    "q20_hourly_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    "q21_sessionize": """
+WITH lagged AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800
+                THEN 1 ELSE 0 END AS ns
+    FROM lagged
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2
+""",
+    "q22_topk_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+       ) AS BIGINT) AS rn
+FROM orders QUALIFY rn <= 3
+""",
+    "q23_distinct_agg": """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines
+FROM lineitem GROUP BY 1
+""",
+    "q24_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "q30_dedup_exact": r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    "q31_text_stats": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, length(s) AS n_chars_norm,
+           list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(n_chars_norm AS BIGINT) AS n_chars_norm,
+       CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) END AS mean_token_len,
+       CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) END AS type_token_ratio
+FROM tok
+""",
+    "q32_quality_score": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+stats AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS mtl,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS ttr
+    FROM tok
+)
+SELECT doc_id, n_tokens, ttr AS type_token_ratio,
+       (n_tokens >= 5 AND n_tokens <= 100000
+        AND mtl >= 2.0 AND mtl <= 12.0 AND ttr >= 0.1) AS quality_ok
+FROM stats
+""",
+    "q33_language_id": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+scores AS (
+    SELECT doc_id,
+        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','zu','ist','ein'], t))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(toks, t -> list_contains(['el','la','y','los','que','es','un'], t))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est','un'], t))) AS BIGINT) AS s_fr
+    FROM tok
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       greatest(s_en, s_de, s_es, s_fr) AS score
+FROM scores
+""",
+    "q34_doc_fingerprint": "WITH "
+    + _TEXT_CTE
+    + """
+SELECT doc_id,
+       array_to_string(list_transform(list_sort(hs)[1:4], x -> x::VARCHAR), ',')
+           AS fingerprint,
+       CAST(len(hs) AS BIGINT) AS n_shingles
+FROM sh
+""",
+    "q35_minhash_signatures": "WITH " + _SIGS_CTE + "\nSELECT * FROM sigs",
+    "q36_lsh_pairs": "WITH "
+    + _SIGS_CTE
+    + f""",
+bands AS (
+{_bands_sql()}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+""",
+    "q37_simhash": _simhash_sql(),
+    "q38_jaccard_pairs": "WITH "
+    + _SIGS_CTE
+    + f""",
+bands AS (
+{_bands_sql()}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+ja AS (
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE)
+               AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+)
+SELECT * FROM ja WHERE jaccard >= 0.2
+""",
+    "q39_knn_bruteforce": _knn_bruteforce_sql(3),
+    "q41_media_features": """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
+       ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
+       3::BIGINT AS channels
+FROM documents
+""",
+    "q42_frame_sample": """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+),
+f AS (
+    SELECT media_id,
+           unnest(range(0, CAST(floor((n_bytes - 1) / 64.0) AS BIGINT) + 1))
+               AS frame_no
+    FROM m
+)
+SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(frame_no * 64 AS BIGINT) AS offset
+FROM f
+""",
+}

@@ -1,0 +1,189 @@
+"""Tests for the LLM-data-pipeline operators (dedup, similarity, text
+analysis, multimodal) over hand-computable micro-corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.operators import (
+    attach_payload,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    doc_fingerprint,
+    exact_dedup,
+    extract_features,
+    frame_sample,
+    language_id,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    text_stats,
+)
+from graphsense_blocksci_spark.operators.textops import tokens, word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick   brown fox jumps over the lazy dog"),  # ws-dup of 1
+        (3, "The quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (4, "Completely different content about spark engines"),
+        (5, "short doc"),  # < 3 tokens → no shingles
+        (6, "der hund und die katze und das haus"),  # German stopwords
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([(1, "  A  b\tc  ")], "id long, text string")
+    row = df.select(
+        tokens("text").alias("t"), word_shingles("text").alias("g")
+    ).first()
+    assert row.t == ["a", "b", "c"]
+    assert row.g == ["a b c"]
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "x")], "id long, text string"
+    )
+    got = df.select(word_shingles("text").alias("g")).collect()
+    assert all(r.g == [] for r in got)
+
+
+def test_exact_dedup_collapses_whitespace_variants(docs):
+    out = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 share a normalized hash
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_signatures_shape_and_determinism(docs):
+    sigs = minhash_signatures(docs)
+    rows = {r.doc_id: r for r in sigs.collect()}
+    assert 5 not in rows  # too short for any shingle
+    assert rows[1].mh0 == rows[2].mh0  # identical normalized content
+    again = {r.doc_id: r for r in minhash_signatures(docs).collect()}
+    assert rows[1] == again[1]
+
+
+def test_lsh_pairs_catches_near_dup_without_all_pairs(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    # doc 4 shares no shingle with 1/2/3 — must never pair with them
+    assert not any(4 in p for p in pairs if p != (4, 4))
+
+
+def test_jaccard_verify_step(docs):
+    ja = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert ja[(1, 2)] == 1.0  # identical shingle sets
+    for (a, b), v in ja.items():
+        assert 0.0 <= v <= 1.0
+
+
+def test_simhash_near_dup_hamming(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical normalized text
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # one-word change beats different content
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+    r = text_stats(df).first()
+    assert r.n_tokens == 3 and r.n_distinct_tokens == 2
+    assert r.n_chars_norm == 8
+    assert r.mean_token_len == 2.0
+    assert abs(r.type_token_ratio - 2 / 3) < 1e-12
+
+
+def test_quality_score_flags(spark):
+    rows = [
+        (1, " ".join(f"word{i}" for i in range(20))),
+        (2, "x y"),
+        (3, "aaaa " * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.quality_ok for r in quality_score(df).collect()}
+    assert got[1] is True
+    assert got[2] is False  # too few tokens
+    assert got[3] is False  # degenerate repetition (low TTR)
+
+
+def test_language_id_stopword_profiles(docs):
+    got = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert got[1] == "en" and got[6] == "de"
+    assert got[5] == "und"  # no stopwords at all
+
+
+def test_doc_fingerprint_equal_for_dups(docs):
+    fp = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_knn_bruteforce_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top1 = {
+        r.vec_id: r.neighbor_id
+        for r in cosine_topk_bruteforce(df, k=1).collect()
+    }
+    assert top1[1] == 2 and top1[2] == 1 and top1[4] == 3
+
+
+def test_knn_lsh_subset_of_bruteforce_domain(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(df, k=40).collect()
+    }
+    approx = cosine_topk_lsh(df, k=1, n_planes=4, n_tables=2).collect()
+    for r in approx:
+        # every approximate similarity must equal the exact one for that pair
+        assert abs(exact[(r.vec_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+
+
+def test_multimodal_features_deterministic(docs):
+    feats = extract_features(attach_payload(docs))
+    a = {r.media_id: (r.n_bytes, r.width, r.height) for r in feats.collect()}
+    b = {
+        r.media_id: (r.n_bytes, r.width, r.height)
+        for r in extract_features(attach_payload(docs)).collect()
+    }
+    assert a == b
+    assert all(0 <= w < 1024 and 0 <= h < 1024 for (_, w, h) in a.values())
+
+
+def test_frame_sample_offsets(docs):
+    frames = frame_sample(attach_payload(docs), every_n_bytes=10)
+    per_doc = (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("offset").alias("mx"))
+        .collect()
+    )
+    payload_sizes = {
+        r.media_id: r.n_bytes for r in attach_payload(docs).collect()
+    }
+    for r in per_doc:
+        n_bytes = payload_sizes[r.media_id]
+        assert r.n == (n_bytes - 1) // 10 + 1
+        assert r.mx == ((n_bytes - 1) // 10) * 10
