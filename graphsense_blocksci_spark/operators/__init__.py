@@ -18,6 +18,7 @@ from graphsense_blocksci_spark.operators.text_dedup import (
 )
 from graphsense_blocksci_spark.operators.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_gemm,
     cosine_topk_lsh,
 )
 from graphsense_blocksci_spark.operators.text_analysis import (
@@ -39,6 +40,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
+    "cosine_topk_gemm",
     "cosine_topk_lsh",
     "text_stats",
     "quality_score",

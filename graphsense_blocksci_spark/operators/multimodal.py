@@ -48,7 +48,9 @@ def attach_payload(
     """Build a media table from the documents fixture: the utf-8 bytes
     of the text stand in for an image payload. Real pipelines read the
     bytes from object storage; the downstream plumbing is identical."""
-    return docs.select(
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    return spread(docs).select(
         F.col(id_col).cast("long").alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),

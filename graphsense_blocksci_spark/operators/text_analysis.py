@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from graphsense_blocksci_spark.operators.textops import (
     normalize_text,
     shingle_hash_frame,
+    spread,
     tokens,
 )
 
@@ -34,7 +35,7 @@ def text_stats(
 ) -> DataFrame:
     """Per-doc curation stats: token count, distinct tokens, normalized
     length, mean token length, type-token ratio."""
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).cast("long").alias(id_col),
         tokens(text_col).alias("_t"),
         F.length(normalize_text(text_col)).cast("long").alias("n_chars_norm"),
@@ -89,7 +90,7 @@ def language_id(
         lang: F.size(F.filter(toks, in_list(sw))).cast("long")
         for lang, sw in LANG_STOPWORDS.items()
     }
-    base = docs.select(
+    base = spread(docs).select(
         F.col(id_col).cast("long").alias(id_col),
         *[c.alias(f"_s_{lang}") for lang, c in scores.items()],
     )

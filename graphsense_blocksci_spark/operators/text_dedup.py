@@ -36,6 +36,7 @@ from graphsense_blocksci_spark.operators.textops import (
     MINHASH_PRIME,
     normalize_text,
     shingle_hash_frame,
+    spread,
     tokens,
 )
 
@@ -47,7 +48,7 @@ def exact_dedup(
 
     Returns (content_hash, keep_id, n_dups). One shuffle on the hash.
     """
-    hashed = docs.select(
+    hashed = spread(docs).select(
         F.md5(normalize_text(text_col)).alias("content_hash"),
         F.col(id_col).cast("long").alias(id_col),
     )
@@ -65,26 +66,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document minhash signature columns mh0..mh{perms-1}.
 
-    Pure projection (no shuffle); docs too short to have any shingle
-    are dropped (NULL signature carries no LSH information). Staged
-    through `shingle_hash_frame` so the hash array materializes once
-    per row — the `_sh` column is referenced by all `perms` min-folds,
-    which keeps CollapseProject from inlining it back.
+    Plan shape: explode the shingle-hash array ONCE, then compute all
+    `perms` permutation-mins in a single hash aggregate — plain
+    arithmetic expressions, fully inside whole-stage codegen (the
+    higher-order-function alternative runs interpreted, ~10× slower
+    per element). The groupBy shuffles on doc_id, but map-side partial
+    aggregation collapses each partition to one row per local doc
+    first, so the shuffle carries |docs| × perms longs, not shingles.
+    Docs too short to have any shingle vanish in the explode — same
+    semantics as dropping NULL signatures (no LSH information).
     """
-
-    def perm(a: int, b: int):
-        # closure factory: default-arg captures would mis-bind arity
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
-
     sh = shingle_hash_frame(docs, text_col, id_col)
-    sigs = sh.select(
-        id_col,
-        *[
-            F.array_min(F.transform("_sh", perm(*MINHASH_COEFFS[i]))).alias(f"mh{i}")
-            for i in range(perms)
-        ],
-    )
-    return sigs.filter(F.col("mh0").isNotNull())
+    exploded = sh.select(id_col, F.explode("_sh").alias("_h"))
+    aggs = [
+        F.min(
+            (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:perms])
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -97,9 +97,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
-    Returns distinct (id_a, id_b) with id_a < id_b. The self-join runs
-    on (band_index, band_key) — i.e. only within LSH buckets. At corpus
-    scale, set `max_bucket` to drop degenerate buckets (boilerplate).
+    Returns distinct (id_a, id_b) with id_a < id_b, generated only
+    WITHIN (band_index, band_key) buckets. At corpus scale, set
+    `max_bucket` to drop degenerate buckets (boilerplate-heavy
+    corpora) — pair count is bounded by n_bands * max_bucket² per
+    bucket instead of |corpus|².
     """
     sigs = minhash_signatures(docs, text_col, id_col, perms)
     n_bands = perms // band_rows
@@ -124,18 +126,35 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    # Bucket-local pair generation via ONE groupBy instead of a self
+    # join: the self-join form computes the whole signature pipeline
+    # twice (once per branch) and shuffles both; grouping collects each
+    # bucket's ids once and enumerates i<j pairs inside the array —
+    # one pipeline pass, one shuffle, cost still sum |bucket|².
+    buckets = bands.groupBy("band", "key").agg(
+        F.collect_list(id_col).alias("_ids")
+    )
     if max_bucket is not None:
-        w = Window.partitionBy("band", "key")
-        bands = bands.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
-            F.col("_n") <= max_bucket
-        ).drop("_n")
-
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pair_arrays = buckets.filter(F.size("_ids") > 1).select(
+        F.flatten(
+            F.transform(
+                "_ids",
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_ids"), (i + 2).cast("int"), F.size("_ids")
+                    ),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("id_a"),
+                        F.greatest(x, y).alias("id_b"),
+                    ),
+                ),
+            )
+        ).alias("_pairs")
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        pair_arrays.select(F.explode("_pairs").alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -152,7 +171,7 @@ def simhash(
     """
     # Materialize the token-hash array once (md5 is the expensive part)
     # so the 32 per-bit folds reuse it instead of re-hashing.
-    hashed = docs.select(
+    hashed = spread(docs).select(
         F.col(id_col).cast("long").alias(id_col),
         F.transform(
             tokens(text_col),

@@ -94,7 +94,9 @@ def tx_prefix_table(
 
 
 def block_transactions_table(
-    raw_txs: DataFrame, bucket_size: int = BLOCK_BUCKET_SIZE
+    raw_txs: DataFrame,
+    raw_blocks: DataFrame | None = None,
+    bucket_size: int = BLOCK_BUCKET_SIZE,
 ) -> DataFrame:
     """`block_transactions` — per block, the chain-ordered array of
     tx_summary structs (reference: blocksci_export.py:197-240, tx_stats
@@ -103,6 +105,12 @@ def block_transactions_table(
     collect_list order is shuffle-dependent, so the array is explicitly
     sorted by tx_id (struct comparison orders by first field) — never
     rely on arrival order.
+
+    The reference iterates BLOCKS, so a block with zero transactions
+    still gets a row (empty list). Pass `raw_blocks` to reproduce that
+    exactly (left join from blocks, empty array for misses); without
+    it, tx-less blocks are absent — indistinguishable on real chains,
+    where every block carries at least its coinbase.
     """
     summaries = raw_txs.select(
         F.col("block_id").cast("int").alias("block_id"),
@@ -114,14 +122,21 @@ def block_transactions_table(
             io_total_value("outputs").alias("total_output"),
         ).alias("tx"),
     )
-    return (
-        summaries.groupBy("block_id")
-        .agg(F.sort_array(F.collect_list("tx")).alias("txs"))
-        .select(
-            bucket_group("block_id", bucket_size).alias("block_id_group"),
+    grouped = summaries.groupBy("block_id").agg(
+        F.sort_array(F.collect_list("tx")).alias("txs")
+    )
+    if raw_blocks is not None:
+        blocks = raw_blocks.select(F.col("block_id").cast("int").alias("block_id"))
+        grouped = blocks.join(grouped, "block_id", "left").select(
             "block_id",
-            "txs",
+            F.coalesce(
+                "txs", F.array().cast(grouped.schema["txs"].dataType)
+            ).alias("txs"),
         )
+    return grouped.select(
+        bucket_group("block_id", bucket_size).alias("block_id_group"),
+        "block_id",
+        "txs",
     )
 
 
@@ -211,7 +226,7 @@ def ingest_all(
         "block": block_table(raw_blocks),
         "transaction": transaction_table(raw_txs),
         "transaction_by_tx_prefix": tx_prefix_table(raw_txs),
-        "block_transactions": block_transactions_table(raw_txs),
+        "block_transactions": block_transactions_table(raw_txs, raw_blocks),
         "summary_statistics": summary_statistics_table(raw_blocks, raw_txs, keyspace),
         "configuration": configuration_table(spark, keyspace),
     }

@@ -431,6 +431,138 @@ def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Domain tables over the committed mini-chain fixtures — the reference's
+# actual output tables (schema.cql:6-75), oracle-checked against DuckDB
+# reading the same parquet (nested list<struct> I/O arrays and all).
+# --------------------------------------------------------------------------
+
+_FIXTURE_DIR = "/root/repo/fixtures"
+
+
+def _fixture_frames(spark: SparkSession):
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.sources.tables import (
+        load_raw_blocks,
+        load_raw_exchange_rates,
+        load_raw_txs,
+    )
+
+    fixtures.ensure_fixtures()
+    return (
+        load_raw_blocks(spark),
+        load_raw_txs(spark),
+        load_raw_exchange_rates(spark),
+    )
+
+
+def qd01_block_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the `block` table projection (blocksci_export.py:332-337),
+    hash hex-encoded for a representation-independent compare."""
+    from graphsense_blocksci_spark.plans.ingest import block_table
+
+    raw_blocks, _, _ = _fixture_frames(spark)
+    t = block_table(raw_blocks)
+    return t.select(
+        F.col("block_id_group").cast("long").alias("block_id_group"),
+        F.col("block_id").cast("long").alias("block_id"),
+        F.lower(F.hex("block_hash")).alias("block_hash_hex"),
+        F.col("timestamp").cast("long").alias("timestamp"),
+        F.col("no_transactions").cast("long").alias("no_transactions"),
+    )
+
+
+def qd02_transaction_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+B2+B3+B5 — the `transaction` table (blocksci_export.py:352-365)
+    over REAL nested I/O arrays: bucket group, totals from array folds,
+    the coinjoin heuristic — scalar columns projected for the compare."""
+    from graphsense_blocksci_spark.plans.ingest import transaction_table
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    t = transaction_table(raw_txs)
+    return t.select(
+        F.col("tx_id_group").cast("long").alias("tx_id_group"),
+        F.col("tx_id").alias("tx_id"),
+        F.lower(F.hex("tx_hash")).alias("tx_hash_hex"),
+        F.col("block_id").cast("long").alias("block_id"),
+        F.col("timestamp").cast("long").alias("timestamp"),
+        "coinbase",
+        "total_input",
+        "total_output",
+        F.size("inputs").cast("long").alias("no_inputs"),
+        F.size("outputs").cast("long").alias("no_outputs"),
+        "coinjoin",
+    )
+
+
+def qd03_tx_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11+A22 — the `transaction_by_tx_prefix` lookup index with BIP30
+    last-write-wins dedup (blocksci_export.py:368-371, :466-473)."""
+    from graphsense_blocksci_spark.plans.ingest import tx_prefix_table
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    t = tx_prefix_table(raw_txs)
+    return t.select(
+        "tx_prefix", F.lower(F.hex("tx_hash")).alias("tx_hash_hex"), "tx_id"
+    )
+
+
+def qd04_block_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — the `block_transactions` nested array build
+    (blocksci_export.py:197-240): chain-ordered tx_id list per block
+    plus an aggregate over the struct array."""
+    from graphsense_blocksci_spark.plans.ingest import block_transactions_table
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    t = block_transactions_table(raw_txs)
+    return t.select(
+        F.col("block_id_group").cast("long").alias("block_id_group"),
+        F.col("block_id").cast("long").alias("block_id"),
+        F.concat_ws(
+            ",", F.transform("txs", lambda x: x["tx_id"].cast("string"))
+        ).alias("tx_ids_csv"),
+        F.size("txs").cast("long").alias("no_txs"),
+        F.aggregate(
+            "txs", F.lit(0).cast("long"), lambda acc, x: acc + x["total_output"]
+        ).alias("block_total_output"),
+    )
+
+
+def qd05_summary_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13+A26 — the `summary_statistics` singleton
+    (blocksci_export.py:374-383)."""
+    from graphsense_blocksci_spark.plans.ingest import summary_statistics_table
+
+    raw_blocks, raw_txs, _ = _fixture_frames(spark)
+    t = summary_statistics_table(raw_blocks, raw_txs, keyspace="btc")
+    return t.select(
+        "id",
+        F.col("no_blocks").cast("long").alias("no_blocks"),
+        F.col("no_txs").alias("no_txs"),
+        F.col("timestamp").cast("long").alias("timestamp"),
+    )
+
+
+def qd06_rates_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C — transactions joined to the exchange-rates table via the
+    broadcast as-of join (schema.cql:58-61): USD rate extracted from
+    the map<currency,float> column."""
+    from graphsense_blocksci_spark.plans.ingest import (
+        exchange_rates_table,
+        transaction_table,
+        transactions_with_rates,
+    )
+
+    _, raw_txs, raw_rates = _fixture_frames(spark)
+    txs = transaction_table(raw_txs).select("tx_id", "timestamp")
+    rated = transactions_with_rates(txs, exchange_rates_table(raw_rates))
+    return rated.select(
+        "tx_id",
+        F.col("fiat_values")["USD"].cast("double").alias("usd"),
+        F.size("fiat_values").cast("long").alias("n_currencies"),
+    )
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------
 
@@ -494,6 +626,17 @@ def q39_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, k=3)
 
 
+def q43_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 via Arrow+NumPy GEMM — the throughput path
+    (BLAS reduction order ⇒ last-ulp float differences vs the fold
+    baseline, so rows-only; exactness is pytest-verified against the
+    fold variant)."""
+    from graphsense_blocksci_spark.operators import cosine_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_gemm(emb, k=3)
+
+
 def q40_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH — the 100 TB
     path (bucket joins, no cross join). Approximate ⇒ no SQL oracle;
@@ -551,6 +694,12 @@ QUERIES: dict[str, QueryFn] = {
     "q22_topk_per_group": q22_topk_per_group,
     "q23_distinct_agg": q23_distinct_agg,
     "q24_rollup": q24_rollup,
+    "qd01_block_table": qd01_block_table,
+    "qd02_transaction_table": qd02_transaction_table,
+    "qd03_tx_prefix_table": qd03_tx_prefix_table,
+    "qd04_block_transactions": qd04_block_transactions,
+    "qd05_summary_statistics": qd05_summary_statistics,
+    "qd06_rates_asof": qd06_rates_asof,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
     "q32_quality_score": q32_quality_score,
@@ -562,6 +711,7 @@ QUERIES: dict[str, QueryFn] = {
     "q38_jaccard_pairs": q38_jaccard_pairs,
     "q39_knn_bruteforce": q39_knn_bruteforce,
     "q40_knn_lsh": q40_knn_lsh,
+    "q43_knn_gemm": q43_knn_gemm,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }
@@ -671,17 +821,22 @@ def _dot64(a: str, b: str) -> str:
 
 
 def _knn_bruteforce_sql(k: int = 3) -> str:
+    # Mirrors the normalize-first Spark plan exactly: unit vectors
+    # (each component divided by the sequential-fold L2 norm), then a
+    # left-associated 64-term dot product — bit-identical IEEE ops.
     return f"""
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
 ),
 n AS (
-    SELECT vec_id, e, sqrt({_dot64('e', 'e')}) AS nrm FROM v
+    SELECT vec_id,
+           list_transform(e, x -> x / sqrt({_dot64('e', 'e')})) AS u
+    FROM v
 ),
 scored AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-           ({_dot64('a.e', 'b.e')}) / (a.nrm * b.nrm) AS cos_sim
+           ({_dot64('a.u', 'b.u')}) AS cos_sim
     FROM n a CROSS JOIN n b
     WHERE a.vec_id <> b.vec_id
 )
@@ -876,6 +1031,91 @@ FROM lineitem GROUP BY 1
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "qd01_block_table": f"""
+SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group,
+       CAST(block_id AS BIGINT) AS block_id,
+       lower(hex(block_hash)) AS block_hash_hex,
+       CAST(timestamp AS BIGINT) AS timestamp,
+       CAST(no_transactions AS BIGINT) AS no_transactions
+FROM read_parquet('{_FIXTURE_DIR}/raw_blocks.parquet')
+""",
+    "qd02_transaction_table": f"""
+WITH t AS (
+    SELECT *,
+           list_transform(outputs, x -> x.value) AS ov,
+           coalesce(len(inputs), 0) AS n_in,
+           coalesce(len(outputs), 0) AS n_out,
+           (coalesce(len(outputs), 0) + 1) // 2 AS part,
+           len(list_distinct(list_transform(inputs,
+               x -> x.address_type::VARCHAR || '#'
+                    || coalesce(array_to_string(x.address, '|'), '<null>'))))
+               AS n_ident
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+m AS (
+    SELECT *,
+           list_max(list_transform(ov,
+               v -> len(list_filter(ov, y -> y = v)))) AS maxc
+    FROM t
+)
+SELECT CAST(floor(tx_id / 25000) AS BIGINT) AS tx_id_group,
+       tx_id,
+       lower(hex(tx_hash)) AS tx_hash_hex,
+       CAST(block_id AS BIGINT) AS block_id,
+       CAST(timestamp AS BIGINT) AS timestamp,
+       coinbase,
+       coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS total_input,
+       coalesce(list_sum(ov), 0) AS total_output,
+       CAST(n_in AS BIGINT) AS no_inputs,
+       CAST(n_out AS BIGINT) AS no_outputs,
+       (n_in >= 2 AND n_out >= 3 AND part <= n_in AND part <= n_ident
+        AND maxc = part
+        AND NOT len(list_filter(ov,
+                v -> len(list_filter(ov, y -> y = v)) = maxc
+                     AND v IN (546, 2730))) > 0) AS coinjoin
+FROM m
+""",
+    "qd03_tx_prefix_table": f"""
+SELECT substr(lower(hex(tx_hash)), 1, 5) AS tx_prefix,
+       lower(hex(tx_hash)) AS tx_hash_hex,
+       tx_id
+FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+QUALIFY row_number() OVER (PARTITION BY tx_hash ORDER BY tx_id DESC) = 1
+""",
+    "qd04_block_transactions": f"""
+SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group,
+       CAST(block_id AS BIGINT) AS block_id,
+       string_agg(tx_id::VARCHAR, ',' ORDER BY tx_id) AS tx_ids_csv,
+       count(*) AS no_txs,
+       CAST(sum(coalesce(list_sum(list_transform(outputs, x -> x.value)), 0))
+            AS BIGINT) AS block_total_output
+FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+GROUP BY 1, 2
+""",
+    "qd05_summary_statistics": f"""
+SELECT 'btc' AS id,
+       (SELECT CAST(max(block_id) + 1 AS BIGINT)
+        FROM read_parquet('{_FIXTURE_DIR}/raw_blocks.parquet')) AS no_blocks,
+       (SELECT CAST(max(tx_id) + 1 AS BIGINT)
+        FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')) AS no_txs,
+       (SELECT CAST(arg_max(timestamp, block_id) AS BIGINT)
+        FROM read_parquet('{_FIXTURE_DIR}/raw_blocks.parquet')) AS timestamp
+""",
+    "qd06_rates_asof": f"""
+WITH txs AS (
+    SELECT tx_id,
+           CAST(to_timestamp(CAST(timestamp AS BIGINT)) AS DATE) AS tx_date
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+rates AS (
+    SELECT CAST(date AS DATE) AS rate_date,
+           fiat_values['USD'][1] AS usd,
+           CAST(cardinality(fiat_values) AS BIGINT) AS n_currencies
+    FROM read_parquet('{_FIXTURE_DIR}/raw_exchange_rates.parquet')
+)
+SELECT t.tx_id, CAST(r.usd AS DOUBLE) AS usd, r.n_currencies
+FROM txs t ASOF LEFT JOIN rates r ON t.tx_date >= r.rate_date
 """,
     "q30_dedup_exact": r"""
 SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,

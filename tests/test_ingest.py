@@ -67,6 +67,14 @@ def test_tx_prefix_and_bip30(spark, fixture_dir):
 def test_block_transactions_sorted(spark, fixture_dir):
     raw = load_raw_txs(spark, fixture_dir)
     out = block_transactions_table(raw)
+    # blocks-complete variant: a block with no txs still gets a row
+    blocks = raw.sparkSession.read.parquet(f"{fixture_dir}/raw_blocks.parquet")
+    extra = blocks.limit(0).sparkSession.createDataFrame(
+        [(99999, None, 0, 0)], blocks.schema
+    )
+    with_empty = block_transactions_table(raw, blocks.unionByName(extra))
+    row = with_empty.filter(with_empty.block_id == 99999).first()
+    assert row is not None and row.txs == []
     # arrays sorted by tx_id and counts match the per-block tx count
     checks = out.select(
         "block_id",

@@ -55,6 +55,20 @@ def test_word_shingles_short_doc_empty(spark):
     assert all(r.g == [] for r in got)
 
 
+def test_shingle_frame_arrow_native_parity(docs):
+    from graphsense_blocksci_spark.operators.textops import shingle_hash_frame
+
+    arrow = {
+        r[0]: sorted(r[1])
+        for r in shingle_hash_frame(docs, use_arrow=True).collect()
+    }
+    native = {
+        r[0]: sorted(r[1])
+        for r in shingle_hash_frame(docs, use_arrow=False).collect()
+    }
+    assert arrow == native and len(arrow) == 6
+
+
 def test_exact_dedup_collapses_whitespace_variants(docs):
     out = {r.keep_id: r.n_dups for r in exact_dedup(docs).collect()}
     assert out[1] == 2  # docs 1 and 2 share a normalized hash
@@ -160,6 +174,29 @@ def test_knn_lsh_subset_of_bruteforce_domain(spark):
     for r in approx:
         # every approximate similarity must equal the exact one for that pair
         assert abs(exact[(r.vec_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+
+
+def test_knn_gemm_matches_fold_baseline(spark):
+    import random
+
+    from graphsense_blocksci_spark.operators import cosine_topk_gemm
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fold = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in cosine_topk_bruteforce(df, k=3).collect()
+    }
+    gemm = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in cosine_topk_gemm(df, k=3).collect()
+    }
+    assert fold.keys() == gemm.keys()
+    for key, (nid, sim) in fold.items():
+        gnid, gsim = gemm[key]
+        assert gnid == nid
+        assert abs(gsim - sim) < 1e-12
 
 
 def test_multimodal_features_deterministic(docs):
