@@ -430,6 +430,50 @@ def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership joins (SURVEY §2.C set-ops row): per nation, how
+    many customers have orders (left_semi) vs none (left_anti) —
+    dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    without = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    a = with_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_with_orders")
+    )
+    b = without.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return (
+        a.join(b, "c_nationkey", "full")
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def q26_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar-function surface (SURVEY §2.C rows):
+    hex↔bytes round-trip, substring/concat, date_trunc/extract,
+    floor-div/mod — the reference's entire scalar vocabulary
+    (blocksci_export.py:333-371, :540-553) in one projection."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower(F.hex(F.unhex(F.md5(F.col("o_orderstatus"))))).alias("hex_roundtrip"),
+        F.concat_ws("-", F.substring("o_orderpriority", 1, 1), "o_orderstatus").alias(
+            "prio_code"
+        ),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_dom"),
+        F.floor(F.col("o_orderkey") / 7).cast("long").alias("key_div7"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("order_epoch"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Domain tables over the committed mini-chain fixtures — the reference's
 # actual output tables (schema.cql:6-75), oracle-checked against DuckDB
@@ -694,6 +738,8 @@ QUERIES: dict[str, QueryFn] = {
     "q22_topk_per_group": q22_topk_per_group,
     "q23_distinct_agg": q23_distinct_agg,
     "q24_rollup": q24_rollup,
+    "q25_semi_anti": q25_semi_anti,
+    "q26_scalar_funcs": q26_scalar_funcs,
     "qd01_block_table": qd01_block_table,
     "qd02_transaction_table": qd02_transaction_table,
     "qd03_tx_prefix_table": qd03_tx_prefix_table,
@@ -1031,6 +1077,33 @@ FROM lineitem GROUP BY 1
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "q25_semi_anti": """
+WITH w AS (
+    SELECT c_nationkey, count(*) AS n_with_orders FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+),
+wo AS (
+    SELECT c_nationkey, count(*) AS n_without_orders FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+)
+SELECT CAST(coalesce(w.c_nationkey, wo.c_nationkey) AS BIGINT) AS c_nationkey,
+       coalesce(n_with_orders, 0) AS n_with_orders,
+       coalesce(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+""",
+    "q26_scalar_funcs": """
+SELECT o_orderkey,
+       md5(o_orderstatus) AS hex_roundtrip,
+       substr(o_orderpriority, 1, 1) || '-' || o_orderstatus AS prio_code,
+       date_trunc('month', o_orderdate) AS order_month,
+       CAST(extract(day FROM o_orderdate) AS BIGINT) AS order_dom,
+       CAST(floor(o_orderkey / 7) AS BIGINT) AS key_div7,
+       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+FROM orders
 """,
     "qd01_block_table": f"""
 SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group,

@@ -50,6 +50,33 @@ def write_bucketed_table(
     )
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_chunks: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Even range-chunked, globally-ordered layout — the Spark-native
+    replacement for the reference's `chunk()` arithmetic + process pool
+    (blocksci_export.py:295-315, SURVEY §2.A18).
+
+    `repartitionByRange` samples the key distribution and splits into
+    near-equal ranges (the reference's "first r chunks one larger"
+    arithmetic, generalized to skewed keys); `sortWithinPartitions`
+    makes every file internally ordered, so file k < file k+1 gives a
+    total order across the dataset — the layout range scans want.
+    """
+    if num_chunks is None:
+        num_chunks = df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(num_chunks, F.col(order_col))
+        .sortWithinPartitions(F.col(order_col))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def cassandra_available(spark) -> bool:
     """True if the spark-cassandra-connector is on the classpath."""
     try:

@@ -1,0 +1,114 @@
+"""Physical-plan shape assertions — the 100 TB design claims, checked
+against `.explain` output so a regression in plan quality fails CI:
+
+- predicate pushdown reaches the parquet scan (A3),
+- column pruning keeps ReadSchema minimal,
+- small dims broadcast (no shuffle of the fact side),
+- pure projections stay shuffle-free inside WholeStageCodegen,
+- the unkeyed as-of join never shuffles or window-partitions the big
+  side (the round-1 scale bug, pinned here).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.queries import QUERIES
+from graphsense_blocksci_spark.sources.sinks import write_range_sorted
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_range_scan_pushdown_and_pruning(spark):
+    df = QUERIES["q02_range_scan"](spark, SF)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderkey,1000)" in plan
+    assert "LessThan(o_orderkey,5000)" in plan
+    # column pruning: untouched columns never leave the scan
+    assert "o_orderdate" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_join_agg_broadcasts_dims(spark):
+    plan = plan_of(QUERIES["q13_join_agg"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_tables_are_shuffle_free(spark):
+    from graphsense_blocksci_spark.plans.ingest import (
+        block_table,
+        transaction_table,
+    )
+    from graphsense_blocksci_spark.sources.tables import (
+        load_raw_blocks,
+        load_raw_txs,
+    )
+
+    blocks_plan = plan_of(block_table(load_raw_blocks(spark)))
+    txs_plan = plan_of(transaction_table(load_raw_txs(spark)))
+    for plan in (blocks_plan, txs_plan):
+        assert "Exchange" not in plan  # pure projection of the scan
+    # scalar-only projection is fully codegen'd ("*(n)" prefix); the tx
+    # projection contains higher-order functions (coinjoin's transform/
+    # filter/exists), which Spark evaluates interpreted — still one
+    # shuffle-free pass, but no codegen star. Pinned so a future rewrite
+    # that reintroduces a shuffle fails loudly.
+    assert blocks_plan.lstrip().startswith("*(")
+
+
+def test_asof_broadcast_never_shuffles_left(spark):
+    plan = plan_of(QUERIES["q14_asof_rates"](spark, SF))
+    # the events side flows scan→join; the only exchanges build the
+    # broadcast (rates) side or follow the tiny rates aggregation
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    left_side = plan.split("Broadcast")[0]
+    assert "Exchange hashpartitioning(event_id" not in left_side
+
+
+def test_hwm_filter_is_broadcast_one_row(spark):
+    plan = plan_of(QUERIES["q09_hwm_resume"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the source scan itself is never hash-repartitioned
+    assert "Exchange hashpartitioning(event_id" not in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, SF))
+    # map-side partial aggregation before the single shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_write_range_sorted_layout(spark, tmp_path):
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "ranged")
+    write_range_sorted(df, path, "id", num_chunks=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    # chunk files hold disjoint, near-even ranges
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    bounds = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        t = pq.read_table(f, columns=["id"])
+        ids = t.column("id").to_pylist()
+        assert ids == sorted(ids)  # internally ordered
+        bounds.append((min(ids), max(ids), len(ids)))
+    bounds.sort()
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2  # disjoint ranges → global total order
+    sizes = [n for _, _, n in bounds]
+    assert max(sizes) <= 2 * min(sizes)  # near-even chunks
