@@ -606,6 +606,48 @@ def qd06_rates_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd07_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest end-to-end under the correctness
+    gate: file-source stream over the fixture txs → `transaction`
+    transform → idempotent foreachBatch parquet sink (availableNow),
+    sink read back as a batch frame. The oracle is plain SQL over the
+    same raw parquet — the stream must land exactly the batch rows
+    (checkpoint ≙ --continue, dedup-before-append ≙ PK upsert)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.streaming import stream_transactions
+
+    fixture_file = fixtures.ensure_fixtures() / "raw_txs.parquet"
+    work = tempfile.mkdtemp(prefix="gbs_stream_")
+    # the file source tails a DIRECTORY (a chain follower drops block
+    # files into it); stage the fixture as that directory's first file
+    src = Path(work) / "src"
+    src.mkdir()
+    shutil.copy(fixture_file, src / "raw_txs.parquet")
+    q = stream_transactions(
+        spark,
+        str(src),
+        f"{work}/sink",
+        f"{work}/ckpt",
+        max_files_per_trigger=4,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{work}/sink")
+    return out.select(
+        F.col("tx_id_group").cast("long").alias("tx_id_group"),
+        "tx_id",
+        F.lower(F.hex("tx_hash")).alias("tx_hash_hex"),
+        F.col("block_id").cast("long").alias("block_id"),
+        "coinbase",
+        "total_input",
+        "total_output",
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------
@@ -746,6 +788,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd04_block_transactions": qd04_block_transactions,
     "qd05_summary_statistics": qd05_summary_statistics,
     "qd06_rates_asof": qd06_rates_asof,
+    "qd07_streaming_roundtrip": qd07_streaming_roundtrip,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
     "q32_quality_score": q32_quality_score,
@@ -1189,6 +1232,16 @@ rates AS (
 )
 SELECT t.tx_id, CAST(r.usd AS DOUBLE) AS usd, r.n_currencies
 FROM txs t ASOF LEFT JOIN rates r ON t.tx_date >= r.rate_date
+""",
+    "qd07_streaming_roundtrip": f"""
+SELECT CAST(floor(tx_id / 25000) AS BIGINT) AS tx_id_group,
+       tx_id,
+       lower(hex(tx_hash)) AS tx_hash_hex,
+       CAST(block_id AS BIGINT) AS block_id,
+       coinbase,
+       coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS total_input,
+       coalesce(list_sum(list_transform(outputs, x -> x.value)), 0) AS total_output
+FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
 """,
     "q30_dedup_exact": r"""
 SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
