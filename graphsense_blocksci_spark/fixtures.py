@@ -41,6 +41,11 @@ _IO_TYPE = pa.struct(
         pa.field("address", pa.list_(pa.string())),
         pa.field("value", pa.int64(), nullable=False),
         pa.field("address_type", pa.int16(), nullable=False),
+        # UTXO back-reference: which (tx, output slot) this input spends
+        # (NULL on outputs; BlockSci resolves this linkage in C++ —
+        # SURVEY §2.B1). Lets tests/oracles verify the linkage join.
+        pa.field("spent_tx_id", pa.int64(), nullable=True),
+        pa.field("spent_index", pa.int32(), nullable=True),
     ]
 )
 
@@ -93,8 +98,8 @@ def generate(out_dir: str | Path = DEFAULT_DIR, n_blocks: int = N_BLOCKS) -> Pat
 
     blocks: list[dict] = []
     txs: list[dict] = []
-    # UTXO pool entries: (value, address_list_or_None, address_type)
-    utxo_pool: list[tuple[int, list[str] | None, int]] = []
+    # UTXO pool entries: (value, address_list, address_type, src_tx, src_idx)
+    utxo_pool: list[tuple[int, list[str] | None, int, int, int]] = []
     tx_id = 0
 
     for height in range(n_blocks):
@@ -115,9 +120,17 @@ def generate(out_dir: str | Path = DEFAULT_DIR, n_blocks: int = N_BLOCKS) -> Pat
                     continue
                 in_total = 0
                 for _ in range(k):
-                    value, addr, atype = utxo_pool.pop(rng.randrange(len(utxo_pool)))
+                    value, addr, atype, src_tx, src_idx = utxo_pool.pop(
+                        rng.randrange(len(utxo_pool))
+                    )
                     inputs.append(
-                        {"address": addr, "value": value, "address_type": atype}
+                        {
+                            "address": addr,
+                            "value": value,
+                            "address_type": atype,
+                            "spent_tx_id": src_tx,
+                            "spent_index": src_idx,
+                        }
                     )
                     in_total += value
 
@@ -148,9 +161,11 @@ def generate(out_dir: str | Path = DEFAULT_DIR, n_blocks: int = N_BLOCKS) -> Pat
                             {"address": [_addr(rng.randint(0, 4999))], "value": v, "address_type": atype}
                         )
 
-            for o in outputs:
+            for j, o in enumerate(outputs):
                 if o["address"] is not None and o["value"] > 0:
-                    utxo_pool.append((o["value"], o["address"], o["address_type"]))
+                    utxo_pool.append(
+                        (o["value"], o["address"], o["address_type"], tx_id, j)
+                    )
 
             txs.append(
                 {

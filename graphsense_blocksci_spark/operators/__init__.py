@@ -6,6 +6,7 @@ from graphsense_blocksci_spark.operators.windows import (
 )
 from graphsense_blocksci_spark.operators.asof import asof_join
 from graphsense_blocksci_spark.operators.linkage import (
+    explode_inputs,
     explode_outputs,
     link_inputs_to_outputs,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "top_k",
     "high_water_mark_filter",
     "asof_join",
+    "explode_inputs",
     "explode_outputs",
     "link_inputs_to_outputs",
 ]

@@ -21,6 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def explode_inputs(txs: DataFrame) -> DataFrame:
+    """One row per input slot, carrying the UTXO back-reference
+    (spent_tx_id, spent_index) the parser resolved and the value the
+    input claims to spend."""
+    return txs.select(
+        F.col("tx_id"), F.posexplode("inputs").alias("input_index", "inp")
+    ).select(
+        "tx_id",
+        "input_index",
+        F.col("inp.spent_tx_id").alias("spent_tx_id"),
+        F.col("inp.spent_index").alias("spent_index"),
+        F.col("inp.value").alias("claimed_value"),
+    )
+
+
 def explode_outputs(txs: DataFrame) -> DataFrame:
     """Flatten the nested `outputs` array into one row per output slot,
     keyed by (tx_id, output_index)."""

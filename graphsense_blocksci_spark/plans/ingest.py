@@ -49,6 +49,20 @@ def block_table(raw_blocks: DataFrame, bucket_size: int = BLOCK_BUCKET_SIZE) -> 
     )
 
 
+def _io_udt(col: str):
+    """Project a raw-side I/O struct down to the exported UDT shape
+    (address, value, address_type) — the reference never exports the
+    parser's internal spent-output back-references (schema.cql:15-19)."""
+    return F.transform(
+        F.col(col),
+        lambda x: F.struct(
+            x["address"].alias("address"),
+            x["value"].alias("value"),
+            x["address_type"].alias("address_type"),
+        ),
+    )
+
+
 def transaction_table(raw_txs: DataFrame, bucket_size: int = TX_BUCKET_SIZE) -> DataFrame:
     """`transaction` — nested projection incl. totals and the coinjoin
     heuristic (reference: blocksci_export.py:352-365)."""
@@ -61,8 +75,8 @@ def transaction_table(raw_txs: DataFrame, bucket_size: int = TX_BUCKET_SIZE) -> 
         "coinbase",
         io_total_value("inputs").alias("total_input"),
         io_total_value("outputs").alias("total_output"),
-        "inputs",
-        "outputs",
+        _io_udt("inputs").alias("inputs"),
+        _io_udt("outputs").alias("outputs"),
         is_coinjoin("inputs", "outputs").alias("coinjoin"),
     )
 

@@ -606,6 +606,35 @@ def qd06_rates_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd08_utxo_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — the REAL UTXO join over the fixture chain: every
+    non-coinbase input carries the parser-resolved (spent_tx_id,
+    spent_index); the engine re-derives the linkage as an equi-join of
+    exploded inputs against exploded outputs and proves each resolved
+    output's value equals what the input claims to spend."""
+    from graphsense_blocksci_spark.operators import (
+        explode_inputs,
+        explode_outputs,
+        link_inputs_to_outputs,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    ins = explode_inputs(raw_txs.filter(~F.col("coinbase")))
+    outs = explode_outputs(raw_txs).select(
+        "tx_id", "output_index", F.col("value").alias("resolved_value")
+    )
+    linked = link_inputs_to_outputs(ins, outs)
+    return linked.select(
+        F.col("tx_id").alias("tx_id"),
+        F.col("input_index").cast("long").alias("input_index"),
+        "spent_tx_id",
+        F.col("spent_index").cast("long").alias("spent_index"),
+        "claimed_value",
+        "resolved_value",
+        (F.col("claimed_value") == F.col("resolved_value")).alias("value_matches"),
+    )
+
+
 def qd07_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest end-to-end under the correctness
     gate: file-source stream over the fixture txs → `transaction`
@@ -789,6 +818,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd05_summary_statistics": qd05_summary_statistics,
     "qd06_rates_asof": qd06_rates_asof,
     "qd07_streaming_roundtrip": qd07_streaming_roundtrip,
+    "qd08_utxo_linkage": qd08_utxo_linkage,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
     "q32_quality_score": q32_quality_score,
@@ -1232,6 +1262,39 @@ rates AS (
 )
 SELECT t.tx_id, CAST(r.usd AS DOUBLE) AS usd, r.n_currencies
 FROM txs t ASOF LEFT JOIN rates r ON t.tx_date >= r.rate_date
+""",
+    "qd08_utxo_linkage": f"""
+WITH ins AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{ii: i - 1,
+                      stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index,
+                      cval: inputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+i2 AS (
+    SELECT tx_id, CAST(u.ii AS BIGINT) AS input_index,
+           u.stx AS spent_tx_id, CAST(u.sidx AS BIGINT) AS spent_index,
+           u.cval AS claimed_value
+    FROM ins
+),
+outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1, oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS output_index, u.oval AS resolved_value
+    FROM outs
+)
+SELECT i2.tx_id, i2.input_index, i2.spent_tx_id, i2.spent_index,
+       i2.claimed_value, o2.resolved_value,
+       (i2.claimed_value = o2.resolved_value) AS value_matches
+FROM i2 LEFT JOIN o2
+  ON i2.spent_tx_id = o2.otx AND i2.spent_index = o2.output_index
 """,
     "qd07_streaming_roundtrip": f"""
 SELECT CAST(floor(tx_id / 25000) AS BIGINT) AS tx_id_group,

@@ -70,6 +70,20 @@ RAW_BLOCKS = T.StructType(
     ]
 )
 
+# Raw-side I/O struct: the UDT fields plus the UTXO back-reference the
+# parser resolves (BlockSci does this linkage in C++; SURVEY §2.B1).
+# The reference never EXPORTS the reference — transaction_table projects
+# back down to TX_INPUT_OUTPUT.
+RAW_TX_IO = T.StructType(
+    [
+        T.StructField("address", T.ArrayType(T.StringType()), True),
+        T.StructField("value", T.LongType(), False),
+        T.StructField("address_type", T.ShortType(), False),
+        T.StructField("spent_tx_id", T.LongType(), True),
+        T.StructField("spent_index", T.IntegerType(), True),
+    ]
+)
+
 RAW_TXS = T.StructType(
     [
         T.StructField("tx_id", T.LongType(), False),
@@ -77,8 +91,8 @@ RAW_TXS = T.StructType(
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("timestamp", T.IntegerType(), False),
         T.StructField("coinbase", T.BooleanType(), False),
-        T.StructField("inputs", T.ArrayType(TX_INPUT_OUTPUT), True),
-        T.StructField("outputs", T.ArrayType(TX_INPUT_OUTPUT), True),
+        T.StructField("inputs", T.ArrayType(RAW_TX_IO), True),
+        T.StructField("outputs", T.ArrayType(RAW_TX_IO), True),
     ]
 )
 
