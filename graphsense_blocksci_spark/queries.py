@@ -454,6 +454,30 @@ def q25_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join (SURVEY §2.C theta/range row): count
+    events falling inside each day's opening window [day, day+6h).
+    The interval dim is tiny → broadcast nested-loop with the range
+    predicate; the events side is never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "w_start",
+            (F.col("w_start") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(windows),
+        (ev["ts"] >= windows["w_start"]) & (ev["ts"] < windows["w_end"]),
+    )
+    return joined.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q26_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/date/math scalar-function surface (SURVEY §2.C rows):
     hex↔bytes round-trip, substring/concat, date_trunc/extract,
@@ -811,6 +835,7 @@ QUERIES: dict[str, QueryFn] = {
     "q24_rollup": q24_rollup,
     "q25_semi_anti": q25_semi_anti,
     "q26_scalar_funcs": q26_scalar_funcs,
+    "q27_range_join": q27_range_join,
     "qd01_block_table": qd01_block_table,
     "qd02_transaction_table": qd02_transaction_table,
     "qd03_tx_prefix_table": qd03_tx_prefix_table,
@@ -1177,6 +1202,17 @@ SELECT o_orderkey,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
        CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
 FROM orders
+""",
+    "q27_range_join": """
+WITH w AS (
+    SELECT date_trunc('day', ts) AS w_start,
+           date_trunc('day', ts) + INTERVAL 6 HOUR AS w_end
+    FROM events GROUP BY 1
+)
+SELECT w.w_start, count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1
 """,
     "qd01_block_table": f"""
 SELECT CAST(floor(block_id / 100) AS BIGINT) AS block_id_group,

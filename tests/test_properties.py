@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the invariants SURVEY §5
+promises: bucketing arithmetic, dedup idempotence, coinjoin
+permutation-invariance, and as-of join equivalence to pandas
+merge_asof. Each example builds ONE small DataFrame; examples are
+capped because a Spark round-trip costs ~0.5 s."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.functions import bucket_group
+from graphsense_blocksci_spark.functions.coinjoin import is_coinjoin
+from graphsense_blocksci_spark.operators import asof_join, exact_dedup
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40),
+    bucket=st.integers(min_value=1, max_value=100_000),
+)
+def test_bucket_group_is_floor_division(spark, ids, bucket):
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = df.select(bucket_group("id", bucket).alias("g"), "id").collect()
+    for r in got:
+        assert r.g == r.id // bucket
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t"),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_exact_dedup_idempotent_and_min_keeper(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # duplicate the corpus with shifted ids: dedup must keep the
+    # ORIGINAL (lower) id for every content and count both copies
+    rows += [(i + 1000, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df).collect()
+    assert all(r.keep_id < 1000 for r in out)
+    assert sum(r.n_dups for r in out) == len(rows)
+    # idempotence: dedup of the keepers keeps every keeper
+    keepers = {r.keep_id for r in out}
+    kept_df = df.filter(F.col("doc_id").isin(*keepers))
+    again = exact_dedup(kept_df).collect()
+    assert {r.keep_id for r in again} == keepers
+
+
+_io = st.fixed_dictionaries(
+    {
+        "address": st.lists(
+            st.sampled_from(["a1", "a2", "a3"]), min_size=1, max_size=2
+        ),
+        "value": st.sampled_from([546, 1000, 2000, 2730, 5000]),
+        "address_type": st.sampled_from([3, 5, 6]),
+    }
+)
+
+
+@SLOW
+@given(
+    inputs=st.lists(_io, min_size=0, max_size=6),
+    outputs=st.lists(_io, min_size=0, max_size=6),
+    seed=st.randoms(),
+)
+def test_coinjoin_invariant_under_io_permutation(spark, inputs, outputs, seed):
+    shuffled_in = list(inputs)
+    shuffled_out = list(outputs)
+    seed.shuffle(shuffled_in)
+    seed.shuffle(shuffled_out)
+    schema = (
+        "inputs array<struct<address:array<string>,value:long,address_type:smallint>>,"
+        "outputs array<struct<address:array<string>,value:long,address_type:smallint>>"
+    )
+    df = spark.createDataFrame(
+        [(inputs, outputs), (shuffled_in, shuffled_out)], schema
+    )
+    got = df.select(is_coinjoin("inputs", "outputs").alias("cj")).collect()
+    assert got[0].cj == got[1].cj  # order of I/O slots never matters
+
+
+@SLOW
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(left_ts)], "id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(t, float(t * 2)) for t in right_ts], "rts long, val double"
+    )
+    got = (
+        asof_join(left, right, on="ts", right_on="rts", value_cols=["val"])
+        .orderBy("id")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        pd.DataFrame({"id": range(len(left_ts)), "ts": sorted(left_ts)}).sort_values(
+            "ts"
+        ),
+        pd.DataFrame({"rts": sorted(right_ts), "val": [t * 2.0 for t in sorted(right_ts)]}),
+        left_on="ts",
+        right_on="rts",
+        direction="backward",
+    )
+    # compare per-ts (ids differ after the sort merge_asof requires)
+    got_map = dict(zip(got["ts"], got["val_asof"]))
+    exp_map = dict(zip(expected["ts"], expected["val"]))
+    for ts in set(left_ts):
+        g, e = got_map[ts], exp_map[ts]
+        assert (pd.isna(g) and pd.isna(e)) or g == e
