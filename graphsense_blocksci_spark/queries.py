@@ -454,6 +454,28 @@ def q25_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase aggregation on a 3-value heavy-hitter
+    key (l_returnflag) — the oracle pins that salting recombines to
+    EXACTLY the plain GROUP BY."""
+    from graphsense_blocksci_spark.operators import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pre = li.select(
+        "l_returnflag", _cents("l_extendedprice").alias("price_cents"), "l_orderkey"
+    )
+    return salted_agg(
+        pre,
+        ["l_returnflag"],
+        {
+            "n_rows": ("l_orderkey", "count"),
+            "sum_cents": ("price_cents", "sum"),
+            "max_key": ("l_orderkey", "max"),
+        },
+        n_salts=16,
+    )
+
+
 def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi interval join (SURVEY §2.C theta/range row): count
     events falling inside each day's opening window [day, day+6h).
@@ -836,6 +858,7 @@ QUERIES: dict[str, QueryFn] = {
     "q25_semi_anti": q25_semi_anti,
     "q26_scalar_funcs": q26_scalar_funcs,
     "q27_range_join": q27_range_join,
+    "q28_salted_agg": q28_salted_agg,
     "qd01_block_table": qd01_block_table,
     "qd02_transaction_table": qd02_transaction_table,
     "qd03_tx_prefix_table": qd03_tx_prefix_table,
@@ -1202,6 +1225,12 @@ SELECT o_orderkey,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
        CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
 FROM orders
+""",
+    "q28_salted_agg": """
+SELECT l_returnflag, count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+       max(l_orderkey) AS max_key
+FROM lineitem GROUP BY 1
 """,
     "q27_range_join": """
 WITH w AS (

@@ -2,5 +2,6 @@ from graphsense_blocksci_spark.streaming.ingest import (
     stream_block_stats,
     stream_transactions,
 )
+from graphsense_blocksci_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["stream_transactions", "stream_block_stats"]
+__all__ = ["stream_transactions", "stream_block_stats", "sessionize_stream"]

@@ -49,6 +49,58 @@ def test_stream_resume_is_incremental(spark, tmp_path):
     assert n1 == n2 == batch_df.count()
 
 
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    from graphsense_blocksci_spark.streaming import sessionize_stream
+
+    src = tmp_path / "sessions_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "sessions_ckpt")
+    schema = "user_id long, ts_epoch long"
+
+    # batch 1: user 1 has two sessions (gap > 1800 closes the first);
+    # the second stays OPEN in the state store
+    spark.createDataFrame(
+        [(1, 1000), (1, 1500), (1, 9000), (2, 50)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    sink = str(tmp_path / "sessions_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    got1 = run_once()
+    assert got1 == {(1, 1000, 1500, 2)}  # only the CLOSED session
+
+    # batch 2: user 1's event continues the open session (9000+1700 ≤
+    # gap) then a far event closes it; user 2's closes too
+    spark.createDataFrame(
+        [(1, 10_700), (1, 99_000), (2, 90_000)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    got2 = run_once()
+    # state carried ACROSS the restart: session opened in batch 1
+    # (start 9000) extends through 10700 before closing
+    assert (1, 9000, 10_700, 2) in got2
+    assert (2, 50, 50, 1) in got2
+
+
 def test_stream_block_stats_windows(spark, tmp_path):
     _, src = _raw_txs(spark, tmp_path)
     ckpt = str(tmp_path / "ckpt3")
