@@ -454,6 +454,20 @@ def q25_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing surface (SURVEY §2.C array/map/JSON row):
+    `from_json` with an explicit schema over the events.props payload,
+    aggregated per event type — schema-on-read without inference."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"].cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count_if(F.col("k").isNull()).alias("n_null_k"),
+    )
+
+
 def q28_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-phase aggregation on a 3-value heavy-hitter
     key (l_returnflag) — the oracle pins that salting recombines to
@@ -859,6 +873,7 @@ QUERIES: dict[str, QueryFn] = {
     "q26_scalar_funcs": q26_scalar_funcs,
     "q27_range_join": q27_range_join,
     "q28_salted_agg": q28_salted_agg,
+    "q29_json_extract": q29_json_extract,
     "qd01_block_table": qd01_block_table,
     "qd02_transaction_table": qd02_transaction_table,
     "qd03_tx_prefix_table": qd03_tx_prefix_table,
@@ -1225,6 +1240,13 @@ SELECT o_orderkey,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
        CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
 FROM orders
+""",
+    "q29_json_extract": """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+       count(*) FILTER (props->>'k' IS NULL) AS n_null_k
+FROM events GROUP BY 1
 """,
     "q28_salted_agg": """
 SELECT l_returnflag, count(*) AS n_rows,
