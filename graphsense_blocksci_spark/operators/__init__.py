@@ -21,6 +21,7 @@ from graphsense_blocksci_spark.operators.skew import salted_agg
 from graphsense_blocksci_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_gemm,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from graphsense_blocksci_spark.operators.text_analysis import (
@@ -43,6 +44,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
     "cosine_topk_gemm",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "text_stats",
     "quality_score",

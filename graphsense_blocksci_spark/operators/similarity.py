@@ -225,6 +225,140 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _train_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 1024,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Deterministic spherical k-means on a bounded sample.
+
+    The sample is the `sample_size` LOWEST ids (order-stable, no RNG
+    state), Lloyd iterations run driver-side in NumPy on unit vectors —
+    the training set is bounded regardless of corpus size; only the
+    assignment pass below touches all data, distributed."""
+    import numpy as np
+
+    sample = (
+        vectors.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col))
+        .orderBy("_id")
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[j] = m / nrm
+    return C
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    k: int = 1,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the second scale path next to hyperplane LSH.
+
+    Shape: spherical k-means centroids trained on a bounded sample
+    (driver-side, deterministic); ONE distributed pass assigns every
+    vector to its nearest centroid cell; queries probe their `n_probe`
+    nearest cells; candidates meet queries only inside shared cells
+    (shuffle on cell id — cells ≈ corpus/n_centroids rows each, never
+    an all-pairs join). Recall tunes with n_probe; output schema
+    matches the exact variants.
+    """
+    import numpy as np
+
+    C = _train_centroids(vectors, n_centroids, id_col, vec_col, seed=seed)
+    bc = vectors.sparkSession.sparkContext.broadcast(C)
+
+    from pyspark.sql import types as T
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("uv", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    probe_schema = assign_schema
+
+    def _assign(n_cells: int):
+        def fn(it):
+            import numpy as np
+            import pandas as pd
+
+            Cm = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                sims = X @ Cm.T
+                top = np.argsort(-sims, axis=1)[:, :n_cells]
+                frames = []
+                for j in range(n_cells):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vid": pdf["_id"].to_numpy(np.int64),
+                                "cell": top[:, j].astype(np.int32),
+                                "uv": list(X),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        return fn
+
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    base = spread(
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+        )
+    )
+    cand = base.mapInPandas(_assign(1), schema=assign_schema).select(
+        F.col("vid").alias("neighbor_id"), "cell", F.col("uv").alias("_cv")
+    )
+    qry = base.mapInPandas(_assign(n_probe), schema=probe_schema).select(
+        F.col("vid").alias("vec_id"), "cell", F.col("uv").alias("_qv")
+    )
+    scored = (
+        qry.join(cand, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", dot(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+    )
+    dedup = scored.groupBy("vec_id", "neighbor_id").agg(
+        F.first("cos_sim").alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
+    )
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     k: int = 1,

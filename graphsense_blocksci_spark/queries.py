@@ -801,6 +801,16 @@ def q39_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, k=3)
 
 
+def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-1 via IVF coarse quantization — the
+    second ANN scale path (cells ≈ corpus/n_centroids, probe-bounded
+    candidate generation). Approximate ⇒ rows-only check."""
+    from graphsense_blocksci_spark.operators import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, k=1, n_centroids=16, n_probe=4)
+
+
 def q43_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 via Arrow+NumPy GEMM — the throughput path
     (BLAS reduction order ⇒ last-ulp float differences vs the fold
@@ -894,6 +904,7 @@ QUERIES: dict[str, QueryFn] = {
     "q39_knn_bruteforce": q39_knn_bruteforce,
     "q40_knn_lsh": q40_knn_lsh,
     "q43_knn_gemm": q43_knn_gemm,
+    "q44_knn_ivf": q44_knn_ivf,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }

@@ -199,6 +199,29 @@ def test_knn_gemm_matches_fold_baseline(spark):
         assert abs(gsim - sim) < 1e-12
 
 
+def test_knn_ivf_recall_and_sim_correctness(spark):
+    import random
+
+    from graphsense_blocksci_spark.operators import cosine_topk_ivf
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact_all = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(df, k=119).collect()
+    }
+    exact_top1 = {
+        r.vec_id: r.neighbor_id
+        for r in cosine_topk_bruteforce(df, k=1).collect()
+    }
+    approx = cosine_topk_ivf(df, k=1, n_centroids=8, n_probe=4).collect()
+    hits = sum(1 for r in approx if exact_top1.get(r.vec_id) == r.neighbor_id)
+    assert hits / len(exact_top1) >= 0.7  # recall@1 with 4/8 cells probed
+    for r in approx:  # every reported sim is the true cosine for that pair
+        assert abs(exact_all[(r.vec_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
 def test_multimodal_features_deterministic(docs):
     feats = extract_features(attach_payload(docs))
     a = {r.media_id: (r.n_bytes, r.width, r.height) for r in feats.collect()}
