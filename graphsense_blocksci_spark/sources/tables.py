@@ -64,6 +64,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation, matching how µs-native engines read the same file).
     Plain tables take the normal vectorized-reader path untouched.
     """
+    # Timestamp semantics (date_trunc, epoch extraction, day cutoffs)
+    # are session-timezone dependent; the oracle engine runs UTC. Pin
+    # it here — every query loads through this function, so a driver
+    # session created with a local timezone still computes UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = str(Path(sf_dir) / f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
     if not ns_cols:

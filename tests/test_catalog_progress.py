@@ -92,6 +92,31 @@ class TestAddressWiring:
         assert df.select(address_type_code("type_name")).first()[0] is None
 
 
+class TestChains:
+    def test_chain_registry_matches_reference_constants(self):
+        from graphsense_blocksci_spark.chains import CHAINS, for_chain
+
+        assert set(CHAINS) == {"btc", "bch", "ltc", "zec"}
+        assert all(c.reorg_safety_lag == 6 for c in CHAINS.values())
+        assert for_chain("btc").has_segwit and for_chain("ltc").has_segwit
+        assert not for_chain("bch").has_segwit
+        assert not for_chain("zec").has_segwit
+        with pytest.raises(ValueError, match="unknown chain"):
+            for_chain("doge")
+
+    def test_chain_lag_plumbs_into_incremental(self, spark):
+        from graphsense_blocksci_spark.chains import for_chain
+        from graphsense_blocksci_spark.plans.incremental import (
+            reorg_safety_filter,
+        )
+
+        df = spark.range(0, 100).withColumnRenamed("id", "block_id")
+        safe = reorg_safety_filter(
+            df, "block_id", lag=for_chain("btc").reorg_safety_lag
+        )
+        assert safe.agg(F.max("block_id")).first()[0] == 93
+
+
 class TestSinkRoundTrip:
     def test_bucketed_layout_and_values(self, spark, tmp_path):
         df = spark.createDataFrame(
