@@ -811,6 +811,17 @@ def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, k=1, n_centroids=16, n_probe=4)
 
 
+def q45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation DAG: exact dedup → quality gate → language
+    filter → per-language funnel counts — the end-to-end training-data
+    pipeline over the documents table, one oracle for the whole
+    composition."""
+    from graphsense_blocksci_spark.plans.curate import curation_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_report(docs, keep_langs=("en", "und"))
+
+
 def q43_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 via Arrow+NumPy GEMM — the throughput path
     (BLAS reduction order ⇒ last-ulp float differences vs the fold
@@ -905,6 +916,7 @@ QUERIES: dict[str, QueryFn] = {
     "q40_knn_lsh": q40_knn_lsh,
     "q43_knn_gemm": q43_knn_gemm,
     "q44_knn_ivf": q44_knn_ivf,
+    "q45_curation_pipeline": q45_curation_pipeline,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }
@@ -1360,6 +1372,61 @@ rates AS (
 )
 SELECT t.tx_id, CAST(r.usd AS DOUBLE) AS usd, r.n_currencies
 FROM txs t ASOF LEFT JOIN rates r ON t.tx_date >= r.rate_date
+""",
+    "q45_curation_pipeline": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+keepers AS (
+    SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+    FROM norm GROUP BY md5(s)
+),
+stats AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS mtl,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS ttr
+    FROM tok
+),
+quality AS (
+    SELECT doc_id, n_tokens FROM stats
+    WHERE n_tokens >= 5 AND n_tokens <= 100000
+      AND mtl >= 2.0 AND mtl <= 12.0 AND ttr >= 0.1
+),
+scores AS (
+    SELECT doc_id,
+        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','zu','ist','ein'], t))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(toks, t -> list_contains(['el','la','y','los','que','es','un'], t))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est','un'], t))) AS BIGINT) AS s_fr
+    FROM tok
+),
+lang AS (
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+)
+SELECT l.lang_pred, count(*) AS n_docs,
+       sum(q.n_tokens) AS total_tokens,
+       sum(k.n_dups) AS dups_absorbed
+FROM keepers k
+JOIN quality q USING (doc_id)
+JOIN lang l USING (doc_id)
+WHERE l.lang_pred IN ('en', 'und')
+GROUP BY 1
 """,
     "qd08_utxo_linkage": f"""
 WITH ins AS (
