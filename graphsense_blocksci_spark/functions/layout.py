@@ -16,14 +16,18 @@ from graphsense_blocksci_spark.schemas import TX_HASH_PREFIX_LENGTH
 
 
 def bucket_group(col: Column | str, bucket_size: int) -> Column:
-    """``id // bucket_size`` as IntegerType.
+    """``id // bucket_size`` as LongType.
 
     `F.floor` (not integer cast) matches Python's floor division on
     negatives, though ids are always >= 0 in practice
-    (reference: blocksci_export.py:333,355).
+    (reference: blocksci_export.py:333,355). The group stays LONG in
+    the data plane — an int32 group overflows once id/bucket exceeds
+    2^31 (hypothesis-found), and 100 TB-scale surrogate ids get there.
+    Sinks whose schema demands the reference's CQL `int` cast at the
+    write boundary, where values are range-checked by construction.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c / F.lit(bucket_size)).cast("int")
+    return F.floor(c / F.lit(bucket_size)).cast("long")
 
 
 def tx_hash_prefix(col: Column | str, length: int = TX_HASH_PREFIX_LENGTH) -> Column:

@@ -23,6 +23,7 @@ from graphsense_blocksci_spark.operators.similarity import (
     cosine_topk_gemm,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_neardup,
 )
 from graphsense_blocksci_spark.operators.text_analysis import (
     text_stats,
@@ -46,6 +47,7 @@ __all__ = [
     "cosine_topk_gemm",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "embedding_neardup",
     "text_stats",
     "quality_score",
     "language_id",

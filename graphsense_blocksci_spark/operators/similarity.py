@@ -367,15 +367,25 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: per LSH table, vectors meet only within their
     sign-pattern bucket; results are unioned across tables and re-ranked.
 
     Scale shape: `n_tables` shuffles on bucket keys (2^n_planes buckets
     per table), per-bucket quadratic cost bounded by bucket size — never
-    a global cross join. Recall tunes with (n_planes ↓, n_tables ↑).
+    a global cross join. Recall tunes with (n_planes ↓, n_tables ↑) and,
+    cheaper than extra tables, with `multiprobe`: each QUERY row also
+    probes the `multiprobe` buckets at Hamming distance 1 (lowest-index
+    sign bits flipped — the bits most likely to be wrong for a point
+    near a hyperplane). Probing multiplies only the query-side fan-out
+    (`1+multiprobe` rows per query in the bucket shuffle); the candidate
+    index side is stored ONCE, which is why multi-probe beats adding
+    tables at equal recall on a 100 TB corpus.
     Output schema matches the brute-force variant.
     """
+    if not 0 <= multiprobe <= n_planes:
+        raise ValueError(f"multiprobe must be in [0, {n_planes}]")
     dim = len(vectors.select(vec_col).first()[0])
     per_table = []
     for t in range(n_tables):
@@ -385,8 +395,17 @@ def cosine_topk_lsh(
             unit_vector(F.col(vec_col)).alias("_uv"),
             lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
         )
+        probes = F.array(
+            F.col("_bucket"),
+            *[
+                F.col("_bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(multiprobe)
+            ],
+        )
         left = b.select(
-            F.col(id_col).alias("vec_id"), F.col("_uv").alias("_qv"), "_bucket"
+            F.col(id_col).alias("vec_id"),
+            F.col("_uv").alias("_qv"),
+            F.explode(probes).alias("_bucket"),
         )
         right = b.select(
             F.col(id_col).alias("neighbor_id"), F.col("_uv").alias("_cv"), "_bucket"
@@ -409,4 +428,76 @@ def cosine_topk_lsh(
         dedup.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
+def embedding_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup modality
+    next to exact/MinHash-LSH/SimHash/n-gram (north-star brief; the
+    reference has no text stack, so this is extension surface).
+
+    Banded random-hyperplane LSH in the MinHash-LSH shape: `n_bands`
+    independent bands of `band_planes` sign bits each; two vectors are
+    CANDIDATES iff they agree on every bit of at least one band (OR
+    over bands of AND over bits). Candidates then get an EXACT
+    fixed-order cosine and only pairs >= `threshold` survive — the
+    candidate/verify pattern, so false positives cost compute, never
+    correctness. For true near-dups (cos >= 0.9) the default 4x4
+    geometry gives ~96% recall per the (1-(1-p^r)^b) curve, p =
+    1 - theta/pi.
+
+    Scale shape: one scan computes all band buckets in a single
+    projection; candidates are generated per (band, bucket) via a
+    bucket-keyed self-join (shuffle on the band/bucket key, per-bucket
+    quadratic bounded by bucket size — never all-pairs); pair dedup
+    across bands is one hash aggregation. Every float op is a
+    fixed-order fold, so the DuckDB oracle reproduces pairs AND
+    cosines bit-exactly.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bands * band_planes, seed=seed)
+    b = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        unit_vector(F.col(vec_col)).alias("_uv"),
+        *[
+            lsh_bucket(
+                F.col(vec_col), planes[t * band_planes : (t + 1) * band_planes]
+            ).alias(f"_b{t}")
+            for t in range(n_bands)
+        ],
+    )
+    bb = b.select(
+        "_id",
+        "_uv",
+        F.posexplode(F.array(*[f"_b{t}" for t in range(n_bands)])).alias(
+            "_band", "_bucket"
+        ),
+    )
+    left = bb.select(
+        F.col("_id").alias("id_a"), F.col("_uv").alias("_ua"), "_band", "_bucket"
+    )
+    right = bb.select(
+        F.col("_id").alias("id_b"), F.col("_uv").alias("_ub"), "_band", "_bucket"
+    )
+    pairs = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_ua").alias("_ua"), F.first("_ub").alias("_ub"))
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", dot(F.col("_ua"), F.col("_ub")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )

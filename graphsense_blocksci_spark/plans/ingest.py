@@ -41,7 +41,7 @@ def block_table(raw_blocks: DataFrame, bucket_size: int = BLOCK_BUCKET_SIZE) -> 
     """`block` — 5-col projection with derived partition group
     (reference: blocksci_export.py:332-337)."""
     return raw_blocks.select(
-        bucket_group("block_id", bucket_size).alias("block_id_group"),
+        bucket_group("block_id", bucket_size).cast("int").alias("block_id_group"),
         F.col("block_id").cast("int").alias("block_id"),
         "block_hash",
         F.col("timestamp").cast("int").alias("timestamp"),
@@ -67,7 +67,7 @@ def transaction_table(raw_txs: DataFrame, bucket_size: int = TX_BUCKET_SIZE) -> 
     """`transaction` — nested projection incl. totals and the coinjoin
     heuristic (reference: blocksci_export.py:352-365)."""
     return raw_txs.select(
-        bucket_group("tx_id", bucket_size).alias("tx_id_group"),
+        bucket_group("tx_id", bucket_size).cast("int").alias("tx_id_group"),
         F.col("tx_id").cast("long").alias("tx_id"),
         "tx_hash",
         F.col("block_id").cast("int").alias("block_id"),
@@ -148,7 +148,7 @@ def block_transactions_table(
             ).alias("txs"),
         )
     return grouped.select(
-        bucket_group("block_id", bucket_size).alias("block_id_group"),
+        bucket_group("block_id", bucket_size).cast("int").alias("block_id_group"),
         "block_id",
         "txs",
     )

@@ -841,6 +841,17 @@ def q40_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, k=1, n_planes=8, n_tables=2)
 
 
+def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH +
+    exact fixed-order cosine verify (candidate/verify — never
+    all-pairs). Bit-exact vs the oracle, which re-derives the same
+    seeded hyperplane literals and fold order in SQL."""
+    from graphsense_blocksci_spark.operators import embedding_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.35, n_bands=4, band_planes=4)
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -917,6 +928,7 @@ QUERIES: dict[str, QueryFn] = {
     "q43_knn_gemm": q43_knn_gemm,
     "q44_knn_ivf": q44_knn_ivf,
     "q45_curation_pipeline": q45_curation_pipeline,
+    "q46_embedding_neardup": q46_embedding_neardup,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }
@@ -1052,6 +1064,59 @@ SELECT vec_id, neighbor_id,
        cos_sim
 FROM scored
 QUALIFY rank <= {k}
+"""
+
+
+def _plane_dot(e: str, plane: list[float]) -> str:
+    """Unrolled raw-double dot against hyperplane literals; left-assoc
+    additions ≡ Spark's sequential `lsh_bucket` fold (a leading +0.0
+    is an IEEE no-op). Float literals via repr() round-trip exactly."""
+    return " + ".join(f"{e}[{i + 1}] * ({plane[i]!r})" for i in range(len(plane)))
+
+
+def _neardup_sql(
+    threshold: float = 0.35, n_bands: int = 4, band_planes: int = 4, dim: int = 64
+) -> str:
+    """Mirror of operators.similarity.embedding_neardup: same seeded
+    hyperplanes, same band/bucket construction (bit j set iff the raw
+    double dot with plane j of the band is > 0), same unit-vector
+    normalize-then-fold cosine — bit-identical pairs and values."""
+    from graphsense_blocksci_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_bands * band_planes, seed=42)
+    band_rows = []
+    for t in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN ({_plane_dot('e', planes[t * band_planes + j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(band_planes)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {t} AS band, CAST({bits} AS BIGINT) AS bucket FROM n"
+        )
+    bands_union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, list_transform(e, x -> x / sqrt({_dot64('e', 'e')})) AS u
+    FROM v
+),
+bkt AS (
+{bands_union}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bkt a
+    JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, ({_dot64('x.u', 'y.u')}) AS cos_sim
+FROM cand c
+JOIN n x ON x.vec_id = c.id_a
+JOIN n y ON y.vec_id = c.id_b
+WHERE ({_dot64('x.u', 'y.u')}) >= {threshold!r}
 """
 
 
@@ -1593,6 +1658,7 @@ ja AS (
 SELECT * FROM ja WHERE jaccard >= 0.2
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
+    "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),
     "q41_media_features": """
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -176,6 +176,75 @@ def test_knn_lsh_subset_of_bruteforce_domain(spark):
         assert abs(exact[(r.vec_id, r.neighbor_id)] - r.cos_sim) < 1e-12
 
 
+def test_knn_lsh_multiprobe_recall_not_worse(spark):
+    import random
+
+    # planted-twin corpus: every vector's true top-1 is its noisy twin
+    # (cos ~0.99) — the regime LSH is built for
+    rng = random.Random(13)
+    rows = []
+    for i in range(30):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, base))
+        rows.append((1000 + i, [x + rng.uniform(-0.02, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact_top1 = {
+        r.vec_id: r.neighbor_id for r in cosine_topk_bruteforce(df, k=1).collect()
+    }
+    exact_all = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(df, k=len(rows) - 1).collect()
+    }
+
+    def recall(multiprobe):
+        got = cosine_topk_lsh(
+            df, k=1, n_planes=8, n_tables=1, multiprobe=multiprobe
+        ).collect()
+        for r in got:  # probing never corrupts the verified similarity
+            assert abs(exact_all[(r.vec_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+        return sum(
+            1 for r in got if exact_top1.get(r.vec_id) == r.neighbor_id
+        ) / len(exact_top1)
+
+    # flipping sign bits strictly widens the candidate set -> monotone
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0
+    assert r4 >= 0.85
+
+
+def test_embedding_neardup_pairs_exact_and_complete(spark):
+    import random
+
+    from graphsense_blocksci_spark.operators import embedding_neardup
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    # plant two exact duplicates and one slight perturbation of row 0
+    rows.append((100, list(rows[0][1])))
+    rows.append((101, [x + 0.001 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup(
+            df, threshold=0.9, n_bands=4, band_planes=4
+        ).collect()
+    }
+    # identical vectors share every bucket -> always caught, cos ~ 1.0
+    # (unit-vector division rounds, so the self-dot is 1.0 - 1ulp)
+    assert got[(0, 100)] > 1.0 - 1e-12
+    # the perturbed twin is within-band identical too (same signs)
+    assert (0, 101) in got and got[(0, 101)] > 0.999
+    assert (100, 101) in got
+    # every reported pair is a true near-dup: verify against exact cosine
+    exact = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(df, k=52).collect()
+    }
+    for (a, b), sim in got.items():
+        assert sim >= 0.9
+        assert abs(exact[(a, b)] - sim) < 1e-12
+
+
 def test_knn_gemm_matches_fold_baseline(spark):
     import random
 
