@@ -7,6 +7,10 @@ from graphsense_blocksci_spark.plans.ingest import (
     configuration_table,
     ingest_all,
 )
+from graphsense_blocksci_spark.plans.daemon import (
+    ingest_daemon_step,
+    run_ingest_daemon,
+)
 
 __all__ = [
     "block_table",
@@ -16,4 +20,6 @@ __all__ = [
     "summary_statistics_table",
     "configuration_table",
     "ingest_all",
+    "ingest_daemon_step",
+    "run_ingest_daemon",
 ]

@@ -737,6 +737,45 @@ def qd07_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the correctness gate: the documents
+    table staged as a file-source stream (event time derived from
+    doc_id), `dropDuplicatesWithinWatermark` on the batch dedup's
+    content hash, availableNow to a parquet sink, sink read back.
+    Output is the surviving hash set — one row per distinct content —
+    which must equal the batch DISTINCT the oracle computes (which
+    doc_id wins per hash is arrival-order-dependent, so ids stay out
+    of the compared output)."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_sdedup_")
+    docs.write.mode("overwrite").parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{work}/src")
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{work}/sink")
+    return out.select(F.col("_content_hash").alias("content_hash"))
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------
@@ -914,6 +953,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd06_rates_asof": qd06_rates_asof,
     "qd07_streaming_roundtrip": qd07_streaming_roundtrip,
     "qd08_utxo_linkage": qd08_utxo_linkage,
+    "qd09_streaming_dedup": qd09_streaming_dedup,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
     "q32_quality_score": q32_quality_score,
@@ -1535,6 +1575,10 @@ SELECT CAST(floor(tx_id / 25000) AS BIGINT) AS tx_id_group,
        coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS total_input,
        coalesce(list_sum(list_transform(outputs, x -> x.value)), 0) AS total_output
 FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+""",
+    "qd09_streaming_dedup": r"""
+SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+FROM documents
 """,
     "q30_dedup_exact": r"""
 SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,

@@ -49,8 +49,28 @@ def _sessionize_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap: int,
+    idle_timeout_ms: int | None,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    if idle_timeout_ms is not None and state.hasTimedOut:
+        # no events for this key since the timer was set: FLUSH the
+        # open session and drop the state — without this, a key that
+        # goes quiet forever leaks its open session (and its state
+        # store entry) for the lifetime of the stream
+        if state.exists:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": start,
+                        "session_end": last,
+                        "n_events": n,
+                    }
+                ]
+            )
+        return
     if state.exists:
         start, last, n = state.get
     else:
@@ -75,25 +95,37 @@ def _sessionize_group(
                 last = ts
                 n += 1
     state.update((start, last, n))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
     if closed:
         yield pd.DataFrame(closed)
 
 
 def sessionize_stream(
-    events: DataFrame, gap_seconds: int = 1800
+    events: DataFrame, gap_seconds: int = 1800, idle_timeout_ms: int | None = None
 ) -> DataFrame:
     """Apply the stateful sessionizer to a STREAMING frame with columns
     (user_id long, ts_epoch long). Returns the stream of CLOSED
-    sessions; open sessions live in the state store until a later
-    event (or a timeout policy) closes them."""
+    sessions.
+
+    Without `idle_timeout_ms`, open sessions live in the state store
+    until a later event closes them — a key that goes quiet forever
+    never emits its last session and never frees its state. With it,
+    a processing-time timer fires after that many ms without events
+    for the key: the open session is flushed downstream and the state
+    entry removed, bounding the store by |recently-active keys|."""
 
     def fn(key, pdfs, state):
-        return _sessionize_group(key, pdfs, state, gap_seconds)
+        return _sessionize_group(key, pdfs, state, gap_seconds, idle_timeout_ms)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

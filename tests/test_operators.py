@@ -215,3 +215,54 @@ class TestLinkage:
             (4, 2, 0): 80,
             (4, 9, 9): None,  # unresolvable input survives with NULL
         }
+
+
+class TestIngestDaemon:
+    """plans/daemon.py — the ingest.sh loop as bounded daemon steps."""
+
+    def test_daemon_catches_up_and_is_idempotent(self, spark, tmp_path):
+        from graphsense_blocksci_spark import fixtures
+        from graphsense_blocksci_spark.plans import run_ingest_daemon
+        from graphsense_blocksci_spark.plans.ingest import block_table
+        from graphsense_blocksci_spark.plans.incremental import (
+            incremental_delta,
+        )
+
+        d = fixtures.ensure_fixtures()
+        raw = spark.read.parquet(f"{d}/raw_blocks.parquet")
+        far_future = 4_000_000_000  # previous-day cutoff never trims
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+
+        # stage 1: first 60% of the chain arrives
+        tip = raw.agg(F.max("block_id")).collect()[0][0]
+        cut = int(tip * 0.6)
+        raw.filter(F.col("block_id") <= cut).write.mode("overwrite").parquet(src)
+        counts1 = run_ingest_daemon(
+            spark, src, sink, max_iterations=3, stop_when_empty=True,
+            as_of_epoch=far_future,
+        )
+        # step 1 ingests the staged chain minus the reorg lag; step 2
+        # finds nothing new and the loop stops
+        assert counts1[0] > 0 and counts1[-1] == 0
+        n_after1 = spark.read.parquet(sink).count()
+        assert n_after1 == counts1[0]
+
+        # stage 2: the rest of the chain arrives (append new files)
+        raw.filter(F.col("block_id") > cut).write.mode("append").parquet(src)
+        counts2 = run_ingest_daemon(
+            spark, src, sink, max_iterations=3, stop_when_empty=True,
+            as_of_epoch=far_future,
+        )
+        assert counts2[0] > 0 and counts2[-1] == 0
+
+        # catch-up equivalence: the daemon's sink equals the one-shot
+        # delta from an empty sink over the full source
+        got = spark.read.parquet(sink)
+        empty = spark.createDataFrame([], block_table(raw).schema)
+        oneshot = block_table(
+            incremental_delta(raw, empty, as_of_epoch=far_future)
+        )
+        assert got.count() == oneshot.count()
+        assert got.exceptAll(oneshot).count() == 0
+        assert oneshot.exceptAll(got).count() == 0

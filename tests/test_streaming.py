@@ -118,3 +118,120 @@ def test_stream_block_stats_windows(spark, tmp_path):
         "no_txs",
         "no_outputs",
     }
+
+
+def test_stateful_sessionize_idle_timeout_flush(spark, tmp_path):
+    import time
+
+    from graphsense_blocksci_spark.streaming import sessionize_stream
+
+    src = tmp_path / "timeout_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "timeout_ckpt")
+    sink = str(tmp_path / "timeout_out")
+    schema = "user_id long, ts_epoch long"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, idle_timeout_ms=1)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()  # make the restart race-free for the next run
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: user 1's session never closes by gap, but availableNow
+    # runs a final no-data batch in which the expired 1 ms idle timer
+    # fires — the open session is FLUSHED and the state removed
+    spark.createDataFrame([(1, 1000), (1, 1500)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    got1 = run_once()
+    assert got1 == {(1, 1000, 1500, 2)}
+
+    # batch 2: user 1 comes back -> state was removed, so a FRESH
+    # session opens (no continuation of the flushed one); its later
+    # event closes it by gap, proving the restart started clean
+    time.sleep(0.1)
+    spark.createDataFrame([(1, 2000), (1, 99_000)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    got2 = run_once()
+    assert (1, 2000, 2000, 1) in got2  # fresh session, not 1000-started
+    # and the trailing open session (99000) flushes by timer too
+    assert (1, 99_000, 99_000, 1) in got2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from graphsense_blocksci_spark.streaming import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+    sink = str(tmp_path / "dedup_out")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            dedup_stream(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # batch 1: two distinct docs + one exact repeat + one
+    # whitespace/case variant (same normalized content)
+    write_batch(
+        "f1",
+        [
+            (1, "hello world", t0),
+            (2, "other doc", t0),
+            (3, "hello world", t0),
+            (4, "  Hello   WORLD ", t0),
+        ],
+    )
+    got1 = run_once()
+    assert got1 == [1, 2]  # first arrival per content wins
+
+    # batch 2: a repeat arriving within the watermark window is
+    # dropped by carried state; a new doc passes
+    write_batch(
+        "f2",
+        [
+            (5, "hello world", t0 + dt.timedelta(minutes=10)),
+            (6, "fresh content", t0 + dt.timedelta(minutes=10)),
+        ],
+    )
+    got2 = run_once()
+    assert got2 == [1, 2, 6]
