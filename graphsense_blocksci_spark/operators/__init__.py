@@ -26,6 +26,7 @@ from graphsense_blocksci_spark.operators.similarity import (
     embedding_neardup,
 )
 from graphsense_blocksci_spark.operators.text_analysis import (
+    bpe_token_count,
     text_stats,
     quality_score,
     language_id,
@@ -48,6 +49,7 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "embedding_neardup",
+    "bpe_token_count",
     "text_stats",
     "quality_score",
     "language_id",

@@ -123,3 +123,43 @@ def doc_fingerprint(
         ).alias("fingerprint"),
         F.size("_sh").cast("long").alias("n_shingles"),
     )
+
+
+# GPT-2-style pre-tokenizer, reduced to constructs whose semantics are
+# identical in Java regex (Spark) and RE2 (DuckDB): letter runs, single
+# digits (BPE numerals split per digit), punctuation/symbol singletons.
+# Whitespace is explicit (\s differs between the engines at the margin:
+# Java includes \x0B, RE2 does not).
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+
+def bpe_token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pre-tokenizer piece counts — the budget-estimation pass of a
+    training-data pipeline (how many tokens is this corpus?).
+
+    `n_pieces` counts BPE-ish pre-tokens (letter runs / digits /
+    punctuation — the split a byte-pair encoder would start from;
+    contractions and byte-level details of the real GPT-2 regex are
+    deliberately out of scope), `n_ws_tokens` counts whitespace tokens
+    for the naive baseline, and `pieces_per_ws_token` is the corpus
+    inflation factor. Pure JVM regex projection — no shuffle, no UDF.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    base = spread(docs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+        F.size(tokens(text_col)).cast("long").alias("n_ws_tokens"),
+    )
+    return base.select(
+        id_col,
+        "n_pieces",
+        "n_distinct_pieces",
+        "n_ws_tokens",
+        (
+            F.col("n_pieces").cast("double")
+            / F.nullif(F.col("n_ws_tokens"), F.lit(0)).cast("double")
+        ).alias("pieces_per_ws_token"),
+    )

@@ -891,6 +891,85 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(emb, threshold=0.35, n_bands=4, band_planes=4)
 
 
+def q47_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer piece counting — the corpus token-budget
+    pass. Pure JVM regex projection; the regex is restricted to
+    constructs with identical Java/RE2 semantics so the oracle matches
+    cell-exactly."""
+    from graphsense_blocksci_spark.operators import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_count(docs)
+
+
+def q48_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filters, two shuffle joins on the
+    fact keys, revenue agg in integer cents, global top-10 by revenue.
+    The customer/orders sides carry their filters into the scans
+    (predicate pushdown); the final top-k is TakeOrdered — no global
+    sort shuffle."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+def q49_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full star join — lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region — with revenue per nation.
+    nation/region/supplier are broadcast (small dims); only the
+    fact-side joins shuffle. The co-nationality predicate
+    (customer and supplier in the same nation) rides on the supplier
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue_cents).alias("revenue_cents"))
+    )
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -969,6 +1048,9 @@ QUERIES: dict[str, QueryFn] = {
     "q44_knn_ivf": q44_knn_ivf,
     "q45_curation_pipeline": q45_curation_pipeline,
     "q46_embedding_neardup": q46_embedding_neardup,
+    "q47_bpe_tokens": q47_bpe_tokens,
+    "q48_shipping_priority": q48_shipping_priority,
+    "q49_regional_revenue": q49_regional_revenue,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }
@@ -1703,6 +1785,53 @@ SELECT * FROM ja WHERE jaccard >= 0.2
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
     "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),
+    "q47_bpe_tokens": r"""
+WITH p AS (
+    SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f]') AS pieces,
+           list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               t -> t <> ''
+           ) AS ws
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct_pieces,
+       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(len(pieces) AS DOUBLE) / CAST(nullif(len(ws), 0) AS DOUBLE)
+           AS pieces_per_ws_token
+FROM p
+""",
+    "q48_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "q49_regional_revenue": """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""",
     "q41_media_features": """
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -316,3 +316,27 @@ def test_frame_sample_offsets(docs):
         n_bytes = payload_sizes[r.media_id]
         assert r.n == (n_bytes - 1) // 10 + 1
         assert r.mx == ((n_bytes - 1) // 10) * 10
+
+
+def test_bpe_token_count_values(spark):
+    from graphsense_blocksci_spark.operators import bpe_token_count
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, world! 42"),
+            (2, "   "),
+            (3, "a-b a-b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bpe_token_count(docs).collect()}
+    # Hello , world ! 4 2  -> 6 pieces; ws tokens: Hello, world! 42 -> 3
+    assert got[1].n_pieces == 6
+    assert got[1].n_ws_tokens == 3
+    assert got[1].pieces_per_ws_token == 2.0
+    # whitespace-only: zero everything, ratio NULL (no div-by-zero)
+    assert got[2].n_pieces == 0 and got[2].n_ws_tokens == 0
+    assert got[2].pieces_per_ws_token is None
+    # a - b a - b -> 6 pieces, 3 distinct (a, -, b)
+    assert got[3].n_pieces == 6
+    assert got[3].n_distinct_pieces == 3
