@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     "q40_knn_lsh",
     "q41_media_features",
     "q43_knn_gemm",
+    "q46_embedding_neardup",
+    "q50_embedding_neardup_gemm",
+    "q47_bpe_tokens",
+    "q48_shipping_priority",
+    "q49_regional_revenue",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

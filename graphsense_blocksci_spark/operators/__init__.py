@@ -24,6 +24,7 @@ from graphsense_blocksci_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_neardup,
+    embedding_neardup_gemm,
 )
 from graphsense_blocksci_spark.operators.text_analysis import (
     bpe_token_count,
@@ -49,6 +50,7 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "embedding_neardup",
+    "embedding_neardup_gemm",
     "bpe_token_count",
     "text_stats",
     "quality_score",

@@ -501,3 +501,118 @@ def embedding_neardup(
         )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )
+
+
+def embedding_neardup_gemm(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Throughput variant of `embedding_neardup` — same banded-LSH
+    geometry, all float work in Arrow+BLAS: one `mapInPandas` pass
+    assigns every band bucket (two matmuls per batch), then one matmul
+    per (band, bucket) group verifies cosines via `applyInPandas`,
+    replacing ~|bucket|^2 + n_planes*n interpreted folds. BLAS
+    reduction order differs from the sequential fold in the last ulp,
+    so a plane-dot or cosine sitting exactly on its boundary can
+    resolve differently — use `embedding_neardup` when bit-exact
+    cross-engine parity matters (pytest gates the two variants equal
+    away from the boundaries).
+
+    100 TB shape: NO corpus-wide broadcast/collect — each Arrow batch
+    holds one bucket's vectors (bounded by bucket size), the only
+    shuffle is the same (band, bucket) key the fold variant uses, and
+    cross-band pair dedup is the same hash aggregation.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bands * band_planes, seed=seed)
+
+    from pyspark.sql import types as T
+
+    # one Arrow pass computes unit vectors AND all band buckets with two
+    # matmuls per batch, emitting the (id, uv, band, bucket) explosion
+    # the bucket join groups on — replaces n_bands*band_planes
+    # interpreted per-element folds per row
+    exploded_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_uv", T.ArrayType(T.DoubleType())),
+            T.StructField("_band", T.IntegerType()),
+            T.StructField("_bucket", T.LongType()),
+        ]
+    )
+
+    def assign_buckets(it):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64)  # (n_bands*band_planes, dim)
+        weights = (1 << np.arange(band_planes, dtype=np.int64))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy(np.int64)
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            U = X / np.linalg.norm(X, axis=1, keepdims=True)
+            signs = (X @ P.T) > 0  # (n, n_bands*band_planes)
+            uv_list = list(U)
+            frames = []
+            for t in range(n_bands):
+                bucket = (
+                    signs[:, t * band_planes : (t + 1) * band_planes] @ weights
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": ids,
+                            "_uv": uv_list,
+                            "_band": np.full(len(ids), t, dtype=np.int32),
+                            "_bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    flat = spread(
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+        )
+    )
+    bb = flat.mapInPandas(assign_buckets, exploded_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf["_id"].to_numpy(np.int64)
+        U = np.array(pdf["_uv"].tolist(), dtype=np.float64)
+        S = U @ U.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= thr
+        a, bmask = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, bmask), np.maximum(a, bmask)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": S[ia[keep], ib[keep]]}
+        )
+
+    pairs = bb.groupBy("_band", "_bucket").applyInPandas(bucket_pairs, out_schema)
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))

@@ -891,6 +891,17 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(emb, threshold=0.35, n_bands=4, band_planes=4)
 
 
+def q50_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup throughput path: same banded-LSH candidates as q46, but
+    bucket-local BLAS matmul verification (applyInPandas per bucket —
+    no corpus broadcast). Last-ulp BLAS reduction differences at the
+    threshold boundary ⇒ rows-only check; fold-parity is pytest-gated."""
+    from graphsense_blocksci_spark.operators import embedding_neardup_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_gemm(emb, threshold=0.35, n_bands=4, band_planes=4)
+
+
 def q47_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer piece counting — the corpus token-budget
     pass. Pure JVM regex projection; the regex is restricted to
@@ -1051,6 +1062,7 @@ QUERIES: dict[str, QueryFn] = {
     "q47_bpe_tokens": q47_bpe_tokens,
     "q48_shipping_priority": q48_shipping_priority,
     "q49_regional_revenue": q49_regional_revenue,
+    "q50_embedding_neardup_gemm": q50_embedding_neardup_gemm,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }

@@ -340,3 +340,30 @@ def test_bpe_token_count_values(spark):
     # a - b a - b -> 6 pieces, 3 distinct (a, -, b)
     assert got[3].n_pieces == 6
     assert got[3].n_distinct_pieces == 3
+
+
+def test_embedding_neardup_gemm_matches_fold(spark):
+    import random
+
+    from graphsense_blocksci_spark.operators import (
+        embedding_neardup,
+        embedding_neardup_gemm,
+    )
+
+    rng = random.Random(47)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((200, list(rows[5][1])))  # exact dup to guarantee pairs
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fold = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup(df, threshold=0.3).collect()
+    }
+    gemm = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_gemm(df, threshold=0.3).collect()
+    }
+    # same candidate geometry + thresholds away from float boundaries
+    # -> identical pair sets; cosines agree to ~1 ulp
+    assert fold.keys() == gemm.keys() and (5, 200) in fold
+    for k, v in fold.items():
+        assert abs(gemm[k] - v) < 1e-12
