@@ -14,12 +14,15 @@ re-expresses every capability Spark-first:
 - ``functions``   — column-expression building blocks: bucketing, hash
                     prefixes, address rendering, the coinjoin heuristic.
 - ``plans``       — the ingest pipelines producing the 7 output tables,
-                    plus the incremental (resume / previous-day / reorg-lag)
-                    layer.
+                    the incremental (resume / previous-day / reorg-lag)
+                    layer, the bounded ingest-daemon loop, and the composed
+                    curation pipeline.
 - ``operators``   — generic large-scale operators: window dedup, top-k,
                     as-of joins, UTXO linkage, text dedup (exact /
                     MinHash-LSH / SimHash / n-gram Jaccard), embedding
-                    similarity search, text analysis, multimodal columns.
+                    similarity search (brute-force / multi-probe LSH / IVF)
+                    and embedding-cosine near-dup, text analysis incl.
+                    BPE-ish token counting, multimodal columns.
 - ``sources``     — table registry over the parquet fixtures; sink writers
                     that emulate the Cassandra (partition key, clustering
                     order) layout in partitioned parquet; catalog DDL
@@ -27,7 +30,9 @@ re-expresses every capability Spark-first:
 - ``streaming``   — Structured Streaming variant of the ingest daemon
                     (docker/ingest.sh continue/previous-day loop):
                     checkpoint ≙ high-water mark, watermark ≙ previous-day
-                    cutoff, idempotent foreachBatch ≙ PK-upsert retry.
+                    cutoff, idempotent foreachBatch ≙ PK-upsert retry;
+                    watermarked streaming dedup; stateful sessionizer with
+                    idle-timeout flush.
 - ``queries``     — the driver-contract registry: every operator as a
                     (Spark callable, DuckDB oracle SQL) pair over the
                     testdata tables.
