@@ -981,6 +981,80 @@ def q49_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube grouping sets — all 4 (returnflag, linestatus) grouping
+    combinations in one pass (SURVEY §2.C grouping row; rollup is q24).
+    Spark expands the cube into grouping sets BEFORE the shuffle, so
+    it stays one exchange with map-side partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("l_extendedprice")).alias("sum_cents"),
+    )
+
+
+def q52_lead_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytics windows beyond row_number: lag/lead deltas and
+    a running (unbounded-preceding) sum per user over the events
+    stream — one shuffle on user_id, all four windows share the same
+    (partition, order) so Spark evaluates them in a single Window node.
+    Value sums flow through integer milli-units (exact in both
+    engines); event_id is the unique tiebreaker (events carry
+    duplicate timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mills = F.round(F.col("value") * 1000).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        mills.alias("value_mills"),
+        F.lag(mills, 1).over(w).alias("prev_value_mills"),
+        F.lead(mills, 1).over(w).alias("next_value_mills"),
+        F.sum(mills).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("running_mills"),
+        F.row_number().over(w).cast("long").alias("event_seq"),
+    )
+
+
+def q53_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (SURVEY §2.C set-ops row): customers
+    active in 1996 INTERSECT 1997 (retained), 1996 EXCEPT 1997
+    (churned), and their UNION, tagged — three distinct-set pipelines
+    over one orders scan."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def custs(year: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    y96, y97 = custs(1996), custs(1997)
+    # intersect/subtract are the SQL DISTINCT set ops
+    retained = y96.intersect(y97).select(
+        "o_custkey", F.lit("retained").alias("cohort")
+    )
+    churned = y96.subtract(y97).select(
+        "o_custkey", F.lit("churned").alias("cohort")
+    )
+    return retained.unionByName(churned)
+
+
+def q54_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counting — the cardinality
+    sketch a 100 TB profiler runs instead of exact countDistinct
+    (which needs a second shuffle on the value). Sketch estimates are
+    engine-specific ⇒ rows-only check; the error bound vs exact is
+    pytest-gated (test_llm_ops)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -1063,6 +1137,10 @@ QUERIES: dict[str, QueryFn] = {
     "q48_shipping_priority": q48_shipping_priority,
     "q49_regional_revenue": q49_regional_revenue,
     "q50_embedding_neardup_gemm": q50_embedding_neardup_gemm,
+    "q51_cube": q51_cube,
+    "q52_lead_lag_running": q52_lead_lag_running,
+    "q53_set_ops": q53_set_ops,
+    "q54_approx_distinct": q54_approx_distinct,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }
@@ -1797,6 +1875,46 @@ SELECT * FROM ja WHERE jaccard >= 0.2
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
     "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),
+    "q51_cube": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q52_lead_lag_running": """
+SELECT user_id, event_id, ts,
+       CAST(round(value * 1000) AS BIGINT) AS value_mills,
+       lag(CAST(round(value * 1000) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_mills,
+       lead(CAST(round(value * 1000) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value_mills,
+       sum(CAST(round(value * 1000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_mills,
+       CAST(row_number()
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS event_seq
+FROM events
+""",
+    "q53_set_ops": """
+SELECT o_custkey, 'retained' AS cohort FROM (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+""",
     "q47_bpe_tokens": r"""
 WITH p AS (
     SELECT doc_id,

@@ -367,3 +367,28 @@ def test_embedding_neardup_gemm_matches_fold(spark):
     assert fold.keys() == gemm.keys() and (5, 200) in fold
     for k, v in fold.items():
         assert abs(gemm[k] - v) < 1e-12
+
+
+def test_approx_distinct_within_rsd(spark):
+    # q54's HLL sketch: estimate within the configured 2% rsd (x3 for
+    # tail safety) of the exact distinct count on the real testdata
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in QUERIES["q54_approx_distinct"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    exact = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.06
