@@ -17,7 +17,7 @@ from graphsense_blocksci_spark.operators.text_dedup import (
     simhash,
     ngram_jaccard_pairs,
 )
-from graphsense_blocksci_spark.operators.skew import salted_agg
+from graphsense_blocksci_spark.operators.skew import salted_agg, salted_join
 from graphsense_blocksci_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_gemm,
@@ -60,6 +60,7 @@ __all__ = [
     "extract_features",
     "frame_sample",
     "salted_agg",
+    "salted_join",
     "latest_per_group",
     "dedup_last_write_wins",
     "top_k",

@@ -66,3 +66,44 @@ def salted_agg(
         ]
     )
     return final
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the small side is too big to
+    broadcast and AQE's skew splitting isn't enough (a single key with
+    billions of rows lands one straggler task however finely AQE
+    splits, because every split still joins against the SAME right
+    rows).
+
+    Shape: the big side gets a uniform random salt in [0, S); the
+    small side is replicated S× (explode over the salt range); the
+    join key becomes (key, salt), spreading each hot key over S
+    reducer partitions. Cost: S× shuffle volume of the SMALL side —
+    chosen because small × S << big-side straggler time.
+
+    Correctness: every big row meets exactly the one replica of its
+    matching small rows that carries its salt ⇒ row-for-row equal to
+    the plain join (pinned by the q55 oracle). Inner and left joins
+    preserve multiplicity; right/full would need the unsalted
+    complement and are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_big = big.withColumn("_salt", (F.rand(seed) * n_salts).cast("int"))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_big.join(
+        replicated,
+        (F.col(big_key) == F.col(small_key)) & (salted_big["_salt"] == replicated["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

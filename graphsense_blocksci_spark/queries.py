@@ -1055,6 +1055,24 @@ def q54_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: lineitem ⋈ orders on the order key with
+    the small side replicated per salt — row-for-row equal to the
+    plain join (the oracle IS the plain join), aggregated per
+    priority so the compared output is stable."""
+    from graphsense_blocksci_spark.operators import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("l_extendedprice")).alias("sum_cents"),
+    )
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -1141,6 +1159,7 @@ QUERIES: dict[str, QueryFn] = {
     "q52_lead_lag_running": q52_lead_lag_running,
     "q53_set_ops": q53_set_ops,
     "q54_approx_distinct": q54_approx_distinct,
+    "q55_salted_join": q55_salted_join,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
 }
@@ -1875,6 +1894,13 @@ SELECT * FROM ja WHERE jaccard >= 0.2
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
     "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),
+    "q55_salted_join": """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
     "q51_cube": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,

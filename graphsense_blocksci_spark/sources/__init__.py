@@ -6,7 +6,11 @@ from graphsense_blocksci_spark.sources.tables import (
     load_raw_txs,
     load_raw_exchange_rates,
 )
-from graphsense_blocksci_spark.sources.sinks import write_bucketed_table
+from graphsense_blocksci_spark.sources.sinks import (
+    write_bucketed_table,
+    write_range_sorted,
+    write_spark_bucketed,
+)
 
 __all__ = [
     "TESTDATA_TABLES",
@@ -16,4 +20,6 @@ __all__ = [
     "load_raw_txs",
     "load_raw_exchange_rates",
     "write_bucketed_table",
+    "write_range_sorted",
+    "write_spark_bucketed",
 ]

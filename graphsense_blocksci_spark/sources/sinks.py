@@ -110,3 +110,33 @@ def write_cassandra(
         .mode(mode)
         .save()
     )
+
+
+def write_spark_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Spark-native bucketed table (`bucketBy` + `sortBy` into the
+    catalog): rows are hash-bucketed by `bucket_col` into `n_buckets`
+    files per partition AND sorted within each bucket.
+
+    This is the co-located-join layout: two tables bucketed the same
+    way on their join key sort-merge-join with NO Exchange on either
+    side (pinned by test_plans) — the shuffle is paid once at write
+    time instead of on every join, the decisive trade for fact tables
+    joined daily at 100 TB. The reference's Cassandra partition-key
+    layout is the same idea (token-route once, read co-located
+    forever); `write_bucketed_table` above emulates its physical
+    file layout, this one feeds Spark's planner.
+    """
+    (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

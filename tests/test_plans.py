@@ -112,3 +112,52 @@ def test_write_range_sorted_layout(spark, tmp_path):
         assert hi1 < lo2  # disjoint ranges → global total order
     sizes = [n for _, _, n in bounds]
     assert max(sizes) <= 2 * min(sizes)  # near-even chunks
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    """write_spark_bucketed: two tables bucketed on their join key
+    sort-merge-join WITHOUT a shuffle on either side — the write-once,
+    join-forever layout."""
+    from graphsense_blocksci_spark.sources import write_spark_bucketed
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 10_000, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("b")
+    )
+    write_spark_bucketed(left, "t_bk_left", "k", n_buckets=8)
+    write_spark_bucketed(right, "t_bk_right", "k", n_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test size the planner prefers broadcast (which also avoids
+        # the shuffle); force the sort-merge path to show the bucketed
+        # layout is what eliminates the Exchange at fact-fact scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l, r = spark.table("t_bk_left"), spark.table("t_bk_right")
+        joined = l.join(r, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == right.count()  # every right key matches
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bk_left")
+        spark.sql("DROP TABLE IF EXISTS t_bk_right")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from graphsense_blocksci_spark.operators import salted_join
+
+    big = spark.range(0, 5_000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(8)], "sk long, name string"
+    )
+    plain = big.join(small, big.k == small.sk, "left").select("k", "v", "name")
+    salted = salted_join(big, small, "k", "sk", n_salts=4, how="left").select(
+        "k", "v", "name"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
