@@ -37,6 +37,7 @@ from graphsense_blocksci_spark.operators.multimodal import (
     attach_payload,
     extract_features,
     frame_sample,
+    resize_image,
 )
 
 __all__ = [
@@ -59,6 +60,7 @@ __all__ = [
     "attach_payload",
     "extract_features",
     "frame_sample",
+    "resize_image",
     "salted_agg",
     "salted_join",
     "latest_per_group",

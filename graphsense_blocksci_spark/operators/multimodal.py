@@ -122,3 +122,54 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"),
         (F.col("_step") * every_n_bytes).cast("long").alias("offset"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("target_w", T.IntegerType(), True),
+        T.StructField("target_h", T.IntegerType(), True),
+        T.StructField("thumb_n_bytes", T.LongType(), True),
+        T.StructField("thumb_md5", T.StringType(), True),
+    ]
+)
+
+
+def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """'Resize' plumbing — the thumbnail pass of an image pipeline.
+
+    A real implementation decodes the payload and interpolates pixels
+    (PIL/libvips, absent here); the STUB derives the thumbnail
+    deterministically — md5(payload || "WxH") expanded to the
+    W*H*3-byte RGB budget — so the batch shape, the binary-in/
+    binary-out Arrow transfer, and the output schema are all real and
+    the DuckDB oracle can verify the digest path end-to-end. Metadata
+    (target size, byte budget) stays JVM-side; only the per-payload
+    byte work crosses into Python, batched.
+    """
+    budget = width * height * 3
+    suffix = f"{width}x{height}".encode()
+
+    def _batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            digests = [
+                hashlib.md5(bytes(p) + suffix).hexdigest()
+                if p is not None
+                else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": width,
+                    "target_h": height,
+                    "thumb_n_bytes": [budget if d else None for d in digests],
+                    "thumb_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=RESIZE_SCHEMA)

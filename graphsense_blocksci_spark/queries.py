@@ -1088,6 +1088,16 @@ def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing — binary-in/binary-digest-out Arrow
+    batches (deterministic md5 fake in place of pixel interpolation,
+    so the oracle verifies the full path)."""
+    from graphsense_blocksci_spark.operators import resize_image
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image(attach_payload(docs), width=64, height=64)
+
+
 def q42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-offset sampling — JVM-side sequence explode."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1162,6 +1172,7 @@ QUERIES: dict[str, QueryFn] = {
     "q55_salted_join": q55_salted_join,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
+    "q56_resize_thumbs": q56_resize_thumbs,
 }
 
 
@@ -1994,6 +2005,14 @@ SELECT doc_id AS media_id,
        ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024 AS width,
        ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024 AS height,
        3::BIGINT AS channels
+FROM documents
+""",
+    "q56_resize_thumbs": """
+SELECT doc_id AS media_id,
+       CAST(64 AS INTEGER) AS target_w,
+       CAST(64 AS INTEGER) AS target_h,
+       CAST(64 * 64 * 3 AS BIGINT) AS thumb_n_bytes,
+       md5(text || '64x64') AS thumb_md5
 FROM documents
 """,
     "q42_frame_sample": """

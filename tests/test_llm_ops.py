@@ -392,3 +392,18 @@ def test_approx_distinct_within_rsd(spark):
     assert approx.keys() == exact.keys()
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.06
+
+
+def test_resize_thumbs_deterministic(docs):
+    import hashlib
+
+    from graphsense_blocksci_spark.operators import resize_image
+
+    media = attach_payload(docs)
+    got = {r.media_id: r for r in resize_image(media, 32, 16).collect()}
+    assert got[1].target_w == 32 and got[1].target_h == 16
+    assert got[1].thumb_n_bytes == 32 * 16 * 3
+    # digest path: md5(payload || "WxH"), reproducible driver-side
+    text = "The quick brown fox jumps over the lazy dog"
+    want = hashlib.md5(text.encode() + b"32x16").hexdigest()
+    assert got[1].thumb_md5 == want
