@@ -163,3 +163,56 @@ def bpe_token_count(
             / F.nullif(F.col("n_ws_tokens"), F.lit(0)).cast("double")
         ).alias("pieces_per_ws_token"),
     )
+
+
+def curation_columns(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """APPEND the curation signals (n_tokens, mean_token_len,
+    type_token_ratio, quality_ok, lang_pred) as columns, keeping every
+    input column — the streaming-friendly form of `quality_score` +
+    `language_id` (pure projections compose into any stream without
+    joins; the keyed frames those return would self-join as
+    stream-stream).
+
+    The token array is STAGED as a real column first (interpreted-HOF
+    gotcha: every expression referencing `tokens(text)` re-runs the
+    normalize+split per row — staging pays it once)."""
+    staged = docs.withColumn("_toks", tokens(text_col))
+    if not docs.isStreaming:  # spread() inspects the RDD — batch only
+        staged = spread(staged)
+    toks = F.col("_toks")
+    n_tok = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = total_len.cast("double") / n_tok.cast("double")
+    ttr = n_distinct.cast("double") / n_tok.cast("double")
+    ok = (
+        (n_tok >= 5)
+        & (n_tok <= 100_000)
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+        & (ttr >= 0.1)
+    )
+    def in_list(sw: tuple[str, ...]):
+        return lambda t: t.isin(*sw)
+
+    scores = {
+        lang: F.size(F.filter(toks, in_list(sw))).cast("long")
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_STOPWORDS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return staged.withColumns(
+        {
+            "n_tokens": n_tok,
+            "mean_token_len": mean_len,
+            "type_token_ratio": ttr,
+            "quality_ok": ok,
+            "lang_pred": pred,
+        }
+    ).drop("_toks")

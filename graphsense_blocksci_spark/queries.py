@@ -776,6 +776,48 @@ def qd09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("_content_hash").alias("content_hash"))
 
 
+def qd10_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's streaming face under the oracle gate:
+    documents staged as a file stream → watermark dedup → per-row
+    quality + language columns → filter, sink read back and
+    aggregated per language. Which doc survives a dup class is
+    arrival-order-dependent, but every curation signal derives from
+    the NORMALIZED content (identical within a class), so per-language
+    counts and token sums are winner-independent — exactly what the
+    oracle compares."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming import curate_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_scur_")
+    docs.write.mode("overwrite").parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{work}/src")
+    )
+    q = (
+        curate_stream(stream, keep_langs=("en", "und"))
+        .writeStream.format("parquet")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{work}/sink")
+    return out.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators over documents / embeddings
 # --------------------------------------------------------------------------
@@ -1146,6 +1188,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd07_streaming_roundtrip": qd07_streaming_roundtrip,
     "qd08_utxo_linkage": qd08_utxo_linkage,
     "qd09_streaming_dedup": qd09_streaming_dedup,
+    "qd10_streaming_curation": qd10_streaming_curation,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
     "q32_quality_score": q32_quality_score,
@@ -1781,6 +1824,53 @@ FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
     "qd09_streaming_dedup": r"""
 SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
 FROM documents
+""",
+    "qd10_streaming_curation": r"""
+WITH norm AS (
+    SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT s, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+stats AS (
+    SELECT s, toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS mtl,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS ttr
+    FROM tok
+),
+quality AS (
+    SELECT s, toks, n_tokens FROM stats
+    WHERE n_tokens >= 5 AND n_tokens <= 100000
+      AND mtl >= 2.0 AND mtl <= 12.0 AND ttr >= 0.1
+),
+lang AS (
+    SELECT s, n_tokens,
+        CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','is','in'], t))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','zu','ist','ein'], t))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(toks, t -> list_contains(['el','la','y','los','que','es','un'], t))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les','des','est','un'], t))) AS BIGINT) AS s_fr
+    FROM quality
+),
+pred AS (
+    SELECT n_tokens,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM lang
+)
+SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM pred
+WHERE lang_pred IN ('en', 'und')
+GROUP BY 1
 """,
     "q30_dedup_exact": r"""
 SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,

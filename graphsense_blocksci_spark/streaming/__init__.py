@@ -3,12 +3,17 @@ from graphsense_blocksci_spark.streaming.ingest import (
     stream_transactions,
 )
 from graphsense_blocksci_spark.streaming.stateful import sessionize_stream
-from graphsense_blocksci_spark.streaming.dedup import content_hash, dedup_stream
+from graphsense_blocksci_spark.streaming.dedup import (
+    content_hash,
+    curate_stream,
+    dedup_stream,
+)
 
 __all__ = [
     "stream_transactions",
     "stream_block_stats",
     "sessionize_stream",
     "dedup_stream",
+    "curate_stream",
     "content_hash",
 ]

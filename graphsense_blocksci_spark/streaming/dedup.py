@@ -54,3 +54,35 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_hash"])
     )
+
+
+def curate_stream(
+    docs: DataFrame,
+    keep_langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The curation pipeline's STREAMING face: arriving documents are
+    deduped against the watermark window, then quality-gated and
+    language-filtered — so a crawl feed lands already curated instead
+    of being re-curated batch-wise each day.
+
+    Spark-first composition: the curation signals are APPENDED as pure
+    per-row columns (`curation_columns`), so the stateless stages
+    stream for free with NO joins — the keyed frames the batch
+    `quality_score`/`language_id` return would self-join as
+    stream-stream here. The only stateful stage is the native
+    watermark dedup. One declarative DAG, two execution modes —
+    mirroring plans/curate.py (parity pytest-pinned).
+    """
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        curation_columns,
+    )
+
+    deduped = dedup_stream(docs, text_col, ts_col, watermark)
+    scored = curation_columns(deduped, text_col)
+    return scored.filter(
+        F.col("quality_ok") & F.col("lang_pred").isin(*keep_langs)
+    ).select(id_col, ts_col, "n_tokens", "lang_pred")

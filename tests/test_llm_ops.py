@@ -407,3 +407,20 @@ def test_resize_thumbs_deterministic(docs):
     text = "The quick brown fox jumps over the lazy dog"
     want = hashlib.md5(text.encode() + b"32x16").hexdigest()
     assert got[1].thumb_md5 == want
+
+
+def test_curation_columns_parity_with_keyed_operators(docs):
+    """The append-style curation_columns must agree with the
+    oracle-pinned keyed operators on every doc."""
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        curation_columns,
+    )
+
+    cc = {r.doc_id: r for r in curation_columns(docs).collect()}
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    l = {r.doc_id: r for r in language_id(docs).collect()}
+    assert cc.keys() == q.keys() == l.keys()
+    for did, r in cc.items():
+        assert r.quality_ok == q[did].quality_ok
+        assert r.n_tokens == q[did].n_tokens
+        assert r.lang_pred == l[did].lang_pred

@@ -161,3 +161,23 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_sink_partition_pruning(spark, tmp_path):
+    """Reading the Cassandra-layout sink back with a group predicate
+    prunes directories (PartitionFilters), so point lookups touch one
+    partition's files — the read side of the reference's
+    partition-key design."""
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.plans.ingest import block_table
+    from graphsense_blocksci_spark.sources import write_bucketed_table
+
+    d = fixtures.ensure_fixtures()
+    blocks = block_table(spark.read.parquet(f"{d}/raw_blocks.parquet"))
+    out = str(tmp_path / "block_sink")
+    write_bucketed_table(blocks, out, "block_id_group", "block_id")
+    got = spark.read.parquet(out).filter(F.col("block_id_group") == 3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(block_id_group" in plan
+    # and the files actually read are only that directory's
+    assert got.count() == blocks.filter(F.col("block_id_group") == 3).count()

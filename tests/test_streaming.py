@@ -235,3 +235,42 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     got2 = run_once()
     assert got2 == [1, 2, 6]
+
+
+def test_curate_stream_dedups_and_filters(spark, tmp_path):
+    import datetime as dt
+
+    from graphsense_blocksci_spark.streaming import curate_stream
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cur_ckpt")
+    sink = str(tmp_path / "cur_out")
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    good_en = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [
+            (1, good_en, t0),
+            (2, good_en, t0),          # dup of 1 -> dropped by dedup
+            (3, "x y", t0),            # too short -> quality gate
+            (4, "der hund und die katze und das haus heute", t0),  # de
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    q = (
+        curate_stream(
+            spark.readStream.schema(schema).parquet(str(src / "*")),
+            keep_langs=("en",),
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    assert [r.doc_id for r in got] == [1]
+    assert got[0].lang_pred == "en" and got[0].n_tokens == 12
