@@ -93,3 +93,34 @@ def run_ingest_daemon(
         if poll_seconds and i + 1 < max_iterations:
             time.sleep(poll_seconds)
     return counts
+
+
+def _main() -> None:
+    """CLI face of the daemon — `python -m
+    graphsense_blocksci_spark.plans.daemon SRC SINK [--iterations N]
+    [--poll SECONDS]` is the repo's `docker/ingest.sh` equivalent."""
+    import argparse
+
+    from graphsense_blocksci_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("source_dir")
+    p.add_argument("sink_dir")
+    p.add_argument("--iterations", type=int, default=1)
+    p.add_argument("--poll", type=float, default=0.0)
+    p.add_argument("--lag", type=int, default=REORG_SAFETY_LAG)
+    args = p.parse_args()
+    spark = get_spark(app_name="gbs-ingest-daemon")
+    counts = run_ingest_daemon(
+        spark,
+        args.source_dir,
+        args.sink_dir,
+        max_iterations=args.iterations,
+        poll_seconds=args.poll,
+        lag=args.lag,
+    )
+    print({"appended_per_step": counts, "total": sum(counts)})
+
+
+if __name__ == "__main__":
+    _main()

@@ -5,6 +5,8 @@ from graphsense_blocksci_spark.sources.tables import (
     load_raw_blocks,
     load_raw_txs,
     load_raw_exchange_rates,
+    load_json_table,
+    write_json_table,
 )
 from graphsense_blocksci_spark.sources.sinks import (
     write_bucketed_table,
@@ -19,6 +21,8 @@ __all__ = [
     "load_raw_blocks",
     "load_raw_txs",
     "load_raw_exchange_rates",
+    "load_json_table",
+    "write_json_table",
     "write_bucketed_table",
     "write_range_sorted",
     "write_spark_bucketed",

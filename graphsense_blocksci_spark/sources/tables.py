@@ -18,6 +18,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T  # noqa: F401  (schema hints for load_json_table)
 
 from graphsense_blocksci_spark import fixtures
 
@@ -99,3 +100,21 @@ def load_raw_txs(spark: SparkSession, fixture_dir: str | None = None) -> DataFra
 
 def load_raw_exchange_rates(spark: SparkSession, fixture_dir: str | None = None) -> DataFrame:
     return _fixture(spark, "raw_exchange_rates", fixture_dir)
+
+
+def load_json_table(
+    spark: SparkSession, path: str, schema: "T.StructType | str"
+) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — the config-style
+    input family (the reference's parser configs are JSON,
+    conf/btc.cfg). Schema inference is forbidden in this engine
+    (SURVEY §1.3: fixed, explicit schemas only) — at 100 TB an
+    inference pass is a full extra scan, and a drifting inferred type
+    silently changes downstream plans."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — interchange with non-columnar consumers; for
+    anything large, parquet (`sinks.py`) is the real format."""
+    df.write.mode(mode).json(path)

@@ -134,3 +134,22 @@ class TestSinkRoundTrip:
         a = sorted((r.id, r.payload) for r in back.collect())
         b = sorted((r.id, r.payload) for r in df.collect())
         assert a == b
+
+
+def test_json_source_roundtrip_explicit_schema(spark, tmp_path):
+    from graphsense_blocksci_spark.sources import (
+        load_json_table,
+        write_json_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "j")
+    write_json_table(df, path)
+    back = load_json_table(spark, path, "id long, name string, score double")
+    assert back.schema == df.schema
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", None),
+    ]
