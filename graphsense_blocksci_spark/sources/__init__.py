@@ -12,6 +12,7 @@ from graphsense_blocksci_spark.sources.sinks import (
     write_bucketed_table,
     write_range_sorted,
     write_spark_bucketed,
+    overwrite_partitions,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "write_bucketed_table",
     "write_range_sorted",
     "write_spark_bucketed",
+    "overwrite_partitions",
 ]

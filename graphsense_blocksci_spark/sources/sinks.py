@@ -140,3 +140,31 @@ def write_spark_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    cluster_col: str | None = None,
+    descending: bool = True,
+) -> None:
+    """Replace ONLY the partitions present in `df`, leaving the rest of
+    the sink untouched — dynamic partition overwrite, the parquet-world
+    equivalent of the reference's keyed Cassandra upsert for re-runs
+    (SURVEY §7 risk list: "dedup-before-write + overwrite-by-partition
+    for reruns"). A failed ingest of day N re-runs by overwriting day
+    N's directories idempotently; a plain "overwrite" would drop the
+    whole table, a plain "append" would duplicate the partial write.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = df.repartition(F.col(partition_col))
+        if cluster_col is not None:
+            order = F.desc(cluster_col) if descending else F.asc(cluster_col)
+            out = out.sortWithinPartitions(F.col(partition_col), order)
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -181,3 +181,41 @@ def test_bucketed_sink_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(block_id_group" in plan
     # and the files actually read are only that directory's
     assert got.count() == blocks.filter(F.col("block_id_group") == 3).count()
+
+
+def test_overwrite_partitions_replaces_only_touched_groups(spark, tmp_path):
+    from graphsense_blocksci_spark.sources import (
+        overwrite_partitions,
+        write_bucketed_table,
+    )
+
+    base = spark.createDataFrame(
+        [(g, i, f"v{g}_{i}") for g in range(3) for i in range(4)],
+        "g int, id int, payload string",
+    )
+    path = str(tmp_path / "dyn")
+    write_bucketed_table(base, path, "g", "id")
+    # re-run of group 1 with corrected rows
+    fixed = spark.createDataFrame(
+        [(1, i, f"fixed_{i}") for i in range(4)], "g int, id int, payload string"
+    )
+    overwrite_partitions(fixed, path, "g", "id")
+    got = spark.read.parquet(path)
+    assert got.count() == 12  # groups 0 and 2 untouched, group 1 replaced
+    assert got.filter(F.col("g") == 1).filter(
+        ~F.col("payload").startswith("fixed_")
+    ).count() == 0
+    assert got.filter(F.col("g") == 0).filter(
+        F.col("payload").startswith("v0_")
+    ).count() == 4
+    # idempotent: same re-run twice leaves the same table
+    overwrite_partitions(fixed, path, "g", "id")
+    assert spark.read.parquet(path).count() == 12
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """q22's per-group top-k must plan as WindowGroupLimit (partial
+    per-partition top-k before the shuffle) — the rank-filter pushdown
+    that keeps per-group top-k from materializing every group row."""
+    plan = optimized_of(QUERIES["q22_topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
