@@ -1115,6 +1115,52 @@ def q55_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single global aggregate — the
+    query where predicate pushdown does ALL the work (every filter
+    reaches the parquet scan; one partial-agg shuffle of one row per
+    task). Revenue in integer cents for cross-engine exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(revenue_cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q58_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional (CASE) aggregation
+    — counts split by a predicate on the joined side, per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -1213,6 +1259,8 @@ QUERIES: dict[str, QueryFn] = {
     "q53_set_ops": q53_set_ops,
     "q54_approx_distinct": q54_approx_distinct,
     "q55_salted_join": q55_salted_join,
+    "q57_forecast_revenue": q57_forecast_revenue,
+    "q58_shipmode_priority": q58_shipmode_priority,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2001,6 +2049,27 @@ SELECT o_orderpriority,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+""",
+    "q57_forecast_revenue": """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+           AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "q58_shipmode_priority": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
 """,
     "q51_cube": """
 SELECT l_returnflag, l_linestatus,
