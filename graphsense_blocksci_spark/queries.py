@@ -1161,6 +1161,27 @@ def q58_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles over integer cents, per
+    group — Spark `percentile` ≡ DuckDB `quantile_cont` bit-for-bit on
+    integer inputs (both interpolate lower + d·(upper−lower) on the
+    sorted values). The exact form needs the full sorted group (one
+    shuffle); at 100 TB the profiler swaps in `approx_percentile`
+    (KLL/GK sketch, mergeable map-side) and tolerates the rsd — same
+    trade as q23/q54 for distinct counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"percentile({c}, 0.25)").alias("p25"),
+            F.expr(f"percentile({c}, 0.5)").alias("p50"),
+            F.expr(f"percentile({c}, 0.75)").alias("p75"),
+            F.expr(f"percentile({c}, 0.99)").alias("p99"),
+        )
+    )
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -1261,6 +1282,7 @@ QUERIES: dict[str, QueryFn] = {
     "q55_salted_join": q55_salted_join,
     "q57_forecast_revenue": q57_forecast_revenue,
     "q58_shipmode_priority": q58_shipmode_priority,
+    "q59_percentiles": q59_percentiles,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2069,6 +2091,15 @@ SELECT l_returnflag,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+    "q59_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)  AS p50,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75,
+       quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99
+FROM lineitem
 GROUP BY l_returnflag
 """,
     "q51_cube": """
