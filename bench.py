@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "q47_bpe_tokens",
     "q48_shipping_priority",
     "q49_regional_revenue",
+    "q52_lead_lag_running",
+    "q55_salted_join",
+    "q57_forecast_revenue",
+    "q58_shipmode_priority",
+    "q59_percentiles",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last
