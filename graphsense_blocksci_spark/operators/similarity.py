@@ -439,6 +439,7 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the fifth dedup modality
     next to exact/MinHash-LSH/SimHash/n-gram (north-star brief; the
@@ -462,6 +463,13 @@ def embedding_neardup(
     fixed-order fold, so the DuckDB oracle reproduces pairs AND
     cosines bit-exactly.
 
+    `max_bucket` is the degenerate-bucket guard for the 100 TB run: a
+    pathological bucket (zero vectors, constant embeddings) is
+    quadratic in its size; buckets larger than the cap are DROPPED
+    from candidate generation (documented recall trade — the same cap
+    the text-LSH pair generator applies), bounding per-bucket work by
+    max_bucket² regardless of data skew.
+
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
     dim = len(vectors.select(vec_col).first()[0])
@@ -483,6 +491,13 @@ def embedding_neardup(
             "_band", "_bucket"
         ),
     )
+    if max_bucket is not None:
+        wcnt = Window.partitionBy("_band", "_bucket")
+        bb = (
+            bb.withColumn("_bn", F.count(F.lit(1)).over(wcnt))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = bb.select(
         F.col("_id").alias("id_a"), F.col("_uv").alias("_ua"), "_band", "_bucket"
     )

@@ -1182,6 +1182,33 @@ def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregation (orders whose
+    total quantity exceeds a threshold), then joins back to the
+    customer dimension — the aggregate-filter-join pattern. The
+    aggregation's shuffle partitioning on l_orderkey is reused by the
+    orders join (same key, no re-shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
+
+
 def q41_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — binary payload + Arrow-batched mapInPandas
     feature extraction (deterministic md5 fake decode, so the oracle
@@ -1283,6 +1310,7 @@ QUERIES: dict[str, QueryFn] = {
     "q57_forecast_revenue": q57_forecast_revenue,
     "q58_shipmode_priority": q58_shipmode_priority,
     "q59_percentiles": q59_percentiles,
+    "q60_large_orders": q60_large_orders,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2101,6 +2129,15 @@ SELECT l_returnflag,
        quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99
 FROM lineitem
 GROUP BY l_returnflag
+""",
+    "q60_large_orders": """
+SELECT c_custkey, c_name, l_orderkey, o_orderdate, total_qty
+FROM (
+    SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
     "q51_cube": """
 SELECT l_returnflag, l_linestatus,

@@ -424,3 +424,16 @@ def test_curation_columns_parity_with_keyed_operators(docs):
         assert r.quality_ok == q[did].quality_ok
         assert r.n_tokens == q[did].n_tokens
         assert r.lang_pred == l[did].lang_pred
+
+
+def test_embedding_neardup_max_bucket_cap(spark):
+    # constant vectors -> ONE degenerate bucket per band holding every
+    # row; with the cap the pathological bucket is dropped entirely
+    rows = [(i, [1.0] * 8) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from graphsense_blocksci_spark.operators import embedding_neardup
+
+    uncapped = embedding_neardup(df, threshold=0.9).count()
+    assert uncapped == 20 * 19 / 2  # full quadratic pair set
+    capped = embedding_neardup(df, threshold=0.9, max_bucket=10).count()
+    assert capped == 0

@@ -274,3 +274,52 @@ def test_curate_stream_dedups_and_filters(spark, tmp_path):
     got = spark.read.parquet(sink).collect()
     assert [r.doc_id for r in got] == [1]
     assert got[0].lang_pred == "en" and got[0].n_tokens == 12
+
+
+def test_sessionize_on_rocksdb_state_store(spark, tmp_path):
+    """Large-state streaming runs on the RocksDB state store (bounded
+    executor heap: state lives off-heap/on-disk instead of the
+    default in-memory HDFS-backed map) — the 100 TB configuration.
+    Same sessionizer, same results, different store."""
+    from graphsense_blocksci_spark.streaming import sessionize_stream
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    src = tmp_path / "rocks_src"
+    src.mkdir()
+    schema = "user_id long, ts_epoch long"
+    spark.createDataFrame(
+        [(1, 1000), (1, 1500), (1, 9000), (2, 50)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema).parquet(str(src / "*")),
+                gap_seconds=1800,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "rocks_out"))
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(str(tmp_path / "rocks_out")).collect()
+        }
+        assert got == {(1, 1000, 1500, 2)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
