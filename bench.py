@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q57_forecast_revenue",
     "q58_shipmode_priority",
     "q59_percentiles",
+    "q60_large_orders",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last
