@@ -1,4 +1,4 @@
-"""As-of join (backward-inclusive), two physical strategies.
+"""As-of join (backward / forward / nearest), two physical strategies.
 
 The reference declares an `exchange_rates(date, fiat_values)` table
 (schema.cql:58-61) that downstream components join against transaction
@@ -19,7 +19,15 @@ this implements it twice and picks the right plan for the shape:
   union on the time axis, `last(ignorenulls)` window per `by` key, keep
   left rows. One shuffle on (`by`, time); parallel over keys; survives a
   large right side (e.g. per-entity tick data). Equivalent to pandas
-  ``merge_asof(direction='backward')`` but fully distributed.
+  ``merge_asof`` but fully distributed.
+
+Directions (pandas `merge_asof` parity, property-tested):
+- ``backward`` — latest right row with `right_on <= on` (default);
+- ``forward``  — earliest right row with `right_on >= on`;
+- ``nearest``  — whichever of the two is closer in time; exact ties
+  prefer the backward match (pandas semantics). Composed as one
+  backward + one forward pass, so it inherits the strategy's scale
+  shape (two broadcast range-joins, or two keyed shuffles).
 
 Right rows must be unique per (`by`, `right_on`); pre-dedup with
 `dedup_last_write_wins` if they are not.
@@ -42,21 +50,30 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
     strategy: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right[right_on] <= left[on]`` (optionally per `by` key).
+    """For each left row, attach the matching right row per `direction`
+    (optionally per `by` key).
 
     Left rows with no matching right row keep NULL value columns
-    (left-join semantics). Exact timestamp ties are backward-inclusive:
-    a right row at exactly `left[on]` is visible.
+    (left-join semantics). Exact timestamp ties are inclusive in both
+    directions: a right row at exactly `left[on]` is visible.
     """
     right_on = right_on or on
     if value_cols is None:
         value_cols = [c for c in right.columns if c != right_on and c not in by]
     if strategy is None:
         strategy = "union" if by else "broadcast"
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, by, right_on, value_cols, suffix, strategy
+        )
     if strategy == "broadcast":
-        return _asof_broadcast(left, right, on, by, right_on, value_cols, suffix)
+        return _asof_broadcast(
+            left, right, on, by, right_on, value_cols, suffix, direction
+        )
     if strategy == "union":
         if not by:
             raise ValueError(
@@ -64,7 +81,9 @@ def asof_join(
                 "dataset in one window partition — use strategy='broadcast' "
                 "(small right side) or provide `by` keys"
             )
-        return _asof_union(left, right, on, by, right_on, value_cols, suffix)
+        return _asof_union(
+            left, right, on, by, right_on, value_cols, suffix, direction
+        )
     raise ValueError(f"unknown asof strategy: {strategy!r}")
 
 
@@ -76,18 +95,34 @@ def _asof_broadcast(
     right_on: str,
     value_cols: Sequence[str],
     suffix: str,
+    direction: str,
 ) -> DataFrame:
-    """Validity-interval broadcast join. Window only over the right side."""
+    """Validity-interval broadcast join. Window only over the right side.
+
+    backward: right row at t covers [t, next_t) — left rows in that
+    interval see it. forward: right row at t covers (prev_t, t] — the
+    earliest right row at-or-after the left time."""
     w = Window.partitionBy(*by).orderBy(F.col(right_on).asc())
-    intervals = right.select(
-        *by,
-        F.col(right_on).alias("_valid_from"),
-        F.lead(right_on).over(w).alias("_valid_to"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    )
-    cond = (F.col(on) >= F.col("_valid_from")) & (
-        F.col("_valid_to").isNull() | (F.col(on) < F.col("_valid_to"))
-    )
+    if direction == "backward":
+        intervals = right.select(
+            *by,
+            F.col(right_on).alias("_valid_from"),
+            F.lead(right_on).over(w).alias("_valid_to"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        )
+        cond = (F.col(on) >= F.col("_valid_from")) & (
+            F.col("_valid_to").isNull() | (F.col(on) < F.col("_valid_to"))
+        )
+    else:  # forward
+        intervals = right.select(
+            *by,
+            F.lag(right_on).over(w).alias("_valid_from"),
+            F.col(right_on).alias("_valid_to"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        )
+        cond = (F.col(on) <= F.col("_valid_to")) & (
+            F.col("_valid_from").isNull() | (F.col(on) > F.col("_valid_from"))
+        )
     for k in by:
         cond = cond & (left[k] == intervals[k])
     joined = left.join(F.broadcast(intervals), cond, "left")
@@ -105,8 +140,12 @@ def _asof_union(
     right_on: str,
     value_cols: Sequence[str],
     suffix: str,
+    direction: str,
 ) -> DataFrame:
-    """Union + per-key window. One shuffle on (`by`, time)."""
+    """Union + per-key window. One shuffle on (`by`, time).
+
+    forward is the time-mirrored fill: descending order, so the carried
+    value is the EARLIEST right row at-or-after each left row."""
     lt = left.withColumn("_t", F.col(on)).withColumn("_is_left", F.lit(1))
     for c in value_cols:
         lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
@@ -122,11 +161,16 @@ def _asof_union(
     rt = rt.select(*lt.columns)
 
     unioned = lt.unionByName(rt)
-    # right rows sort before left rows at the same timestamp, so an
-    # exact-tie right row is visible to the left row (backward-inclusive).
+    # right rows sort before left rows at the same timestamp (in either
+    # direction), so an exact-tie right row is visible — inclusive ties.
+    order = (
+        [F.col("_t").asc(), F.col("_is_left").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_is_left").asc()]
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned
@@ -135,3 +179,41 @@ def _asof_union(
             f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
         )
     return filled.filter(F.col("_is_left") == 1).drop("_t", "_is_left")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    right_on: str,
+    value_cols: Sequence[str],
+    suffix: str,
+    strategy: str,
+) -> DataFrame:
+    """backward + forward pass, per-row pick of the closer match; exact
+    ties prefer backward (pandas merge_asof semantics). The matched
+    right time rides along as an internal value column so the distance
+    compare needs no extra join."""
+    rt = right.withColumn("_rt", F.col(right_on))
+    vc = [*value_cols, "_rt"]
+    back = asof_join(
+        left, rt, on, by, right_on, vc, "_b", strategy, "backward"
+    )
+    both = asof_join(
+        back, rt, on, by, right_on, vc, "_f", strategy, "forward"
+    )
+    fwd_wins = F.col("_rt_b").isNull() | (
+        F.col("_rt_f").isNotNull()
+        & ((F.col("_rt_f") - F.col(on)) < (F.col(on) - F.col("_rt_b")))
+    )
+    picked = both.select(
+        *[both[c] for c in left.columns],
+        *[
+            F.when(fwd_wins, F.col(f"{c}_f"))
+            .otherwise(F.col(f"{c}_b"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return picked

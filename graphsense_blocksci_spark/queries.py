@@ -1182,6 +1182,22 @@ def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile SCALE path: `approx_percentile` (mergeable
+    KLL-style sketch, map-side combinable — no full sort, no whole
+    group in memory). Sketch internals are engine-specific ⇒ rows-only
+    check; the error bound vs the exact q59 values is pytest-gated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"approx_percentile({c}, 0.5, 10000)").alias("p50_approx"),
+            F.expr(f"approx_percentile({c}, 0.99, 10000)").alias("p99_approx"),
+        )
+    )
+
+
 def q60_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING over a fact aggregation (orders whose
     total quantity exceeds a threshold), then joins back to the
@@ -1311,6 +1327,7 @@ QUERIES: dict[str, QueryFn] = {
     "q58_shipmode_priority": q58_shipmode_priority,
     "q59_percentiles": q59_percentiles,
     "q60_large_orders": q60_large_orders,
+    "q61_approx_percentiles": q61_approx_percentiles,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,

@@ -437,3 +437,25 @@ def test_embedding_neardup_max_bucket_cap(spark):
     assert uncapped == 20 * 19 / 2  # full quadratic pair set
     capped = embedding_neardup(df, threshold=0.9, max_bucket=10).count()
     assert capped == 0
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    exact = {
+        r.l_returnflag: (r.p50, r.p99)
+        for r in QUERIES["q59_percentiles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p99_approx)
+        for r in QUERIES["q61_approx_percentiles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, (p50, p99) in exact.items():
+        a50, a99 = approx[k]
+        assert abs(a50 - p50) / p50 < 0.02
+        assert abs(a99 - p99) / p99 < 0.02

@@ -134,3 +134,56 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
     for ts in set(left_ts):
         g, e = got_map[ts], exp_map[ts]
         assert (pd.isna(g) and pd.isna(e)) or g == e
+
+
+@SLOW
+@given(
+    left_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25
+    ),
+    right_ts=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    direction=st.sampled_from(["forward", "nearest"]),
+    strategy=st.sampled_from(["broadcast", "union"]),
+)
+def test_asof_directions_match_pandas(
+    spark, left_ts, right_ts, direction, strategy
+):
+    # `union` needs a by key; a constant key keeps semantics identical
+    by = ["k"] if strategy == "union" else []
+    left = spark.createDataFrame(
+        [(i, t, 0) for i, t in enumerate(left_ts)], "id long, ts long, k int"
+    )
+    right = spark.createDataFrame(
+        [(t, float(t * 2), 0) for t in right_ts], "rts long, val double, k int"
+    )
+    got = (
+        asof_join(
+            left,
+            right,
+            on="ts",
+            right_on="rts",
+            by=by,
+            value_cols=["val"],
+            strategy=strategy,
+            direction=direction,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        pd.DataFrame({"id": range(len(left_ts)), "ts": sorted(left_ts)}).sort_values("ts"),
+        pd.DataFrame({"rts": sorted(right_ts), "val": [t * 2.0 for t in sorted(right_ts)]}),
+        left_on="ts",
+        right_on="rts",
+        direction=direction,
+    )
+    got_map = dict(zip(got["ts"], got["val_asof"]))
+    exp_map = dict(zip(expected["ts"], expected["val"]))
+    for ts in set(left_ts):
+        g, e = got_map[ts], exp_map[ts]
+        assert (pd.isna(g) and pd.isna(e)) or g == e
