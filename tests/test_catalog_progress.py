@@ -153,3 +153,15 @@ def test_json_source_roundtrip_explicit_schema(spark, tmp_path):
         (1, "a", 1.5),
         (2, "b", None),
     ]
+
+
+def test_cluster_conf_is_consumable(spark):
+    from graphsense_blocksci_spark.session import cluster_conf
+
+    conf = cluster_conf()
+    # every key/value must be a plain string Spark conf accepts
+    assert all(isinstance(k, str) and isinstance(v, str) for k, v in conf.items())
+    # shuffle width scales with the input, never below 2 tasks/core
+    assert int(conf["spark.sql.shuffle.partitions"]) >= 8000
+    small = cluster_conf(target_input_tb=0.001, executors=2, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16
