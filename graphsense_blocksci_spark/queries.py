@@ -1182,6 +1182,33 @@ def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer — fact
+    filter (returnflag), two fact joins, broadcast nation dim, cents
+    agg, top-20 customers by lost revenue (TakeOrdered)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue_cents).alias("lost_cents"))
+        .orderBy(F.desc("lost_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q61_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The percentile SCALE path: `approx_percentile` (mergeable
     KLL-style sketch, map-side combinable — no full sort, no whole
@@ -1328,6 +1355,7 @@ QUERIES: dict[str, QueryFn] = {
     "q59_percentiles": q59_percentiles,
     "q60_large_orders": q60_large_orders,
     "q61_approx_percentiles": q61_approx_percentiles,
+    "q62_returned_items": q62_returned_items,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2146,6 +2174,21 @@ SELECT l_returnflag,
        quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99
 FROM lineitem
 GROUP BY l_returnflag
+""",
+    "q62_returned_items": """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS lost_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_cents DESC, c_custkey ASC
+LIMIT 20
 """,
     "q60_large_orders": """
 SELECT c_custkey, c_name, l_orderkey, o_orderdate, total_qty
