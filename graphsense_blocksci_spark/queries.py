@@ -776,6 +776,31 @@ def qd09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("_content_hash").alias("content_hash"))
 
 
+def qd11_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array fidelity both ways: build the `block_transactions`
+    list<struct> (A12), then POSEXPLODE it back to rows — position,
+    ids and struct fields must equal the flat per-tx projection the
+    oracle computes directly from the raw side. Pins chain ordering
+    inside the array (pos == rank of tx_id within block) and lossless
+    struct round-tripping."""
+    from graphsense_blocksci_spark.plans.ingest import block_transactions_table
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    t = block_transactions_table(raw_txs)
+    return t.select(
+        F.col("block_id").cast("long").alias("block_id"),
+        F.posexplode("txs").alias("pos", "tx"),
+    ).select(
+        "block_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tx.tx_id").cast("long").alias("tx_id"),
+        F.col("tx.no_inputs").cast("long").alias("no_inputs"),
+        F.col("tx.no_outputs").cast("long").alias("no_outputs"),
+        F.col("tx.total_input").alias("total_input"),
+        F.col("tx.total_output").alias("total_output"),
+    )
+
+
 def qd10_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's streaming face under the oracle gate:
     documents staged as a file stream → watermark dedup → per-row
@@ -1326,6 +1351,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd08_utxo_linkage": qd08_utxo_linkage,
     "qd09_streaming_dedup": qd09_streaming_dedup,
     "qd10_streaming_curation": qd10_streaming_curation,
+    "qd11_unnest_roundtrip": qd11_unnest_roundtrip,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
     "q32_quality_score": q32_quality_score,
@@ -1967,6 +1993,19 @@ FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
     "qd09_streaming_dedup": r"""
 SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
 FROM documents
+""",
+    "qd11_unnest_roundtrip": f"""
+SELECT block_id, 
+       CAST(row_number() OVER (PARTITION BY block_id ORDER BY tx_id) - 1 AS BIGINT)
+           AS pos,
+       tx_id,
+       CAST(coalesce(len(inputs), 0) AS BIGINT) AS no_inputs,
+       CAST(coalesce(len(outputs), 0) AS BIGINT) AS no_outputs,
+       CAST(coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS BIGINT)
+           AS total_input,
+       CAST(coalesce(list_sum(list_transform(outputs, x -> x.value)), 0) AS BIGINT)
+           AS total_output
+FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
 """,
     "qd10_streaming_curation": r"""
 WITH norm AS (

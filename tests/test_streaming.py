@@ -323,3 +323,51 @@ def test_sessionize_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_asof_join_works_stream_static(spark, tmp_path):
+    """The broadcast as-of join is stream-capable as-is: the only
+    window runs over the STATIC right side (rates), so a streaming
+    left side needs nothing new — stream-static join + broadcast.
+    One operator, batch and streaming execution."""
+    from graphsense_blocksci_spark.operators import asof_join
+
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    schema = "event_id long, ts long"
+    left_rows = [(1, 5), (2, 15), (3, 25), (4, 3)]
+    spark.createDataFrame(left_rows, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    rates = spark.createDataFrame(
+        [(0, 1.0), (10, 2.0), (20, 3.0)], "rts long, rate double"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    enriched = asof_join(
+        stream, rates, on="ts", right_on="rts", value_cols=["rate"]
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", str(tmp_path / "asof_out"))
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.rate_asof
+        for r in spark.read.parquet(str(tmp_path / "asof_out")).collect()
+    }
+    # identical to the batch run of the same operator
+    batch = {
+        r.event_id: r.rate_asof
+        for r in asof_join(
+            spark.createDataFrame(left_rows, schema),
+            rates,
+            on="ts",
+            right_on="rts",
+            value_cols=["rate"],
+        ).collect()
+    }
+    assert got == batch == {1: 1.0, 2: 2.0, 3: 3.0, 4: 1.0}
