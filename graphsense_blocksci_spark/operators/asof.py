@@ -195,23 +195,25 @@ def _asof_nearest(
     ties prefer backward (pandas merge_asof semantics). The matched
     right time rides along as an internal value column so the distance
     compare needs no extra join."""
+    # internal suffixes chosen to be collision-proof against user columns
+    sb, sf_ = "__asof_bwd", "__asof_fwd"
     rt = right.withColumn("_rt", F.col(right_on))
     vc = [*value_cols, "_rt"]
     back = asof_join(
-        left, rt, on, by, right_on, vc, "_b", strategy, "backward"
+        left, rt, on, by, right_on, vc, sb, strategy, "backward"
     )
     both = asof_join(
-        back, rt, on, by, right_on, vc, "_f", strategy, "forward"
+        back, rt, on, by, right_on, vc, sf_, strategy, "forward"
     )
-    fwd_wins = F.col("_rt_b").isNull() | (
-        F.col("_rt_f").isNotNull()
-        & ((F.col("_rt_f") - F.col(on)) < (F.col(on) - F.col("_rt_b")))
+    fwd_wins = F.col(f"_rt{sb}").isNull() | (
+        F.col(f"_rt{sf_}").isNotNull()
+        & ((F.col(f"_rt{sf_}") - F.col(on)) < (F.col(on) - F.col(f"_rt{sb}")))
     )
     picked = both.select(
         *[both[c] for c in left.columns],
         *[
-            F.when(fwd_wins, F.col(f"{c}_f"))
-            .otherwise(F.col(f"{c}_b"))
+            F.when(fwd_wins, F.col(f"{c}{sf_}"))
+            .otherwise(F.col(f"{c}{sb}"))
             .alias(f"{c}{suffix}")
             for c in value_cols
         ],
