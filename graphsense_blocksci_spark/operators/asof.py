@@ -195,19 +195,20 @@ def _asof_nearest(
     ties prefer backward (pandas merge_asof semantics). The matched
     right time rides along as an internal value column so the distance
     compare needs no extra join."""
-    # internal suffixes chosen to be collision-proof against user columns
+    # internal names chosen to be collision-proof against user columns
     sb, sf_ = "__asof_bwd", "__asof_fwd"
-    rt = right.withColumn("_rt", F.col(right_on))
-    vc = [*value_cols, "_rt"]
+    mt = "__asof_rt"
+    rt = right.withColumn(mt, F.col(right_on))
+    vc = [*value_cols, mt]
     back = asof_join(
         left, rt, on, by, right_on, vc, sb, strategy, "backward"
     )
     both = asof_join(
         back, rt, on, by, right_on, vc, sf_, strategy, "forward"
     )
-    fwd_wins = F.col(f"_rt{sb}").isNull() | (
-        F.col(f"_rt{sf_}").isNotNull()
-        & ((F.col(f"_rt{sf_}") - F.col(on)) < (F.col(on) - F.col(f"_rt{sb}")))
+    fwd_wins = F.col(f"{mt}{sb}").isNull() | (
+        F.col(f"{mt}{sf_}").isNotNull()
+        & ((F.col(f"{mt}{sf_}") - F.col(on)) < (F.col(on) - F.col(f"{mt}{sb}")))
     )
     picked = both.select(
         *[both[c] for c in left.columns],

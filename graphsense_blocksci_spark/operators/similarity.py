@@ -190,6 +190,27 @@ def cosine_topk_gemm(
     return q.mapInPandas(part, schema=schema)
 
 
+def _probe_dim(vectors: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from one row (None for an empty frame —
+    callers return an empty result instead of crashing on first()[0]).
+    One tiny eager job; the hyperplane literals need the dim at plan
+    time, so it cannot be deferred."""
+    row = vectors.select(vec_col).first()
+    if row is None or row[0] is None:
+        return None
+    return len(row[0])
+
+
+def _empty_pairs(spark) -> DataFrame:
+    return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "vec_id long, neighbor_id long, rank int, cos_sim double"
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state on the
     driver): component h[j][i] from a splitmix64-style integer mix of
@@ -386,7 +407,9 @@ def cosine_topk_lsh(
     """
     if not 0 <= multiprobe <= n_planes:
         raise ValueError(f"multiprobe must be in [0, {n_planes}]")
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _probe_dim(vectors, vec_col)
+    if dim is None:
+        return _empty_topk(vectors.sparkSession)
     per_table = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
@@ -472,7 +495,9 @@ def embedding_neardup(
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _probe_dim(vectors, vec_col)
+    if dim is None:
+        return _empty_pairs(vectors.sparkSession)
     planes = hyperplanes(dim, n_bands * band_planes, seed=seed)
     b = vectors.select(
         F.col(id_col).cast("long").alias("_id"),
@@ -543,7 +568,9 @@ def embedding_neardup_gemm(
     shuffle is the same (band, bucket) key the fold variant uses, and
     cross-band pair dedup is the same hash aggregation.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _probe_dim(vectors, vec_col)
+    if dim is None:
+        return _empty_pairs(vectors.sparkSession)
     planes = hyperplanes(dim, n_bands * band_planes, seed=seed)
 
     from pyspark.sql import types as T

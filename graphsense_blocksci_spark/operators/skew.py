@@ -103,7 +103,8 @@ def salted_join(
     )
     out = salted_big.join(
         replicated,
-        (F.col(big_key) == F.col(small_key)) & (salted_big["_salt"] == replicated["_salt"]),
+        (salted_big[big_key] == replicated[small_key])
+        & (salted_big["_salt"] == replicated["_salt"]),
         how,
     )
     return out.drop("_salt")

@@ -34,11 +34,20 @@ from graphsense_blocksci_spark.schemas import REORG_SAFETY_LAG
 def _read_sink(spark: SparkSession, sink_dir: str, like: DataFrame) -> DataFrame:
     """The sink, or an empty frame of the sink's schema on cold start
     (first daemon run: nothing ingested yet ⇒ full history, matching
-    blocksci_export.py:497-505)."""
+    blocksci_export.py:497-505).
+
+    ONLY a missing path means cold start — any other read failure
+    (corrupt footer, transient FS error) must surface, because treating
+    it as empty would recompute the full history and append a duplicate
+    of everything next to the existing rows."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         return spark.read.parquet(sink_dir)
-    except Exception:
-        return spark.createDataFrame([], like.schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], like.schema)
+        raise
 
 
 def ingest_daemon_step(
@@ -64,9 +73,15 @@ def ingest_daemon_step(
         as_of_epoch=as_of_epoch, lag=lag,
     )
     delta = transform(delta_raw)
-    n = delta.count()
-    if n:
-        delta.write.mode("append").parquet(sink_dir)
+    # persist around count+write: without it the count and the write
+    # each re-run the full source scan + HWM aggregation
+    delta.persist()
+    try:
+        n = delta.count()
+        if n:
+            delta.write.mode("append").parquet(sink_dir)
+    finally:
+        delta.unpersist()
     return n
 
 

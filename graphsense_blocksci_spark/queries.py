@@ -83,6 +83,12 @@ PIN_EPOCH = 1705280400
 PIN_CUTOFF_SQL = "TIMESTAMP '2024-01-15 00:00:00'"
 
 _cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+# discounted revenue in integer cents — the multiply order (price *
+# (1 - discount) * 100, left-assoc) is load-bearing: the oracle SQL
+# mirrors it literally, so ALL queries must share this one definition
+_rev_cents = lambda: F.round(  # noqa: E731
+    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+).cast("long")
 
 
 # --------------------------------------------------------------------------
@@ -724,7 +730,9 @@ def qd07_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=4,
         available_now=True,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("qd07 streaming ingest did not finish in 600s")
     out = spark.read.parquet(f"{work}/sink")
     return out.select(
         F.col("tx_id_group").cast("long").alias("tx_id_group"),
@@ -762,8 +770,11 @@ def qd09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(f"{work}/src")
     )
+    # watermark must exceed the derived event-time SPAN (1 s per doc_id)
+    # at EVERY scale factor, or out-of-order file listing could evict
+    # state and emit duplicates / drop late rows — 30 days covers sf1+
     q = (
-        dedup_stream(stream, watermark="1 hour")
+        dedup_stream(stream, watermark="30 days")
         .writeStream.format("parquet")
         .option("path", f"{work}/sink")
         .option("checkpointLocation", f"{work}/ckpt")
@@ -771,7 +782,9 @@ def qd09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("qd09 streaming dedup did not finish in 600s")
     out = spark.read.parquet(f"{work}/sink")
     return out.select(F.col("_content_hash").alias("content_hash"))
 
@@ -827,7 +840,7 @@ def qd10_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{work}/src")
     )
     q = (
-        curate_stream(stream, keep_langs=("en", "und"))
+        curate_stream(stream, keep_langs=("en", "und"), watermark="30 days")
         .writeStream.format("parquet")
         .option("path", f"{work}/sink")
         .option("checkpointLocation", f"{work}/ckpt")
@@ -835,7 +848,9 @@ def qd10_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("qd10 streaming curation did not finish in 600s")
     out = spark.read.parquet(f"{work}/sink")
     return out.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -995,9 +1010,7 @@ def q48_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    revenue_cents = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
-    ).cast("long")
+    revenue_cents = _rev_cents()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1030,9 +1043,7 @@ def q49_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue_cents = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
-    ).cast("long")
+    revenue_cents = _rev_cents()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1220,9 +1231,7 @@ def q62_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    revenue_cents = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
-    ).cast("long")
+    revenue_cents = _rev_cents()
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

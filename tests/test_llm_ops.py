@@ -459,3 +459,15 @@ def test_approx_percentile_close_to_exact(spark):
         a50, a99 = approx[k]
         assert abs(a50 - p50) / p50 < 0.02
         assert abs(a99 - p99) / p99 < 0.02
+
+
+def test_similarity_ops_tolerate_empty_input(spark):
+    from graphsense_blocksci_spark.operators import (
+        embedding_neardup,
+        embedding_neardup_gemm,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk_lsh(empty, k=1).count() == 0
+    assert embedding_neardup(empty).count() == 0
+    assert embedding_neardup_gemm(empty).count() == 0

@@ -219,3 +219,15 @@ def test_topk_per_group_uses_window_group_limit(spark):
     that keeps per-group top-k from materializing every group row."""
     plan = optimized_of(QUERIES["q22_topk_per_group"](spark, SF))
     assert "WindowGroupLimit" in plan
+
+
+def test_salted_join_same_key_name(spark):
+    """The natural call shape — both sides keyed by the same column
+    name — must not hit an ambiguous-reference error."""
+    from graphsense_blocksci_spark.operators import salted_join
+
+    big = spark.range(0, 1000).select((F.col("id") % 5).alias("k"))
+    small = spark.createDataFrame([(i, i * 10) for i in range(5)], "k long, v long")
+    got = salted_join(big, small, "k", "k", n_salts=4)
+    assert got.count() == 1000
+    assert got.filter(F.col("v").isNull()).count() == 0

@@ -25,7 +25,8 @@ def audit(plan: str) -> dict[str, object]:
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
         "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
-        "exchanges": plan.count("Exchange "),
+        # shuffles only: BroadcastExchange also contains "Exchange "
+        "exchanges": plan.count("Exchange ") - plan.count("BroadcastExchange"),
         "take_ordered": "TakeOrderedAndProject" in plan,
         "pushed_filters": plan.count("PushedFilters: [") - plan.count("PushedFilters: []"),
         # the string form marks codegen stages as "*(n)"; count distinct ids
@@ -53,7 +54,8 @@ def main() -> None:
     print(
         "Per bench query: the join strategies, shuffle (`Exchange`) count,"
         " parquet predicate pushdown, whole-stage-codegen spans, and Python"
-        " (Arrow) stages Catalyst+AQE chose. Regenerate with"
+        " (Arrow) stages Catalyst chose (AQE disabled for the audit so"
+        " codegen markers are visible; production keeps it on). Regenerate with"
         " `python tools/plan_audit.py`. BNLJ entries are single-row"
         " broadcast aggregates (HWM / tip / cutoff literals joined into"
         " the filter), not data-plane nested loops."
