@@ -1,0 +1,141 @@
+"""Connected components — the multi-input clustering primitive.
+
+GraphSense's defining analytic downstream of the reference exporter is
+entity clustering: addresses that co-occur as inputs of one transaction
+belong to one entity, and the entity is the connected component of the
+co-spend graph (the reference's export feeds exactly this step; SURVEY
+§2.B context, blocksci_export.py:348-349 resolves the input addresses
+this graph is built from). The exporter itself never materializes the
+components — a relational engine should, so this module implements
+them Spark-first.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+published shuffle-efficient formulation:
+
+- ``large-star``: every node connects its larger neighbors to the
+  minimum of its closed neighborhood.
+- ``small-star``: every node connects its smaller-or-equal neighbors
+  (and itself) to that minimum.
+
+Each phase is one groupBy (min per node) + one equi-join — two
+shuffles per iteration — and the pair provably converges in
+O(log n) iterations to a star forest where every node points at its
+component's minimum id. Naive min-label propagation needs O(diameter)
+iterations (a 100M-edge chain would never finish); the star algorithm
+is the 100 TB-safe choice because high-degree hubs are broken up by
+large-star instead of being re-shuffled whole every round.
+
+Scale notes:
+
+- ``localCheckpoint(eager=True)`` after every iteration cuts the
+  lineage — without it the plan doubles per round and Catalyst
+  analysis time, not the data, becomes the bottleneck.
+- The convergence probe collects exactly two longs per iteration
+  (edge count + order-insensitive xxhash64 checksum); the edge data
+  itself never reaches the driver.
+- Skewed components (one giant entity — the exchange-hot-wallet case)
+  are the normal regime for this algorithm: large-star splits a
+  degree-d hub into d independent pointers in one round, and AQE's
+  skew-join handles the transient imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect strictly-larger neighbors of every node to the minimum
+    of the node's closed neighborhood."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("_mn"), F.col("u")).alias("_m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct every edge large→small, then connect each node's smaller
+    neighbors (and the node itself) to the neighborhood minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("_m"))
+    joined = d.join(mins, "u")
+    pairs = joined.select(F.col("v").alias("u"), F.col("_m").alias("v")).union(
+        joined.select("u", F.col("_m").alias("v"))
+    )
+    return pairs.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: an order-insensitive checksum that cannot hit
+    # ANSI long-overflow no matter how many edges are summed
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Component id (= minimum member id) for every node that appears
+    in ``edges``. Returns columns ``(node, component)``, both LONG.
+
+    ``edges`` is undirected input — direction and duplicates are
+    normalized away. Isolated nodes (no edges) are the caller's to
+    union in; the edge list doesn't know about them.
+
+    The iteration driver collects only a (count, checksum) pair per
+    round; raises if the edge set hasn't stabilized after
+    ``max_iterations`` (provably O(log n) — 25 covers any realistic
+    graph; 2^25 nodes would converge far earlier).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    prev = _checksum(e)
+    if prev[0] == 0:
+        return e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    # Converged: e is a star forest (node -> component min). Roots
+    # appear only on the right side; union them in as self-labels.
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def cluster_sizes(components: DataFrame) -> DataFrame:
+    """Entity sizes: one row per component with its member count."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

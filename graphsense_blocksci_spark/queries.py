@@ -1320,6 +1320,196 @@ def q42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_entity_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input entity clustering — GraphSense's defining downstream
+    analytic (the reference exports the co-spend inputs this graph is
+    built from, blocksci_export.py:348-349; clustering is the
+    connected component of the co-occurrence graph).
+
+    Testdata analog: suppliers co-occurring in one early-window order
+    are one entity. Edges are the CHAIN of sorted distinct members per
+    group, not the clique — same components, O(k) instead of O(k²)
+    edges per group, which is what keeps a 100-input coinjoin (or a
+    1000-lineitem order) from quadratic blowup.
+
+    Components via alternating large-star/small-star (O(log n)
+    rounds, 2 shuffles/round — operators/graph.py); oracle via DuckDB
+    recursive-CTE min-label propagation.
+    """
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nodes = (
+        li.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("node"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("node")
+    chain = (
+        nodes.select("g", "node", F.lead("node").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    cc = connected_components(
+        chain.select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def q64_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group join-back (the supplier achieving
+    the minimum price per part). Expressed as a window min — ONE
+    shuffle on l_partkey — instead of the textbook agg + self-join,
+    which would shuffle the fact table twice for the same answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    e = li.select(
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.col("l_suppkey").cast("long").alias("l_suppkey"),
+        _cents("l_extendedprice").alias("cents"),
+    ).withColumn("min_cents", F.min("cents").over(w))
+    return (
+        e.filter(F.col("cents") == F.col("min_cents"))
+        .select("l_partkey", "l_suppkey", "min_cents")
+        .distinct()
+    )
+
+
+def q65_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join then aggregate — order count
+    per priority among orders with at least one returned line. The
+    semi-join outputs only left columns, so no dedup step is needed
+    and the probe side never widens."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q66_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + double aggregation — how
+    many customers placed exactly k non-urgent orders, including the
+    zero-order customers the outer join preserves. Two shuffles
+    (custkey, then the tiny count key); the second groupBy is on a
+    near-constant-cardinality key, which AQE coalesces."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q67_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-CASE revenue ratio in one pass —
+    promo share of revenue for a one-month window. The part dim is
+    broadcast; the ratio is a single IEEE division of two exact
+    bigint-cents sums, so it is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(F.lit(0))
+        ).alias("promo_cents"),
+        F.sum(_rev_cents()).alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("promo_share"),
+    )
+
+
+def q68_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: anti-join exclusion + distinct aggregation —
+    distinct suppliers per (brand, size) bucket, excluding the
+    "complaint" suppliers (negative balance). The exclusion list is
+    tiny → broadcast anti-join; countDistinct expands to a two-phase
+    partial-distinct aggregate (map-side dedup before the shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q69_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate predicate — revenue
+    from lines whose quantity is under 20% of the part's average. The
+    per-part (count, sum) aggregate re-joins on the SAME key as its
+    groupBy shuffle (no second exchange), and the 20%-of-average test
+    is done in integer math (5·qty·cnt < sum_qty) so both engines
+    agree exactly — no double division anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    j = li.join(stats, "l_partkey")
+    small = j.filter(
+        F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return small.agg(F.sum(_cents("l_extendedprice")).alias("small_qty_cents"))
+
+
+def q70_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery + anti-join — customers
+    with above-average balance and no RECENT orders, grouped by
+    nation (the testdata's uniform order spread means every customer
+    has *some* order, so "recent" stands in for Q22's 7-year gap).
+    The global average is compared in exact integer math
+    (bal_cents · n_pos > sum_pos_cents), the single-row stats frame is
+    broadcast, and the orders anti-join is the only big shuffle."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", _cents("c_acctbal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal_cents").alias("sum_pos_cents"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos_cents")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -1391,6 +1581,14 @@ QUERIES: dict[str, QueryFn] = {
     "q60_large_orders": q60_large_orders,
     "q61_approx_percentiles": q61_approx_percentiles,
     "q62_returned_items": q62_returned_items,
+    "q63_entity_clustering": q63_entity_clustering,
+    "q64_min_cost_supplier": q64_min_cost_supplier,
+    "q65_order_priority": q65_order_priority,
+    "q66_order_distribution": q66_order_distribution,
+    "q67_promo_revenue": q67_promo_revenue,
+    "q68_supplier_counts": q68_supplier_counts,
+    "q69_small_qty_revenue": q69_small_qty_revenue,
+    "q70_idle_rich_customers": q70_idle_rich_customers,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2222,6 +2420,120 @@ SELECT l_returnflag,
        quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) AS p99
 FROM lineitem
 GROUP BY l_returnflag
+""",
+    "q63_entity_clustering": """
+WITH RECURSIVE g0 AS (
+    SELECT DISTINCT l_orderkey AS g, l_suppkey AS node
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-03-01'
+),
+chain AS (
+    SELECT g, node AS src,
+           lead(node) OVER (PARTITION BY g ORDER BY node) AS dst
+    FROM g0
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IS NOT NULL
+    UNION
+    SELECT dst, src FROM chain WHERE dst IS NOT NULL
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
+""",
+    "q64_min_cost_supplier": """
+SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_suppkey AS BIGINT) AS l_suppkey, min_cents
+FROM (
+    SELECT l_partkey, l_suppkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT))
+               OVER (PARTITION BY l_partkey) AS min_cents
+    FROM lineitem
+)
+WHERE cents = min_cents
+""",
+    "q65_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+""",
+    "q66_order_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN (
+        SELECT o_custkey, o_orderkey FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+    ) ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    "q67_promo_revenue": """
+SELECT promo_cents, total_cents,
+       CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+           AS promo_share
+FROM (
+    SELECT
+        sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                 AS BIGINT) ELSE 0 END) AS promo_cents,
+        sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+            AS BIGINT)) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+)
+""",
+    "q68_supplier_counts": """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY p_brand, p_size
+""",
+    "q69_small_qty_revenue": """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS small_qty_cents
+FROM lineitem li
+JOIN (
+    SELECT l_partkey, count(*) AS cnt,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem GROUP BY l_partkey
+) s ON li.l_partkey = s.l_partkey
+WHERE 5 * CAST(li.l_quantity AS BIGINT) * s.cnt < s.sum_qty
+""",
+    "q70_idle_rich_customers": """
+WITH stats AS (
+    SELECT count(*) AS n_pos,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_pos_cents
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+FROM customer, stats
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-06-01'
+  )
+GROUP BY c_nationkey
 """,
     "q62_returned_items": """
 SELECT c_custkey, c_name, n_name,

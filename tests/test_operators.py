@@ -266,3 +266,58 @@ class TestIngestDaemon:
         assert got.count() == oneshot.count()
         assert got.exceptAll(oneshot).count() == 0
         assert oneshot.exceptAll(got).count() == 0
+
+
+# ----------------------------------------------------------------------
+# Connected components (multi-input entity clustering)
+# ----------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    """Reference union-find: node -> min member id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two chains + a triangle + a self-loop + duplicate edges
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (5, 5), (1, 2)],
+        # star with a high-degree hub (the skew case large-star exists for)
+        [(100, i) for i in range(1, 40)] + [(200, 201)],
+        # long path (worst case for naive label propagation)
+        [(i, i + 1) for i in range(50)],
+        # reversed/mixed directions
+        [(3, 1), (1, 7), (9, 7), (2, 8)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_uf_components([(a, b) for a, b in edges if a != b]).items())
+    assert got == want
+
+
+def test_connected_components_empty(spark):
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([], "src: long, dst: long")
+    assert connected_components(df).count() == 0
