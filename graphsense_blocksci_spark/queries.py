@@ -789,6 +789,46 @@ def qd09_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("_content_hash").alias("content_hash"))
 
 
+def qd12_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN under the correctness gate: the embeddings table
+    staged as a file-source stream of QUERY vectors, stream-static
+    joined against the static LSH index (streaming/ann.py), per-batch
+    exact top-k ranked in foreachBatch, parquet sink read back.
+
+    The oracle re-derives the hyperplanes, buckets, Hamming-1 probes,
+    fold cosines and the ranked top-k in SQL — bit-exact, because the
+    static index makes per-batch ranking identical to a batch run."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.ann import knn_stream_topk, lsh_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(n_planes=6, n_tables=2, seed=42, multiprobe=1)
+    work = tempfile.mkdtemp(prefix="gbs_sann_")
+    emb.repartition(2).write.mode("overwrite").parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src")
+    )
+    index = lsh_index(emb, n_planes=6, n_tables=2, seed=42).persist()
+    index.count()
+
+    def _sink(ranked: DataFrame, batch_id: int) -> None:
+        ranked.write.mode("append").parquet(f"{work}/sink")
+
+    q = knn_stream_topk(
+        stream, index, _sink, k=3, checkpoint=f"{work}/ckpt", **kw
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("qd12 streaming ANN did not finish in 600s")
+    index.unpersist()
+    return spark.read.parquet(f"{work}/sink").select(
+        "vec_id", "neighbor_id", "rank", "cos_sim"
+    )
+
+
 def qd11_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array fidelity both ways: build the `block_transactions`
     list<struct> (A12), then POSEXPLODE it back to rows — position,
@@ -1550,6 +1590,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd08_utxo_linkage": qd08_utxo_linkage,
     "qd09_streaming_dedup": qd09_streaming_dedup,
     "qd10_streaming_curation": qd10_streaming_curation,
+    "qd12_streaming_ann": qd12_streaming_ann,
     "qd11_unnest_roundtrip": qd11_unnest_roundtrip,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
@@ -1778,6 +1819,73 @@ FROM cand c
 JOIN n x ON x.vec_id = c.id_a
 JOIN n y ON y.vec_id = c.id_b
 WHERE ({_dot64('x.u', 'y.u')}) >= {threshold!r}
+"""
+
+
+def _stream_ann_sql(
+    k: int = 3,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    seed: int = 42,
+    multiprobe: int = 1,
+    dim: int = 64,
+) -> str:
+    """Mirror of streaming/ann.py (== batch cosine_topk_lsh semantics):
+    per-table seeded hyperplanes, sign-pattern buckets, Hamming-1
+    multi-probes on the query side only, fold cosines on unit vectors,
+    ranked top-k with the (cos_sim DESC, neighbor_id ASC) tie-break —
+    bit-identical to the streamed result."""
+    from graphsense_blocksci_spark.operators.similarity import hyperplanes
+
+    idx_rows = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN ({_plane_dot('e', planes[j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        idx_rows.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bits} AS BIGINT) AS bucket, u FROM n"
+        )
+    idx_union = "\nUNION ALL\n".join(idx_rows)
+    probe_rows = ["SELECT vec_id, tbl, bucket, u FROM idx"]
+    for j in range(multiprobe):
+        probe_rows.append(
+            f"SELECT vec_id, tbl, xor(bucket, {1 << j}) AS bucket, u FROM idx"
+        )
+    probe_union = "\nUNION ALL\n".join(probe_rows)
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, e, list_transform(e, x -> x / sqrt({_dot64('e', 'e')})) AS u
+    FROM v
+),
+idx AS (
+{idx_union}
+),
+probes AS (
+{probe_union}
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS vec_id, i.vec_id AS neighbor_id
+    FROM probes q
+    JOIN idx i ON q.tbl = i.tbl AND q.bucket = i.bucket
+              AND q.vec_id <> i.vec_id
+)
+SELECT c.vec_id AS vec_id, c.neighbor_id AS neighbor_id,
+       CAST(row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY ({_dot64('x.u', 'y.u')}) DESC, c.neighbor_id ASC
+       ) AS INTEGER) AS rank,
+       ({_dot64('x.u', 'y.u')}) AS cos_sim
+FROM cand c
+JOIN n x ON x.vec_id = c.vec_id
+JOIN n y ON y.vec_id = c.neighbor_id
+QUALIFY rank <= {k}
 """
 
 
@@ -2384,6 +2492,7 @@ SELECT * FROM ja WHERE jaccard >= 0.2
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
     "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),
+    "qd12_streaming_ann": _stream_ann_sql(3, 6, 2, 42, 1, 64),
     "q55_salted_join": """
 SELECT o_orderpriority,
        count(*) AS n_rows,

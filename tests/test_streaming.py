@@ -371,3 +371,51 @@ def test_asof_join_works_stream_static(spark, tmp_path):
         ).collect()
     }
     assert got == batch == {1: 1.0, 2: 2.0, 3: 3.0, 4: 1.0}
+
+
+def test_streaming_knn_matches_batch_lsh(spark, tmp_path):
+    """Stream-static LSH kNN == batch cosine_topk_lsh, exactly:
+    the static index makes per-batch ranking exact (a query's whole
+    candidate set lands in its own micro-batch), so the streaming
+    path must reproduce the batch operator row for row — including
+    across a micro-batch split of the query set."""
+    from graphsense_blocksci_spark.operators.similarity import cosine_topk_lsh
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from graphsense_blocksci_spark.streaming.ann import knn_stream_topk, lsh_index
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(n_planes=6, n_tables=2, seed=42, multiprobe=1)
+    want = cosine_topk_lsh(emb, k=3, **kw)
+
+    src = str(tmp_path / "ann_src")
+    # two files -> maxFilesPerTrigger=1 forces >=2 micro-batches
+    emb.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    index = lsh_index(emb, n_planes=6, n_tables=2, seed=42).persist()
+    index.count()
+
+    sink = str(tmp_path / "ann_out")
+
+    def _sink(ranked, batch_id):
+        ranked.write.mode("append").parquet(sink)
+
+    q = knn_stream_topk(
+        stream,
+        index,
+        _sink,
+        k=3,
+        checkpoint=str(tmp_path / "ann_ckpt"),
+        **kw,
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise AssertionError("streaming kNN did not finish in 180s")
+    got = spark.read.parquet(sink)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    index.unpersist()
