@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "q58_shipmode_priority",
     "q59_percentiles",
     "q60_large_orders",
+    "q62_returned_items",
+    "q63_entity_clustering",
+    "q64_min_cost_supplier",
+    "q66_order_distribution",
+    "q69_small_qty_revenue",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

@@ -1,0 +1,83 @@
+"""Deterministic hash-based sampling — the training-mix primitives.
+
+A 100 TB curation pipeline samples constantly: per-source mixing
+ratios, per-language caps, held-out splits. `rand()` is the wrong tool
+at scale — it is nondeterministic across retries (a re-executed task
+samples DIFFERENT rows, breaking effectively-once sinks) and across
+engines (no oracle can check it). Keyed hash sampling fixes both: the
+decision for a row is a pure function of its stable key, so retries,
+re-runs, backfills and the DuckDB oracle all agree row-for-row.
+
+The hash is the repo-wide 28-bit md5 prefix (`conv(substr(md5(k),1,7),
+16,10)` ≡ DuckDB `('0x'||substr(md5(k),1,7))::BIGINT` — see
+operators/textops.py), uniform enough that `hash % 10_000` deviates
+from the target rate by <1% on any non-adversarial key.
+
+Scale shape: both operators are pure projections + filters — no
+shuffle, no state, fully pushdown-friendly. Sampling 1% of 100 TB
+reads 100 TB once (the filter runs post-scan) but writes 1 TB and
+shuffles nothing.
+
+Reference parity: none — the reference has no sampling surface; this
+is part of the beyond-reference LLM-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BASIS = 10_000  # rate resolution: 0.01%
+
+
+def _hash_mod(key: Column, basis: int = _BASIS) -> Column:
+    """Uniform value in [0, basis) from the stable row key — the
+    28-bit md5 prefix used by every dedup/minhash oracle in the repo."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % basis
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | None = None,
+    rate_by: dict[str, float] | None = None,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sample: keep a row iff hash(key) falls under its
+    stratum's rate. Either a global `rate`, or `rate_by[stratum]` with
+    `stratum_col` (strata absent from the dict are dropped — the
+    explicit-mix contract of a training-data recipe)."""
+    h = _hash_mod(F.col(key_col))
+    if rate_by is not None:
+        if stratum_col is None:
+            raise ValueError("rate_by requires stratum_col")
+        cut = F.lit(None).cast("long")
+        expr = None
+        for stratum, r in rate_by.items():
+            cond = F.col(stratum_col) == stratum
+            val = F.lit(int(round(r * _BASIS))).cast("long")
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        cut = expr.otherwise(F.lit(0).cast("long"))
+        return df.filter(h < cut)
+    if rate is None:
+        raise ValueError("one of rate / rate_by is required")
+    return df.filter(h < F.lit(int(round(rate * _BASIS))).cast("long"))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_frac: float = 0.1
+) -> DataFrame:
+    """Stable held-out assignment: adds a `split` column ('test' iff
+    hash(key) < test_frac, else 'train'). Group-safe by construction —
+    every row with the same key lands on the same side, so splitting
+    by document id, URL, or group key prevents leakage between splits
+    no matter how the data is partitioned or re-run."""
+    h = _hash_mod(F.col(key_col))
+    cut = F.lit(int(round(test_frac * _BASIS))).cast("long")
+    return df.withColumn(
+        "split", F.when(h < cut, F.lit("test")).otherwise(F.lit("train"))
+    )

@@ -1550,6 +1550,62 @@ def q70_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup — the composition a real 100 TB curation
+    pipeline runs: MinHash-LSH candidates → exact Jaccard verify →
+    connected components over the surviving pairs → one canonical
+    keeper per near-dup cluster (minimum doc id). Docs in no cluster
+    keep themselves.
+
+    Every stage is an already-oracled operator (q36 → q38 → q63's
+    machinery); this query pins their composition. Scale shape: the
+    pair graph is tiny relative to the corpus (only verified near-dup
+    edges), so the iterative CC runs on the small frame while the
+    corpus is touched exactly twice (shingle pass + final keeper join).
+    """
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        d.join(cc, d.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+def q72_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language training mix: downsample English to
+    25%, keep half of de/fr/es, drop zh — each row's fate a pure
+    function of md5(doc_id), so retries, backfills and the oracle
+    agree row-for-row (operators/sampling.py; `rand()` could never
+    pass this gate)."""
+    from graphsense_blocksci_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5}
+    return hash_sample(docs, "doc_id", rate_by=rates, stratum_col="lang").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
+def q73_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/20 held-out split keyed on doc id — group-safe (all
+    rows of a key land on one side) and reproducible across engines
+    and re-runs, unlike randomSplit."""
+    from graphsense_blocksci_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_test_split(docs, "doc_id", test_frac=0.2).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "split"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -1630,6 +1686,9 @@ QUERIES: dict[str, QueryFn] = {
     "q68_supplier_counts": q68_supplier_counts,
     "q69_small_qty_revenue": q69_small_qty_revenue,
     "q70_idle_rich_customers": q70_idle_rich_customers,
+    "q71_fuzzy_dedup": q71_fuzzy_dedup,
+    "q72_stratified_sample": q72_stratified_sample,
+    "q73_train_test_split": q73_train_test_split,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2489,6 +2548,59 @@ ja AS (
     JOIN sh sb ON sb.doc_id = p.id_b
 )
 SELECT * FROM ja WHERE jaccard >= 0.2
+""",
+    "q71_fuzzy_dedup": "WITH RECURSIVE "
+    + _SIGS_CTE
+    + f""",
+bands AS (
+{_bands_sql()}
+),
+cpairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+ja AS (
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE)
+               AS jaccard
+    FROM cpairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ja WHERE jaccard >= 0.2
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM ja WHERE jaccard >= 0.2
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+comp AS (
+    SELECT node, min(comp) AS component FROM walk GROUP BY node
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+       (d.doc_id = coalesce(c.component, d.doc_id)) AS is_keeper
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+""",
+    "q72_stratified_sample": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000)
+      < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                  WHEN 'fr' THEN 5000 WHEN 'es' THEN 5000 ELSE 0 END
+""",
+    "q73_train_test_split": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                  % 10000) < 2000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
     "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),

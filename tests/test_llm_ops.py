@@ -471,3 +471,50 @@ def test_similarity_ops_tolerate_empty_input(spark):
     assert cosine_topk_lsh(empty, k=1).count() == 0
     assert embedding_neardup(empty).count() == 0
     assert embedding_neardup_gemm(empty).count() == 0
+
+
+# ----------------------------------------------------------------------
+# Deterministic hash sampling / split (operators/sampling.py)
+# ----------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from graphsense_blocksci_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 20_000).withColumn(
+        "stratum", (F.col("id") % 2 == 0).cast("string")
+    )
+    s1 = hash_sample(df, "id", rate=0.3)
+    s2 = hash_sample(df, "id", rate=0.3)
+    n1, n2 = s1.count(), s2.count()
+    assert n1 == n2  # pure function of the key — rerun-identical
+    assert abs(n1 / 20_000 - 0.3) < 0.02  # md5 uniformity
+    # monotone: a lower rate selects a SUBSET of a higher rate
+    s_small = hash_sample(df, "id", rate=0.1)
+    assert s_small.exceptAll(s1.select(s_small.columns)).count() == 0
+
+
+def test_hash_sample_stratified_rates(spark):
+    from graphsense_blocksci_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 10_000).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, "en").otherwise("zh")
+    )
+    out = hash_sample(df, "id", rate_by={"en": 0.5}, stratum_col="lang")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # strata outside the recipe are dropped
+    assert abs(out.count() / 5_000 - 0.5) < 0.03
+
+
+def test_train_test_split_group_safe(spark):
+    from graphsense_blocksci_spark.operators.sampling import train_test_split
+
+    # several rows per key: every row of a key must land on one side
+    df = spark.range(0, 3_000).withColumn("key", F.col("id") % 500)
+    out = train_test_split(df, "key", test_frac=0.25)
+    sides_per_key = (
+        out.groupBy("key").agg(F.countDistinct("split").alias("n")).filter("n > 1")
+    )
+    assert sides_per_key.count() == 0
+    frac = out.filter("split = 'test'").count() / 3_000
+    assert abs(frac - 0.25) < 0.05
