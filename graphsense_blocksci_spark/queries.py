@@ -1606,6 +1606,72 @@ def q73_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based sessionization — `F.session_window` (the batch
+    face of the streaming session operator): events within 12 h of the
+    previous event merge into one session; the window closes at
+    last_event + gap. One shuffle on (user, session); Spark's native
+    operator replaces the lag/cumsum island idiom (q21) with a
+    first-class plan node that also runs unchanged on a stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "12 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_mills"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_mills",
+        )
+    )
+
+
+def q75_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): revenue cents per return flag, one column
+    per line status. The pivot values are DECLARED (['F','O']) — at
+    100 TB the values-unknown form would run an extra distinct job
+    over the fact table just to learn the column set; declaring them
+    keeps the pivot a single pass (it compiles to the same conditional
+    aggregation the oracle spells out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_cents("l_extendedprice")))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("cents_f"),
+            F.col("O").alias("cents_o"),
+        )
+    )
+
+
+def q76_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time windows — `F.window(ts, 1 day, 12 h)`:
+    every event lands in width/hop = 2 overlapping windows. The
+    explode is plan-native (no self-join); epoch-aligned window starts
+    match the oracle's integer arithmetic exactly. Same operator runs
+    on a stream with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_mills"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "sum_mills",
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -1689,6 +1755,9 @@ QUERIES: dict[str, QueryFn] = {
     "q71_fuzzy_dedup": q71_fuzzy_dedup,
     "q72_stratified_sample": q72_stratified_sample,
     "q73_train_test_split": q73_train_test_split,
+    "q74_session_window": q74_session_window,
+    "q75_pivot": q75_pivot,
+    "q76_hopping_windows": q76_hopping_windows,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2587,6 +2656,59 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        (d.doc_id = coalesce(c.component, d.doc_id)) AS is_keeper
 FROM documents d
 LEFT JOIN comp c ON c.node = d.doc_id
+""",
+    "q74_session_window": """
+WITH e AS (
+    SELECT user_id, ts,
+           CAST(round(value * 1000) AS BIGINT) AS mills,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 12 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, mills,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM e
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 12 HOUR AS session_end,
+       count(*) AS n_events,
+       sum(mills) AS sum_mills
+FROM s
+GROUP BY user_id, session_id
+""",
+    "q75_pivot": """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F'
+           THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS cents_f,
+       sum(CASE WHEN l_linestatus = 'O'
+           THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS cents_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    "q76_hopping_windows": """
+WITH hops AS (
+    -- NB: DuckDB `//` on DOUBLE is plain division; quantize with an
+    -- explicit floor to integer half-day slots
+    SELECT ts, CAST(round(value * 1000) AS BIGINT) AS mills,
+           CAST(to_timestamp((CAST(floor(epoch(ts) / 43200) AS BIGINT) - k.k)
+                             * 43200) AS TIMESTAMP) AS win_start
+    FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+    WHERE epoch(ts) >= ((CAST(floor(epoch(ts) / 43200) AS BIGINT) - k.k)
+                        * 43200)
+      AND epoch(ts) <  ((CAST(floor(epoch(ts) / 43200) AS BIGINT) - k.k)
+                        * 43200 + 86400)
+)
+SELECT win_start,
+       win_start + INTERVAL 1 DAY AS win_end,
+       count(*) AS n_events,
+       sum(mills) AS sum_mills
+FROM hops
+GROUP BY win_start
 """,
     "q72_stratified_sample": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
