@@ -21,7 +21,10 @@ re-expresses every capability Spark-first:
                     as-of joins, UTXO linkage, text dedup (exact /
                     MinHash-LSH / SimHash / n-gram Jaccard), embedding
                     similarity search (brute-force / multi-probe LSH / IVF)
-                    and embedding-cosine near-dup, text analysis incl.
+                    and embedding-cosine near-dup, connected components
+                    (alternating large-star/small-star — multi-input
+                    entity clustering), deterministic hash sampling and
+                    group-safe train/test split, text analysis incl.
                     BPE-ish token counting, multimodal columns.
 - ``sources``     — table registry over the parquet fixtures; sink writers
                     that emulate the Cassandra (partition key, clustering
@@ -32,7 +35,8 @@ re-expresses every capability Spark-first:
                     checkpoint ≙ high-water mark, watermark ≙ previous-day
                     cutoff, idempotent foreachBatch ≙ PK-upsert retry;
                     watermarked streaming dedup; stateful sessionizer with
-                    idle-timeout flush.
+                    idle-timeout flush; streaming ANN (stream-static LSH
+                    index join, exact per-batch top-k).
 - ``queries``     — the driver-contract registry: every operator as a
                     (Spark callable, DuckDB oracle SQL) pair over the
                     testdata tables.
