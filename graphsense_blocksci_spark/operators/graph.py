@@ -134,6 +134,57 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def bfs_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded forward reachability (taint tracing): every node
+    reachable from the seed set in ≤ ``max_hops`` directed steps, with
+    the minimum hop count. Returns ``(node, hops)``, both LONG.
+
+    This is GraphSense's "follow the funds" primitive: seeds are the
+    tainted transactions, edges point spent-output → spending-tx, and
+    the frontier expands one spend-hop per iteration.
+
+    Scale shape: classic frontier BFS — per hop, one equi-join of the
+    CURRENT FRONTIER (small) against the edge table on `src` (the only
+    big shuffle; pre-bucketing edges by `src` makes it co-located),
+    one anti-join against the visited set, one dedup. The visited set
+    grows monotonically but stays id-only (2 longs/row);
+    localCheckpoint keeps the lineage flat across hops. Early-exits
+    when a frontier drains, so the loop runs min(max_hops, eccentricity)
+    rounds.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
+    ).distinct()
+    visited = (
+        seeds.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._src)
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def cluster_sizes(components: DataFrame) -> DataFrame:
     """Entity sizes: one row per component with its member count."""
     return components.groupBy("component").agg(

@@ -829,6 +829,27 @@ def qd12_streaming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd13_taint_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSense's "follow the funds": hop-bounded forward taint
+    tracing over the real fixture chain. Seeds = the coinbase txs of
+    the first 10 blocks; edges = spent-output → spending-tx (from the
+    same exploded-inputs linkage as qd08); answer = every tx reachable
+    in ≤ 4 spend-hops with its minimum hop count (frontier BFS,
+    operators/graph.py:bfs_reachability). Oracle: hop-bounded
+    recursive CTE taking min(hops)."""
+    from graphsense_blocksci_spark.operators import explode_inputs
+    from graphsense_blocksci_spark.operators.graph import bfs_reachability
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    edges = explode_inputs(raw_txs.filter(~F.col("coinbase"))).select(
+        F.col("spent_tx_id").alias("src"), F.col("tx_id").alias("dst")
+    )
+    seeds = raw_txs.filter(F.col("coinbase") & (F.col("block_id") < 10)).select(
+        F.col("tx_id").alias("node")
+    )
+    return bfs_reachability(edges, seeds, max_hops=4)
+
+
 def qd11_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array fidelity both ways: build the `block_transactions`
     list<struct> (A12), then POSEXPLODE it back to rows — position,
@@ -1713,6 +1734,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd09_streaming_dedup": qd09_streaming_dedup,
     "qd10_streaming_curation": qd10_streaming_curation,
     "qd12_streaming_ann": qd12_streaming_ann,
+    "qd13_taint_trace": qd13_taint_trace,
     "qd11_unnest_roundtrip": qd11_unnest_roundtrip,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
@@ -2389,6 +2411,31 @@ JOIN quality q USING (doc_id)
 JOIN lang l USING (doc_id)
 WHERE l.lang_pred IN ('en', 'und')
 GROUP BY 1
+""",
+    "qd13_taint_trace": f"""
+WITH RECURSIVE ins AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> inputs[i].spent_tx_id)) AS stx
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+edges AS (
+    SELECT DISTINCT stx AS src, tx_id AS dst FROM ins
+),
+seeds AS (
+    SELECT tx_id FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE coinbase AND block_id < 10
+),
+walk(node, hops) AS (
+    SELECT tx_id, 0 FROM seeds
+    UNION
+    SELECT e.dst, w.hops + 1
+    FROM edges e JOIN walk w ON e.src = w.node
+    WHERE w.hops < 4
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node
 """,
     "qd08_utxo_linkage": f"""
 WITH ins AS (

@@ -187,3 +187,84 @@ def test_asof_directions_match_pandas(
     for ts in set(left_ts):
         g, e = got_map[ts], exp_map[ts]
         assert (pd.isna(g) and pd.isna(e)) or g == e
+
+
+def _uf(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_random_graphs(spark, edges):
+    """Any random multigraph: star-contraction result == union-find."""
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    }
+    want = set(_uf([(a, b) for a, b in edges if a != b]).items())
+    assert got == want
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    seeds=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=3),
+    max_hops=st.integers(min_value=0, max_value=4),
+)
+def test_bfs_reachability_random_graphs(spark, edges, seeds, max_hops):
+    """Frontier BFS == textbook BFS levels on random directed graphs."""
+    from collections import deque
+
+    from graphsense_blocksci_spark.operators.graph import bfs_reachability
+
+    e_df = spark.createDataFrame(edges, "src: long, dst: long")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node: long")
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_reachability(e_df, s_df, max_hops=max_hops).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    assert got == set(dist.items())
