@@ -850,6 +850,74 @@ def qd13_taint_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_reachability(edges, seeds, max_hops=4)
 
 
+def qd14_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join under the correctness gate: orders and
+    lineitem staged as two file-source streams, joined on the order
+    key WITH an event-time range bound (the state-retention contract),
+    availableNow to a parquet sink. Watermarks (10 years) exceed the
+    data's true ±2500-day shipdate spread, so nothing evicts early and
+    the streamed join must equal the batch join the oracle runs."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.join import stream_stream_join
+
+    # event-time columns must be TIMESTAMP (tz-aware) — the parquet
+    # dates load as TIMESTAMP_NTZ, which watermarks reject
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _cents("l_extendedprice").alias("cents"),
+        F.col("l_shipdate").cast("timestamp").alias("l_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_ssj_")
+    o.write.mode("overwrite").parquet(f"{work}/orders")
+    li.write.mode("overwrite").parquet(f"{work}/lineitem")
+    so = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{work}/orders")
+    )
+    sl = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{work}/lineitem")
+    )
+    joined = stream_stream_join(
+        so,
+        sl,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_ts") >= F.col("o_ts") - F.expr("INTERVAL 2500 DAYS"))
+        & (F.col("l_ts") <= F.col("o_ts") + F.expr("INTERVAL 2500 DAYS")),
+        left_ts="o_ts",
+        right_ts="l_ts",
+        left_watermark="3650 days",
+        right_watermark="3650 days",
+    )
+    q = (
+        joined.select("o_orderkey", "o_custkey", "l_linenumber", "cents")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("qd14 stream-stream join did not finish in 600s")
+    return spark.read.parquet(f"{work}/sink").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "cents",
+    )
+
+
 def qd11_unnest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-array fidelity both ways: build the `block_transactions`
     list<struct> (A12), then POSEXPLODE it back to rows — position,
@@ -1735,6 +1803,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd10_streaming_curation": qd10_streaming_curation,
     "qd12_streaming_ann": qd12_streaming_ann,
     "qd13_taint_trace": qd13_taint_trace,
+    "qd14_stream_stream_join": qd14_stream_stream_join,
     "qd11_unnest_roundtrip": qd11_unnest_roundtrip,
     "q30_dedup_exact": q30_dedup_exact,
     "q31_text_stats": q31_text_stats,
@@ -2411,6 +2480,15 @@ JOIN quality q USING (doc_id)
 JOIN lang l USING (doc_id)
 WHERE l.lang_pred IN ('en', 'und')
 GROUP BY 1
+""",
+    "qd14_stream_stream_join": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate - INTERVAL 2500 DAY
+  AND l_shipdate <= o_orderdate + INTERVAL 2500 DAY
 """,
     "qd13_taint_trace": f"""
 WITH RECURSIVE ins AS (

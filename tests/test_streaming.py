@@ -419,3 +419,33 @@ def test_streaming_knn_matches_batch_lsh(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     index.unpersist()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream inner join == batch join when the
+    watermark horizon exceeds the event-time spread (nothing evicts
+    before its match arrives)."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from pyspark.sql import functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["qd14_stream_stream_join"](spark, sf)
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    want = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F2.col("l_shipdate") >= F2.col("o_orderdate") - F2.expr("INTERVAL 2500 DAYS"))
+            & (F2.col("l_shipdate") <= F2.col("o_orderdate") + F2.expr("INTERVAL 2500 DAYS"))
+        )
+        .select(
+            F2.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F2.col("o_custkey").cast("long").alias("o_custkey"),
+            F2.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F2.round(F2.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
