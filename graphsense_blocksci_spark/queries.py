@@ -1761,6 +1761,165 @@ def q76_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation shipping volume — a 6-table join
+    where the same dimension (nation) enters TWICE under different
+    roles (customer's vs supplier's), with a symmetric OR pair
+    predicate and a per-year rollup. All dims broadcast; the only big
+    shuffles are the fact joins on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nkey)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nkey)
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_1")
+                & (F.col("supp_nation") == "NATION_2")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_2")
+                & (F.col("supp_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "cust_nation",
+        "supp_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(F.sum(_rev_cents()).alias("revenue_cents"))
+
+
+def q78_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — one nation's fraction of a
+    region's yearly revenue for one part type. The share is a single
+    IEEE division of two exact bigint-cents sums per year (conditional
+    numerator inside the same aggregate pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    sn = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.c_nkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), cn.c_rkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.s_nkey)
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", _rev_cents()).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_cents"),
+        F.sum(_rev_cents()).alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        (
+            F.col("nation_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: global-max join-back — the supplier(s) whose
+    quarterly revenue equals the maximum. The revenue aggregate is
+    computed ONCE; its single-row max is broadcast back onto it (no
+    second scan of the fact table, no correlated re-aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_cents()).alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue_cents") == F.col("_mx")
+    )
+    return top.join(F.broadcast(s), top.supplier_no == s.s_suppkey).select(
+        F.col("supplier_no").cast("long").alias("supplier_no"),
+        "s_name",
+        "total_revenue_cents",
+    )
+
+
+def q80_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a broadcast join —
+    three brand/size/quantity clause groups that Catalyst must keep
+    partially pushable (the common `p_partkey = l_partkey` stays an
+    equi-join; per-clause residuals evaluate post-join in one codegen
+    stage, not as three unioned scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & (qty >= 1) & (qty <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (qty >= 10) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (qty >= 20) & (qty <= 30))
+    )
+    return j.filter(clause).agg(
+        F.sum(_rev_cents()).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q81_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: layered semi + anti self-joins — suppliers
+    whose returned line is the ONLY return in a multi-supplier order.
+    Three derived views of the same fact scan (returned lines,
+    other-supplier lines, other-supplier returns) meet in a left-semi
+    then a left-anti join with a key inequality; the final count per
+    supplier ranks the repeat offenders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    return waiting.groupBy(F.col("l_suppkey").cast("long").alias("l_suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -1849,6 +2008,11 @@ QUERIES: dict[str, QueryFn] = {
     "q74_session_window": q74_session_window,
     "q75_pivot": q75_pivot,
     "q76_hopping_windows": q76_hopping_windows,
+    "q77_nation_volume": q77_nation_volume,
+    "q78_market_share": q78_market_share,
+    "q79_top_supplier": q79_top_supplier,
+    "q80_disjunctive_predicates": q80_disjunctive_predicates,
+    "q81_lone_late_supplier": q81_lone_late_supplier,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2834,6 +2998,91 @@ SELECT win_start,
        sum(mills) AS sum_mills
 FROM hops
 GROUP BY win_start
+""",
+    "q77_nation_volume": """
+SELECT cust_nation, supp_nation, l_year,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+FROM (
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice, l_discount
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY cust_nation, supp_nation, l_year
+""",
+    "q78_market_share": """
+SELECT o_year, nation_cents, total_cents,
+       CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+           AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CASE WHEN n2.n_name = 'NATION_2'
+               THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                    AS BIGINT) ELSE 0 END) AS nation_cents,
+           sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+               AS BIGINT)) AS total_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    GROUP BY o_year
+)
+""",
+    "q79_top_supplier": """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+               AS BIGINT)) AS total_revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT CAST(supplier_no AS BIGINT) AS supplier_no, s_name,
+       total_revenue_cents
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+""",
+    "q80_disjunctive_predicates": """
+SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    "q81_lone_late_supplier": """
+SELECT CAST(l1.l_suppkey AS BIGINT) AS l_suppkey,
+       count(*) AS numwait
+FROM lineitem l1
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY l1.l_suppkey
 """,
     "q72_stratified_sample": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
