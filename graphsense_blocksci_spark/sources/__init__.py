@@ -5,7 +5,9 @@ from graphsense_blocksci_spark.sources.tables import (
     load_raw_blocks,
     load_raw_txs,
     load_raw_exchange_rates,
+    load_csv_table,
     load_json_table,
+    write_csv_table,
     write_json_table,
 )
 from graphsense_blocksci_spark.sources.sinks import (
@@ -22,7 +24,9 @@ __all__ = [
     "load_raw_blocks",
     "load_raw_txs",
     "load_raw_exchange_rates",
+    "load_csv_table",
     "load_json_table",
+    "write_csv_table",
     "write_json_table",
     "write_bucketed_table",
     "write_range_sorted",

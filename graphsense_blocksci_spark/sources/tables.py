@@ -118,3 +118,38 @@ def write_json_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — interchange with non-columnar consumers; for
     anything large, parquet (`sinks.py`) is the real format."""
     df.write.mode(mode).json(path)
+
+
+def load_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: "T.StructType | str",
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema (same no-inference rule as
+    the JSON source: inference is an extra full scan and a type-drift
+    hazard). `mode=FAILFAST` — a malformed row is a data bug to
+    surface, not a NULL to smuggle downstream."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def write_csv_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+) -> None:
+    """CSV sink — flat-file interchange only (no nested columns; Spark
+    rejects arrays/structs in CSV, which is correct: flatten or use
+    parquet/JSON for structured data)."""
+    df.write.mode(mode).option("header", str(header).lower()).option(
+        "delimiter", delimiter
+    ).csv(path)

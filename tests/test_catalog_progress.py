@@ -155,6 +155,26 @@ def test_json_source_roundtrip_explicit_schema(spark, tmp_path):
     ]
 
 
+def test_csv_source_roundtrip_explicit_schema(spark, tmp_path):
+    from graphsense_blocksci_spark.sources import (
+        load_csv_table,
+        write_csv_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a,with delim", 1.5), (2, "b", None)],
+        "id long, name string, score double",
+    )
+    path = str(tmp_path / "c")
+    write_csv_table(df, path)
+    back = load_csv_table(spark, path, "id long, name string, score double")
+    assert back.schema == df.schema
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "a,with delim", 1.5),
+        (2, "b", None),
+    ]
+
+
 def test_cluster_conf_is_consumable(spark):
     from graphsense_blocksci_spark.session import cluster_conf
 
