@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "q64_min_cost_supplier",
     "q66_order_distribution",
     "q69_small_qty_revenue",
+    "q71_fuzzy_dedup",
+    "q77_nation_volume",
+    "q81_lone_late_supplier",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

@@ -55,7 +55,6 @@ def hash_sample(
     if rate_by is not None:
         if stratum_col is None:
             raise ValueError("rate_by requires stratum_col")
-        cut = F.lit(None).cast("long")
         expr = None
         for stratum, r in rate_by.items():
             cond = F.col(stratum_col) == stratum

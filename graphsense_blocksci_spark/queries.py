@@ -1404,7 +1404,10 @@ def q60_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is a LARGE dim at warehouse scale — no broadcast
+        # hint; the HAVING-filtered left side is the small one, and
+        # AQE picks the build side from runtime sizes
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1765,8 +1768,10 @@ def q77_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two-nation shipping volume — a 6-table join
     where the same dimension (nation) enters TWICE under different
     roles (customer's vs supplier's), with a symmetric OR pair
-    predicate and a per-year rollup. All dims broadcast; the only big
-    shuffles are the fact joins on orderkey."""
+    predicate and a per-year rollup. Tiny dims (nation, supplier) are
+    broadcast; customer is NOT — at warehouse scale it's a large
+    dimension, so its join stays shuffle-eligible and AQE broadcasts
+    only when the runtime size allows."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1780,7 +1785,7 @@ def q77_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.c_nkey)
         .join(F.broadcast(n2), s.s_nationkey == n2.s_nkey)
@@ -1819,7 +1824,7 @@ def q78_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == cn.c_nkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), cn.c_rkey == r.r_regionkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
