@@ -216,3 +216,53 @@ def curation_columns(
             "lang_pred": pred,
         }
     ).drop("_toks")
+
+
+def vocabulary(
+    docs: DataFrame,
+    top_n: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace
+    tokens with a total tie-break (count desc, token asc) so the
+    result is deterministic across engines and runs.
+
+    The tokenizer is the repo-wide `textops.tokens` (same
+    normalization the dedup/shingle oracles mirror). Scale shape:
+    explode → two-phase hash aggregate (map-side partial counts make
+    the shuffle |vocab|-sized, not |corpus|-sized) → TakeOrdered
+    top-n on (count, token). Vocab building over 100 TB is exactly
+    this plan; the explode never materializes corpus-wide state.
+    """
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return counts.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)
+
+
+def doc_frequency(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-token corpus statistics: total occurrences (`tf`) and the
+    number of distinct documents containing the token (`df`), for
+    tokens with df >= ``min_df`` — the exact-integer core of TF-IDF
+    (the float weight is one log away, left to the consumer so the
+    stats stay bit-comparable across engines).
+
+    Scale shape: one explode + one grouped aggregate; `df` uses
+    per-document token dedup BEFORE the shuffle (array_distinct on
+    each row), so the distinct-count is a plain count, not an
+    expensive count-distinct state."""
+    per_doc = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    tf = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    dedup = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    df_ = dedup.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_, "token").filter(F.col("df") >= F.lit(min_df))

@@ -1925,6 +1925,26 @@ def q81_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-200 tokens by frequency with a
+    total (tf desc, token asc) tie-break — map-side partial counts
+    keep the shuffle |vocab|-sized (operators/text_analysis.py)."""
+    from graphsense_blocksci_spark.operators.text_analysis import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary(docs, top_n=200)
+
+
+def q83_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token tf/df statistics (the exact-integer core of TF-IDF):
+    df via per-document dedup BEFORE the shuffle, so no distinct-count
+    state (operators/text_analysis.py)."""
+    from graphsense_blocksci_spark.operators.text_analysis import doc_frequency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_frequency(docs, min_df=5)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2018,6 +2038,8 @@ QUERIES: dict[str, QueryFn] = {
     "q79_top_supplier": q79_top_supplier,
     "q80_disjunctive_predicates": q80_disjunctive_predicates,
     "q81_lone_late_supplier": q81_lone_late_supplier,
+    "q82_vocabulary": q82_vocabulary,
+    "q83_doc_frequency": q83_doc_frequency,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2877,6 +2899,23 @@ SELECT doc_id,
            AS fingerprint,
        CAST(len(hs) AS BIGINT) AS n_shingles
 FROM sh
+""",
+    "q82_vocabulary": "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+t AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+SELECT token, count(*) AS tf
+FROM t GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 200
+""",
+    "q83_doc_frequency": "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+t AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM t GROUP BY token
+HAVING count(DISTINCT doc_id) >= 5
 """,
     "q35_minhash_signatures": "WITH " + _SIGS_CTE + "\nSELECT * FROM sigs",
     "q36_lsh_pairs": "WITH "

@@ -7,8 +7,10 @@ from graphsense_blocksci_spark.sources.tables import (
     load_raw_exchange_rates,
     load_csv_table,
     load_json_table,
+    load_orc_table,
     write_csv_table,
     write_json_table,
+    write_orc_table,
 )
 from graphsense_blocksci_spark.sources.sinks import (
     write_bucketed_table,
@@ -26,8 +28,10 @@ __all__ = [
     "load_raw_exchange_rates",
     "load_csv_table",
     "load_json_table",
+    "load_orc_table",
     "write_csv_table",
     "write_json_table",
+    "write_orc_table",
     "write_bucketed_table",
     "write_range_sorted",
     "write_spark_bucketed",

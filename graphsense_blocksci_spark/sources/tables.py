@@ -120,6 +120,25 @@ def write_json_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def load_orc_table(
+    spark: SparkSession, path: str, schema: "T.StructType | str | None" = None
+) -> DataFrame:
+    """ORC source — the second columnar format Spark ships natively
+    (predicate pushdown, column pruning and vectorized read work the
+    same as parquet). Schema optional: ORC footers carry types, so
+    unlike CSV/JSON there is no inference scan to forbid."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — interchange with Hive/Trino-side consumers; same
+    nested-type support as parquet."""
+    df.write.mode(mode).orc(path)
+
+
 def load_csv_table(
     spark: SparkSession,
     path: str,

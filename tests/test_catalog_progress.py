@@ -175,6 +175,25 @@ def test_csv_source_roundtrip_explicit_schema(spark, tmp_path):
     ]
 
 
+def test_orc_source_roundtrip_nested(spark, tmp_path):
+    from graphsense_blocksci_spark.sources import load_orc_table, write_orc_table
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], {"k": 2}), (2, [], None)],
+        "id long, tags array<string>, props map<string,long>",
+    )
+    path = str(tmp_path / "o")
+    write_orc_table(df, path)
+    back = load_orc_table(spark, path)
+    assert back.schema == df.schema
+    # set-ops reject map columns; compare collected rows instead
+    norm = lambda d: sorted(  # noqa: E731
+        (r.id, tuple(r.tags), None if r.props is None else tuple(sorted(r.props.items())))
+        for r in d.collect()
+    )
+    assert norm(back) == norm(df)
+
+
 def test_cluster_conf_is_consumable(spark):
     from graphsense_blocksci_spark.session import cluster_conf
 
