@@ -190,3 +190,75 @@ def cluster_sizes(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. Returns
+    ``(node, rank)`` where ranks sum to ~1 (dangling mass is
+    redistributed uniformly each round, the standard correction).
+
+    The weighted counterpart of `connected_components`' label passing:
+    each round every node ships rank/out_degree along its out-edges,
+    contributions are summed per target, and the damping mixes in the
+    uniform teleport. Plan per round: one join of ranks against the
+    (static) out-degree-annotated edges + one groupBy — both shuffle
+    on node id, so pre-partitioning ranks and edges on the same key
+    makes the join co-located and leaves ONE shuffle (the aggregate)
+    per round. localCheckpoint flattens lineage; nothing but the
+    dangling-mass scalar ever reaches the driver.
+
+    Float caveat (why the registry entry is rows-only): per-node sums
+    are partition-order-dependent doubles, so cross-engine comparison
+    is tolerance-based (pytest vs a dense numpy reference), not
+    hash-exact like the integer/graph oracles.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(out_deg, "_src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(ed, ranks.node == ed._src)
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg._src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

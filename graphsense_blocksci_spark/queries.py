@@ -1945,6 +1945,33 @@ def q83_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_frequency(docs, min_df=5)
 
 
+def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the q63 co-occurrence graph —
+    the weighted-iteration representative (rank mass flows along
+    edges; one co-located join + one aggregate shuffle per round).
+    Rows-only in the registry: per-node double sums are partition-
+    order dependent, so parity is pytest-gated against a dense numpy
+    reference (tolerance), not hash-exact."""
+    from graphsense_blocksci_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nodes = (
+        li.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("node"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("node")
+    chain = (
+        nodes.select("g", "node", F.lead("node").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    edges = chain.select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
+    return pagerank(edges, iterations=10).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2040,6 +2067,7 @@ QUERIES: dict[str, QueryFn] = {
     "q81_lone_late_supplier": q81_lone_late_supplier,
     "q82_vocabulary": q82_vocabulary,
     "q83_doc_frequency": q83_doc_frequency,
+    "q84_pagerank": q84_pagerank,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,

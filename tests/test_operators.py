@@ -321,3 +321,34 @@ def test_connected_components_empty(spark):
 
     df = spark.createDataFrame([], "src: long, dst: long")
     assert connected_components(df).count() == 0
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """Fixed-iteration PageRank == the dense numpy recurrence within
+    float tolerance (same damping, same dangling redistribution)."""
+    from graphsense_blocksci_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 4), (5, 1)]
+    # node 6 unreachable sink target to exercise dangling: 4->4 self loop
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, b in set(edges):
+        out.setdefault(a, []).append(b)
+    r = [1.0 / n] * n
+    d = 0.85
+    for _ in range(12):
+        nxt = [0.0] * n
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, targets in out.items():
+            share = r[idx[a]] / len(targets)
+            for b in targets:
+                nxt[idx[b]] += share
+        r = [(1.0 - d) / n + d * (dangling / n + x) for x in nxt]
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
