@@ -449,3 +449,70 @@ def test_stream_stream_join_matches_batch(spark):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_emits_on_timeout(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics: matches emit as both
+    sides arrive; unmatched left rows emit NULL-extended only after
+    the watermark passes their join window; rows whose window is
+    still open when the stream drains stay in state and do NOT emit."""
+    import time as _time
+
+    from graphsense_blocksci_spark.streaming.join import stream_stream_join
+
+    work = str(tmp_path / "ssj")
+
+    def _ts(df):
+        return df.select("k", F.timestamp_seconds("sec").alias("ts"))
+
+    # batch-1 files: k=1 matches; k=2,3 never will
+    _ts(spark.createDataFrame([(1, 100), (2, 100), (3, 100)], "k long, sec long")) \
+        .coalesce(1).write.mode("append").parquet(f"{work}/L")
+    _ts(spark.createDataFrame([(1, 110)], "k long, sec long")) \
+        .coalesce(1).write.mode("append").parquet(f"{work}/R")
+    _time.sleep(1.1)  # later mtime => second micro-batch
+    # batch-2 files: far-future rows push the watermark past batch 1
+    _ts(spark.createDataFrame([(99, 100000)], "k long, sec long")) \
+        .coalesce(1).write.mode("append").parquet(f"{work}/L")
+    _ts(spark.createDataFrame([(98, 100000)], "k long, sec long")) \
+        .coalesce(1).write.mode("append").parquet(f"{work}/R")
+
+    sl = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/L")
+    )
+    sr = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/R")
+        .withColumnRenamed("k", "rk")
+        .withColumnRenamed("ts", "rts")
+    )
+    j = stream_stream_join(
+        sl,
+        sr,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("ts"))
+        & (F.col("rts") <= F.col("ts") + F.expr("INTERVAL 60 SECONDS")),
+        left_ts="ts",
+        right_ts="rts",
+        left_watermark="10 seconds",
+        right_watermark="10 seconds",
+        how="left_outer",
+    )
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise AssertionError("left-outer stream-stream join did not finish")
+    got = sorted((r.k, r.rk) for r in spark.read.parquet(f"{work}/sink").collect())
+    # k=99's join window (100000..100060) is still open at shutdown —
+    # correctly retained in state, not emitted
+    assert got == [(1, 1), (2, None), (3, None)]
