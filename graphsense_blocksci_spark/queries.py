@@ -1972,6 +1972,51 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per user, the
+    trailing-24h event count and sum — the frame is defined on the
+    event-TIME axis (86400-second lookback on epoch seconds), so ties
+    and gaps behave by time, unlike the ROWS frames of q52. Epoch
+    seconds (floored) are the frame key in BOTH engines, which keeps
+    sub-second precision out of the boundary arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        sec.alias("ts_sec"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.round(F.col("value") * 1000).cast("long")).over(w).alias(
+            "mills_24h"
+        ),
+    )
+
+
+def q86_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup are sugar
+    for): three chosen aggregation levels in ONE pass over the fact
+    table — (flag,status), (flag), and grand total, but NOT (status)
+    — something neither rollup nor cube can express. Spark expands it
+    to a single Expand + one aggregate (no re-scan per level)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2068,6 +2113,8 @@ QUERIES: dict[str, QueryFn] = {
     "q82_vocabulary": q82_vocabulary,
     "q83_doc_frequency": q83_doc_frequency,
     "q84_pagerank": q84_pagerank,
+    "q85_range_frame": q85_range_frame,
+    "q86_grouping_sets": q86_grouping_sets,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2927,6 +2974,23 @@ SELECT doc_id,
            AS fingerprint,
        CAST(len(hs) AS BIGINT) AS n_shingles
 FROM sh
+""",
+    "q85_range_frame": """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+       count(*) OVER w AS n_24h,
+       sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS mills_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+""",
+    "q86_grouping_sets": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
     "q82_vocabulary": "WITH "
     + _TEXT_CTE.split(",\ngrams")[0]
