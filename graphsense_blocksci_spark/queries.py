@@ -1452,6 +1452,23 @@ def q42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_chain_edges(li: DataFrame) -> DataFrame:
+    """Co-occurrence edges for the graph queries: consecutive distinct
+    suppliers within each early-window order (CHAIN, not clique —
+    same components, O(k) not O(k²) edges per group)."""
+    nodes = (
+        li.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
+        .select(F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("node"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("node")
+    chain = (
+        nodes.select("g", "node", F.lead("node").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    return chain.select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
+
+
 def q63_entity_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-input entity clustering — GraphSense's defining downstream
     analytic (the reference exports the co-spend inputs this graph is
@@ -1471,19 +1488,7 @@ def q63_entity_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphsense_blocksci_spark.operators.graph import connected_components
 
     li = load_table(spark, sf_dir, "lineitem")
-    nodes = (
-        li.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
-        .select(F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("node"))
-        .distinct()
-    )
-    w = Window.partitionBy("g").orderBy("node")
-    chain = (
-        nodes.select("g", "node", F.lead("node").over(w).alias("nxt"))
-        .filter(F.col("nxt").isNotNull())
-    )
-    cc = connected_components(
-        chain.select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
-    )
+    cc = connected_components(_supplier_chain_edges(li))
     return cc.select(
         F.col("node").cast("long").alias("node"),
         F.col("component").cast("long").alias("component"),
@@ -1955,18 +1960,7 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphsense_blocksci_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    nodes = (
-        li.filter(F.col("l_shipdate") < F.lit("1995-03-01").cast("timestamp"))
-        .select(F.col("l_orderkey").alias("g"), F.col("l_suppkey").alias("node"))
-        .distinct()
-    )
-    w = Window.partitionBy("g").orderBy("node")
-    chain = (
-        nodes.select("g", "node", F.lead("node").over(w).alias("nxt"))
-        .filter(F.col("nxt").isNotNull())
-    )
-    edges = chain.select(F.col("node").alias("src"), F.col("nxt").alias("dst"))
-    return pagerank(edges, iterations=10).select(
+    return pagerank(_supplier_chain_edges(li), iterations=10).select(
         F.col("node").cast("long").alias("node"),
         F.col("rank").cast("double").alias("rank"),
     )
