@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "q71_fuzzy_dedup",
     "q77_nation_volume",
     "q81_lone_late_supplier",
+    "q87_label_propagation",
+    "q88_product_profit",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

@@ -42,7 +42,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -183,6 +183,71 @@ def bfs_reachability(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronized deterministic label propagation (community
+    detection). Returns ``(node, label)``, both LONG, for every node
+    that appears in ``edges`` (treated as undirected).
+
+    Rule per round, applied to ALL nodes simultaneously: a node's new
+    label is the most frequent label among its neighbors' CURRENT
+    labels, ties broken by the smallest label. This is the
+    deterministic variant of Raghavan et al. 2007 (whose original is
+    asynchronous + random tie-break); determinism is what makes it
+    oracle-checkable and retry-idempotent. Synchronized LPA can
+    oscillate on bipartite-ish structures, so the standard practice —
+    followed here — is a FIXED iteration count, taking the round-k
+    snapshot rather than iterating to a fixpoint.
+
+    Unlike `connected_components` (star contraction, O(log n) rounds
+    to an exact answer), LPA is a heuristic whose round count is a
+    quality knob: communities denser than their cut converge in 2-3
+    rounds; k rounds can never move a label further than k hops.
+
+    Scale shape per round: one equi-join (labels ⋈ symmetric edges on
+    the neighbor id) + one (node,label) count aggregate + one per-node
+    window pick — three shuffles, all on node ids, so co-partitioning
+    edges by neighbor id keeps the join local. High-degree hubs are
+    handled by the count aggregate's map-side partial (a degree-d hub
+    contributes ≤ #distinct-neighbor-labels rows to the shuffle, not
+    d). ``localCheckpoint`` per round keeps lineage flat; nothing
+    reaches the driver.
+    """
+    sym = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    pick = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        freq = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            freq.withColumn("_rn", F.row_number().over(pick))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
 
 
 def cluster_sizes(components: DataFrame) -> DataFrame:

@@ -2011,6 +2011,116 @@ def q86_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q87_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: synchronized deterministic LPA over the
+    q63 co-occurrence graph — 3 fixed rounds of most-frequent-neighbor
+    label with min-label tie-break (operators/graph.py). Because every
+    update is deterministic, the output is exact integers and the
+    DuckDB oracle can unroll the same 3 rounds (join → count → ranked
+    pick per round) for a hash-exact compare — rare for a graph
+    heuristic, impossible for the async-random original."""
+    from graphsense_blocksci_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return label_propagation(_supplier_chain_edges(li), iterations=3).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def q88_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: testdata ships no partsupp, so the
+    supplycost term is proxied by p_retailprice — the join/agg shape
+    (part-name filter, 5-table join, line-level profit amount, group
+    by supplier nation × order year) is Q9's. Amount is exact integer
+    cents on both engines. The two fact tables join on orderkey
+    (shuffle); part/supplier/nation are broadcast-size dims AQE picks
+    up from runtime stats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev_cents() - _cents("p_retailprice") * F.col("l_quantity").cast(
+        "long"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("profit_cents"))
+    )
+
+
+def q89_national_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value for ONE nation's
+    suppliers, kept only when above a 1/1000 fraction of that
+    nation's total — the group-vs-global-scalar HAVING. The global
+    total is a single-row aggregate crossJoined (broadcast) onto the
+    per-part rows; the fraction test is integer-exact
+    (value*1000 > total), so no float threshold ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").cast("long").alias("l_partkey"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("_total"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+def q90_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted: with no partsupp availqty, the
+    "stocked more than half of shipped" test becomes supplier
+    dominance — a (supplier, part) pair that shipped MORE THAN HALF of
+    the part's total 1996 volume (2*sq > tq, integer-exact). Nested
+    aggregate (per-pair sums, then a per-part window total on the
+    already-aggregated rows) → dominant suppkeys → semi-join up to
+    supplier/nation names, pruning the part dim before the fact
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    q = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+    )
+    tq = F.sum("sq").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        q.withColumn("tq", tq)
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2109,6 +2219,10 @@ QUERIES: dict[str, QueryFn] = {
     "q84_pagerank": q84_pagerank,
     "q85_range_frame": q85_range_frame,
     "q86_grouping_sets": q86_grouping_sets,
+    "q87_label_propagation": q87_label_propagation,
+    "q88_product_profit": q88_product_profit,
+    "q89_national_part_value": q89_national_part_value,
+    "q90_dominant_suppliers": q90_dominant_suppliers,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -2985,6 +3099,115 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    # q87: the oracle unrolls the SAME 3 synchronized LPA rounds the
+    # operator runs — deterministic tie-break makes this hash-exact.
+    "q87_label_propagation": """
+WITH g0 AS (
+    SELECT DISTINCT l_orderkey AS g, l_suppkey AS node
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-03-01'
+),
+chain AS (
+    SELECT g, node AS src,
+           lead(node) OVER (PARTITION BY g ORDER BY node) AS dst
+    FROM g0
+),
+edges AS (
+    SELECT src AS u, dst AS v FROM chain WHERE dst IS NOT NULL
+    UNION
+    SELECT dst AS u, src AS v FROM chain WHERE dst IS NOT NULL
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+f1 AS (
+    SELECT e.u, l.label, count(*) AS c
+    FROM edges e JOIN l0 l ON e.v = l.node
+    GROUP BY e.u, l.label
+),
+l1 AS (
+    SELECT u AS node, label FROM (
+        SELECT u, label,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC)
+                   AS rn
+        FROM f1
+    ) WHERE rn = 1
+),
+f2 AS (
+    SELECT e.u, l.label, count(*) AS c
+    FROM edges e JOIN l1 l ON e.v = l.node
+    GROUP BY e.u, l.label
+),
+l2 AS (
+    SELECT u AS node, label FROM (
+        SELECT u, label,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC)
+                   AS rn
+        FROM f2
+    ) WHERE rn = 1
+),
+f3 AS (
+    SELECT e.u, l.label, count(*) AS c
+    FROM edges e JOIN l2 l ON e.v = l.node
+    GROUP BY e.u, l.label
+),
+l3 AS (
+    SELECT u AS node, label FROM (
+        SELECT u, label,
+               row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC)
+                   AS rn
+        FROM f3
+    ) WHERE rn = 1
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l3
+""",
+    "q88_product_profit": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+           - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    "q89_national_part_value": """
+WITH v AS (
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+),
+t AS (SELECT sum(value_cents) AS total FROM v)
+SELECT l_partkey, value_cents
+FROM v, t
+WHERE value_cents * 1000 > total
+""",
+    "q90_dominant_suppliers": """
+WITH q AS (
+    SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey
+),
+d AS (
+    SELECT l_suppkey, sq,
+           sum(sq) OVER (PARTITION BY l_partkey) AS tq
+    FROM q
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM d WHERE 2 * sq > tq)
 """,
     "q82_vocabulary": "WITH "
     + _TEXT_CTE.split(",\ngrams")[0]

@@ -233,6 +233,48 @@ def test_connected_components_random_graphs(spark, edges):
 @given(
     edges=st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    iterations=st.integers(min_value=1, max_value=3),
+)
+def test_label_propagation_random_graphs(spark, edges, iterations):
+    """Synchronized LPA == the textbook per-round rule (most frequent
+    neighbor label, min-label tie-break, simultaneous update) on
+    random graphs."""
+    from collections import Counter
+
+    from graphsense_blocksci_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        (r["node"], r["label"])
+        for r in label_propagation(df, iterations=iterations).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        labels = {
+            n: min(
+                Counter(labels[m] for m in adj[n]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n in adj
+        }
+    assert got == set(labels.items())
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=20),
             st.integers(min_value=0, max_value=20),
         ),
