@@ -266,3 +266,77 @@ def doc_frequency(
     )
     df_ = dedup.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(df_, "token").filter(F.col("df") >= F.lit(min_df))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    appendix A1.1): per document — token totals, the most frequent
+    single token's count, word-2-gram totals, and the duplicate-2-gram
+    fraction (1 - distinct/total). High values mark boilerplate and
+    degenerate repetition for the curation filter.
+
+    Shape: tokens are staged through a projection boundary once, then
+    two explode→count→re-aggregate passes (tokens, 2-grams). The
+    groupBy streams collapse map-side (per-(doc,gram) partial counts),
+    so the shuffle carries at most |distinct grams per doc| rows per
+    doc — repetitive docs, the ones this filter exists for, compress
+    the MOST. No interpreted HOF over non-cheap closures: the 2-gram
+    lambda touches only the staged `_toks` array reference.
+    """
+    base = spread(docs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("_toks"),
+    )
+    n = F.size("_toks")
+    idx = F.sequence(F.lit(1), n - 1)
+    gram = F.when(
+        n >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i.cast("int")),
+                F.element_at(F.col("_toks"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok_stats = (
+        base.select(id_col, F.explode("_toks").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("_c").alias("top_token_count"),
+        )
+    )
+    gram_stats = (
+        base.select(id_col, F.explode(gram).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_2grams"),
+            F.count(F.lit(1)).alias("n_distinct_2grams"),
+        )
+    )
+    ids = base.select(id_col)
+    return (
+        ids.join(tok_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+            F.coalesce("top_token_count", F.lit(0)).alias("top_token_count"),
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.coalesce("n_distinct_2grams", F.lit(0)).alias("n_distinct_2grams"),
+            (
+                (F.col("n_2grams") - F.col("n_distinct_2grams")).cast("double")
+                / F.nullif(F.col("n_2grams"), F.lit(0)).cast("double")
+            ).alias("dup_2gram_frac"),
+        )
+    )

@@ -224,3 +224,40 @@ def ngram_jaccard_pairs(
         )
     )
     return ja.filter(F.col("jaccard") >= threshold)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word-shingle hashes it shares with ANY document of the
+    evaluation/benchmark set. Returns ``(doc_id, n_shared_shingles)``
+    for contaminated documents only (n > 0); join back left-anti to
+    drop them, or threshold on the count.
+
+    The standard pre-training hygiene step (n-gram-overlap
+    decontamination, as published with GPT-3 appendix C and The Pile):
+    eval suites are kilobytes against a corpus of terabytes, so the
+    eval shingle set is distinct-ed and BROADCAST — the corpus side is
+    one shingle projection + a broadcast inner join + a partial count
+    aggregate. The only shuffle is the per-doc count rollup, whose
+    width is bounded by the contaminated-doc count, not the corpus.
+    Shingle hashes per doc are already distinct (shingle_hash_frame),
+    so the per-doc join-hit count IS the distinct shared count.
+    """
+    train_sh = shingle_hash_frame(docs, text_col, id_col).select(
+        id_col, F.explode("_sh").alias("_h")
+    )
+    eval_sh = (
+        shingle_hash_frame(eval_docs, text_col, id_col)
+        .select(F.explode("_sh").alias("_h"))
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

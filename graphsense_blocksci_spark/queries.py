@@ -2121,6 +2121,35 @@ def q90_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram-overlap hygiene, GPT-3
+    appendix C / The Pile): eval set = every 20th doc_id; per training
+    doc, the count of distinct word-trigram shingle hashes shared with
+    any eval doc. Eval shingles broadcast (eval suites are KBs vs a
+    TB corpus); only the per-doc counts shuffle."""
+    from graphsense_blocksci_spark.operators.text_dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+    )
+
+
+def q92_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021
+    A1.1): per-doc token totals, top-token count, 2-gram totals and
+    duplicate-2-gram fraction — explode → partial-count → re-aggregate,
+    no interpreted HOF over non-cheap closures, no Python."""
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2223,6 +2252,8 @@ QUERIES: dict[str, QueryFn] = {
     "q88_product_profit": q88_product_profit,
     "q89_national_part_value": q89_national_part_value,
     "q90_dominant_suppliers": q90_dominant_suppliers,
+    "q91_decontamination": q91_decontamination,
+    "q92_repetition_quality": q92_repetition_quality,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -3208,6 +3239,60 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM d WHERE 2 * sq > tq)
+""",
+    "q91_decontamination": "WITH "
+    + _TEXT_CTE
+    + """,
+eh AS (
+    SELECT DISTINCT h FROM (
+        SELECT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0
+    )
+),
+tr AS (
+    SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 20 <> 0
+)
+SELECT CAST(tr.doc_id AS BIGINT) AS doc_id,
+       count(*) AS n_shared_shingles
+FROM tr JOIN eh ON tr.h = eh.h
+GROUP BY tr.doc_id
+""",
+    "q92_repetition_quality": "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+t AS (SELECT doc_id, unnest(toks) AS tkn FROM tok),
+tc AS (SELECT doc_id, tkn, count(*) AS c FROM t GROUP BY doc_id, tkn),
+ts AS (
+    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+           max(c) AS top_token_count
+    FROM tc GROUP BY doc_id
+),
+g0 AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END AS gs2
+    FROM tok
+),
+g AS (SELECT doc_id, unnest(gs2) AS gm FROM g0),
+gc AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY doc_id, gm),
+gst AS (
+    SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct_2grams
+    FROM gc GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ts.n_distinct_tokens, 0) AS BIGINT)
+           AS n_distinct_tokens,
+       CAST(coalesce(ts.top_token_count, 0) AS BIGINT) AS top_token_count,
+       CAST(coalesce(gst.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(coalesce(gst.n_distinct_2grams, 0) AS BIGINT)
+           AS n_distinct_2grams,
+       CAST(gst.n_2grams - gst.n_distinct_2grams AS DOUBLE)
+           / CAST(nullif(gst.n_2grams, 0) AS DOUBLE) AS dup_2gram_frac
+FROM documents d
+LEFT JOIN ts ON d.doc_id = ts.doc_id
+LEFT JOIN gst ON d.doc_id = gst.doc_id
 """,
     "q82_vocabulary": "WITH "
     + _TEXT_CTE.split(",\ngrams")[0]

@@ -518,3 +518,56 @@ def test_train_test_split_group_safe(spark):
     assert sides_per_key.count() == 0
     frac = out.filter("split = 'test'").count() / 3_000
     assert abs(frac - 0.25) < 0.05
+
+
+def test_decontaminate_counts_shared_shingles(spark):
+    """A train doc sharing exactly one trigram with the eval set is
+    flagged with count 1; a disjoint doc is absent."""
+    from graphsense_blocksci_spark.operators.text_dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares "the quick brown"
+            (2, "completely different words here now"),
+            (3, "the quick brown fox jumps"),  # same as 1
+        ],
+        "doc_id: long, text: string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown cat sleeps")], "doc_id: long, text: string"
+    )
+    got = {
+        (r["doc_id"], r["n_shared_shingles"])
+        for r in decontaminate(train, evals).collect()
+    }
+    # train doc 1/3 trigrams: {the quick brown, quick brown fox,
+    # brown fox jumps}; eval: {the quick brown, quick brown cat,
+    # brown cat sleeps} -> overlap exactly 1
+    assert got == {(1, 1), (3, 1)}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """'a a a b' -> 4 tokens, 2 distinct, top count 3; 2-grams
+    [a a, a a, a b] -> 3 total, 2 distinct, dup frac 1/3."""
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "z")], "doc_id: long, text: string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"], r1["top_token_count"]) == (
+        4,
+        2,
+        3,
+    )
+    assert (r1["n_2grams"], r1["n_distinct_2grams"]) == (3, 2)
+    assert abs(r1["dup_2gram_frac"] - 1 / 3) < 1e-12
+    r2 = rows[2]
+    assert (r2["n_2grams"], r2["n_distinct_2grams"]) == (1, 1)
+    assert r2["dup_2gram_frac"] == 0.0
+    r3 = rows[3]
+    assert (r3["n_tokens"], r3["n_2grams"]) == (1, 0)
+    assert r3["dup_2gram_frac"] is None
