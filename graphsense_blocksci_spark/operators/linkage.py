@@ -78,3 +78,61 @@ def link_inputs_to_outputs(
         & (F.col(spent_idx_col) == F.col("_out_index")),
         "left",
     ).drop("_out_tx_id", "_out_index")
+
+
+def address_balances(txs: DataFrame) -> DataFrame:
+    """Per-address UTXO ledger: total received, total spent (resolved
+    through the input→output linkage), and the balance — the engine-
+    side analog of the address summary GraphSense's transformation
+    stage derives from the reference's exported tables (the export
+    itself stops at raw tx rows; a relational engine can fold the
+    ledger in one more pass).
+
+    Address identity: the rendered address list joined with '|' — one
+    identity per output SLOT (multisig stays one identity, matching
+    one-Address-object-per-output), and outputs with no renderable
+    address (nonstandard scripts) never enter the ledger, so an input
+    spending one contributes to neither side.
+
+    Returns (addr, n_received, received_value, n_spent, spent_value,
+    balance). Scale shape: credit is one aggregate over exploded
+    outputs keyed by address; debit shuffles the inputs once on the
+    uniform (spent_tx_id, spent_index) key for the linkage, then
+    aggregates on address. Hot service addresses make the address key
+    skewed — map-side partial aggregation collapses them before the
+    shuffle, and AQE's skew handling covers the join side.
+    """
+    outs = (
+        explode_outputs(txs)
+        .filter(F.size("address") > 0)
+        .select(
+            "tx_id",
+            "output_index",
+            F.concat_ws("|", "address").alias("addr"),
+            "value",
+        )
+    )
+    credit = outs.groupBy("addr").agg(
+        F.count(F.lit(1)).alias("n_received"),
+        F.sum("value").alias("received_value"),
+    )
+    ins = explode_inputs(txs.filter(~F.col("coinbase")))
+    debit = (
+        link_inputs_to_outputs(ins, outs)
+        .filter(F.col("addr").isNotNull())
+        .groupBy("addr")
+        .agg(
+            F.count(F.lit(1)).alias("n_spent"),
+            F.sum("value").alias("spent_value"),
+        )
+    )
+    return credit.join(debit, "addr", "left").select(
+        "addr",
+        "n_received",
+        "received_value",
+        F.coalesce("n_spent", F.lit(0)).alias("n_spent"),
+        F.coalesce("spent_value", F.lit(0)).alias("spent_value"),
+        (F.col("received_value") - F.coalesce("spent_value", F.lit(0))).alias(
+            "balance"
+        ),
+    )

@@ -2121,6 +2121,27 @@ def q90_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd15_address_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address UTXO ledger over the real fixture chain: received
+    (exploded outputs), spent (inputs resolved through the B1 linkage
+    join), balance — the address summary GraphSense's transformation
+    stage computes downstream of the reference's export. Multisig
+    renders as one '|'-joined identity per output slot; no-address
+    outputs stay out of the ledger on both sides."""
+    from graphsense_blocksci_spark.operators.linkage import address_balances
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    b = address_balances(raw_txs)
+    return b.select(
+        "addr",
+        F.col("n_received").cast("long").alias("n_received"),
+        F.col("received_value").cast("long").alias("received_value"),
+        F.col("n_spent").cast("long").alias("n_spent"),
+        F.col("spent_value").cast("long").alias("spent_value"),
+        F.col("balance").cast("long").alias("balance"),
+    )
+
+
 def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (n-gram-overlap hygiene, GPT-3
     appendix C / The Pile): eval set = every 20th doc_id; per training
@@ -2254,6 +2275,7 @@ QUERIES: dict[str, QueryFn] = {
     "q90_dominant_suppliers": q90_dominant_suppliers,
     "q91_decontamination": q91_decontamination,
     "q92_repetition_quality": q92_repetition_quality,
+    "qd15_address_balances": qd15_address_balances,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -3239,6 +3261,42 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM d WHERE 2 * sq > tq)
+""",
+    "qd15_address_balances": f"""
+WITH outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM outs WHERE u.alen > 0
+),
+credit AS (
+    SELECT addr, count(*) AS n_received, sum(oval) AS received_value
+    FROM o2 GROUP BY addr
+),
+ins AS (
+    SELECT unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+debit AS (
+    SELECT o2.addr, count(*) AS n_spent, sum(o2.oval) AS spent_value
+    FROM ins JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
+    GROUP BY o2.addr
+)
+SELECT credit.addr, credit.n_received, credit.received_value,
+       coalesce(debit.n_spent, 0) AS n_spent,
+       coalesce(debit.spent_value, 0) AS spent_value,
+       credit.received_value - coalesce(debit.spent_value, 0) AS balance
+FROM credit LEFT JOIN debit ON credit.addr = debit.addr
 """,
     "q91_decontamination": "WITH "
     + _TEXT_CTE
