@@ -2142,6 +2142,47 @@ def qd15_address_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd16_cospend_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE GraphSense analytic, on the real fixture chain: multi-input
+    co-spend clustering. Addresses appearing as inputs of one
+    transaction are one entity; entities are connected components of
+    the co-spend graph (blocksci_export.py:348-349 exports exactly the
+    inputs this graph is built from). Chain edges per tx (O(k), not
+    the O(k²) clique), node ids via the 28-bit md5 hash both engines
+    share, star-contraction components, singleton inputs kept as their
+    own entity. Returns (addr, entity)."""
+    from graphsense_blocksci_spark.operators.graph import connected_components
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    ia = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("inp"))
+        .filter(F.size("inp.address") > 0)
+        .select("tx_id", F.concat_ws("|", "inp.address").alias("addr"))
+        .distinct()
+    )
+    nodes = ia.select("tx_id", "addr", hash28(F.col("addr")).alias("node"))
+    w = Window.partitionBy("tx_id").orderBy("addr")
+    chain = (
+        nodes.select(
+            F.col("node").alias("src"), F.lead("node").over(w).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    cc = connected_components(chain)
+    return (
+        nodes.select("addr", F.col("node").alias("_n"))
+        .distinct()
+        .join(cc, F.col("_n") == cc.node, "left")
+        .select(
+            "addr",
+            F.coalesce("component", F.col("_n")).cast("long").alias("entity"),
+        )
+        .distinct()
+    )
+
+
 def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (n-gram-overlap hygiene, GPT-3
     appendix C / The Pile): eval set = every 20th doc_id; per training
@@ -2276,6 +2317,7 @@ QUERIES: dict[str, QueryFn] = {
     "q91_decontamination": q91_decontamination,
     "q92_repetition_quality": q92_repetition_quality,
     "qd15_address_balances": qd15_address_balances,
+    "qd16_cospend_entities": qd16_cospend_entities,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -3297,6 +3339,43 @@ SELECT credit.addr, credit.n_received, credit.received_value,
        coalesce(debit.spent_value, 0) AS spent_value,
        credit.received_value - coalesce(debit.spent_value, 0) AS balance
 FROM credit LEFT JOIN debit ON credit.addr = debit.addr
+""",
+    "qd16_cospend_entities": f"""
+WITH RECURSIVE ia0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|')}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ia AS (
+    SELECT DISTINCT tx_id, u.addr AS addr FROM ia0 WHERE u.alen > 0
+),
+n AS (
+    SELECT tx_id, addr,
+           ('0x' || substr(md5(addr), 1, 7))::BIGINT AS node
+    FROM ia
+),
+chain AS (
+    SELECT tx_id, node AS src,
+           lead(node) OVER (PARTITION BY tx_id ORDER BY addr) AS dst
+    FROM n
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT dst, src FROM chain WHERE dst IS NOT NULL AND src <> dst
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT DISTINCT n.addr AS addr,
+       CAST(coalesce(cc.component, n.node) AS BIGINT) AS entity
+FROM n LEFT JOIN cc ON n.node = cc.node
 """,
     "q91_decontamination": "WITH "
     + _TEXT_CTE
