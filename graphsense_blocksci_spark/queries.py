@@ -2212,6 +2212,81 @@ def q92_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q93_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window: dense_rank,
+    percent_rank, cume_dist, ntile(4) over a TOTAL order (cents DESC,
+    key ASC — ties broken, so every engine agrees bit-for-bit; the
+    two fractional ranks are the same integer ratio on both sides).
+    One window spec → one shuffle + one sort for all four."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cents").desc(), "o_orderkey"
+    )
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("tile"),
+    )
+
+
+def q94_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    top-2 suppliers by balance per nation, expressed as the SQL
+    LATERAL form rather than a window (the planner decorrelates it;
+    the window formulation q08/q22 stays the scale recommendation,
+    this pins the LANGUAGE surface)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q94_nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "q94_supplier"
+    )
+    return spark.sql(
+        """
+        SELECT n_name, s_suppkey, acct_cents
+        FROM q94_nation, LATERAL (
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                   CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents
+            FROM q94_supplier
+            WHERE s_nationkey = n_nationkey
+            ORDER BY acct_cents DESC, s_suppkey
+            LIMIT 2
+        )
+        """
+    )
+
+
+def q95_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: generate the full day spine between the
+    corpus min/max event dates (F.sequence + explode — no driver
+    collect for the bounds; they ride a 1-row crossJoin) and left-join
+    daily counts so silent days surface as explicit zeros — the
+    standard pre-step for gap-sensitive time series work."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    counts = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return spine.join(counts, "d", "left").select(
+        F.col("d").cast("timestamp").alias("d"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2318,6 +2393,9 @@ QUERIES: dict[str, QueryFn] = {
     "q92_repetition_quality": q92_repetition_quality,
     "qd15_address_balances": qd15_address_balances,
     "qd16_cospend_entities": qd16_cospend_entities,
+    "q93_ranking_suite": q93_ranking_suite,
+    "q94_lateral_topk": q94_lateral_topk,
+    "q95_date_spine": q95_date_spine,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -3376,6 +3454,46 @@ cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
 SELECT DISTINCT n.addr AS addr,
        CAST(coalesce(cc.component, n.node) AS BIGINT) AS entity
 FROM n LEFT JOIN cc ON n.node = cc.node
+""",
+    "q93_ranking_suite": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey)
+""",
+    "q94_lateral_topk": """
+SELECT n_name, s_suppkey, acct_cents
+FROM nation, LATERAL (
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents
+    FROM supplier
+    WHERE s_nationkey = n_nationkey
+    ORDER BY acct_cents DESC, s_suppkey
+    LIMIT 2
+) t
+""",
+    "q95_date_spine": """
+WITH b AS (
+    SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+    FROM events
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM b
+),
+c AS (
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT CAST(spine.d AS TIMESTAMP) AS d,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN c ON spine.d = c.d
 """,
     "q91_decontamination": "WITH "
     + _TEXT_CTE
