@@ -1336,13 +1336,22 @@ def q59_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade as q23/q54 for distinct counts."""
     li = load_table(spark, sf_dir, "lineitem")
     c = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    # ONE percentile aggregate with an array of fractions: a single
+    # per-group value buffer + one sort, vs 4 independent buffers for
+    # 4 scalar calls (measured ~2x at sf0.1); results bit-identical.
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr(f"percentile({c}, 0.25)").alias("p25"),
-            F.expr(f"percentile({c}, 0.5)").alias("p50"),
-            F.expr(f"percentile({c}, 0.75)").alias("p75"),
-            F.expr(f"percentile({c}, 0.99)").alias("p99"),
+            F.expr(f"percentile({c}, array(0.25D, 0.5D, 0.75D, 0.99D))").alias(
+                "_ps"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("_ps")[0].alias("p25"),
+            F.col("_ps")[1].alias("p50"),
+            F.col("_ps")[2].alias("p75"),
+            F.col("_ps")[3].alias("p99"),
         )
     )
 
