@@ -168,3 +168,45 @@ def overwrite_partitions(
         out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory so files are
+    ~``target_bytes`` each. Returns the new file count.
+
+    The 100 TB housekeeping op every long-running ingest needs:
+    micro-batched / streaming sinks accrete thousands of KB-sized
+    files per partition, and scan-task scheduling overhead (one task
+    per tiny split, footer reads, S3 LIST latency) comes to dominate
+    query time. Compaction is the fix the reference never needs
+    (Cassandra compacts SSTables itself) — a parquet lake must do it
+    explicitly.
+
+    Write-audit-swap, never in-place: Spark cannot overwrite a path it
+    is currently reading (the scan would lose its own input files), so
+    the rewrite lands in a staging sibling, the old directory is
+    removed, and the staging dir takes its name. On object stores the
+    same flow runs against a manifest/table format; the directory
+    rename here is the local-filesystem stand-in for that commit.
+
+    Sizing reads the REAL current bytes (file-status sum, not row
+    estimates), so the output file count tracks compression ratio.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_bytes))
+    staging = str(p.with_name(p.name + "._compacting"))
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    shutil.rmtree(path)
+    Path(staging).rename(p)
+    return len(list(p.glob("*.parquet")))

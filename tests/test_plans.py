@@ -270,3 +270,22 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         spark.conf.set(size_key, prev_size)
         spark.conf.set(bc_key, prev_bc)
+
+
+def test_compact_parquet_round_trip(spark, tmp_path):
+    """Many tiny files -> few target-sized files, rows and values
+    unchanged, original path name preserved (write-audit-swap)."""
+    from graphsense_blocksci_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    from pathlib import Path
+
+    assert len(list(Path(path).glob("*.parquet"))) == 64
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert n == 1
+    assert len(list(Path(path).glob("*.parquet"))) == 1
+    after = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
