@@ -2192,6 +2192,40 @@ def qd16_cospend_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd17_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSense's entity (cluster) statistics table: the qd15
+    address ledger rolled up to qd16 co-spend entities — per entity:
+    member addresses, totals received/spent, balance. Output-only
+    addresses (never spent from, so never co-spent) are their own
+    singleton entity via the same shared 28-bit hash. This is the
+    composition the transformation stage publishes as `cluster`."""
+    from graphsense_blocksci_spark.operators.linkage import address_balances
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    bal = address_balances(raw_txs)
+    ent = qd16_cospend_entities(spark, sf_dir)
+    return (
+        bal.join(ent, "addr", "left")
+        .select(
+            F.coalesce("entity", hash28(F.col("addr"))).alias("entity"),
+            "addr",
+            "n_received",
+            "received_value",
+            "spent_value",
+            "balance",
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_addresses"),
+            F.sum("n_received").alias("n_received"),
+            F.sum("received_value").alias("received_value"),
+            F.sum("spent_value").alias("spent_value"),
+            F.sum("balance").alias("balance"),
+        )
+    )
+
+
 def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (n-gram-overlap hygiene, GPT-3
     appendix C / The Pile): eval set = every 20th doc_id; per training
@@ -2402,6 +2436,7 @@ QUERIES: dict[str, QueryFn] = {
     "q92_repetition_quality": q92_repetition_quality,
     "qd15_address_balances": qd15_address_balances,
     "qd16_cospend_entities": qd16_cospend_entities,
+    "qd17_entity_summary": qd17_entity_summary,
     "q93_ranking_suite": q93_ranking_suite,
     "q94_lateral_topk": q94_lateral_topk,
     "q95_date_spine": q95_date_spine,
@@ -3463,6 +3498,91 @@ cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
 SELECT DISTINCT n.addr AS addr,
        CAST(coalesce(cc.component, n.node) AS BIGINT) AS entity
 FROM n LEFT JOIN cc ON n.node = cc.node
+""",
+    "qd17_entity_summary": f"""
+WITH RECURSIVE bouts AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+bo2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM bouts WHERE u.alen > 0
+),
+bcredit AS (
+    SELECT addr, count(*) AS n_received, sum(oval) AS received_value
+    FROM bo2 GROUP BY addr
+),
+bins AS (
+    SELECT unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+bdebit AS (
+    SELECT bo2.addr, sum(bo2.oval) AS spent_value
+    FROM bins JOIN bo2 ON bins.u.stx = bo2.otx AND bins.u.sidx = bo2.oi
+    GROUP BY bo2.addr
+),
+bal AS (
+    SELECT bcredit.addr, bcredit.n_received, bcredit.received_value,
+           coalesce(bdebit.spent_value, 0) AS spent_value,
+           bcredit.received_value - coalesce(bdebit.spent_value, 0)
+               AS balance
+    FROM bcredit LEFT JOIN bdebit ON bcredit.addr = bdebit.addr
+),
+ea0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|')}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ea AS (
+    SELECT DISTINCT tx_id, u.addr AS addr FROM ea0 WHERE u.alen > 0
+),
+en AS (
+    SELECT tx_id, addr,
+           ('0x' || substr(md5(addr), 1, 7))::BIGINT AS node
+    FROM ea
+),
+echain AS (
+    SELECT tx_id, node AS src,
+           lead(node) OVER (PARTITION BY tx_id ORDER BY addr) AS dst
+    FROM en
+),
+eedges AS (
+    SELECT src, dst FROM echain WHERE dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT dst, src FROM echain WHERE dst IS NOT NULL AND src <> dst
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM eedges
+    UNION
+    SELECT e.src, w.comp FROM eedges e JOIN walk w ON e.dst = w.node
+),
+ecc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+ent AS (
+    SELECT DISTINCT en.addr AS addr,
+           coalesce(ecc.component, en.node) AS entity
+    FROM en LEFT JOIN ecc ON en.node = ecc.node
+)
+SELECT CAST(coalesce(ent.entity,
+           ('0x' || substr(md5(bal.addr), 1, 7))::BIGINT) AS BIGINT)
+           AS entity,
+       count(*) AS n_addresses,
+       sum(bal.n_received) AS n_received,
+       sum(bal.received_value) AS received_value,
+       sum(bal.spent_value) AS spent_value,
+       sum(bal.balance) AS balance
+FROM bal LEFT JOIN ent ON bal.addr = ent.addr
+GROUP BY 1
 """,
     "q93_ranking_suite": """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
