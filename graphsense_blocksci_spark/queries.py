@@ -2330,6 +2330,32 @@ def q95_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q96_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two deterministic versions of
+    the orders table (sliding year window + a price bump on urgent
+    orders): added / removed / changed per key, one full-outer join.
+    The engine compares a 64-bit row hash; the oracle compares the
+    raw values — identical classification (modulo a 2^-64 collision,
+    the standard content-hash trade)."""
+    from graphsense_blocksci_spark.operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        _cents("o_totalprice").alias("cents"),
+        F.year("o_orderdate").alias("_y"),
+        "o_orderpriority",
+    )
+    old = o.filter(F.col("_y").between(1995, 1997)).select("o_orderkey", "cents")
+    new = o.filter(F.col("_y").between(1996, 1998)).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("cents"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2440,6 +2466,7 @@ QUERIES: dict[str, QueryFn] = {
     "q93_ranking_suite": q93_ranking_suite,
     "q94_lateral_topk": q94_lateral_topk,
     "q95_date_spine": q95_date_spine,
+    "q96_snapshot_diff": q96_snapshot_diff,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
@@ -3623,6 +3650,32 @@ c AS (
 SELECT CAST(spine.d AS TIMESTAMP) AS d,
        CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
 FROM spine LEFT JOIN c ON spine.d = c.d
+""",
+    "q96_snapshot_diff": """
+WITH o AS (
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           year(o_orderdate) AS y, o_orderpriority
+    FROM orders
+),
+oldv AS (
+    SELECT o_orderkey, cents FROM o WHERE y BETWEEN 1995 AND 1997
+),
+newv AS (
+    SELECT o_orderkey,
+           cents + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS cents
+    FROM o WHERE y BETWEEN 1996 AND 1998
+)
+SELECT * FROM (
+    SELECT CAST(coalesce(oldv.o_orderkey, newv.o_orderkey) AS BIGINT)
+               AS o_orderkey,
+           CASE WHEN oldv.o_orderkey IS NULL THEN 'added'
+                WHEN newv.o_orderkey IS NULL THEN 'removed'
+                WHEN oldv.cents <> newv.cents THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM oldv FULL OUTER JOIN newv ON oldv.o_orderkey = newv.o_orderkey
+)
+WHERE change <> 'unchanged'
 """,
     "q91_decontamination": "WITH "
     + _TEXT_CTE

@@ -352,3 +352,28 @@ def test_pagerank_matches_dense_reference(spark):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_snapshot_diff_classification_and_nulls(spark):
+    """added/removed/changed classified per key; NULL value columns
+    are NULL-safe (NULL->NULL is unchanged, NULL->value is changed)."""
+    from graphsense_blocksci_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, None)], "k: long, v: string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, None), (4, "now"), (5, "e")], "k: long, v: string"
+    )
+    got = {(r["k"], r["change"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        (1, "removed"),
+        (2, "changed"),
+        (4, "changed"),
+        (5, "added"),
+    }
+    with_same = {
+        (r["k"], r["change"])
+        for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert (3, "unchanged") in with_same
