@@ -2356,6 +2356,26 @@ def q96_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+def q97_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL: per-day distinct-user sketches
+    (F.hll_sketch_agg) with per-day estimates — the re-aggregatable
+    form of approx_count_distinct. At scale the BINARY sketch column
+    is what you persist: any date window re-aggregates via
+    hll_union_agg without touching raw events (the classic
+    pre-aggregation pattern exact distinct counts cannot support).
+    Rows-only in the registry (estimator output); the union path and
+    error bounds are pytest-gated against exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("_sk"))
+        .select(
+            F.col("d").cast("timestamp").alias("d"),
+            F.hll_sketch_estimate("_sk").cast("long").alias("est_users"),
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2467,6 +2487,7 @@ QUERIES: dict[str, QueryFn] = {
     "q94_lateral_topk": q94_lateral_topk,
     "q95_date_spine": q95_date_spine,
     "q96_snapshot_diff": q96_snapshot_diff,
+    "q97_hll_partials": q97_hll_partials,
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,

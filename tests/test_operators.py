@@ -377,3 +377,36 @@ def test_snapshot_diff_classification_and_nulls(spark):
         for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
     }
     assert (3, "unchanged") in with_same
+
+
+def test_hll_sketch_partials_union_and_accuracy(spark):
+    """Daily HLL sketches: per-day estimates within 5% of exact, and
+    the UNION of stored sketches re-aggregates to the global distinct
+    count without raw data — the property approx_count_distinct's
+    scalar output cannot provide."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["d"]: r["est_users"]
+        for r in QUERIES["q97_hll_partials"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").cast("timestamp").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for d, n in exact.items():
+        assert abs(got[d] - n) <= max(1, 0.05 * n), (d, got[d], n)
+    union_est = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    global_exact = ev.agg(F.countDistinct("user_id").alias("n")).first()["n"]
+    assert abs(union_est - global_exact) <= max(1, 0.05 * global_exact)
