@@ -75,30 +75,37 @@ def main() -> None:
         "overwrite"
     ).save()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Two passes, min per query: pass 1 absorbs codegen/JIT and any
-    # transient co-tenant load; min is the reproducible number.
+    # transient co-tenant load; min is the reproducible number. Each
+    # query is fault-isolated: one failure is recorded, not fatal, and
+    # the JSON line is always emitted.
     for _pass in range(2):
         for name in BENCH_QUERIES:
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — bench must survive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# pass{_pass} {name}: FAILED {exc}", file=sys.stderr)
+                continue
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             print(f"# pass{_pass} {name}: {dt:.3f}s", file=sys.stderr)
     total = sum(timings.values())
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -385,7 +385,11 @@ def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch analog of a session window, fully distributed per user."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    # events.ts is TIMESTAMP_NTZ, which Spark refuses to cast straight to
+    # DOUBLE; hop through TIMESTAMP (session TZ pinned UTC in session.py)
+    # so the epoch-seconds gap is deterministic.
+    _epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = _epoch - F.lag(_epoch).over(w)
     flagged = ev.select(
         "user_id",
         "event_id",
@@ -2905,8 +2909,8 @@ flagged AS (
 ),
 sess AS (
     SELECT user_id, ts,
-           sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
