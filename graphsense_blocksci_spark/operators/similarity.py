@@ -109,11 +109,12 @@ def cosine_topk_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    max_index_rows: int = 1 << 20,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow + NumPy GEMM — the high-throughput
-    exact path.
+    exact path for queries-vs-BOUNDED-index search.
 
-    The candidate matrix is collected and broadcast (the SAME
+    The candidate (index) matrix is collected and broadcast (the SAME
     broadcast-small contract as the fold-based baseline's
     `F.broadcast` side); each query partition then scores against it
     with one BLAS matmul — measured ~50× the interpreted-fold
@@ -122,14 +123,33 @@ def cosine_topk_gemm(
     TIES can resolve differently — use `cosine_topk_bruteforce` when
     bit-exact cross-engine parity matters, this when throughput does.
     Output schema matches the fold variant.
+
+    `max_index_rows` is a HARD guard on the collect: the scan is
+    limited to cap+1 rows (the driver never materializes more than the
+    cap regardless of corpus size) and exceeding it raises with the
+    scale-path routing. Corpus-vs-corpus callers belong on
+    `embedding_neardup_gemm` (bucket-local BLAS, no corpus collect) or
+    `cosine_topk_lsh`/`cosine_topk_ivf` (bucketed candidate joins).
     """
     if queries is None:
         queries = vectors
     import numpy as np
 
-    cand = vectors.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
-    ).toPandas()
+    cand = (
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .limit(max_index_rows + 1)
+        .toPandas()
+    )
+    if len(cand) > max_index_rows:
+        raise ValueError(
+            f"cosine_topk_gemm index side exceeds max_index_rows="
+            f"{max_index_rows}; this operator broadcasts the index and is "
+            "for queries-vs-bounded-index search. For corpus-scale "
+            "candidates use cosine_topk_lsh / cosine_topk_ivf "
+            "(bucketed) or embedding_neardup_gemm (bucket-local BLAS)."
+        )
     C = np.array(cand["_v"].tolist(), dtype=np.float64)
     C /= np.linalg.norm(C, axis=1, keepdims=True)
     cand_ids = cand["_id"].to_numpy(np.int64)
@@ -509,9 +529,13 @@ def embedding_neardup(
             for t in range(n_bands)
         ],
     )
+    # Candidate generation ships ID-ONLY rows through the band/bucket
+    # shuffle (the explode multiplies rows ×n_bands — carrying the unit
+    # vectors there would amplify shuffle bytes by n_bands·dim·8 per
+    # row); vectors are re-attached exactly once per side, only for the
+    # surviving deduped candidate pairs.
     bb = b.select(
         "_id",
-        "_uv",
         F.posexplode(F.array(*[f"_b{t}" for t in range(n_bands)])).alias(
             "_band", "_bucket"
         ),
@@ -523,17 +547,23 @@ def embedding_neardup(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    left = bb.select(
-        F.col("_id").alias("id_a"), F.col("_uv").alias("_ua"), "_band", "_bucket"
-    )
-    right = bb.select(
-        F.col("_id").alias("id_b"), F.col("_uv").alias("_ub"), "_band", "_bucket"
-    )
-    pairs = (
-        left.join(right, ["_band", "_bucket"])
+    cand = (
+        bb.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+        .join(
+            bb.select(F.col("_id").alias("id_b"), "_band", "_bucket"),
+            ["_band", "_bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("_ua").alias("_ua"), F.first("_ub").alias("_ub"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = b.select("_id", "_uv")
+    pairs = cand.join(
+        vecs.select(F.col("_id").alias("id_a"), F.col("_uv").alias("_ua")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("_id").alias("id_b"), F.col("_uv").alias("_ub")),
+        "id_b",
     )
     return (
         pairs.select(

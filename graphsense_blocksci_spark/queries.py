@@ -2759,8 +2759,8 @@ _ADDR_CASE = " ".join(
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -2820,7 +2820,7 @@ FROM lineitem a JOIN lineitem b
 """,
     "q13_join_agg": """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -2930,7 +2930,7 @@ FROM lineitem GROUP BY 1
 """,
     "q24_rollup": """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     "q25_semi_anti": """
@@ -2953,7 +2953,7 @@ FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
 SELECT o_orderkey,
        md5(o_orderstatus) AS hex_roundtrip,
        substr(o_orderpriority, 1, 1) || '-' || o_orderstatus AS prio_code,
-       date_trunc('month', o_orderdate) AS order_month,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
        CAST(extract(day FROM o_orderdate) AS BIGINT) AS order_dom,
        CAST(floor(o_orderkey / 7) AS BIGINT) AS key_div7,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
@@ -2962,14 +2962,14 @@ FROM orders
 """,
     "q29_json_extract": """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(props->>'k' AS BIGINT)) AS max_k,
        count(*) FILTER (props->>'k' IS NULL) AS n_null_k
 FROM events GROUP BY 1
 """,
     "q28_salted_agg": """
 SELECT l_returnflag, count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        max(l_orderkey) AS max_key
 FROM lineitem GROUP BY 1
 """,
@@ -2979,7 +2979,7 @@ WITH w AS (
            date_trunc('day', ts) + INTERVAL 6 HOUR AS w_end
     FROM events GROUP BY 1
 )
-SELECT w.w_start, count(*) AS n_events,
+SELECT CAST(w.w_start AS TIMESTAMP) AS w_start, count(*) AS n_events,
        count(DISTINCT e.user_id) AS n_users
 FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY 1
@@ -3017,8 +3017,8 @@ SELECT CAST(floor(tx_id / 25000) AS BIGINT) AS tx_id_group,
        CAST(block_id AS BIGINT) AS block_id,
        CAST(timestamp AS BIGINT) AS timestamp,
        coinbase,
-       coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS total_input,
-       coalesce(list_sum(ov), 0) AS total_output,
+       CAST(coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS BIGINT) AS total_input,
+       CAST(coalesce(list_sum(ov), 0) AS BIGINT) AS total_output,
        CAST(n_in AS BIGINT) AS no_inputs,
        CAST(n_out AS BIGINT) AS no_outputs,
        (n_in >= 2 AND n_out >= 3 AND part <= n_in AND part <= n_ident
@@ -3116,8 +3116,8 @@ lang AS (
     FROM scores
 )
 SELECT l.lang_pred, count(*) AS n_docs,
-       sum(q.n_tokens) AS total_tokens,
-       sum(k.n_dups) AS dups_absorbed
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(k.n_dups) AS BIGINT) AS dups_absorbed
 FROM keepers k
 JOIN quality q USING (doc_id)
 JOIN lang l USING (doc_id)
@@ -3197,8 +3197,8 @@ SELECT CAST(floor(tx_id / 25000) AS BIGINT) AS tx_id_group,
        lower(hex(tx_hash)) AS tx_hash_hex,
        CAST(block_id AS BIGINT) AS block_id,
        coinbase,
-       coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS total_input,
-       coalesce(list_sum(list_transform(outputs, x -> x.value)), 0) AS total_output
+       CAST(coalesce(list_sum(list_transform(inputs, x -> x.value)), 0) AS BIGINT) AS total_input,
+       CAST(coalesce(list_sum(list_transform(outputs, x -> x.value)), 0) AS BIGINT) AS total_output
 FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
 """,
     "qd09_streaming_dedup": r"""
@@ -3206,7 +3206,7 @@ SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS conte
 FROM documents
 """,
     "qd11_unnest_roundtrip": f"""
-SELECT block_id, 
+SELECT CAST(block_id AS BIGINT) AS block_id, 
        CAST(row_number() OVER (PARTITION BY block_id ORDER BY tx_id) - 1 AS BIGINT)
            AS pos,
        tx_id,
@@ -3260,7 +3260,7 @@ pred AS (
                 ELSE 'fr' END AS lang_pred
     FROM lang
 )
-SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang_pred, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM pred
 WHERE lang_pred IN ('en', 'und')
 GROUP BY 1
@@ -3356,7 +3356,7 @@ FROM sh
 SELECT CAST(user_id AS BIGINT) AS user_id, event_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
        count(*) OVER w AS n_24h,
-       sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS mills_24h
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS mills_24h
 FROM events
 WINDOW w AS (PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -3365,7 +3365,7 @@ WINDOW w AS (PARTITION BY user_id
     "q86_grouping_sets": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
@@ -3433,9 +3433,9 @@ FROM l3
     "q88_product_profit": """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
            - CAST(round(p_retailprice * 100) AS BIGINT)
-             * CAST(l_quantity AS BIGINT)) AS profit_cents
+             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3455,7 +3455,7 @@ WITH v AS (
     GROUP BY l_partkey
 ),
 t AS (SELECT sum(value_cents) AS total FROM v)
-SELECT l_partkey, value_cents
+SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
 FROM v, t
 WHERE value_cents * 1000 > total
 """,
@@ -3508,10 +3508,10 @@ debit AS (
     FROM ins JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
     GROUP BY o2.addr
 )
-SELECT credit.addr, credit.n_received, credit.received_value,
+SELECT credit.addr, credit.n_received, CAST(credit.received_value AS BIGINT) AS received_value,
        coalesce(debit.n_spent, 0) AS n_spent,
-       coalesce(debit.spent_value, 0) AS spent_value,
-       credit.received_value - coalesce(debit.spent_value, 0) AS balance
+       CAST(coalesce(debit.spent_value, 0) AS BIGINT) AS spent_value,
+       CAST(credit.received_value - coalesce(debit.spent_value, 0) AS BIGINT) AS balance
 FROM credit LEFT JOIN debit ON credit.addr = debit.addr
 """,
     "qd16_cospend_entities": f"""
@@ -3629,10 +3629,10 @@ SELECT CAST(coalesce(ent.entity,
            ('0x' || substr(md5(bal.addr), 1, 7))::BIGINT) AS BIGINT)
            AS entity,
        count(*) AS n_addresses,
-       sum(bal.n_received) AS n_received,
-       sum(bal.received_value) AS received_value,
-       sum(bal.spent_value) AS spent_value,
-       sum(bal.balance) AS balance
+       CAST(sum(bal.n_received) AS BIGINT) AS n_received,
+       CAST(sum(bal.received_value) AS BIGINT) AS received_value,
+       CAST(sum(bal.spent_value) AS BIGINT) AS spent_value,
+       CAST(sum(bal.balance) AS BIGINT) AS balance
 FROM bal LEFT JOIN ent ON bal.addr = ent.addr
 GROUP BY 1
 """,
@@ -3866,16 +3866,16 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 12 HOUR AS session_end,
        count(*) AS n_events,
-       sum(mills) AS sum_mills
+       CAST(sum(mills) AS BIGINT) AS sum_mills
 FROM s
 GROUP BY user_id, session_id
 """,
     "q75_pivot": """
 SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'F'
-           THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS cents_f,
-       sum(CASE WHEN l_linestatus = 'O'
-           THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS cents_o
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+           THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS cents_f,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+           THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS cents_o
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -3895,14 +3895,13 @@ WITH hops AS (
 SELECT win_start,
        win_start + INTERVAL 1 DAY AS win_end,
        count(*) AS n_events,
-       sum(mills) AS sum_mills
+       CAST(sum(mills) AS BIGINT) AS sum_mills
 FROM hops
 GROUP BY win_start
 """,
     "q77_nation_volume": """
 SELECT cust_nation, supp_nation, l_year,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM (
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -3919,7 +3918,7 @@ FROM (
 GROUP BY cust_nation, supp_nation, l_year
 """,
     "q78_market_share": """
-SELECT o_year, nation_cents, total_cents,
+SELECT o_year, CAST(nation_cents AS BIGINT) AS nation_cents, CAST(total_cents AS BIGINT) AS total_cents,
        CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
            AS mkt_share
 FROM (
@@ -3952,13 +3951,12 @@ WITH rev AS (
     GROUP BY l_suppkey
 )
 SELECT CAST(supplier_no AS BIGINT) AS supplier_no, s_name,
-       total_revenue_cents
+       CAST(total_revenue_cents AS BIGINT) AS total_revenue_cents
 FROM rev JOIN supplier ON supplier_no = s_suppkey
 WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
 """,
     "q80_disjunctive_predicates": """
-SELECT sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents,
+SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size <= 5
@@ -4004,13 +4002,12 @@ FROM documents
     "q55_salted_join": """
 SELECT o_orderpriority,
        count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
     "q57_forecast_revenue": """
-SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
-           AS revenue_cents,
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -4020,10 +4017,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """,
     "q58_shipmode_priority": """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-           AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -4098,7 +4093,7 @@ FROM (
 GROUP BY c_count
 """,
     "q67_promo_revenue": """
-SELECT promo_cents, total_cents,
+SELECT CAST(promo_cents AS BIGINT) AS promo_cents, CAST(total_cents AS BIGINT) AS total_cents,
        CAST(promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
            AS promo_share
 FROM (
@@ -4124,8 +4119,7 @@ WHERE l_suppkey NOT IN (
 GROUP BY p_brand, p_size
 """,
     "q69_small_qty_revenue": """
-SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-           AS small_qty_cents
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_qty_cents
 FROM lineitem li
 JOIN (
     SELECT l_partkey, count(*) AS cnt,
@@ -4142,7 +4136,7 @@ WITH stats AS (
 )
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        count(*) AS numcust,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
 FROM customer, stats
 WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
   AND NOT EXISTS (
@@ -4154,8 +4148,7 @@ GROUP BY c_nationkey
 """,
     "q62_returned_items": """
 SELECT c_custkey, c_name, n_name,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-           AS lost_cents
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS lost_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -4168,7 +4161,7 @@ ORDER BY lost_cents DESC, c_custkey ASC
 LIMIT 20
 """,
     "q60_large_orders": """
-SELECT c_custkey, c_name, l_orderkey, o_orderdate, total_qty
+SELECT c_custkey, c_name, l_orderkey, o_orderdate, CAST(total_qty AS BIGINT) AS total_qty
 FROM (
     SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
     FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
@@ -4179,7 +4172,7 @@ JOIN customer ON o_custkey = c_custkey
     "q51_cube": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -4190,10 +4183,9 @@ SELECT user_id, event_id, ts,
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_mills,
        lead(CAST(round(value * 1000) AS BIGINT), 1)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value_mills,
-       sum(CAST(round(value * 1000) AS BIGINT))
+       CAST(sum(CAST(round(value * 1000) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS running_mills,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_mills,
        CAST(row_number()
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
            AS event_seq
@@ -4236,8 +4228,7 @@ FROM p
 """,
     "q48_shipping_priority": """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -4250,8 +4241,7 @@ LIMIT 10
 """,
     "q49_regional_revenue": """
 SELECT n_name,
-       sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
