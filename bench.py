@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "q81_lone_late_supplier",
     "q87_label_propagation",
     "q88_product_profit",
+    "q98_sequence_packing",
+    "q99_unigram_likelihood",
+    "q100_boilerplate_ngrams",
+    "q101_vocab_overlap",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

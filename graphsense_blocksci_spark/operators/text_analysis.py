@@ -340,3 +340,151 @@ def repetition_stats(
             ).alias("dup_2gram_frac"),
         )
     )
+
+
+def unigram_likelihood(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style unigram LM quality signal, exact-rational variant:
+    per document, the mean RELATIVE corpus frequency of its tokens —
+    sum(tf(t)) / (n_tokens * N) with tf from this corpus and N the
+    total token count. Rare-token-heavy (often noisy) documents score
+    low, common-word prose scores high — the same ordering signal as
+    mean unigram log-prob.
+
+    Deliberately NOT log-prob: ln() differs in the last ulp between
+    JVM Math.log and DuckDB's libm (~1% of integer inputs measured
+    bitwise-unequal), so a log-based score cannot pass a bit-exact
+    cross-engine gate. Here everything stays in integer sums (order-
+    independent, overflow-checked domains) until ONE final division —
+    bit-exact by construction.
+
+    Scale shape: explode → |vocab|-sized tf aggregate (map-side
+    partials) → hash join tokens-to-tf (vocab shuffles once; at 100 TB
+    the vocab side is GB against the corpus's TB, the join keys are
+    uniform) → per-doc integer aggregate. The corpus total N is a
+    1-row aggregate cross-broadcast onto results.
+    """
+    per_tok = spread(docs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    tf = per_tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").cast("long").alias("_N"))
+    per_doc = (
+        per_tok.join(tf, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        "sum_tf",
+        (
+            F.col("sum_tf").cast("double")
+            / (F.col("n_tokens") * F.col("_N")).cast("double")
+        ).alias("mean_rel_freq"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    df_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate detection (RefinedWeb/C4-style): a word
+    3-gram appearing in >= ``df_pct`` percent of documents is
+    boilerplate (headers, footers, licence blurbs); each document gets
+    its fraction of distinct shingles that are boilerplate. The
+    threshold compares integers (df * 100 >= df_pct * n_docs) so no
+    float ever enters the set decision.
+
+    Scale shape: per-doc DISTINCT shingle hashes (dedup before the
+    shuffle) → |distinct shingles|-sized df aggregate → the boilerplate
+    SET is df-filtered (tiny by construction — grams in 20% of a 100 TB
+    corpus number in the thousands) and re-joined to per-doc shingles;
+    the join key is the 28-bit hash, uniform. n_docs is a 1-row
+    aggregate cross-broadcast into the threshold.
+    """
+    sh = shingle_hash_frame(docs, text_col=text_col, id_col=id_col)
+    per_gram = sh.select(F.col(id_col), F.explode("_sh").alias("g"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    dfreq = per_gram.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 100 >= F.lit(int(df_pct)) * F.col("_nd"))
+        .select("g")
+    )
+    marked = per_gram.join(
+        boiler.withColumn("_is_b", F.lit(1)), "g", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce("_is_b", F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_boiler",
+            (
+                F.col("n_boiler").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def vocab_overlap(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus strata (languages,
+    sources): |V_a ∩ V_b| / |V_a ∪ V_b| over distinct token sets — the
+    standard contamination / register-drift diagnostic when mixing
+    training sources.
+
+    Scale shape: ONE distinct (group, token) aggregate (map-side
+    dedup), a self-equi-join on token (vocab-sized, not corpus-sized),
+    and a per-pair count; per-group vocabulary sizes broadcast back
+    onto the pair rows (|groups|² output). Integer counts + one final
+    division — bit-exact.
+    """
+    gv = (
+        spread(docs)
+        .select(F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("token"))
+        .distinct()
+    )
+    sizes = gv.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("vsize"))
+    inter = (
+        gv.select(F.col("g").alias("g_a"), "token")
+        .join(gv.select(F.col("g").alias("g_b"), "token"), "token")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("g").alias("g_a"), F.col("vsize").alias("size_a"))),
+            "g_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("g_b"), F.col("vsize").alias("size_b"))),
+            "g_b",
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "size_a",
+            "size_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -2380,6 +2380,106 @@ def q97_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM pretraining batches:
+    every document learns its global token offset (stable doc_id
+    order) and the span of 256-token training sequences it falls in.
+    Distributed two-phase prefix sum — the only sequential step runs
+    over n_buckets rows, not the corpus (operators/packing.py)."""
+    from graphsense_blocksci_spark.operators.packing import sequence_packing
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return sequence_packing(counted, budget=256).select(
+        "doc_id",
+        "n_tokens",
+        F.col("offset").alias("tok_offset"),
+        "start_bin",
+        "end_bin",
+    )
+
+
+def q99_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style ordering signal) in
+    exact-rational form: mean relative corpus frequency per document —
+    integer tf sums until one final division, because ln() differs in
+    the last ulp between JVM and DuckDB libm and would fail the
+    bit-exact gate (operators/text_analysis.py:unigram_likelihood)."""
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        unigram_likelihood,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_likelihood(docs)
+
+
+def q100_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate detection: word 3-grams present in >= 1% of
+    documents are boilerplate; each doc reports its boilerplate
+    shingle fraction (RefinedWeb/C4-style cleanup signal). Integer df
+    threshold (df*100 >= pct*n_docs) — no float in the set decision."""
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        boilerplate_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, df_pct=1)
+
+
+def q101_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between language strata — the
+    mixing/contamination diagnostic for multi-source training data.
+    One distinct (lang, token) aggregate + vocab-sized self-join."""
+    from graphsense_blocksci_spark.operators.text_analysis import vocab_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_overlap(docs, group_col="lang")
+
+
+def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator under the correctness
+    gate: gap-based sessionization via applyInPandasWithState
+    (streaming/stateful.py), driven availableNow over the events table
+    staged as a file stream. A single micro-batch makes the closed-
+    session set exactly oracle-able: it equals batch sessionization
+    minus each user's (still open) final session. Cross-batch state
+    carry is pytest-gated (tests/test_streaming.py); this entry pins
+    the operator's end-to-end plumbing and semantics vs SQL."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_ssess_")
+    ev.write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("user_id long, ts_epoch long").parquet(
+        f"{work}/src"
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(
+            "user_id long, session_start long, session_end long, n_events long"
+        )
+        .parquet(f"{work}/out")
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_range_scan": q02_range_scan,
@@ -2495,6 +2595,11 @@ QUERIES: dict[str, QueryFn] = {
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
+    "q98_sequence_packing": q98_sequence_packing,
+    "q99_unigram_likelihood": q99_unigram_likelihood,
+    "q100_boilerplate_ngrams": q100_boilerplate_ngrams,
+    "q101_vocab_overlap": q101_vocab_overlap,
+    "qd18_stateful_sessions": qd18_stateful_sessions,
 }
 
 
@@ -4284,5 +4389,108 @@ f AS (
 SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
        CAST(frame_no * 64 AS BIGINT) AS offset
 FROM f
+""",
+    "q98_sequence_packing": "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_offset
+    FROM n
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / 256.0) AS BIGINT) AS start_bin,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT)
+            ELSE CAST(floor(tok_offset / 256.0) AS BIGINT)
+       END AS end_bin
+FROM c
+""",
+    "q99_unigram_likelihood": "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+       CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) * (SELECT n FROM tot) AS DOUBLE) AS mean_rel_freq
+FROM t JOIN tf USING (token)
+GROUP BY t.doc_id
+""",
+    "q100_boilerplate_ngrams": "WITH "
+    + _TEXT_CTE
+    + """,
+pg AS (SELECT doc_id, unnest(hs) AS g FROM sh),
+nd AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT g, count(*) AS df FROM pg GROUP BY g),
+b AS (SELECT g FROM dfq WHERE df * 100 >= 1 * (SELECT n FROM nd))
+SELECT pg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.g) AS BIGINT) AS n_boiler,
+       CAST(count(b.g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_frac
+FROM pg LEFT JOIN b ON pg.g = b.g
+GROUP BY pg.doc_id
+""",
+    "q101_vocab_overlap": r"""
+WITH norm AS (
+    SELECT lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+gv AS (
+    SELECT DISTINCT lang AS g,
+           unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token
+    FROM norm
+),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS vsize FROM gv GROUP BY g),
+inter AS (
+    SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM gv a JOIN gv b ON a.token = b.token AND a.g < b.g
+    GROUP BY a.g, b.g
+)
+SELECT g_a, g_b,
+       sa.vsize AS size_a, sb.vsize AS size_b, n_common,
+       CAST(n_common AS DOUBLE)
+           / CAST(sa.vsize + sb.vsize - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.g_a = sa.g
+JOIN sizes sb ON inter.g_b = sb.g
+""",
+    "qd18_stateful_sessions": """
+WITH ev AS (
+    SELECT user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS ts_epoch
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts_epoch,
+           CASE WHEN lag(ts_epoch) OVER w IS NULL
+                  OR ts_epoch - lag(ts_epoch) OVER w > 1800
+                THEN 1 ELSE 0 END AS ns
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch)
+),
+sess AS (
+    SELECT user_id, ts_epoch,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_epoch
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, sid,
+           min(ts_epoch) AS session_start,
+           max(ts_epoch) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
 """,
 }
