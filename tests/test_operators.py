@@ -323,6 +323,27 @@ def test_connected_components_empty(spark):
     assert connected_components(df).count() == 0
 
 
+def test_connected_components_distributed_path_equals_unionfind(spark):
+    """max_driver_edges=0 forces star contraction; both execution
+    paths must label identically (min member id per component)."""
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    edges = (
+        [(100, i) for i in range(1, 40)]
+        + [(i, i + 1) for i in range(200, 230)]
+        + [(3, 1), (1, 7), (9, 7), (2, 8)]
+    )
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    fast = {
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, max_driver_edges=0).collect()
+    }
+    assert fast == dist
+
+
 def test_pagerank_matches_dense_reference(spark):
     """Fixed-iteration PageRank == the dense numpy recurrence within
     float tolerance (same damping, same dangling redistribution)."""
