@@ -7,11 +7,14 @@ functions via `mapInPandas` — the ONLY place Python touches the data,
 batched, columnar, and partition-parallel. Everything around it
 (schema, partitioning, filters on metadata) stays JVM-side.
 
-The decode step itself is STUBBED here (`decode_image` raises —
-PIL/ffmpeg are not in this container); `extract_features` is the same
-plumbing with a deterministic md5-derived fake decode so the batch
-shape, schema and partitioning are real and testable — and exactly
-reproducible by the SQL oracle.
+Decode is REAL for uncompressed NetPBM (P5/P6): a numpy-only header
+parser + raster reshape (`decode_image`, `resize_netpbm`), with exact
+integer pixel statistics and bit-deterministic nearest-neighbor
+resize. Compressed formats (JPEG/PNG) route through PIL behind an
+import guard — absent in this container, in which case those payloads
+degrade to decode_ok=false instead of failing the stage.
+`extract_features`/`resize_image` keep the md5-derived deterministic
+stand-ins whose outputs the SQL oracle reproduces end-to-end.
 """
 
 from __future__ import annotations
@@ -58,15 +61,198 @@ def attach_payload(
     )
 
 
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def _parse_netpbm(buf: bytes):
+    """Binary NetPBM (P5 gray / P6 RGB) → (w, h, channels, ndarray).
+    Pure numpy — no imaging library. Returns None for anything else
+    (truncated raster, wrong magic, 2-byte maxval)."""
+    import numpy as np
+
+    if len(buf) < 2 or buf[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if buf[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(buf):
+        c = buf[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # comment runs to end of line
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end : end + 1].isspace():
+                end += 1
+            if not buf[pos:end].isdigit():
+                return None
+            fields.append(int(buf[pos:end]))
+            pos = end
+    if len(fields) < 3 or pos >= len(buf):
+        return None
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        return None
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    n = w * h * channels
+    raster = buf[pos : pos + n]
+    if len(raster) < n:
+        return None
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+    return w, h, channels, arr
+
+
 def decode_image(media: DataFrame) -> DataFrame:
-    """REAL image decode — requires PIL/libvips, absent in this
-    container. The partitioning/batching contract is `extract_features`;
-    swap the row_fn there for a real decoder when the libs exist."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips (not in this container); "
-        "use extract_features() for the identical mapInPandas plumbing "
-        "with a deterministic fake decoder"
+    """REAL image decode over binary payloads, Arrow-batched.
+
+    Uncompressed NetPBM (P5/P6) decodes natively via the numpy parser
+    above — header parse, raster reshape, integer pixel statistics
+    (px_sum is an exact integer; px_mean is one final division, so the
+    output is deterministic and engine-portable). Compressed formats
+    (JPEG/PNG/...) fall back to PIL behind an import guard — absent in
+    this container, in which case such payloads (and unparseable
+    bytes) return decode_ok=false rather than failing the batch: at
+    100 TB a poison payload must never kill the stage.
+    """
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        try:
+            from PIL import Image  # optional: compressed formats
+            import io
+            import numpy as np
+
+            def _pil(buf: bytes):
+                try:
+                    img = Image.open(io.BytesIO(buf))
+                    arr = np.asarray(img)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    return img.width, img.height, arr.shape[2], arr
+                except Exception:  # noqa: BLE001 — poison payload
+                    return None
+
+        except ImportError:
+            _pil = None
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = None
+                if p is not None:
+                    buf = bytes(p)
+                    parsed = _parse_netpbm(buf)
+                    if parsed is None and _pil is not None:
+                        parsed = _pil(buf)
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "decode_ok": False,
+                            "width": None,
+                            "height": None,
+                            "channels": None,
+                            "n_pixels": None,
+                            "px_sum": None,
+                            "px_mean": None,
+                        }
+                    )
+                    continue
+                w, h, c, arr = parsed
+                s = int(arr.sum(dtype="int64"))
+                n = w * h * c
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "decode_ok": True,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "n_pixels": n,
+                        "px_sum": s,
+                        "px_mean": s / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=DECODE_SCHEMA)
+
+
+def resize_netpbm(
+    media: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """REAL nearest-neighbor resize for NetPBM payloads — integer
+    index selection (floor(i * H / h)), no interpolation arithmetic,
+    so the resized raster is bit-deterministic. Output carries the
+    resized raster's md5 + exact integer pixel sum; non-decodable
+    payloads yield decode_ok=false (same poison-payload contract as
+    `decode_image`). Compressed formats would resize via the PIL
+    branch of `decode_image`'s guard when the library exists."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_netpbm(bytes(p)) if p is not None else None
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "decode_ok": False,
+                            "target_w": width,
+                            "target_h": height,
+                            "px_sum": None,
+                            "thumb_md5": None,
+                        }
+                    )
+                    continue
+                w, h, c, arr = parsed
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                thumb = arr[yi][:, xi]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "decode_ok": True,
+                        "target_w": width,
+                        "target_h": height,
+                        "px_sum": int(thumb.sum(dtype="int64")),
+                        "thumb_md5": hashlib.md5(thumb.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("target_w", T.IntegerType(), False),
+            T.StructField("target_h", T.IntegerType(), False),
+            T.StructField("px_sum", T.LongType(), True),
+            T.StructField("thumb_md5", T.StringType(), True),
+        ]
     )
+    return media.mapInPandas(_batches, schema=schema)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

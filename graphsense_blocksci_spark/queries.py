@@ -2440,6 +2440,43 @@ def q101_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_overlap(docs, group_col="lang")
 
 
+def q102_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each document's text bytes are
+    framed as an 8x6 binary-P6 image (header + text tiled to the
+    144-byte raster, built JVM-side), decoded by the numpy NetPBM
+    parser in Arrow batches (operators/multimodal.py:decode_image),
+    yielding exact integer pixel sums. The oracle re-derives the sums
+    as ASCII code-point sums of the same tiled text (byte == code
+    point on this corpus); the parser, poison-payload path and resize
+    are additionally pytest-pinned against hand-built images."""
+    from graphsense_blocksci_spark.operators.multimodal import decode_image
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    w, h = 8, 6
+    need = w * h * 3
+    docs = load_table(spark, sf_dir, "documents")
+    # tile the text to the raster budget; ASCII corpus -> 1 byte/char
+    # (floor, not cast-truncate, so the oracle's semantics are identical)
+    raster_txt = F.substring(
+        F.repeat(
+            F.col("text"),
+            F.floor(F.lit(need) / F.length("text")).cast("int") + 1,
+        ),
+        1,
+        need,
+    )
+    media = spread(docs).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(
+            F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8"),
+            F.encode(raster_txt, "utf-8"),
+        ).alias("payload"),
+    )
+    return decode_image(media).filter(F.col("decode_ok")).select(
+        "media_id", "width", "height", "channels", "n_pixels", "px_sum"
+    )
+
+
 def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator under the correctness
     gate: gap-based sessionization via applyInPandasWithState
@@ -2599,6 +2636,7 @@ QUERIES: dict[str, QueryFn] = {
     "q99_unigram_likelihood": q99_unigram_likelihood,
     "q100_boilerplate_ngrams": q100_boilerplate_ngrams,
     "q101_vocab_overlap": q101_vocab_overlap,
+    "q102_netpbm_decode": q102_netpbm_decode,
     "qd18_stateful_sessions": qd18_stateful_sessions,
 }
 
@@ -4461,6 +4499,24 @@ SELECT g_a, g_b,
 FROM inter
 JOIN sizes sa ON inter.g_a = sa.g
 JOIN sizes sb ON inter.g_b = sb.g
+""",
+    "q102_netpbm_decode": """
+WITH raster AS (
+    SELECT doc_id AS media_id,
+           substring(
+               repeat(text, CAST(floor(144.0 / len(text)) AS INT) + 1),
+               1, 144
+           ) AS r
+    FROM documents
+)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(144 AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(string_split(r, ''), x -> ascii(x)))
+            AS BIGINT) AS px_sum
+FROM raster
 """,
     "qd18_stateful_sessions": """
 WITH ev AS (
