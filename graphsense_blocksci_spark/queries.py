@@ -2440,6 +2440,67 @@ def q101_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_overlap(docs, group_col="lang")
 
 
+def qd19_entity_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSense's entity-graph edge table (the transformation
+    stage's entity_{incoming,outgoing}_relations): one row per
+    (spending entity → receiving entity) pair with transaction count,
+    output count and total value moved. All inputs of a tx are one
+    co-spend entity BY CONSTRUCTION (qd16 clusters exactly that
+    graph), so the per-tx source entity is well-defined (min() is the
+    deterministic representative); receiving entities fall back to
+    the same singleton hash qd17 uses for output-only addresses.
+    Self-edges (change back to the spender) are kept — consumers
+    filter them per use case. Scale shape: two entity joins on the
+    uniform addr key + one (src,dst)-keyed aggregate; the per-tx src
+    frame is tx-count-sized, not output-count-sized."""
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    ent = qd16_cospend_entities(spark, sf_dir)
+    ia = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("inp"))
+        .filter(F.size("inp.address") > 0)
+        .select("tx_id", F.concat_ws("|", "inp.address").alias("addr"))
+        .distinct()
+    )
+    src = (
+        ia.join(ent, "addr")
+        .groupBy("tx_id")
+        .agg(F.min("entity").alias("src_entity"))
+    )
+    outs = (
+        raw_txs.select("tx_id", F.explode("outputs").alias("out"))
+        .filter(F.size("out.address") > 0)
+        .select(
+            "tx_id",
+            F.concat_ws("|", "out.address").alias("addr"),
+            F.col("out.value").alias("value"),
+        )
+    )
+    dst = outs.join(ent, "addr", "left").select(
+        "tx_id",
+        F.coalesce("entity", hash28(F.col("addr"))).alias("dst_entity"),
+        "value",
+    )
+    return (
+        src.join(dst, "tx_id")
+        .groupBy("src_entity", "dst_entity")
+        .agg(
+            F.countDistinct("tx_id").cast("long").alias("n_txs"),
+            F.count(F.lit(1)).cast("long").alias("n_outputs"),
+            F.sum("value").cast("long").alias("total_value"),
+        )
+        .select(
+            F.col("src_entity").cast("long").alias("src_entity"),
+            F.col("dst_entity").cast("long").alias("dst_entity"),
+            "n_txs",
+            "n_outputs",
+            "total_value",
+        )
+    )
+
+
 def q102_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: each document's text bytes are
     framed as an 8x6 binary-P6 image (header + text tiled to the
@@ -2638,6 +2699,7 @@ QUERIES: dict[str, QueryFn] = {
     "q101_vocab_overlap": q101_vocab_overlap,
     "q102_netpbm_decode": q102_netpbm_decode,
     "qd18_stateful_sessions": qd18_stateful_sessions,
+    "qd19_entity_relations": qd19_entity_relations,
 }
 
 
@@ -4499,6 +4561,76 @@ SELECT g_a, g_b,
 FROM inter
 JOIN sizes sa ON inter.g_a = sa.g
 JOIN sizes sb ON inter.g_b = sb.g
+""",
+    "qd19_entity_relations": f"""
+WITH RECURSIVE ia0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|')}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ia AS (
+    SELECT DISTINCT tx_id, u.addr AS addr FROM ia0 WHERE u.alen > 0
+),
+n AS (
+    SELECT tx_id, addr,
+           ('0x' || substr(md5(addr), 1, 7))::BIGINT AS node
+    FROM ia
+),
+chain AS (
+    SELECT tx_id, node AS src,
+           lead(node) OVER (PARTITION BY tx_id ORDER BY addr) AS dst
+    FROM n
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT dst, src FROM chain WHERE dst IS NOT NULL AND src <> dst
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+ent AS (
+    SELECT DISTINCT n.addr AS addr,
+           coalesce(cc.component, n.node) AS entity
+    FROM n LEFT JOIN cc ON n.node = cc.node
+),
+srcs AS (
+    SELECT ia.tx_id, min(ent.entity) AS src_entity
+    FROM ia JOIN ent ON ia.addr = ent.addr
+    GROUP BY ia.tx_id
+),
+o0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id, u.addr AS addr, u.oval AS value FROM o0 WHERE u.alen > 0
+),
+dsts AS (
+    SELECT outs.tx_id,
+           coalesce(ent.entity,
+                    ('0x' || substr(md5(outs.addr), 1, 7))::BIGINT)
+               AS dst_entity,
+           outs.value
+    FROM outs LEFT JOIN ent ON outs.addr = ent.addr
+)
+SELECT CAST(src_entity AS BIGINT) AS src_entity,
+       CAST(dst_entity AS BIGINT) AS dst_entity,
+       CAST(count(DISTINCT srcs.tx_id) AS BIGINT) AS n_txs,
+       CAST(count(*) AS BIGINT) AS n_outputs,
+       CAST(sum(value) AS BIGINT) AS total_value
+FROM srcs JOIN dsts ON srcs.tx_id = dsts.tx_id
+GROUP BY 1, 2
 """,
     "q102_netpbm_decode": """
 WITH raster AS (
