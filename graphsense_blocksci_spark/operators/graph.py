@@ -180,6 +180,48 @@ def connected_components(
     return members.union(roots).distinct()
 
 
+def incremental_components(
+    prior: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Delta clustering — the daily-batch pattern for entity graphs:
+    given yesterday's ``(node, component)`` labels and today's NEW
+    edges, produce labels identical to reclustering the full history.
+
+    Yesterday's labels ARE a star-forest compression of every
+    historical edge (each row is an edge node→component), so
+    clustering `prior-as-edges ∪ new_edges` touches
+    |prior nodes| + |delta| rows instead of all history — and because
+    components are labeled by their MINIMUM member, the merged labels
+    equal the full recompute exactly (min is preserved under union).
+    Untouched singleton labels (node == component, no incident edge)
+    are passed through unchanged.
+    """
+    lab_edges = prior.select(
+        F.col(node_col).cast("long").alias("src"),
+        F.col(comp_col).cast("long").alias("dst"),
+    )
+    merged = connected_components(
+        lab_edges.unionByName(
+            new_edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+        )
+    )
+    singles = (
+        prior.filter(F.col(node_col) == F.col(comp_col))
+        .select(F.col(node_col).cast("long").alias("node"))
+        .join(merged.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return merged.unionByName(singles)
+
+
 def bfs_reachability(
     edges: DataFrame,
     seeds: DataFrame,

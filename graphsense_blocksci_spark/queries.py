@@ -2501,6 +2501,43 @@ def qd19_entity_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd20_incremental_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity clustering — the daily-delta pattern: the
+    chain's first half is clustered into PRIOR labels, the second
+    half's co-spend edges are merged in via
+    `incremental_components` (prior labels re-enter as star-forest
+    edges), and the result must equal reclustering the FULL history —
+    which is exactly what the oracle computes (one recursive CTE over
+    all edges). At scale this is the difference between touching
+    |entities| + |today's edges| rows and re-reading years of chain."""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    ia = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("inp"))
+        .filter(F.size("inp.address") > 0)
+        .select("tx_id", F.concat_ws("|", "inp.address").alias("addr"))
+        .distinct()
+    )
+    nodes = ia.select("tx_id", "addr", hash28(F.col("addr")).alias("node"))
+    w = Window.partitionBy("tx_id").orderBy("addr")
+    chain = nodes.select(
+        "tx_id", F.col("node").alias("src"), F.lead("node").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    cut = raw_txs.agg((F.max("tx_id") / 2).cast("long")).first()[0]
+    prior = connected_components(chain.filter(F.col("tx_id") <= cut))
+    inc = incremental_components(prior, chain.filter(F.col("tx_id") > cut))
+    return inc.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q102_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: each document's text bytes are
     framed as an 8x6 binary-P6 image (header + text tiled to the
@@ -2700,6 +2737,7 @@ QUERIES: dict[str, QueryFn] = {
     "q102_netpbm_decode": q102_netpbm_decode,
     "qd18_stateful_sessions": qd18_stateful_sessions,
     "qd19_entity_relations": qd19_entity_relations,
+    "qd20_incremental_clustering": qd20_incremental_clustering,
 }
 
 
@@ -4631,6 +4669,41 @@ SELECT CAST(src_entity AS BIGINT) AS src_entity,
        CAST(sum(value) AS BIGINT) AS total_value
 FROM srcs JOIN dsts ON srcs.tx_id = dsts.tx_id
 GROUP BY 1, 2
+""",
+    "qd20_incremental_clustering": f"""
+WITH RECURSIVE ia0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|')}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ia AS (
+    SELECT DISTINCT tx_id, u.addr AS addr FROM ia0 WHERE u.alen > 0
+),
+n AS (
+    SELECT tx_id, addr,
+           ('0x' || substr(md5(addr), 1, 7))::BIGINT AS node
+    FROM ia
+),
+chain AS (
+    SELECT tx_id, node AS src,
+           lead(node) OVER (PARTITION BY tx_id ORDER BY addr) AS dst
+    FROM n
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT dst, src FROM chain WHERE dst IS NOT NULL AND src <> dst
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+)
+SELECT node, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
 """,
     "q102_netpbm_decode": """
 WITH raster AS (

@@ -323,6 +323,35 @@ def test_connected_components_empty(spark):
     assert connected_components(df).count() == 0
 
 
+def test_incremental_components_equals_full_recompute(spark):
+    """prior-labels-as-edges ∪ delta must recluster identically to the
+    full edge set, including a component merge across the split and an
+    untouched singleton label passed through."""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    new = [(3, 10), (30, 31)]  # merges {1,2,3} with {10,11}; new comp
+    old_df = spark.createDataFrame(old, "src: long, dst: long")
+    new_df = spark.createDataFrame(new, "src: long, dst: long")
+    prior = connected_components(old_df).unionByName(
+        spark.createDataFrame([(99, 99)], "node: long, component: long")
+    )  # plus an isolated singleton label
+    inc = {
+        (r["node"], r["component"])
+        for r in incremental_components(prior, new_df).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            spark.createDataFrame(old + new, "src: long, dst: long")
+        ).collect()
+    }
+    assert inc == full | {(99, 99)}
+
+
 def test_connected_components_distributed_path_equals_unionfind(spark):
     """max_driver_edges=0 forces star contraction; both execution
     paths must label identically (min member id per component)."""
