@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q87_label_propagation",
     "q88_product_profit",
     "q98_sequence_packing",
+    "q102_netpbm_decode",
+    "q103_knn_lsh_gemm",
     "q99_unigram_likelihood",
     "q100_boilerplate_ngrams",
     "q101_vocab_overlap",

@@ -474,6 +474,160 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_lsh_gemm(
+    vectors: DataFrame,
+    k: int = 1,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Throughput twin of `cosine_topk_lsh` — identical bucket
+    geometry (same hyperplane literals, same multi-probe rule), all
+    float work in Arrow+BLAS: one `mapInPandas` pass computes unit
+    vectors and every table's bucket (plus probe buckets) with one
+    matmul per batch; per-(table, bucket) candidate scoring is one
+    matmul via `applyInPandas`; global dedup + top-k rank stay JVM.
+    BLAS reduction order can differ from the sequential fold in the
+    last ulp, so a plane dot sitting exactly on 0 (or a ranking tie)
+    can resolve differently — use `cosine_topk_lsh` when bit-exact
+    cross-engine parity matters (pytest gates the two equal away from
+    boundaries).
+
+    100 TB shape: same as the fold variant — n_tables bucket-keyed
+    shuffles, per-bucket quadratic bounded by bucket size, multiprobe
+    multiplies only query-side fan-out, no corpus broadcast/collect.
+    """
+    if not 0 <= multiprobe <= n_planes:
+        raise ValueError(f"multiprobe must be in [0, {n_planes}]")
+    dim = _probe_dim(vectors, vec_col)
+    if dim is None:
+        return _empty_topk(vectors.sparkSession)
+    all_planes = [
+        hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_uv", T.ArrayType(T.DoubleType())),
+            T.StructField("_table", T.IntegerType()),
+            T.StructField("_bucket", T.LongType()),
+            T.StructField("_is_query", T.BooleanType()),
+        ]
+    )
+
+    def assign(it):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(
+            [p for planes in all_planes for p in planes], dtype=np.float64
+        )  # (n_tables*n_planes, dim)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy(np.int64)
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            U = X / np.linalg.norm(X, axis=1, keepdims=True)
+            signs = (X @ P.T) > 0
+            uv = list(U)
+            frames = []
+            for t in range(n_tables):
+                bucket = signs[:, t * n_planes : (t + 1) * n_planes] @ weights
+                # candidate row: home bucket only
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": ids,
+                            "_uv": uv,
+                            "_table": np.full(len(ids), t, dtype=np.int32),
+                            "_bucket": bucket,
+                            "_is_query": False,
+                        }
+                    )
+                )
+                # query rows: home + Hamming-1 probes on low sign bits
+                for j in range(multiprobe + 1):
+                    b = bucket if j == 0 else bucket ^ (1 << (j - 1))
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "_id": ids,
+                                "_uv": uv,
+                                "_table": np.full(len(ids), t, dtype=np.int32),
+                                "_bucket": b,
+                                "_is_query": True,
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        q = pdf[pdf["_is_query"]]
+        c = pdf[~pdf["_is_query"]]
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+            )
+        Q = np.array(q["_uv"].tolist(), dtype=np.float64)
+        C = np.array(c["_uv"].tolist(), dtype=np.float64)
+        qid = q["_id"].to_numpy(np.int64)
+        cid = c["_id"].to_numpy(np.int64)
+        S = Q @ C.T
+        qq, cc = np.meshgrid(np.arange(len(qid)), np.arange(len(cid)), indexing="ij")
+        keep = qid[qq] != cid[cc]
+        return pd.DataFrame(
+            {
+                "vec_id": qid[qq][keep],
+                "neighbor_id": cid[cc][keep],
+                "cos_sim": S[qq, cc][keep],
+            }
+        )
+
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    flat = spread(
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+        )
+    )
+    scored = (
+        flat.mapInPandas(assign, row_schema)
+        .groupBy("_table", "_bucket")
+        .applyInPandas(bucket_score, out_schema)
+    )
+    dedup = scored.groupBy("vec_id", "neighbor_id").agg(
+        F.first("cos_sim").alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
+    )
+
+
 def embedding_neardup(
     vectors: DataFrame,
     threshold: float = 0.35,

@@ -1095,6 +1095,19 @@ def q40_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, k=1, n_planes=8, n_tables=2)
 
 
+def q103_knn_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-k, Arrow+BLAS execution: identical bucket geometry to
+    q40 (same hyperplane literals), unit vectors + all table buckets
+    from one matmul per batch, bucket-local matmul scoring. Rows-only
+    (last-ulp BLAS ties); fold-parity and recall are pytest-gated."""
+    from graphsense_blocksci_spark.operators.similarity import (
+        cosine_topk_lsh_gemm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh_gemm(emb, k=1, n_planes=8, n_tables=2)
+
+
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded hyperplane LSH +
     exact fixed-order cosine verify (candidate/verify — never
@@ -2738,6 +2751,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd18_stateful_sessions": qd18_stateful_sessions,
     "qd19_entity_relations": qd19_entity_relations,
     "qd20_incremental_clustering": qd20_incremental_clustering,
+    "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
 }
 
 

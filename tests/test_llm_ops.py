@@ -212,6 +212,37 @@ def test_knn_lsh_multiprobe_recall_not_worse(spark):
     assert r4 >= 0.85
 
 
+def test_knn_lsh_gemm_matches_fold_variant(spark):
+    """The Arrow+BLAS LSH twin must produce the same top-k as the
+    interpreted-fold variant on a corpus away from sign/tie
+    boundaries (same hyperplane literals -> same buckets -> same
+    candidates; BLAS differs only in last-ulp reduction order)."""
+    import random
+
+    from graphsense_blocksci_spark.operators.similarity import (
+        cosine_topk_lsh,
+        cosine_topk_lsh_gemm,
+    )
+
+    rng = random.Random(21)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for mp in (0, 2):
+        fold = {
+            (r.vec_id, r.rank): (r.neighbor_id, round(r.cos_sim, 9))
+            for r in cosine_topk_lsh(
+                df, k=2, n_planes=4, n_tables=2, multiprobe=mp
+            ).collect()
+        }
+        gemm = {
+            (r.vec_id, r.rank): (r.neighbor_id, round(r.cos_sim, 9))
+            for r in cosine_topk_lsh_gemm(
+                df, k=2, n_planes=4, n_tables=2, multiprobe=mp
+            ).collect()
+        }
+        assert fold == gemm
+
+
 def test_embedding_neardup_pairs_exact_and_complete(spark):
     import random
 
