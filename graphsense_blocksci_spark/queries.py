@@ -2551,6 +2551,77 @@ def qd20_incremental_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd21_streaming_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming entity clustering: co-spend edges arrive as a file
+    stream (one micro-batch per file), and a `foreachBatch` sink folds
+    each batch into the running entity labels via
+    `incremental_components` — the streaming form of the daily-delta
+    pattern qd20 proves in batch. Because components are labeled by
+    MINIMUM member, the final labels are invariant to how the stream
+    was batched, so this multi-batch stateful pipeline still has an
+    EXACT oracle: one recursive CTE over all edges. Label versions are
+    written append-only per batch (no overwrite-while-reading hazard);
+    the latest version is the answer."""
+    import tempfile
+
+    from graphsense_blocksci_spark.operators.graph import (
+        incremental_components,
+    )
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    ia = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("inp"))
+        .filter(F.size("inp.address") > 0)
+        .select("tx_id", F.concat_ws("|", "inp.address").alias("addr"))
+        .distinct()
+    )
+    nodes = ia.select("tx_id", "addr", hash28(F.col("addr")).alias("node"))
+    w = Window.partitionBy("tx_id").orderBy("addr")
+    chain = nodes.select(
+        "tx_id", F.col("node").alias("src"), F.lead("node").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    work = tempfile.mkdtemp(prefix="gbs_sclust_")
+    chain.repartitionByRange(4, "tx_id").write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    stream = (
+        spark.readStream.schema("tx_id long, src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/src")
+    )
+    versions: list[int] = []
+
+    def step(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if versions:
+            prior = sess.read.schema("node long, component long").parquet(
+                f"{work}/labels_v{versions[-1]}"
+            )
+        else:
+            prior = sess.createDataFrame([], "node long, component long")
+        merged = incremental_components(prior, batch_df)
+        merged.write.mode("overwrite").parquet(f"{work}/labels_v{batch_id}")
+        versions.append(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("node long, component long")
+        .parquet(f"{work}/labels_v{versions[-1]}")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("component").cast("long").alias("component"),
+        )
+    )
+
+
 def q102_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end: each document's text bytes are
     framed as an 8x6 binary-P6 image (header + text tiled to the
@@ -2751,6 +2822,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd18_stateful_sessions": qd18_stateful_sessions,
     "qd19_entity_relations": qd19_entity_relations,
     "qd20_incremental_clustering": qd20_incremental_clustering,
+    "qd21_streaming_clustering": qd21_streaming_clustering,
     "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
 }
 
@@ -4685,6 +4757,41 @@ FROM srcs JOIN dsts ON srcs.tx_id = dsts.tx_id
 GROUP BY 1, 2
 """,
     "qd20_incremental_clustering": f"""
+WITH RECURSIVE ia0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|')}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ia AS (
+    SELECT DISTINCT tx_id, u.addr AS addr FROM ia0 WHERE u.alen > 0
+),
+n AS (
+    SELECT tx_id, addr,
+           ('0x' || substr(md5(addr), 1, 7))::BIGINT AS node
+    FROM ia
+),
+chain AS (
+    SELECT tx_id, node AS src,
+           lead(node) OVER (PARTITION BY tx_id ORDER BY addr) AS dst
+    FROM n
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT dst, src FROM chain WHERE dst IS NOT NULL AND src <> dst
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+)
+SELECT node, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
+""",
+    "qd21_streaming_clustering": f"""
 WITH RECURSIVE ia0 AS (
     SELECT tx_id,
            unnest(list_transform(range(1, len(inputs) + 1),
