@@ -310,3 +310,35 @@ def test_bfs_reachability_random_graphs(spark, edges, seeds, max_hops):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     assert got == set(dist.items())
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),  # doc_id (may dup)
+            st.integers(min_value=0, max_value=500),  # n_tokens
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=64),
+    n_buckets=st.integers(min_value=1, max_value=9),
+)
+def test_sequence_packing_matches_python_reference(spark, rows, budget, n_buckets):
+    from graphsense_blocksci_spark.operators.packing import sequence_packing
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["offset"], r["start_bin"], r["end_bin"])
+        for r in sequence_packing(
+            df, budget=budget, n_buckets=n_buckets
+        ).collect()
+    }
+    off = 0
+    for doc_id, n in sorted(rows):
+        start = off // budget
+        end = (off + n - 1) // budget if n > 0 else start
+        assert got[doc_id] == (off, start, end)
+        off += n
