@@ -322,16 +322,24 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    pick = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(iterations):
         freq = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # tie-break pick (max count, then min label) as ONE aggregate:
+        # max_by over the struct (c, -label) orders lexicographically to
+        # exactly the window's (c DESC, label ASC) — but aggregates get
+        # map-side partial merge, where a window would add a full sort
+        # shuffle per round.
         labels = (
-            freq.withColumn("_rn", F.row_number().over(pick))
-            .filter(F.col("_rn") == 1)
+            freq.groupBy("u")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("_nl"))
+                ).alias("label")
+            )
             .select(F.col("u").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
