@@ -3,7 +3,7 @@
 
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test correctness bench plans daemon-demo
+.PHONY: test correctness types bench plans daemon-demo
 
 test:
 	python -m pytest tests/ -q
@@ -12,6 +12,11 @@ test:
 # the driver's order-insensitive hash)
 correctness:
 	python tools/check_correctness.py $(SF_DIR)
+
+# oracle output types vs Spark schemas (the DuckDB HUGEINT-widening
+# class that value-compares equal but hash-fails the driver gate)
+types:
+	python tools/oracle_types.py
 
 bench:
 	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
