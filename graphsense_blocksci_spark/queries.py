@@ -2416,6 +2416,44 @@ def q98_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_packed_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing: q98's offsets expanded to the
+    per-sequence slice list a training-batch writer consumes — one row
+    per (sequence bin, document) segment with the in-document slice
+    start and length. Every bin's slice lengths sum to the 256-token
+    budget (except the final bin); all integer arithmetic, so the
+    oracle reproduces it exactly. Scale shape: the explode emits
+    ~n_tokens/budget + 1 rows per doc (bounded fan-out), and the
+    output is already partitionable by bin for the downstream
+    writer."""
+    from graphsense_blocksci_spark.operators.packing import sequence_packing
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    pack = sequence_packing(counted, budget=budget)
+    seg = pack.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence("start_bin", "end_bin")).alias("bin"),
+    )
+    lo = F.greatest(F.col("bin") * budget, F.col("offset"))
+    hi = F.least(
+        (F.col("bin") + 1) * budget, F.col("offset") + F.col("n_tokens")
+    )
+    return seg.select(
+        F.col("bin").cast("long").alias("bin"),
+        "doc_id",
+        (lo - F.col("offset")).cast("long").alias("slice_start"),
+        (hi - lo).cast("long").alias("slice_len"),
+    )
+
+
 def q99_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (CCNet-style ordering signal) in
     exact-rational form: mean relative corpus frequency per document —
@@ -2824,6 +2862,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd20_incremental_clustering": qd20_incremental_clustering,
     "qd21_streaming_clustering": qd21_streaming_clustering,
     "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
+    "q104_packed_segments": q104_packed_segments,
 }
 
 
@@ -4633,6 +4672,34 @@ SELECT doc_id, n_tokens, tok_offset,
             ELSE CAST(floor(tok_offset / 256.0) AS BIGINT)
        END AS end_bin
 FROM c
+""",
+    "q104_packed_segments": "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_offset
+    FROM n
+),
+bins AS (
+    SELECT doc_id, n_tokens, tok_offset,
+           unnest(range(
+               CAST(floor(tok_offset / 256.0) AS BIGINT),
+               CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) + 1
+           )) AS bin
+    FROM c WHERE n_tokens > 0
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       doc_id,
+       CAST(greatest(bin * 256, tok_offset) - tok_offset AS BIGINT)
+           AS slice_start,
+       CAST(least((bin + 1) * 256, tok_offset + n_tokens)
+            - greatest(bin * 256, tok_offset) AS BIGINT) AS slice_len
+FROM bins
 """,
     "q99_unigram_likelihood": "WITH "
     + _TEXT_CTE.split(",\ngrams")[0]

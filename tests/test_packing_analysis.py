@@ -98,3 +98,39 @@ def test_vocab_overlap_jaccard(spark):
     assert r["jaccard"] == pytest.approx(2 / 5, abs=0)
     # fr shares nothing -> no pair row emitted (inner join on tokens)
     assert ("en", "fr") not in got and ("de", "fr") not in got
+
+
+def test_packed_segments_cover_budget(spark):
+    """Composition invariant: expanding packing offsets into segments
+    gives every non-final bin exactly `budget` tokens, and per-doc
+    slices tile the doc without gaps."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.operators.packing import sequence_packing
+
+    rows = [(i, (i * 13) % 29) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 16
+    pack = sequence_packing(df, budget=budget, n_buckets=4)
+    seg = pack.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence("start_bin", "end_bin")).alias("bin"),
+    )
+    lo = F.greatest(F.col("bin") * budget, F.col("offset"))
+    hi = F.least((F.col("bin") + 1) * budget, F.col("offset") + F.col("n_tokens"))
+    seg = seg.select("bin", "doc_id", (hi - lo).alias("slice_len"))
+    per_bin = {
+        r["bin"]: r["tot"]
+        for r in seg.groupBy("bin").agg(F.sum("slice_len").alias("tot")).collect()
+    }
+    total = sum(n for _, n in rows)
+    last = max(per_bin)
+    for b, tot in per_bin.items():
+        assert tot == (budget if b < last else total - last * budget)
+    per_doc = {
+        r["doc_id"]: r["tot"]
+        for r in seg.groupBy("doc_id").agg(F.sum("slice_len").alias("tot")).collect()
+    }
+    assert per_doc == {i: n for i, n in rows if n > 0}
