@@ -2737,8 +2737,94 @@ def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registry order is load-bearing: the driver's correctness gate verifies the
+# FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
+# q01 stays first (entry() smoke query); the rest of the window rotates per
+# round so every family eventually gets a driver-green row. Round 4 window:
+# graph suite (qd15-qd21), fuzzy/embedding dedup, packing, all 21 TPC-H
+# shapes, PageRank/LPA, the ANN family, and this round's new operators.
+# Previously driver-green entries (rounds 1-3) sit at the back.
 QUERIES: dict[str, QueryFn] = {
+    # -- round-4 driver window (50) ------------------------------------
     "q01_pricing_summary": q01_pricing_summary,
+    "qd15_address_balances": qd15_address_balances,
+    "qd16_cospend_entities": qd16_cospend_entities,
+    "qd17_entity_summary": qd17_entity_summary,
+    "qd18_stateful_sessions": qd18_stateful_sessions,
+    "qd19_entity_relations": qd19_entity_relations,
+    "qd20_incremental_clustering": qd20_incremental_clustering,
+    "qd21_streaming_clustering": qd21_streaming_clustering,
+    "q71_fuzzy_dedup": q71_fuzzy_dedup,
+    "q46_embedding_neardup": q46_embedding_neardup,
+    "q63_entity_clustering": q63_entity_clustering,
+    "q98_sequence_packing": q98_sequence_packing,
+    "q104_packed_segments": q104_packed_segments,
+    "q48_shipping_priority": q48_shipping_priority,
+    "q49_regional_revenue": q49_regional_revenue,
+    "q57_forecast_revenue": q57_forecast_revenue,
+    "q58_shipmode_priority": q58_shipmode_priority,
+    "q60_large_orders": q60_large_orders,
+    "q62_returned_items": q62_returned_items,
+    "q64_min_cost_supplier": q64_min_cost_supplier,
+    "q65_order_priority": q65_order_priority,
+    "q66_order_distribution": q66_order_distribution,
+    "q67_promo_revenue": q67_promo_revenue,
+    "q68_supplier_counts": q68_supplier_counts,
+    "q69_small_qty_revenue": q69_small_qty_revenue,
+    "q70_idle_rich_customers": q70_idle_rich_customers,
+    "q77_nation_volume": q77_nation_volume,
+    "q78_market_share": q78_market_share,
+    "q79_top_supplier": q79_top_supplier,
+    "q80_disjunctive_predicates": q80_disjunctive_predicates,
+    "q81_lone_late_supplier": q81_lone_late_supplier,
+    "q88_product_profit": q88_product_profit,
+    "q89_national_part_value": q89_national_part_value,
+    "q90_dominant_suppliers": q90_dominant_suppliers,
+    "q84_pagerank": q84_pagerank,
+    "q87_label_propagation": q87_label_propagation,
+    "q39_knn_bruteforce": q39_knn_bruteforce,
+    "q40_knn_lsh": q40_knn_lsh,
+    "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
+    "q44_knn_ivf": q44_knn_ivf,
+    "q50_embedding_neardup_gemm": q50_embedding_neardup_gemm,
+    "q99_unigram_likelihood": q99_unigram_likelihood,
+    "q100_boilerplate_ngrams": q100_boilerplate_ngrams,
+    "q101_vocab_overlap": q101_vocab_overlap,
+    "q102_netpbm_decode": q102_netpbm_decode,
+    "q91_decontamination": q91_decontamination,
+    "q92_repetition_quality": q92_repetition_quality,
+    # (3 window slots reserved for round-4 additions, inserted here)
+    # -- rotate into the window in a later round ------------------------
+    "q37_simhash": q37_simhash,
+    "q38_jaccard_pairs": q38_jaccard_pairs,
+    "q43_knn_gemm": q43_knn_gemm,
+    "q45_curation_pipeline": q45_curation_pipeline,
+    "q47_bpe_tokens": q47_bpe_tokens,
+    "q51_cube": q51_cube,
+    "q52_lead_lag_running": q52_lead_lag_running,
+    "q53_set_ops": q53_set_ops,
+    "q54_approx_distinct": q54_approx_distinct,
+    "q55_salted_join": q55_salted_join,
+    "q59_percentiles": q59_percentiles,
+    "q61_approx_percentiles": q61_approx_percentiles,
+    "q72_stratified_sample": q72_stratified_sample,
+    "q73_train_test_split": q73_train_test_split,
+    "q74_session_window": q74_session_window,
+    "q75_pivot": q75_pivot,
+    "q76_hopping_windows": q76_hopping_windows,
+    "q82_vocabulary": q82_vocabulary,
+    "q83_doc_frequency": q83_doc_frequency,
+    "q85_range_frame": q85_range_frame,
+    "q86_grouping_sets": q86_grouping_sets,
+    "q93_ranking_suite": q93_ranking_suite,
+    "q94_lateral_topk": q94_lateral_topk,
+    "q95_date_spine": q95_date_spine,
+    "q96_snapshot_diff": q96_snapshot_diff,
+    "q97_hll_partials": q97_hll_partials,
+    "q41_media_features": q41_media_features,
+    "q42_frame_sample": q42_frame_sample,
+    "q56_resize_thumbs": q56_resize_thumbs,
+    # -- driver-green rounds 1-3 (CORRECTNESS_r01-r03) -------------------
     "q02_range_scan": q02_range_scan,
     "q03_bucket_projection": q03_bucket_projection,
     "q04_prefix_key": q04_prefix_key,
@@ -2788,81 +2874,6 @@ QUERIES: dict[str, QueryFn] = {
     "q34_doc_fingerprint": q34_doc_fingerprint,
     "q35_minhash_signatures": q35_minhash_signatures,
     "q36_lsh_pairs": q36_lsh_pairs,
-    "q37_simhash": q37_simhash,
-    "q38_jaccard_pairs": q38_jaccard_pairs,
-    "q39_knn_bruteforce": q39_knn_bruteforce,
-    "q40_knn_lsh": q40_knn_lsh,
-    "q43_knn_gemm": q43_knn_gemm,
-    "q44_knn_ivf": q44_knn_ivf,
-    "q45_curation_pipeline": q45_curation_pipeline,
-    "q46_embedding_neardup": q46_embedding_neardup,
-    "q47_bpe_tokens": q47_bpe_tokens,
-    "q48_shipping_priority": q48_shipping_priority,
-    "q49_regional_revenue": q49_regional_revenue,
-    "q50_embedding_neardup_gemm": q50_embedding_neardup_gemm,
-    "q51_cube": q51_cube,
-    "q52_lead_lag_running": q52_lead_lag_running,
-    "q53_set_ops": q53_set_ops,
-    "q54_approx_distinct": q54_approx_distinct,
-    "q55_salted_join": q55_salted_join,
-    "q57_forecast_revenue": q57_forecast_revenue,
-    "q58_shipmode_priority": q58_shipmode_priority,
-    "q59_percentiles": q59_percentiles,
-    "q60_large_orders": q60_large_orders,
-    "q61_approx_percentiles": q61_approx_percentiles,
-    "q62_returned_items": q62_returned_items,
-    "q63_entity_clustering": q63_entity_clustering,
-    "q64_min_cost_supplier": q64_min_cost_supplier,
-    "q65_order_priority": q65_order_priority,
-    "q66_order_distribution": q66_order_distribution,
-    "q67_promo_revenue": q67_promo_revenue,
-    "q68_supplier_counts": q68_supplier_counts,
-    "q69_small_qty_revenue": q69_small_qty_revenue,
-    "q70_idle_rich_customers": q70_idle_rich_customers,
-    "q71_fuzzy_dedup": q71_fuzzy_dedup,
-    "q72_stratified_sample": q72_stratified_sample,
-    "q73_train_test_split": q73_train_test_split,
-    "q74_session_window": q74_session_window,
-    "q75_pivot": q75_pivot,
-    "q76_hopping_windows": q76_hopping_windows,
-    "q77_nation_volume": q77_nation_volume,
-    "q78_market_share": q78_market_share,
-    "q79_top_supplier": q79_top_supplier,
-    "q80_disjunctive_predicates": q80_disjunctive_predicates,
-    "q81_lone_late_supplier": q81_lone_late_supplier,
-    "q82_vocabulary": q82_vocabulary,
-    "q83_doc_frequency": q83_doc_frequency,
-    "q84_pagerank": q84_pagerank,
-    "q85_range_frame": q85_range_frame,
-    "q86_grouping_sets": q86_grouping_sets,
-    "q87_label_propagation": q87_label_propagation,
-    "q88_product_profit": q88_product_profit,
-    "q89_national_part_value": q89_national_part_value,
-    "q90_dominant_suppliers": q90_dominant_suppliers,
-    "q91_decontamination": q91_decontamination,
-    "q92_repetition_quality": q92_repetition_quality,
-    "qd15_address_balances": qd15_address_balances,
-    "qd16_cospend_entities": qd16_cospend_entities,
-    "qd17_entity_summary": qd17_entity_summary,
-    "q93_ranking_suite": q93_ranking_suite,
-    "q94_lateral_topk": q94_lateral_topk,
-    "q95_date_spine": q95_date_spine,
-    "q96_snapshot_diff": q96_snapshot_diff,
-    "q97_hll_partials": q97_hll_partials,
-    "q41_media_features": q41_media_features,
-    "q42_frame_sample": q42_frame_sample,
-    "q56_resize_thumbs": q56_resize_thumbs,
-    "q98_sequence_packing": q98_sequence_packing,
-    "q99_unigram_likelihood": q99_unigram_likelihood,
-    "q100_boilerplate_ngrams": q100_boilerplate_ngrams,
-    "q101_vocab_overlap": q101_vocab_overlap,
-    "q102_netpbm_decode": q102_netpbm_decode,
-    "qd18_stateful_sessions": qd18_stateful_sessions,
-    "qd19_entity_relations": qd19_entity_relations,
-    "qd20_incremental_clustering": qd20_incremental_clustering,
-    "qd21_streaming_clustering": qd21_streaming_clustering,
-    "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
-    "q104_packed_segments": q104_packed_segments,
 }
 
 
