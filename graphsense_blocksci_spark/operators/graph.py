@@ -371,8 +371,14 @@ def pagerank(
     (static) out-degree-annotated edges + one groupBy — both shuffle
     on node id, so pre-partitioning ranks and edges on the same key
     makes the join co-located and leaves ONE shuffle (the aggregate)
-    per round. localCheckpoint flattens lineage; nothing but the
-    dangling-mass scalar ever reaches the driver.
+    per round.
+
+    The dangling-mass correction stays fully distributed: nodes carry a
+    precomputed ``_has_out`` flag, the per-round dangling sum is a 1-row
+    aggregate over the (checkpointed) rank frame, and it re-enters the
+    update as a broadcast crossJoin — so one round is ONE Spark job
+    (the eager localCheckpoint) with no driver-side scalar sync and no
+    extra left-anti pass over the rank frame.
 
     Float caveat (why the registry entry is rows-only): per-node sums
     are partition-order-dependent doubles, so cross-engine comparison
@@ -382,16 +388,24 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
     ).distinct()
+    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .join(
+            out_deg.select(
+                F.col("_src").alias("node"), F.lit(True).alias("_has_out")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_has_out", F.lit(False)).alias("_has_out"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
     ed = e.join(out_deg, "_src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -404,22 +418,25 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg._src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass: rank held by nodes with no out-edges, summed in
+        # the same job and broadcast back as a single row
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
+            ).alias("_dangling")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_has_out",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -289,3 +289,37 @@ def test_compact_parquet_round_trip(spark, tmp_path):
     assert len(list(Path(path).glob("*.parquet"))) == 1
     after = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_pagerank_one_checkpoint_job_per_iteration(spark):
+    """The dangling-mass correction must not add driver-synced jobs:
+    with AQE off, each PageRank round is exactly 2 jobs (the broadcast
+    materialization of the 1-row dangling aggregate + the eager
+    localCheckpoint) and zero driver .first()/.collect() round-trips.
+    Measured as the job-count delta between 7- and 2-iteration runs so
+    setup jobs cancel out."""
+    import time
+
+    from graphsense_blocksci_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (4, 4), (5, 1)],
+            "src: long, dst: long",
+        )
+
+        def jobs_for(iters: int, tag: str) -> int:
+            sc.setJobGroup(tag, tag)
+            pagerank(df, iterations=iters).collect()
+            sc.setJobGroup("pr-other-" + tag, "x")
+            time.sleep(0.3)
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+        j2 = jobs_for(2, "pr-jobs-2")
+        j7 = jobs_for(7, "pr-jobs-7")
+        assert (j7 - j2) == 5 * 2, (j2, j7)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
