@@ -174,9 +174,13 @@ def compact_parquet(
     spark,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory so files are
-    ~``target_bytes`` each. Returns the new file count.
+    ~``target_bytes`` each. Returns the new file count (recursive, so
+    hive-partitioned layouts count their nested files). Pass
+    ``partition_by`` to keep a ``partitionBy`` layout through the
+    rewrite instead of flattening it.
 
     The 100 TB housekeeping op every long-running ingest needs:
     micro-batched / streaming sinks accrete thousands of KB-sized
@@ -204,9 +208,14 @@ def compact_parquet(
     total = sum(f.stat().st_size for f in p.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_bytes))
     staging = str(p.with_name(p.name + "._compacting"))
-    spark.read.parquet(path).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(staging)
+    writer = spark.read.parquet(path).repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        # preserve the hive layout so downstream partition pruning
+        # survives compaction (flattening it would silently turn pruned
+        # scans into full scans)
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     shutil.rmtree(path)
     Path(staging).rename(p)
-    return len(list(p.glob("*.parquet")))
+    # rglob, not glob: partitioned layouts nest files under key=value dirs
+    return len(list(p.rglob("*.parquet")))

@@ -323,3 +323,31 @@ def test_pagerank_one_checkpoint_job_per_iteration(spark):
         assert (j7 - j2) == 5 * 2, (j2, j7)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    """Compacting a hive-partitioned sink keeps the key=value layout
+    and reports the recursive file count (was 0 with a non-recursive
+    glob)."""
+    from pathlib import Path
+
+    from graphsense_blocksci_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "part_frag")
+    df = spark.range(0, 9_000).select(
+        (F.col("id") % 3).alias("g"), F.col("id"), (F.col("id") * 7).alias("v")
+    )
+    df.repartition(16).write.partitionBy("g").parquet(path)
+    assert len(list(Path(path).rglob("*.parquet"))) >= 3 * 16 // 2
+    before = {
+        (r["g"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    n = compact_parquet(spark, path, target_bytes=1 << 30, partition_by=["g"])
+    assert n == 3  # one file per partition dir, counted recursively
+    assert sorted(
+        d.name for d in Path(path).iterdir() if d.is_dir()
+    ) == ["g=0", "g=1", "g=2"]
+    after = {
+        (r["g"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
