@@ -388,7 +388,7 @@ def cosine_topk_ivf(
         .select("vec_id", "neighbor_id", dot(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
     )
     dedup = scored.groupBy("vec_id", "neighbor_id").agg(
-        F.first("cos_sim").alias("cos_sim")
+        F.max("cos_sim").alias("cos_sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -465,7 +465,7 @@ def cosine_topk_lsh(
     allc = per_table[0]
     for df in per_table[1:]:
         allc = allc.unionByName(df)
-    dedup = allc.groupBy("vec_id", "neighbor_id").agg(F.first("cos_sim").alias("cos_sim"))
+    dedup = allc.groupBy("vec_id", "neighbor_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         dedup.withColumn("rank", F.row_number().over(w))
@@ -615,8 +615,11 @@ def cosine_topk_lsh_gemm(
         .groupBy("_table", "_bucket")
         .applyInPandas(bucket_score, out_schema)
     )
+    # max, not first: BLAS scores for the same pair can differ in the
+    # last ulp between (table, bucket) groups, and first() would make
+    # rank ties flip run-to-run
     dedup = scored.groupBy("vec_id", "neighbor_id").agg(
-        F.first("cos_sim").alias("cos_sim")
+        F.max("cos_sim").alias("cos_sim")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -841,4 +844,4 @@ def embedding_neardup_gemm(
         )
 
     pairs = bb.groupBy("_band", "_bucket").applyInPandas(bucket_pairs, out_schema)
-    return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))

@@ -384,8 +384,13 @@ def unigram_likelihood(
         "n_tokens",
         "sum_tf",
         (
+            # each factor widens to double BEFORE the multiply: at
+            # 100 TB scale n_tokens * N overflows 2^63 as a long
+            # product (silent wrap under non-ANSI Spark), while the
+            # double product merely rounds — and rounds identically
+            # in DuckDB (IEEE), keeping the oracle gate exact
             F.col("sum_tf").cast("double")
-            / (F.col("n_tokens") * F.col("_N")).cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("_N").cast("double"))
         ).alias("mean_rel_freq"),
     )
 
@@ -446,12 +451,16 @@ def vocab_overlap(
     """Pairwise vocabulary Jaccard between corpus strata (languages,
     sources): |V_a ∩ V_b| / |V_a ∪ V_b| over distinct token sets — the
     standard contamination / register-drift diagnostic when mixing
-    training sources.
+    training sources. Every unordered group pair gets a row — pairs
+    with no common token report n_common=0 / jaccard=0.0 rather than
+    being silently omitted, so 'no overlap' is distinguishable from
+    'pair not evaluated'.
 
     Scale shape: ONE distinct (group, token) aggregate (map-side
     dedup), a self-equi-join on token (vocab-sized, not corpus-sized),
-    and a per-pair count; per-group vocabulary sizes broadcast back
-    onto the pair rows (|groups|² output). Integer counts + one final
+    and a per-pair count; the full pair grid comes from crossing the
+    (tiny, |groups|-row) size frame with itself, then left-joining the
+    broadcast intersection counts. Integer counts + one final
     division — bit-exact.
     """
     gv = (
@@ -467,24 +476,27 @@ def vocab_overlap(
         .groupBy("g_a", "g_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
+    pairs = (
+        sizes.select(F.col("g").alias("g_a"), F.col("vsize").alias("size_a"))
+        .crossJoin(
+            sizes.select(F.col("g").alias("g_b"), F.col("vsize").alias("size_b"))
+        )
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("g").alias("g_a"), F.col("vsize").alias("size_a"))),
-            "g_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("g").alias("g_b"), F.col("vsize").alias("size_b"))),
-            "g_b",
-        )
+        pairs.join(F.broadcast(inter), ["g_a", "g_b"], "left")
         .select(
             "g_a",
             "g_b",
             "size_a",
             "size_b",
-            "n_common",
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
             (
-                F.col("n_common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+                F.coalesce("n_common", F.lit(0).cast("long")).cast("double")
+                / (
+                    F.col("size_a") + F.col("size_b")
+                    - F.coalesce("n_common", F.lit(0).cast("long"))
+                ).cast("double")
             ).alias("jaccard"),
         )
     )

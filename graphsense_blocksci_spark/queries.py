@@ -2666,16 +2666,21 @@ def q102_netpbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     144-byte raster, built JVM-side), decoded by the numpy NetPBM
     parser in Arrow batches (operators/multimodal.py:decode_image),
     yielding exact integer pixel sums. The oracle re-derives the sums
-    as ASCII code-point sums of the same tiled text (byte == code
-    point on this corpus); the parser, poison-payload path and resize
-    are additionally pytest-pinned against hand-built images."""
+    as ASCII code-point sums of the same tiled text; both sides filter
+    to non-empty pure-ASCII docs (length == octet_length) so byte ==
+    code point holds by construction rather than by corpus accident.
+    The parser, poison-payload path and resize are additionally
+    pytest-pinned against hand-built images."""
     from graphsense_blocksci_spark.operators.multimodal import decode_image
     from graphsense_blocksci_spark.operators.textops import spread
 
     w, h = 8, 6
     need = w * h * 3
-    docs = load_table(spark, sf_dir, "documents")
-    # tile the text to the raster budget; ASCII corpus -> 1 byte/char
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    # tile the text to the raster budget; pure-ASCII rows -> 1 byte/char
     # (floor, not cast-truncate, so the oracle's semantics are identical)
     raster_txt = F.substring(
         F.repeat(
@@ -4722,7 +4727,8 @@ SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
        CAST(CAST(sum(tf.tf) AS BIGINT) AS DOUBLE)
-           / CAST(count(*) * (SELECT n FROM tot) AS DOUBLE) AS mean_rel_freq
+           / (CAST(count(*) AS DOUBLE)
+              * CAST((SELECT n FROM tot) AS DOUBLE)) AS mean_rel_freq
 FROM t JOIN tf USING (token)
 GROUP BY t.doc_id
 """,
@@ -4755,14 +4761,20 @@ inter AS (
     SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_common
     FROM gv a JOIN gv b ON a.token = b.token AND a.g < b.g
     GROUP BY a.g, b.g
+),
+pairs AS (
+    SELECT sa.g AS g_a, sb.g AS g_b,
+           sa.vsize AS size_a, sb.vsize AS size_b
+    FROM sizes sa CROSS JOIN sizes sb
+    WHERE sa.g < sb.g
 )
-SELECT g_a, g_b,
-       sa.vsize AS size_a, sb.vsize AS size_b, n_common,
-       CAST(n_common AS DOUBLE)
-           / CAST(sa.vsize + sb.vsize - n_common AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.g_a = sa.g
-JOIN sizes sb ON inter.g_b = sb.g
+SELECT p.g_a, p.g_b, p.size_a, p.size_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / CAST(p.size_a + p.size_b - COALESCE(i.n_common, 0) AS DOUBLE)
+           AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON p.g_a = i.g_a AND p.g_b = i.g_b
 """,
     "qd19_entity_relations": f"""
 WITH RECURSIVE ia0 AS (
@@ -4912,6 +4924,7 @@ WITH raster AS (
                1, 144
            ) AS r
     FROM documents
+    WHERE len(text) > 0 AND len(text) = octet_length(encode(text))
 )
 SELECT media_id,
        CAST(8 AS INTEGER) AS width,

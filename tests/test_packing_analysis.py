@@ -96,8 +96,12 @@ def test_vocab_overlap_jaccard(spark):
     r = got[("de", "en")]
     assert (r["size_a"], r["size_b"], r["n_common"]) == (3, 4, 2)
     assert r["jaccard"] == pytest.approx(2 / 5, abs=0)
-    # fr shares nothing -> no pair row emitted (inner join on tokens)
-    assert ("en", "fr") not in got and ("de", "fr") not in got
+    # the full pair grid is emitted: fr shares nothing but still gets
+    # explicit zero-overlap rows (distinguishable from 'not evaluated')
+    assert set(got) == {("de", "en"), ("en", "fr"), ("de", "fr")}
+    assert got[("en", "fr")]["n_common"] == 0
+    assert got[("en", "fr")]["jaccard"] == 0.0
+    assert got[("de", "fr")]["n_common"] == 0
 
 
 def test_packed_segments_cover_budget(spark):
