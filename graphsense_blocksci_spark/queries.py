@@ -2742,6 +2742,19 @@ def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr
+    modality, distributed): char-50-gram position hashes -> hashes in
+    >= 2 distinct docs -> per-doc maximal duplicated spans via
+    gaps-and-islands (operators/text_dedup.py:substring_dedup). The
+    oracle re-derives the identical 60-bit md5-prefix hashes and the
+    same island merge, so every span length is bit-exact."""
+    from graphsense_blocksci_spark.operators.text_dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, k=50)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -2798,7 +2811,8 @@ QUERIES: dict[str, QueryFn] = {
     "q102_netpbm_decode": q102_netpbm_decode,
     "q91_decontamination": q91_decontamination,
     "q92_repetition_quality": q92_repetition_quality,
-    # (3 window slots reserved for round-4 additions, inserted here)
+    "q105_substring_dedup": q105_substring_dedup,
+    # (2 window slots reserved for round-4 additions, inserted here)
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -4934,6 +4948,59 @@ SELECT media_id,
        CAST(list_sum(list_transform(string_split(r, ''), x -> ascii(x)))
             AS BIGINT) AS px_sum
 FROM raster
+""",
+    "q105_substring_dedup": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+b AS (SELECT doc_id, s, len(s) AS l FROM norm),
+pos AS (
+    SELECT doc_id, unnest(range(1, l - 50 + 2)) AS p, s
+    FROM b WHERE l >= 50
+),
+ph AS (
+    SELECT doc_id, p,
+           ('0x' || substr(md5(substr(s, CAST(p AS INT), 50)), 1, 15))::BIGINT AS h
+    FROM pos
+),
+duph AS (
+    SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM ph GROUP BY h
+    ) WHERE nd >= 2
+),
+dp AS (SELECT ph.doc_id, ph.p FROM ph JOIN duph USING (h)),
+isl AS (
+    SELECT doc_id, p,
+           CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > 50
+                THEN 1 ELSE 0 END AS ni
+    FROM dp
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl2 AS (
+    SELECT doc_id, p,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+),
+agg AS (
+    SELECT doc_id, island, max(p) - min(p) + 50 AS ilen, count(*) AS np
+    FROM isl2 GROUP BY doc_id, island
+),
+per AS (
+    SELECT doc_id,
+           CAST(sum(ilen) AS BIGINT) AS dup_chars,
+           CAST(sum(np) AS BIGINT) AS n_dup_positions
+    FROM agg GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN l >= 50 THEN l - 49 ELSE 0 END AS BIGINT) AS n_positions,
+       CAST(COALESCE(per.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(per.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CASE WHEN l > 0
+            THEN CAST(COALESCE(per.dup_chars, 0) AS DOUBLE) / CAST(l AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM b LEFT JOIN per USING (doc_id)
 """,
     "qd18_stateful_sessions": """
 WITH ev AS (

@@ -602,3 +602,86 @@ def test_repetition_stats_hand_computed(spark):
     r3 = rows[3]
     assert (r3["n_tokens"], r3["n_2grams"]) == (1, 0)
     assert r3["dup_2gram_frac"] is None
+
+
+def _substring_dedup_py(texts: dict[int, str], k: int, min_docs: int = 2):
+    """Pure-Python reference for substring_dedup (suffix-free
+    formulation of the ExactSubstr check)."""
+    import re
+
+    norm = {
+        i: re.sub(r"\s+", " ", t, flags=re.ASCII).strip().lower()
+        for i, t in texts.items()
+    }
+    occ: dict[str, set[int]] = {}
+    for i, s in norm.items():
+        for p in range(len(s) - k + 1):
+            occ.setdefault(s[p : p + k], set()).add(i)
+    dup = {g for g, ds in occ.items() if len(ds) >= min_docs}
+    out = {}
+    for i, s in norm.items():
+        pos = [p for p in range(len(s) - k + 1) if s[p : p + k] in dup]
+        spans: list[list[int]] = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        out[i] = (
+            max(len(s) - k + 1, 0),
+            len(pos),
+            sum(b - a + k for a, b in spans),
+        )
+    return out
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """substring_dedup == the pure-Python ExactSubstr reference on a
+    corpus with shared runs, disjoint docs, empty and sub-k docs."""
+    from graphsense_blocksci_spark.operators.text_dedup import substring_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "AAA " + shared + " unique tail one"),
+        (2, "BB  " + shared + "   different ending here entirely"),
+        (3, shared),  # exactly the shared run, nothing else
+        (4, "no overlap with anything else in this corpus of text"),
+        (5, ""),
+        (6, "shorter than k"),
+        (7, "White Space  VARIANT of doc four?  no overlap with anything"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (20, 50):
+        exp = _substring_dedup_py(dict(rows), k)
+        got = {
+            r["doc_id"]: (r["n_positions"], r["n_dup_positions"], r["dup_chars"])
+            for r in substring_dedup(df, k=k).collect()
+        }
+        assert got == exp, k
+
+
+def test_substring_dedup_stride_candidates_superset(spark):
+    """The stride>1 candidate pass never invents duplicated docs that
+    stride=1 misses entirely: any doc flagged by the sampled pass is
+    flagged by the exact pass (sampled positions are a subset)."""
+    from graphsense_blocksci_spark.operators.text_dedup import substring_dedup
+
+    run = "x y z " * 30  # long shared run
+    rows = [
+        (1, "prefix one " + run + " suffix alpha"),
+        (2, "prefix two " + run + " suffix beta"),
+        (3, "completely unrelated filler document text here with no run"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r["doc_id"]
+        for r in substring_dedup(df, k=20, stride=1).collect()
+        if r["n_dup_positions"] > 0
+    }
+    sampled = {
+        r["doc_id"]
+        for r in substring_dedup(df, k=20, stride=10).collect()
+        if r["n_dup_positions"] > 0
+    }
+    assert sampled <= exact
+    assert 1 in sampled and 2 in sampled  # long run still caught at stride 10
