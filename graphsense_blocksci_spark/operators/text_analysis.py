@@ -500,3 +500,125 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+# Deterministic fixture merge vocabulary for real greedy BPE/WordPiece
+# application (bpe_encode): common English multi-char pieces + the
+# lowercase letters. Digits and punctuation are deliberately absent so
+# the unknown-character fallback path is exercised. The SQL oracle is
+# generated FROM this constant, so both engines segment with the
+# identical piece set.
+BPE_FIXTURE_VOCAB: tuple[str, ...] = (
+    # 4-char
+    "tion", "ment", "able", "ight", "ough",
+    # 3-char
+    "the", "ing", "and", "ent", "ion", "for", "ate", "est", "ere",
+    "his", "ver", "ter", "ous", "ith",
+    # 2-char
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    # single letters (full fallback coverage for a-z)
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    vocab: tuple[str, ...] = BPE_FIXTURE_VOCAB,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL subword segmentation (not the q47 piece-count estimate):
+    greedy longest-match (WordPiece/max-munch) application of a merge
+    vocabulary to every whitespace word, counting actual emitted
+    tokens. At each position the longest vocab piece prefixing the
+    remaining word is consumed; a position no piece covers advances one
+    character and counts as unknown.
+
+    Output per document (docs with zero words emit explicit zero
+    rows): ``(doc_id, n_words, n_bpe_tokens, n_unk, tokens_per_word)``
+    — all integers plus ONE final division, so the DuckDB oracle
+    (which re-derives the identical segmentation with a match-length
+    table + recursive walk) is bit-exact.
+
+    Execution: Arrow-batched ``mapInPandas`` — the slow-path carve-out
+    is justified because max-munch is an inherently sequential
+    per-word loop (each consume depends on the previous position), not
+    expressible as a fixed-depth column expression. The vocab ships as
+    a closure constant (KBs); per-batch word memoization collapses the
+    Zipf-heavy word distribution (a batch of 10k docs segments each
+    distinct word once). No shuffle at all — pure projection.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+            T.StructField("n_unk", T.LongType()),
+        ]
+    )
+    src = spread(docs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("_toks"),
+    )
+    by_len = tuple(sorted(set(vocab), key=len, reverse=True))
+
+    def batches(it):
+        import pandas as pd
+
+        vset = set(by_len)
+        lens = sorted({len(p) for p in by_len}, reverse=True)
+        memo: dict[str, tuple[int, int]] = {}
+
+        def seg(word: str) -> tuple[int, int]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            n = unk = 0
+            i, wl = 0, len(word)
+            while i < wl:
+                step = 0
+                for pl in lens:
+                    if pl <= wl - i and word[i : i + pl] in vset:
+                        step = pl
+                        break
+                if step == 0:
+                    step = 1
+                    unk += 1
+                n += 1
+                i += step
+            memo[word] = (n, unk)
+            return (n, unk)
+
+        for pdf in it:
+            rows = []
+            for did, toks in zip(pdf[id_col], pdf["_toks"]):
+                nw = nt = nu = 0
+                for w in toks:
+                    t, u = seg(w)
+                    nw += 1
+                    nt += t
+                    nu += u
+                rows.append((did, nw, nt, nu))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_bpe_tokens", "n_unk"]
+            )
+
+    counted = src.mapInPandas(batches, schema=out_schema)
+    return counted.select(
+        id_col,
+        "n_words",
+        "n_bpe_tokens",
+        "n_unk",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tokens_per_word"),
+    )

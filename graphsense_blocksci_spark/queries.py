@@ -61,6 +61,7 @@ from graphsense_blocksci_spark.operators import (
     text_stats,
     top_k,
 )
+from graphsense_blocksci_spark.operators.text_analysis import BPE_FIXTURE_VOCAB
 from graphsense_blocksci_spark.operators.textops import (
     LSH_BAND_ROWS,
     MINHASH_COEFFS,
@@ -2742,6 +2743,21 @@ def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q106_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL greedy BPE/WordPiece merge application over the fixture
+    vocabulary (operators/text_analysis.py:bpe_encode): max-munch
+    segmentation of every whitespace word, actual emitted-token and
+    unknown-fallback counts per document. The oracle re-derives the
+    identical segmentation in SQL (match-length table + recursive
+    walk over the SAME vocab literals) — all integers, bit-exact;
+    additionally parity-pytested against a plain Python tokenizer
+    loop (tests/test_llm_ops.py)."""
+    from graphsense_blocksci_spark.operators.text_analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs)
+
+
 def q105_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr
     modality, distributed): char-50-gram position hashes -> hashes in
@@ -2812,7 +2828,8 @@ QUERIES: dict[str, QueryFn] = {
     "q91_decontamination": q91_decontamination,
     "q92_repetition_quality": q92_repetition_quality,
     "q105_substring_dedup": q105_substring_dedup,
-    # (2 window slots reserved for round-4 additions, inserted here)
+    "q106_bpe_encode": q106_bpe_encode,
+    # (1 window slot reserved for round-4 additions, inserted here)
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -4948,6 +4965,66 @@ SELECT media_id,
        CAST(list_sum(list_transform(string_split(r, ''), x -> ascii(x)))
             AS BIGINT) AS px_sum
 FROM raster
+""",
+    "q106_bpe_encode": r"""
+WITH RECURSIVE vocab(piece, plen) AS (VALUES """
+    + ", ".join(f"('{p}', {len(p)})" for p in BPE_FIXTURE_VOCAB)
+    + r"""),
+norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+dw AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+words AS (SELECT DISTINCT word FROM dw),
+pos_tab AS (
+    SELECT word, unnest(range(1, len(word) + 1)) AS pos FROM words
+),
+mlen AS (
+    SELECT p.word, p.pos, COALESCE(max(v.plen), 0) AS best
+    FROM pos_tab p
+    LEFT JOIN vocab v
+      ON v.plen <= len(p.word) - p.pos + 1
+     AND substr(p.word, CAST(p.pos AS INT), v.plen) = v.piece
+    GROUP BY p.word, p.pos
+),
+walk AS (
+    SELECT word, CAST(1 AS BIGINT) AS pos,
+           CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS unk
+    FROM words
+    UNION ALL
+    SELECT w.word,
+           w.pos + CASE WHEN m.best = 0 THEN 1 ELSE m.best END,
+           w.n + 1,
+           w.unk + CASE WHEN m.best = 0 THEN 1 ELSE 0 END
+    FROM walk w
+    JOIN mlen m ON m.word = w.word AND m.pos = w.pos
+    WHERE w.pos <= len(w.word)
+),
+wstat AS (
+    SELECT word, n AS n_tok, unk AS n_unk
+    FROM walk WHERE pos = len(word) + 1
+),
+per AS (
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(ws.n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(ws.n_unk) AS BIGINT) AS n_unk
+    FROM dw JOIN wstat ws USING (word)
+    GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(COALESCE(per.n_unk, 0) AS BIGINT) AS n_unk,
+       CASE WHEN COALESCE(per.n_words, 0) > 0
+            THEN CAST(per.n_bpe_tokens AS DOUBLE)
+                 / CAST(per.n_words AS DOUBLE)
+            ELSE 0.0 END AS tokens_per_word
+FROM documents d LEFT JOIN per USING (doc_id)
 """,
     "q105_substring_dedup": r"""
 WITH norm AS (

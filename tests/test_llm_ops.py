@@ -685,3 +685,68 @@ def test_substring_dedup_stride_candidates_superset(spark):
     }
     assert sampled <= exact
     assert 1 in sampled and 2 in sampled  # long run still caught at stride 10
+
+
+def test_bpe_encode_matches_python_tokenizer(spark):
+    """bpe_encode == an independently-written greedy max-munch
+    tokenizer loop, including unknown-char fallback and empty docs."""
+    import re
+
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        BPE_FIXTURE_VOCAB,
+        bpe_encode,
+    )
+
+    rows = [
+        (1, "The nation's information ableness, tonight!"),
+        (2, "  mixed   CASE and   whitespace   runs  "),
+        (3, "1234 55 --- ??? @@@"),  # digits/punct only: all unks
+        (4, ""),
+        (5, "zzz qqq the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_bpe_tokens"], r["n_unk"], r["tokens_per_word"]
+        )
+        for r in bpe_encode(df).collect()
+    }
+
+    vocab = set(BPE_FIXTURE_VOCAB)
+    lens = sorted({len(p) for p in vocab}, reverse=True)
+
+    def tokenize(word):
+        out, i = [], 0
+        unk = 0
+        while i < len(word):
+            for pl in lens:
+                if word[i : i + pl] in vocab:
+                    out.append(word[i : i + pl])
+                    i += pl
+                    break
+            else:
+                out.append(word[i])
+                unk += 1
+                i += 1
+        return out, unk
+
+    for doc_id, text in rows:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", text, flags=re.ASCII)
+            .strip()
+            .lower()
+            .split(" ")
+            if w
+        ]
+        nt = nu = 0
+        for w in words:
+            toks, unk = tokenize(w)
+            assert "".join(toks) == w  # segmentation covers the word
+            nt += len(toks)
+            nu += unk
+        tpw = nt / len(words) if words else 0.0
+        assert got[doc_id] == (len(words), nt, nu, tpw), doc_id
+    # sanity on the fixture vocab path: 'the' is one piece, zzz/qqq
+    # fall back to single letters -> 3 + 3 + 3*1 tokens
+    assert got[5][1] == 9
