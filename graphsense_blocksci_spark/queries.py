@@ -2743,6 +2743,41 @@ def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd22_fiat_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exchange_rates map column put to work (schema.cql:58-61,
+    map<text,float> fiat_values; CHANGELOG.md:10,44-45): every
+    transaction's total output converted into EVERY fiat currency by
+    exploding the as-of-joined rate map — value/1e8 * rate per entry,
+    two IEEE double ops in fixed order so the DuckDB oracle
+    (ASOF JOIN + unnest(map_entries)) is bit-exact. Scale shape: the
+    rate series is a tiny global table (broadcast as-of, tx side never
+    shuffled); the explode fan-out is |currencies| per tx."""
+    from graphsense_blocksci_spark.plans.ingest import (
+        exchange_rates_table,
+        transaction_table,
+        transactions_with_rates,
+    )
+
+    _, raw_txs, raw_rates = _fixture_frames(spark)
+    txs = transaction_table(raw_txs).select("tx_id", "timestamp", "total_output")
+    rated = transactions_with_rates(txs, exchange_rates_table(raw_rates))
+    conv = rated.select(
+        "tx_id",
+        "total_output",
+        F.explode("fiat_values").alias("currency", "rate_f"),
+    )
+    return conv.select(
+        "tx_id",
+        "currency",
+        F.col("rate_f").cast("double").alias("rate"),
+        F.col("total_output").alias("value_satoshi"),
+        (
+            F.col("total_output").cast("double") / F.lit(100000000.0)
+            * F.col("rate_f").cast("double")
+        ).alias("fiat_value"),
+    )
+
+
 def q106_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL greedy BPE/WordPiece merge application over the fixture
     vocabulary (operators/text_analysis.py:bpe_encode): max-munch
@@ -2829,7 +2864,7 @@ QUERIES: dict[str, QueryFn] = {
     "q92_repetition_quality": q92_repetition_quality,
     "q105_substring_dedup": q105_substring_dedup,
     "q106_bpe_encode": q106_bpe_encode,
-    # (1 window slot reserved for round-4 additions, inserted here)
+    "qd22_fiat_conversion": qd22_fiat_conversion,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -4965,6 +5000,35 @@ SELECT media_id,
        CAST(list_sum(list_transform(string_split(r, ''), x -> ascii(x)))
             AS BIGINT) AS px_sum
 FROM raster
+""",
+    "qd22_fiat_conversion": f"""
+WITH txs AS (
+    SELECT tx_id,
+           CAST(to_timestamp(CAST(timestamp AS BIGINT)) AS DATE) AS tx_date,
+           CAST(coalesce(list_sum(list_transform(outputs, x -> x.value)), 0)
+                AS BIGINT) AS total_output
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+rates AS (
+    SELECT CAST(date AS DATE) AS rate_date, fiat_values
+    FROM read_parquet('{_FIXTURE_DIR}/raw_exchange_rates.parquet')
+),
+joined AS (
+    SELECT t.tx_id, t.total_output, r.fiat_values
+    FROM txs t ASOF LEFT JOIN rates r ON t.tx_date >= r.rate_date
+),
+ex AS (
+    SELECT tx_id, total_output,
+           unnest(map_entries(fiat_values)) AS e
+    FROM joined
+)
+SELECT tx_id,
+       e.key AS currency,
+       CAST(e.value AS DOUBLE) AS rate,
+       total_output AS value_satoshi,
+       CAST(total_output AS DOUBLE) / 100000000.0 * CAST(e.value AS DOUBLE)
+           AS fiat_value
+FROM ex
 """,
     "q106_bpe_encode": r"""
 WITH RECURSIVE vocab(piece, plen) AS (VALUES """
