@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "q99_unigram_likelihood",
     "q100_boilerplate_ngrams",
     "q101_vocab_overlap",
+    "q105_substring_dedup",
+    "q106_bpe_encode",
+    "qd22_fiat_conversion",
+    "q84_pagerank",
+    "q107_bm25_topk",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

@@ -1,0 +1,143 @@
+"""Sparse lexical retrieval over the documents table: BM25 top-k.
+
+The data-selection / retrieval primitive of a training-data pipeline
+(targeted corpus selection a la DSIR/DoReMi-style pipelines, RAG index
+backfills, eval-set neighbor pulls): score every document against a
+small query set with BM25 and keep the top-k per query.
+
+Exactness design (same rules as the rest of the repo):
+
+- **Rational idf, not ln().** Classic BM25 idf is
+  ``ln((N - df + .5)/(df + .5) + 1)``; ln() differs in the last ulp
+  between JVM Math.log and DuckDB libm (measured ~1% of integer inputs
+  — see unigram_likelihood), so an exact cross-engine gate is
+  impossible with it. We use the rational core
+  ``(N - df + .5)/(df + .5)`` directly — strictly monotone in the
+  classic idf, so per-term ordering is preserved — and document the
+  divergence here.
+- **Fixed-order float fold.** The per-(query, doc) score is a sum of
+  per-term doubles; summation order must be pinned for bitwise
+  equality, so term scores are collected, sorted by term, and folded
+  left-to-right (``F.aggregate`` ≡ DuckDB
+  ``list_reduce(list_sort(...))``).
+
+Scale shape: the query set is KBs and BROADCAST (both its terms and
+the final per-query top-k heap); the corpus side pays one
+corpus-token-sized tf aggregate (map-side partials, uniform term
+keys), a vocab-sized df aggregate reusing the tf frame, and a
+broadcast join of query terms onto tf. No corpus self-join, no
+all-pairs anything; the only per-query state is the top-k window over
+matched docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+# Deterministic fixture query set (terms drawn from the synthetic
+# corpus vocabulary). The SQL oracle is generated from this constant.
+BM25_FIXTURE_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "hash join strategy"),
+    (1, "window agg stream"),
+    (2, "fast scan filter"),
+    (3, "customer order table"),
+    (4, "vector batch column"),
+    (5, "slow merge sort spill"),
+)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_FIXTURE_QUERIES,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query under rational-idf BM25.
+
+    Returns ``(query_id, doc_id, rank, score)``; rank ties broken by
+    ascending doc_id (deterministic because scores are bit-exact).
+    """
+    spark = docs.sparkSession
+    toks = spread(docs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(text_col).alias("_t"),
+    )
+    dl = toks.select(id_col, F.size("_t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("dl").cast("long").alias("_sumdl"),
+    )
+    terms = toks.select(id_col, F.explode("_t").alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qdf = spark.createDataFrame(
+        list(queries), "query_id long, qtext string"
+    ).select("query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("term"))
+    # per-(query, doc, term) score; every arithmetic step in fixed order
+    kd = F.lit(float(BM25_K1))
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(df_, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            id_col,
+            "term",
+            (
+                (
+                    (F.col("_n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf").cast("double") * F.lit(float(BM25_K1 + 1.0)))
+                    / (
+                        F.col("tf").cast("double")
+                        + kd
+                        * (
+                            F.lit(float(1.0 - BM25_B))
+                            + F.lit(float(BM25_B))
+                            * (
+                                F.col("dl").cast("double")
+                                / (
+                                    F.col("_sumdl").cast("double")
+                                    / F.col("_n").cast("double")
+                                )
+                            )
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    folded = (
+        scored.groupBy("query_id", id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("term", "s"))).alias("_arr"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.transform("_arr", lambda x: x["s"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.col("rank").cast("long").alias("rank"), "score"
+        )
+    )

@@ -61,6 +61,7 @@ from graphsense_blocksci_spark.operators import (
     text_stats,
     top_k,
 )
+from graphsense_blocksci_spark.operators.retrieval import BM25_FIXTURE_QUERIES
 from graphsense_blocksci_spark.operators.text_analysis import BPE_FIXTURE_VOCAB
 from graphsense_blocksci_spark.operators.textops import (
     LSH_BAND_ROWS,
@@ -2743,6 +2744,18 @@ def qd18_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q107_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval per fixture query (rational-idf variant —
+    ln() is not bit-portable across engines; see
+    operators/retrieval.py docstring). Per-(query,doc) score is a
+    term-sorted left fold of per-term doubles, so the oracle
+    (list_reduce(list_prepend(0.0, list_sort(...)))) is bit-exact."""
+    from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, k=10)
+
+
 def qd22_fiat_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exchange_rates map column put to work (schema.cql:58-61,
     map<text,float> fiat_values; CHANGELOG.md:10,44-45): every
@@ -2865,6 +2878,8 @@ QUERIES: dict[str, QueryFn] = {
     "q105_substring_dedup": q105_substring_dedup,
     "q106_bpe_encode": q106_bpe_encode,
     "qd22_fiat_conversion": qd22_fiat_conversion,
+    # -- round-4 additions past the window: lead the r5 rotation -------
+    "q107_bm25_topk": q107_bm25_topk,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5000,6 +5015,76 @@ SELECT media_id,
        CAST(list_sum(list_transform(string_split(r, ''), x -> ascii(x)))
             AS BIGINT) AS px_sum
 FROM raster
+""",
+    "q107_bm25_topk": r"""
+WITH queries(query_id, qtext) AS (VALUES """
+    + ", ".join(f"({i}, '{q}')" for i, q in BM25_FIXTURE_QUERIES)
+    + r"""),
+norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+    FROM dl
+),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM terms GROUP BY doc_id, term
+),
+dfq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+qn AS (
+    SELECT query_id,
+           lower(trim(regexp_replace(qtext, '\s+', ' ', 'g'))) AS qs
+    FROM queries
+),
+qterms AS (
+    SELECT query_id,
+           unnest(list_distinct(
+               list_filter(string_split(qs, ' '), t -> t <> ''))) AS term
+    FROM qn
+),
+scored AS (
+    SELECT q.query_id, tf.doc_id, tf.term,
+           ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+            / (CAST(d.df AS DOUBLE) + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                     / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+               AS sc
+    FROM tf
+    JOIN qterms q USING (term)
+    JOIN dfq d USING (term)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+),
+folded AS (
+    SELECT query_id, doc_id,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(
+                       list_sort(list({'t': term, 's': sc})),
+                       x -> x.s)),
+               (a, b) -> a + b) AS score
+    FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM folded
+)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+FROM ranked WHERE rank <= 10
 """,
     "qd22_fiat_conversion": f"""
 WITH txs AS (

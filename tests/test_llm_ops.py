@@ -750,3 +750,63 @@ def test_bpe_encode_matches_python_tokenizer(spark):
     # sanity on the fixture vocab path: 'the' is one piece, zzz/qqq
     # fall back to single letters -> 3 + 3 + 3*1 tokens
     assert got[5][1] == 9
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """bm25_topk == an independent Python BM25 (rational-idf) scorer
+    with term-sorted summation, including rank tie-breaks."""
+    from graphsense_blocksci_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "hash join hash join hash"),
+        (2, "hash table scan"),
+        (3, "merge sort spill to disk"),
+        (4, "join order and join strategy"),
+        (5, "completely unrelated words here"),
+    ]
+    queries = ((0, "hash join"), (1, "merge spill"), (2, "zzz-absent"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in bm25_topk(df, queries=queries, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+
+    docs = {i: t.lower().split() for i, t in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq: dict[str, int] = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    exp = {}
+    for qid, qtext in queries:
+        scores = []
+        for did, toks in docs.items():
+            s = 0.0
+            for term in sorted(set(qtext.split())):
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                idf = (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5)
+                tfn = (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(toks) / avgdl))
+                )
+                s += idf * tfn
+            if s != 0.0:
+                scores.append((did, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        if scores:
+            exp[qid] = [(r + 1, d, s) for r, (d, s) in enumerate(scores[:3])]
+
+    assert set(got) == set(exp)  # query 2 matches nothing -> no rows
+    for qid in exp:
+        got_q = sorted(got[qid])
+        assert [(r, d) for r, d, _ in got_q] == [(r, d) for r, d, _ in exp[qid]]
+        for (_, _, gs), (_, _, es) in zip(got_q, exp[qid]):
+            assert gs == pytest.approx(es, rel=1e-12)
