@@ -622,3 +622,66 @@ def bpe_encode(
         .otherwise(F.lit(0.0))
         .alias("tokens_per_word"),
     )
+
+
+# Feature-hashing dimension and weight range of the fixture linear
+# quality model (quality_classifier). Weights are DERIVED (md5 of the
+# bucket id), not stored: both engines re-create the identical model
+# from these two constants.
+QUALITY_CLF_DIM = 1024
+QUALITY_CLF_WRANGE = 1000  # weights in [-1000, 1000] milli-units
+
+
+def quality_classifier(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model-based quality filtering (the classifier step of
+    CCNet/DCLM-style pipelines, distinct from the heuristic
+    `quality_score`): a linear model over feature-hashed token counts
+    scores every document; `keep` is the sign of the logit.
+
+    The fixture model is derivation-defined: token -> 28-bit md5 hash
+    -> bucket = hash % DIM; weight(bucket) = (hash28('w#'||bucket) %
+    (2*WRANGE+1)) - WRANGE, an integer in milli-units. The logit is
+    therefore an INTEGER sum (order-free, exact in any engine); the
+    only double in the output is one final division by 1000. A real
+    deployment swaps the derived weights for a trained table joined by
+    bucket id — the plan shape (below) is identical.
+
+    Scale shape: explode -> per-token bucket/weight projection (pure
+    codegen, the md5s are per-row expressions) -> one per-doc integer
+    aggregate with map-side partials. No vocabulary state, no
+    broadcast, no skew (buckets are uniform by construction) — this is
+    the cheapest possible 100 TB classifier sweep. Trained-weights
+    variant: broadcast-join the DIM-row weight table on bucket.
+    """
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    per_tok = spread(docs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    bucket = F.pmod(hash28(F.col("token")), F.lit(QUALITY_CLF_DIM))
+    weight = (
+        F.pmod(
+            hash28(F.concat(F.lit("w#"), bucket.cast("string"))),
+            F.lit(2 * QUALITY_CLF_WRANGE + 1),
+        )
+        - F.lit(QUALITY_CLF_WRANGE)
+    )
+    scored = per_tok.select(id_col, weight.alias("_w")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_w").cast("long").alias("logit_milli"),
+    )
+    # docs with zero tokens still get an explicit row (logit 0, kept)
+    ids = spread(docs).select(F.col(id_col).cast("long").alias(id_col))
+    return ids.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("logit_milli", F.lit(0).cast("long")).alias("logit_milli"),
+        (
+            F.coalesce("logit_milli", F.lit(0).cast("long")).cast("double")
+            / F.lit(1000.0)
+        ).alias("logit"),
+        (F.coalesce("logit_milli", F.lit(0).cast("long")) >= 0).alias("keep"),
+    )

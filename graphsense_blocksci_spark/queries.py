@@ -2756,6 +2756,21 @@ def q107_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, k=10)
 
 
+def q108_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: linear classifier over
+    feature-hashed token counts with derivation-defined integer
+    milli-weights (operators/text_analysis.py:quality_classifier) —
+    the logit is an order-free integer sum, so the oracle re-derives
+    the identical model from the md5 weight derivation. One explode +
+    one per-doc aggregate; the cheapest 100 TB classifier sweep."""
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier(docs)
+
+
 def qd22_fiat_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exchange_rates map column put to work (schema.cql:58-61,
     map<text,float> fiat_values; CHANGELOG.md:10,44-45): every
@@ -2880,6 +2895,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd22_fiat_conversion": qd22_fiat_conversion,
     # -- round-4 additions past the window: lead the r5 rotation -------
     "q107_bm25_topk": q107_bm25_topk,
+    "q108_quality_classifier": q108_quality_classifier,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5016,6 +5032,36 @@ SELECT media_id,
             AS BIGINT) AS px_sum
 FROM raster
 """,
+    "q108_quality_classifier": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+pt AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+wt AS (
+    SELECT doc_id,
+           (('0x' || substr(md5('w#' || CAST(
+                (('0x' || substr(md5(token), 1, 7))::BIGINT) % 1024
+            AS VARCHAR)), 1, 7))::BIGINT % 2001) - 1000 AS w
+    FROM pt
+),
+per AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w) AS BIGINT) AS logit_milli
+    FROM wt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.logit_milli, 0) AS BIGINT) AS logit_milli,
+       CAST(COALESCE(per.logit_milli, 0) AS DOUBLE) / 1000.0 AS logit,
+       COALESCE(per.logit_milli, 0) >= 0 AS keep
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
     "q107_bm25_topk": r"""
 WITH queries(query_id, qtext) AS (VALUES """
     + ", ".join(f"({i}, '{q}')" for i, q in BM25_FIXTURE_QUERIES)
@@ -5083,7 +5129,8 @@ ranked AS (
                               ORDER BY score DESC, doc_id ASC) AS rank
     FROM folded
 )
-SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rank AS BIGINT) AS rank, score
 FROM ranked WHERE rank <= 10
 """,
     "qd22_fiat_conversion": f"""

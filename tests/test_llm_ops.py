@@ -810,3 +810,46 @@ def test_bm25_topk_matches_python_reference(spark):
         assert [(r, d) for r, d, _ in got_q] == [(r, d) for r, d, _ in exp[qid]]
         for (_, _, gs), (_, _, es) in zip(got_q, exp[qid]):
             assert gs == pytest.approx(es, rel=1e-12)
+
+
+def test_quality_classifier_matches_python_model(spark):
+    """quality_classifier == an independent Python re-derivation of the
+    hashed linear model (bucket, weight, integer logit, keep sign)."""
+    import hashlib
+    import re
+
+    from graphsense_blocksci_spark.operators.text_analysis import (
+        QUALITY_CLF_DIM,
+        QUALITY_CLF_WRANGE,
+        quality_classifier,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the the the the the the"),  # single bucket, repeated
+        (3, ""),
+        (4, "  Mixed   Case   WORDS  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit_milli"], r["logit"], r["keep"])
+        for r in quality_classifier(df).collect()
+    }
+
+    def h28(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    for doc_id, text in rows:
+        toks = [
+            t
+            for t in re.sub(r"\s+", " ", text, flags=re.ASCII)
+            .strip()
+            .lower()
+            .split(" ")
+            if t
+        ]
+        logit = 0
+        for t in toks:
+            b = h28(t) % QUALITY_CLF_DIM
+            logit += (h28(f"w#{b}") % (2 * QUALITY_CLF_WRANGE + 1)) - QUALITY_CLF_WRANGE
+        assert got[doc_id] == (len(toks), logit, logit / 1000.0, logit >= 0), doc_id
