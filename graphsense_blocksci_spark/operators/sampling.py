@@ -80,3 +80,88 @@ def train_test_split(
     return df.withColumn(
         "split", F.when(h < cut, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (the mT5/XLM-R
+    multilingual recipe): sampling mass per stratum is proportional to
+    share^(1/T), flattening the head so low-resource strata are
+    over-represented relative to their corpus share. Every row gets an
+    explicit verdict: ``(*, share, rate, keep)`` where
+    ``rate = min(1, budget_frac * p_l / share_l)`` with
+    ``p_l = share_l^(1/T) / Z``, and ``keep`` hashes the stable row
+    key under the stratum's rate (same retry/backfill determinism
+    argument as `hash_sample`).
+
+    Exactness: ``temperature`` must be a power of two — share^(1/T)
+    is computed as repeated sqrt (IEEE sqrt is correctly rounded, so
+    bit-identical in any engine), because a general pow() is not
+    bit-portable. Z is a stratum-sorted left fold of doubles, the
+    per-rate arithmetic is fixed-order, and the keep decision compares
+    the 28-bit key hash against rate * 2^28 — all reproducible by the
+    SQL oracle to the last bit.
+
+    Scale shape: one |strata|-sized count aggregate, two 1-row
+    broadcasts (total, Z), and a broadcast join of the tiny rate table
+    back onto the corpus — the corpus itself is scanned once and never
+    shuffled.
+    """
+    import math
+
+    n_sqrt = math.log2(temperature)
+    if n_sqrt != int(n_sqrt) or n_sqrt < 0:
+        raise ValueError(
+            "temperature must be a power of two (share^(1/T) is computed "
+            "as repeated IEEE sqrt for cross-engine bit-exactness); got "
+            f"{temperature!r}"
+        )
+    counts = df.groupBy(F.col(stratum_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    tot = counts.agg(F.sum("_c").cast("long").alias("_tot"))
+    share = F.col("_c").cast("double") / F.col("_tot").cast("double")
+    w = share
+    for _ in range(int(n_sqrt)):
+        w = F.sqrt(w)
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        "_g", share.alias("_share"), w.alias("_w")
+    )
+    z = weighted.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_g", "_w"))),
+                lambda x: x["_w"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_z")
+    )
+    rates = weighted.crossJoin(F.broadcast(z)).select(
+        "_g",
+        "_share",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(budget_frac)) * (F.col("_w") / F.col("_z")))
+            / F.col("_share"),
+        ).alias("_rate"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    return (
+        df.join(F.broadcast(rates), df[stratum_col] == rates._g)
+        .select(
+            *[df[c] for c in df.columns],
+            F.col("_share").alias("share"),
+            F.col("_rate").alias("rate"),
+            (h < F.col("_rate") * F.lit(268435456.0)).alias("keep"),
+        )
+    )

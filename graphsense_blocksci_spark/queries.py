@@ -2756,6 +2756,22 @@ def q107_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, k=10)
 
 
+def q109_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling (mT5/XLM-R mixing,
+    T=2, budget 50%) over the documents table stratified by lang:
+    per-stratum rate min(1, budget*p_l/share_l) with p_l ∝
+    sqrt(share_l), keep = hash28(doc_id) under rate
+    (operators/sampling.py:temperature_sample). sqrt is correctly
+    rounded IEEE so the whole chain is bit-exact cross-engine."""
+    from graphsense_blocksci_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(
+        docs, stratum_col="lang", key_col="doc_id", temperature=2.0,
+        budget_frac=0.5,
+    )
+
+
 def q108_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: linear classifier over
     feature-hashed token counts with derivation-defined integer
@@ -2896,6 +2912,7 @@ QUERIES: dict[str, QueryFn] = {
     # -- round-4 additions past the window: lead the r5 rotation -------
     "q107_bm25_topk": q107_bm25_topk,
     "q108_quality_classifier": q108_quality_classifier,
+    "q109_temperature_sample": q109_temperature_sample,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5031,6 +5048,37 @@ SELECT media_id,
        CAST(list_sum(list_transform(string_split(r, ''), x -> ascii(x)))
             AS BIGINT) AS px_sum
 FROM raster
+""",
+    "q109_temperature_sample": r"""
+WITH counts AS (
+    SELECT lang AS g, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM counts),
+weighted AS (
+    SELECT g,
+           CAST(c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) AS share,
+           sqrt(CAST(c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)) AS w
+    FROM counts
+),
+z AS (
+    SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(list_sort(list({'g': g, 'w': w})),
+                                  x -> x.w)),
+               (a, b) -> a + b) AS z
+    FROM weighted
+),
+rates AS (
+    SELECT g, share,
+           least(CAST(1.0 AS DOUBLE),
+                 (0.5 * (w / (SELECT z FROM z))) / share) AS rate
+    FROM weighted
+)
+SELECT d.doc_id, d.lang, r.share, r.rate,
+       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+            AS DOUBLE) < r.rate * 268435456.0 AS keep
+FROM documents d JOIN rates r ON d.lang = r.g
 """,
     "q108_quality_classifier": r"""
 WITH norm AS (

@@ -853,3 +853,45 @@ def test_quality_classifier_matches_python_model(spark):
             b = h28(t) % QUALITY_CLF_DIM
             logit += (h28(f"w#{b}") % (2 * QUALITY_CLF_WRANGE + 1)) - QUALITY_CLF_WRANGE
         assert got[doc_id] == (len(toks), logit, logit / 1000.0, logit >= 0), doc_id
+
+
+def test_temperature_sample_flattens_head(spark):
+    """Temperature sampling over-represents low-resource strata: the
+    rare stratum's rate exceeds the common one's, values match a
+    Python re-derivation, and non-power-of-two temperatures raise."""
+    import hashlib
+    import math
+
+    from graphsense_blocksci_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(
+        df, stratum_col="lang", key_col="doc_id", temperature=2.0,
+        budget_frac=0.5,
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], r)
+    assert by_lang["small"]["rate"] > by_lang["big"]["rate"]
+
+    # python re-derivation (same op order)
+    shares = {"big": 90 / 100, "small": 10 / 100}
+    w = {g: math.sqrt(s) for g, s in shares.items()}
+    zsum = 0.0
+    for g in sorted(w):
+        zsum = zsum + w[g]
+    for g, s in shares.items():
+        rate = min(1.0, (0.5 * (w[g] / zsum)) / s)
+        assert by_lang[g]["rate"] == rate
+        assert by_lang[g]["share"] == s
+    # keep bit matches the hash rule
+    for r in out:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:7], 16)
+        assert r["keep"] == (h < r["rate"] * 268435456.0)
+    # sampled mass lands near the budget (hash uniformity, 100 rows)
+    kept = sum(1 for r in out if r["keep"])
+    assert 25 <= kept <= 75
+
+    with pytest.raises(ValueError, match="power of two"):
+        temperature_sample(df, "lang", "doc_id", temperature=3.0)
