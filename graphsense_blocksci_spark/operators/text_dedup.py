@@ -345,12 +345,24 @@ def substring_dedup(
             .alias("_h"),
         )
     )
-    dup_h = (
-        occ.groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
-    )
+    if min_docs == 2:
+        # "seen in >= 2 distinct docs" ⇔ min(id) != max(id): O(1)
+        # aggregation state per hash (vs a distinct-set), fully
+        # map-side combinable — the difference between a bounded and an
+        # unbounded reducer on boilerplate-hot hashes
+        dup_h = (
+            occ.groupBy("_h")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("_h")
+        )
+    else:
+        dup_h = (
+            occ.groupBy("_h")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_h")
+        )
     dup_pos = occ.join(dup_h, "_h").select(id_col, "p")
     w = Window.partitionBy(id_col).orderBy("p")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
