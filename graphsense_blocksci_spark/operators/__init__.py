@@ -16,6 +16,7 @@ from graphsense_blocksci_spark.operators.text_dedup import (
     minhash_lsh_pairs,
     simhash,
     ngram_jaccard_pairs,
+    substring_dedup,
 )
 from graphsense_blocksci_spark.operators.skew import salted_agg, salted_join
 from graphsense_blocksci_spark.operators.similarity import (
@@ -27,11 +28,19 @@ from graphsense_blocksci_spark.operators.similarity import (
     embedding_neardup_gemm,
 )
 from graphsense_blocksci_spark.operators.text_analysis import (
+    bpe_encode,
     bpe_token_count,
     text_stats,
+    quality_classifier,
     quality_score,
     language_id,
     doc_fingerprint,
+)
+from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+from graphsense_blocksci_spark.operators.sampling import (
+    hash_sample,
+    temperature_sample,
+    train_test_split,
 )
 from graphsense_blocksci_spark.operators.multimodal import (
     attach_payload,
@@ -46,14 +55,21 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "substring_dedup",
+    "bm25_topk",
+    "hash_sample",
+    "temperature_sample",
+    "train_test_split",
     "cosine_topk_bruteforce",
     "cosine_topk_gemm",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "embedding_neardup",
     "embedding_neardup_gemm",
+    "bpe_encode",
     "bpe_token_count",
     "text_stats",
+    "quality_classifier",
     "quality_score",
     "language_id",
     "doc_fingerprint",

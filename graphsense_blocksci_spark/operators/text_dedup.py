@@ -1,6 +1,6 @@
 """Text deduplication at training-data-pipeline scale.
 
-Four operators over a `documents(doc_id, text, ...)` table:
+Operators over a `documents(doc_id, text, ...)` table:
 
 - ``exact_dedup``        — content-hash groupBy; the canonical first pass.
 - ``minhash_signatures`` — per-doc minhash signature (pure projection).
@@ -9,6 +9,11 @@ Four operators over a `documents(doc_id, text, ...)` table:
 - ``simhash``            — 32-bit simhash per doc (pure projection).
 - ``ngram_jaccard_pairs``— exact shingle-set Jaccard, evaluated only on
   LSH candidates (the verify step of the candidate/verify pattern).
+- ``substring_dedup``    — substring-level exact dedup (Lee et al. 2022
+  ExactSubstr): char-k-gram position hashes → cross-doc repeats →
+  per-doc maximal duplicated spans.
+- ``decontaminate``      — n-gram-overlap benchmark decontamination
+  against a broadcast eval shingle set.
 
 Scale notes (the part that must survive 100 TB):
 - exact dedup shuffles once on a 128-bit content hash — uniformly
