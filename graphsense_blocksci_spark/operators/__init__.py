@@ -37,6 +37,12 @@ from graphsense_blocksci_spark.operators.text_analysis import (
     doc_fingerprint,
 )
 from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+from graphsense_blocksci_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_lloyd,
+    seed_centroids,
+    semdedup,
+)
 from graphsense_blocksci_spark.operators.sampling import (
     hash_sample,
     temperature_sample,
@@ -57,6 +63,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "substring_dedup",
     "bm25_topk",
+    "kmeans_assign",
+    "kmeans_lloyd",
+    "seed_centroids",
+    "semdedup",
     "hash_sample",
     "temperature_sample",
     "train_test_split",

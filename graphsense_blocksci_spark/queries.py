@@ -2850,6 +2850,52 @@ def q105_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(docs, k=50)
 
 
+def q110_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means E-step with deterministic seed centroids
+    (the k=10 smallest vec_ids): nearest centroid per embedding by
+    fixed-order squared-L2 fold, ties to the smaller cid
+    (operators/clustering.py:kmeans_assign). Centroid side is k·dim
+    doubles and broadcast; assignment is one corpus scan, no shuffle.
+    Cell-exact: the oracle re-derives the identical left-associated
+    (e[i]-c[i])^2 sums."""
+    from graphsense_blocksci_spark.operators.clustering import (
+        kmeans_assign,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, seed_centroids(emb, k=10))
+
+
+def q111_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five Lloyd iterations from the deterministic seed
+    (operators/clustering.py:kmeans_lloyd): broadcast E-step + one
+    groupBy(cluster) M-step per round (dim fixed-width avg columns,
+    map-side partials, no explode), bounded k×dim centroid collect
+    between rounds. M-step float sums are unordered -> rows-only
+    driver check; numpy parity at 1e-9 is pytest-gated
+    (tests/test_clustering.py)."""
+    from graphsense_blocksci_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=10, n_iter=5)
+
+
+def q112_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic pruning: deterministic
+    E-step clustering, then within each cluster drop every vector
+    with a smaller-id twin at cosine >= 0.35
+    (operators/clustering.py:semdedup). Pairing cost is sum of
+    squared CLUSTER sizes, never corpus² — the paper's scale
+    argument; deterministic end-to-end so the whole composition is
+    cell-exact oracle-able, unlike banded-LSH near-dup (q46) which
+    trades determinism of candidate recall for hash locality."""
+    from graphsense_blocksci_spark.operators.clustering import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=10, threshold=0.35)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -2913,6 +2959,9 @@ QUERIES: dict[str, QueryFn] = {
     "q107_bm25_topk": q107_bm25_topk,
     "q108_quality_classifier": q108_quality_classifier,
     "q109_temperature_sample": q109_temperature_sample,
+    "q110_kmeans_assign": q110_kmeans_assign,
+    "q111_kmeans_lloyd": q111_kmeans_lloyd,
+    "q112_semdedup": q112_semdedup,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -3097,6 +3146,74 @@ def _dot64(a: str, b: str) -> str:
     """Unrolled 64-term dot product — left-associated additions match
     Spark's sequential aggregate fold bit-for-bit."""
     return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, 65))
+
+
+def _distsq64(a: str, b: str) -> str:
+    """Unrolled 64-term squared-L2 — left-associated additions match
+    the Spark `dist_sq` fold (clustering.py) bit-for-bit."""
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, 65)
+    )
+
+
+def _kmeans_assign_sql(k: int = 10) -> str:
+    """Mirror of operators.clustering.kmeans_assign with the
+    deterministic smallest-id seed centroids: identical fold order,
+    identical (dist asc, cid asc) argmin tie-break."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k}),
+d AS (
+    SELECT a.vec_id, c.cid, ({_distsq64('a.e', 'c.ce')}) AS dist_sq
+    FROM v a CROSS JOIN c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist_sq
+FROM d
+QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY dist_sq ASC, cid ASC) = 1
+"""
+
+
+def _semdedup_sql(k: int = 10, threshold: float = 0.35) -> str:
+    """Mirror of operators.clustering.semdedup: deterministic E-step
+    assignment, unit-vector normalize-then-fold cosine on same-cluster
+    (smaller-id, larger-id) pairs, drop the larger id at
+    cos >= threshold."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k}),
+d AS (
+    SELECT a.vec_id, c.cid, ({_distsq64('a.e', 'c.ce')}) AS dist_sq
+    FROM v a CROSS JOIN c
+),
+asg AS (
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+    FROM d
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist_sq ASC, cid ASC) = 1
+),
+n AS (
+    SELECT vec_id,
+           list_transform(e, x -> x / sqrt({_dot64('e', 'e')})) AS u
+    FROM v
+),
+m AS (SELECT n.vec_id, u, cluster_id FROM n JOIN asg USING (vec_id)),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM m a JOIN m b
+      ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+    WHERE ({_dot64('a.u', 'b.u')}) >= {threshold!r}
+)
+SELECT asg.vec_id, cluster_id,
+       (dropped.vec_id IS NULL) AS keep
+FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+"""
 
 
 def _knn_bruteforce_sql(k: int = 3) -> str:
@@ -5270,6 +5387,8 @@ SELECT d.doc_id,
             ELSE 0.0 END AS tokens_per_word
 FROM documents d LEFT JOIN per USING (doc_id)
 """,
+    "q110_kmeans_assign": _kmeans_assign_sql(10),
+    "q112_semdedup": _semdedup_sql(10, 0.35),
     "q105_substring_dedup": r"""
 WITH norm AS (
     SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
