@@ -37,6 +37,9 @@ from graphsense_blocksci_spark.operators.text_analysis import (
     doc_fingerprint,
 )
 from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+from graphsense_blocksci_spark.operators.chunking import chunk_documents
+from graphsense_blocksci_spark.operators.cooccurrence import pmi_pairs
+from graphsense_blocksci_spark.operators.redaction import redact_pii
 from graphsense_blocksci_spark.operators.clustering import (
     kmeans_assign,
     kmeans_lloyd,
@@ -63,6 +66,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "substring_dedup",
     "bm25_topk",
+    "chunk_documents",
+    "pmi_pairs",
+    "redact_pii",
     "kmeans_assign",
     "kmeans_lloyd",
     "seed_centroids",
