@@ -61,6 +61,34 @@ def dist_sq(a: Column, b: Column) -> Column:
     )
 
 
+def _centroid_array(
+    centroids: DataFrame, cid_col: str = "cid", cvec_col: str = "ce"
+) -> DataFrame:
+    """Collapse (cid, ce) to a single-row array frame for broadcast."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("ce"))
+        ).alias("_cs")
+    )
+
+
+def _argmin_struct(cs: Column, e: Column) -> Column:
+    """Nearest-centroid (dist_sq, cid) struct: array_sort's struct
+    ordering IS the (dist asc, cid asc) tie-break."""
+    return F.element_at(
+        F.array_sort(
+            F.transform(
+                cs,
+                lambda c: F.struct(
+                    dist_sq(e, c["ce"]).alias("dist_sq"),
+                    c["cid"].cast("long").alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )
+
+
 def kmeans_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -72,31 +100,26 @@ def kmeans_assign(
     """E-step: nearest centroid per vector (ties -> smallest cid).
 
     `centroids` is (cid, ce) with ce already double-typed. The
-    centroid frame is broadcast (k·dim doubles); assignment is a
-    crossJoin + fold + single-partition-by-vector argmin window — a
-    per-row computation with no corpus shuffle beyond the window's
-    hash on the (unique) vector id, which collapses to a local sort
-    when the scan is already id-partitioned.
+    centroid frame is collapsed to ONE array row (k·dim doubles) and
+    broadcast; the argmin is then a per-row `array_sort` over
+    (dist_sq, cid) structs — struct ordering IS the (dist asc, cid
+    asc) tie-break — so assignment is a ZERO-SHUFFLE projection over
+    the corpus scan: no per-vector window, no exchange, nothing that
+    grows with corpus size except the scan itself.
     """
-    scored = vectors.select(
-        F.col(id_col).cast("long").alias(id_col),
-        _as_double(F.col(vec_col)).alias("_e"),
-    ).crossJoin(F.broadcast(centroids.select(cid_col, cvec_col)))
-    scored = scored.select(
-        id_col,
-        F.col(cid_col),
-        dist_sq(F.col("_e"), F.col(cvec_col)).alias("dist_sq"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("dist_sq").asc(), F.col(cid_col).asc()
-    )
+    carr = _centroid_array(centroids, cid_col, cvec_col)
+    best = _argmin_struct(F.col("_cs"), F.col("_e"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        vectors.select(
+            F.col(id_col).cast("long").alias(id_col),
+            _as_double(F.col(vec_col)).alias("_e"),
+        )
+        .crossJoin(F.broadcast(carr))
+        .select(id_col, best.alias("_best"))
         .select(
             id_col,
-            F.col(cid_col).cast("long").alias("cluster_id"),
-            "dist_sq",
+            F.col("_best.cid").alias("cluster_id"),
+            F.col("_best.dist_sq").alias("dist_sq"),
         )
     )
 
@@ -159,8 +182,14 @@ def kmeans_lloyd(
         cdf = spark.createDataFrame(
             [(cid, ce) for cid, ce in cents], "cid long, ce array<double>"
         )
-        assign = kmeans_assign(v, cdf, id_col=id_col, vec_col="_e").join(
-            v, id_col
+        # assignment + vector in one projection: the only shuffle per
+        # iteration is the k-row M-step aggregate itself
+        assign = v.crossJoin(F.broadcast(_centroid_array(cdf))).select(
+            id_col,
+            _argmin_struct(F.col("_cs"), F.col("_e"))["cid"].alias(
+                "cluster_id"
+            ),
+            "_e",
         )
         means = assign.groupBy("cluster_id").agg(
             *[F.avg(F.col("_e")[i]).alias(f"m{i}") for i in range(dim)]
@@ -199,12 +228,25 @@ def semdedup(
 
     Output: (vec_id, cluster_id, keep) for every input vector.
     """
-    cents = seed_centroids(vectors, k, id_col, vec_col)
-    assign = kmeans_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
-    u = vectors.select(
-        F.col(id_col).cast("long").alias(id_col),
-        unit_vector(F.col(vec_col)).alias("_uv"),
-    ).join(assign.select(id_col, "cluster_id"), id_col)
+    carr = _centroid_array(seed_centroids(vectors, k, id_col, vec_col))
+    # Assignment AND unit vector in ONE zero-shuffle projection — no
+    # id-join to reattach vectors to their cluster labels.
+    u = (
+        vectors.select(
+            F.col(id_col).cast("long").alias(id_col),
+            _as_double(F.col(vec_col)).alias("_e"),
+            unit_vector(F.col(vec_col)).alias("_uv"),
+        )
+        .crossJoin(F.broadcast(carr))
+        .select(
+            id_col,
+            _argmin_struct(F.col("_cs"), F.col("_e"))["cid"].alias(
+                "cluster_id"
+            ),
+            "_uv",
+        )
+    )
+    assign = u.select(id_col, "cluster_id")
     paired = u
     if max_cluster is not None:
         wc = Window.partitionBy("cluster_id")
