@@ -67,6 +67,14 @@ BENCH_QUERIES = [
     "qd22_fiat_conversion",
     "q84_pagerank",
     "q107_bm25_topk",
+    "q108_quality_classifier",
+    "q109_temperature_sample",
+    "q110_kmeans_assign",
+    "q111_kmeans_lloyd",
+    "q112_semdedup",
+    "q113_chunking",
+    "q114_pii_redaction",
+    "q115_pmi_collocations",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

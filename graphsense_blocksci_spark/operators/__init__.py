@@ -53,6 +53,7 @@ from graphsense_blocksci_spark.operators.sampling import (
 )
 from graphsense_blocksci_spark.operators.multimodal import (
     attach_payload,
+    decode_audio,
     extract_features,
     frame_sample,
     resize_image,
@@ -90,6 +91,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "attach_payload",
+    "decode_audio",
     "extract_features",
     "frame_sample",
     "resize_image",

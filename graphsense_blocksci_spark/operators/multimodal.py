@@ -359,3 +359,106 @@ def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
             )
 
     return media.mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def _parse_wav(buf: bytes):
+    """RIFF/WAVE PCM16 → (sample_rate, channels, int16 ndarray).
+    Pure numpy + chunk walk — no audio library. Returns None for
+    anything that is not a well-formed little-endian PCM16 WAV
+    (wrong magic, truncated chunk, non-PCM format, odd data size)."""
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or bits != 16 or channels < 1 or rate <= 0:
+        return None
+    if len(data) % 2 != 0:
+        return None
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode over binary payloads, Arrow-batched.
+
+    Little-endian PCM16 RIFF/WAVE decodes natively via the numpy
+    chunk-walker above; statistics are exact integers (abs_sum is an
+    int64 sum of |sample|, peak the max |sample|), so the output is
+    deterministic and engine-portable. Unparseable / non-PCM payloads
+    return decode_ok=false instead of failing the batch — at 100 TB a
+    poison payload must never kill the stage. Same plumbing contract
+    as decode_image: metadata stays JVM-side, only payload bytes cross
+    into Python, Arrow-batched per partition.
+    """
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_wav(bytes(p)) if p is not None else None
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "decode_ok": False,
+                            "sample_rate": None,
+                            "n_channels": None,
+                            "n_samples": None,
+                            "abs_sum": None,
+                            "peak": None,
+                        }
+                    )
+                    continue
+                rate, channels, samples = parsed
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "decode_ok": True,
+                        "sample_rate": rate,
+                        "n_channels": channels,
+                        "n_samples": len(samples),
+                        "abs_sum": int(
+                            np.abs(samples.astype("int64")).sum()
+                        ),
+                        "peak": int(np.abs(samples.astype("int64")).max())
+                        if len(samples)
+                        else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=AUDIO_SCHEMA)

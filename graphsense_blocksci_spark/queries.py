@@ -2957,6 +2957,66 @@ def q115_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(docs, window=3, min_count=5)
 
 
+def q116_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document's tiled text bytes
+    become the high bytes of 120 little-endian PCM16 samples
+    (sample = (byte-128)*256, so the low byte is 0x00 and the high
+    byte is byte XOR 128 — assembled JVM-side as a hex string and
+    unhex'd behind a constant RIFF/WAVE header), decoded by the numpy
+    chunk-walker (operators/multimodal.py:decode_audio) in Arrow
+    batches, yielding exact integer |sample| sums and peaks. The
+    oracle re-derives both as 256*|code-128| over the same tiled
+    text; both sides filter to non-empty pure-ASCII docs so byte ==
+    code point holds by construction. Parser + poison payloads are
+    pytest-pinned against hand-built WAVs."""
+    import struct
+
+    from graphsense_blocksci_spark.operators.multimodal import decode_audio
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    n = 120
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 2 * n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 2 * n)
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    tiled = F.substring(
+        F.repeat(
+            F.col("text"),
+            F.floor(F.lit(n) / F.length("text")).cast("int") + 1,
+        ),
+        1,
+        n,
+    )
+    sample_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.split(tiled, ""),
+            lambda c: F.concat(
+                F.lit("00"),
+                F.lpad(F.hex(F.ascii(c).bitwiseXOR(F.lit(128))), 2, "0"),
+            ),
+        ),
+    )
+    media = spread(docs).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(F.lit(header), F.unhex(sample_hex)).alias("payload"),
+    )
+    return decode_audio(media).filter(F.col("decode_ok")).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "abs_sum", "peak"
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3026,6 +3086,7 @@ QUERIES: dict[str, QueryFn] = {
     "q113_chunking": q113_chunking,
     "q114_pii_redaction": q114_pii_redaction,
     "q115_pmi_collocations": q115_pmi_collocations,
+    "q116_wav_decode": q116_wav_decode,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5453,6 +5514,28 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """,
     "q110_kmeans_assign": _kmeans_assign_sql(10),
     "q112_semdedup": _semdedup_sql(10, 0.35),
+    "q116_wav_decode": r"""
+WITH tiled AS (
+    SELECT doc_id AS media_id,
+           substring(
+               repeat(text, CAST(floor(120.0 / len(text)) AS INT) + 1),
+               1, 120
+           ) AS t
+    FROM documents
+    WHERE len(text) > 0 AND len(text) = octet_length(encode(text))
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(120 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(
+           string_split(t, ''), x -> abs(ascii(x) - 128) * 256))
+           AS BIGINT) AS abs_sum,
+       CAST(list_max(list_transform(
+           string_split(t, ''), x -> abs(ascii(x) - 128) * 256))
+           AS INTEGER) AS peak
+FROM tiled
+""",
     "q113_chunking": r"""
 WITH norm AS (
     SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
