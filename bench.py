@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q113_chunking",
     "q114_pii_redaction",
     "q115_pmi_collocations",
+    "q116_wav_decode",
 ]
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last

@@ -46,7 +46,9 @@ from graphsense_blocksci_spark.operators.clustering import (
     seed_centroids,
     semdedup,
 )
+from graphsense_blocksci_spark.operators.batching import plan_batches
 from graphsense_blocksci_spark.operators.sampling import (
+    group_capped_sample,
     hash_sample,
     temperature_sample,
     train_test_split,
@@ -74,6 +76,8 @@ __all__ = [
     "kmeans_lloyd",
     "seed_centroids",
     "semdedup",
+    "group_capped_sample",
+    "plan_batches",
     "hash_sample",
     "temperature_sample",
     "train_test_split",

@@ -24,7 +24,7 @@ is part of the beyond-reference LLM-pipeline brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BASIS = 10_000  # rate resolution: 0.01%
@@ -164,4 +164,33 @@ def temperature_sample(
             F.col("_rate").alias("rate"),
             (h < F.col("_rate") * F.lit(268435456.0)).alias("keep"),
         )
+    )
+
+
+def group_capped_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Exact-k-per-group deterministic sample (the per-source cap of a
+    training-data mix): within each group keep the k rows with the
+    smallest md5(key) — a uniform draw that is reproducible across
+    runs, retries, and engines, unlike reservoir sampling over a
+    nondeterministic scan order. Ties (impossible for distinct keys,
+    md5 is injective on the fixture domain) break on the key itself.
+
+    Appends `sample_rank` (1-based position in the group's hash
+    order). One shuffle on the group key; a pathologically hot group
+    pays its own sort — for skewed groups pre-aggregate with a
+    two-level cap (salt -> per-salt top-k -> re-top-k), the same
+    pattern as salted_agg, which preserves exactness because top-k of
+    per-salt top-k's IS the global top-k."""
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
     )

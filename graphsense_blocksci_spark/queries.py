@@ -3017,6 +3017,54 @@ def q116_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_group_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group deterministic sample (per-source cap of a
+    training mix): 40 docs per lang by smallest md5(doc_id)
+    (operators/sampling.py:group_capped_sample) — reproducible across
+    runs/retries/engines where reservoir sampling is not. One shuffle
+    on the group key; skew disposition in the operator docstring."""
+    from graphsense_blocksci_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return group_capped_sample(docs, group_col="lang", k=40, key_col="doc_id")
+
+
+def q118_batch_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic-batch planning
+    (operators/batching.py:plan_batches): fixed integer length
+    buckets (NOT a global ntile — that's a single-partition sort),
+    deterministic in-bucket order, batch_size slices, per-batch
+    padding-waste accounting. All integers -> cell-exact."""
+    from graphsense_blocksci_spark.operators.batching import plan_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return plan_batches(docs, bucket_width=16, batch_size=8)
+
+
+def q119_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword
+    heuristic's prediction vs the labeled lang column — the
+    eval-harness face of q33 (zh has no stopword profile, so its row
+    pins the 'und' fallback). Integer counts; the prediction CTE is
+    the q33 oracle verbatim."""
+    from graphsense_blocksci_spark.operators.text_analysis import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    labeled = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return (
+        labeled.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3087,6 +3135,9 @@ QUERIES: dict[str, QueryFn] = {
     "q114_pii_redaction": q114_pii_redaction,
     "q115_pmi_collocations": q115_pmi_collocations,
     "q116_wav_decode": q116_wav_decode,
+    "q117_group_capped_sample": q117_group_capped_sample,
+    "q118_batch_planning": q118_batch_planning,
+    "q119_language_confusion": q119_language_confusion,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5514,6 +5565,47 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """,
     "q110_kmeans_assign": _kmeans_assign_sql(10),
     "q112_semdedup": _semdedup_sql(10, 0.35),
+    "q117_group_capped_sample": """
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 40
+""",
+    "q118_batch_planning": r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+pd AS (
+    SELECT doc_id, len(toks) AS n_tokens FROM tok WHERE len(toks) > 0
+),
+sl AS (
+    SELECT n_tokens, n_tokens // 16 AS bucket,
+           (row_number() OVER (
+               PARTITION BY n_tokens // 16
+               ORDER BY n_tokens ASC, doc_id ASC
+           ) - 1) // 8 AS batch_id
+    FROM pd
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       count(*) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+           AS padding_waste
+FROM sl GROUP BY 1, 2
+""",
     "q116_wav_decode": r"""
 WITH tiled AS (
     SELECT doc_id AS media_id,
@@ -5732,3 +5824,13 @@ FROM agg
 QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
 """,
 }
+
+# q119 nests the ENTIRE q33 oracle as its prediction CTE — the
+# confusion matrix is evaluated against the exact same heuristic
+# derivation the q33 gate already pins, never a re-implementation.
+ORACLE_SQL["q119_language_confusion"] = f"""
+WITH pred AS ({ORACLE_SQL["q33_language_id"]})
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
