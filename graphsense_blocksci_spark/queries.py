@@ -3065,6 +3065,61 @@ def q119_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd23_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The object-storage ingestion face of the multimodal stack: the
+    SAME P6 payloads q102 builds are materialized as real .pbm files,
+    read back through Spark's built-in `binaryFile` source (path /
+    length / content columns, pathGlobFilter pushdown), the media id
+    recovered from the file path, and the bytes decoded by the numpy
+    NetPBM parser. Output ≡ q102, so the q102 oracle verifies the
+    whole file round-trip cell-exactly. The driver-side fixture write
+    is setup (bounded at gate scale), not the operator: a production
+    run points binaryFile at an object-store prefix directly."""
+    import tempfile
+
+    from graphsense_blocksci_spark.operators.multimodal import decode_image
+
+    w, h = 8, 6
+    need = w * h * 3
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    raster_txt = F.substring(
+        F.repeat(
+            F.col("text"),
+            F.floor(F.lit(need) / F.length("text")).cast("int") + 1,
+        ),
+        1,
+        need,
+    )
+    payloads = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(
+            F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "utf-8"),
+            F.encode(raster_txt, "utf-8"),
+        ).alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_pbm_")
+    for r in payloads.collect():  # fixture setup, gate-scale bounded
+        with open(f"{work}/m{r['media_id']}.pbm", "wb") as f:
+            f.write(bytes(r["payload"]))
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pbm")
+        .load(work)
+        .select(
+            F.regexp_extract(F.col("path"), r"m(\d+)\.pbm$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return decode_image(media).filter(F.col("decode_ok")).select(
+        "media_id", "width", "height", "channels", "n_pixels", "px_sum"
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3138,6 +3193,7 @@ QUERIES: dict[str, QueryFn] = {
     "q117_group_capped_sample": q117_group_capped_sample,
     "q118_batch_planning": q118_batch_planning,
     "q119_language_confusion": q119_language_confusion,
+    "qd23_binary_files": qd23_binary_files,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5834,3 +5890,7 @@ SELECT d.lang, p.lang_pred, count(*) AS n_docs
 FROM documents d JOIN pred p ON d.doc_id = p.doc_id
 GROUP BY 1, 2
 """
+
+# qd23 emits exactly q102's rows — the binaryFile round-trip must be
+# invisible to the decode — so it shares the q102 oracle verbatim.
+ORACLE_SQL["qd23_binary_files"] = ORACLE_SQL["q102_netpbm_decode"]
