@@ -346,6 +346,77 @@ def label_propagation(
     return labels
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list. Returns
+    ``(node, n_triangles)``, both LONG, one row per node that closes at
+    least one triangle.
+
+    Algorithm: degree-ordered edge orientation + wedge join (the
+    MapReduce-standard formulation, Suri & Vassilvitskii WWW'11
+    "Counting Triangles and the Curse of the Last Reducer"). Every
+    undirected edge is directed from the lower-ranked endpoint to the
+    higher, where rank = degree * 2^32 + node_id (the id term makes
+    the total order deterministic and oracle-reproducible without a
+    global row_number — no single-partition window anywhere). Wedges
+    are the self-join of oriented edges on their source; a wedge
+    (v, w) closes iff the oriented edge (v, w) exists (semi-join-shaped
+    inner join back against the edge set).
+
+    Why orientation matters at 100 TB: an unoriented wedge join
+    explodes a degree-d hub into d² wedge rows. Ordering by degree
+    caps every node's oriented out-degree at O(sqrt(|E|)), so the
+    wedge count — the only super-linear intermediate — is bounded by
+    Σ out_deg² = O(|E|^1.5) worst-case and far less on real graphs,
+    with the heaviest hubs contributing wedges on their LOW-degree
+    side only. Three shuffles total: degree agg, wedge join, closing
+    join; the per-corner explode to per-node counts is a map-side
+    explode + one count agg.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("u"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    rank = deg.select(
+        F.col("u").alias("node"),
+        (F.col("_deg") * F.lit(1 << 32) + F.col("u")).alias("_rank"),
+    )
+    ranked = (
+        und.join(rank.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("_rank", "_ru")
+        .join(
+            rank.select(F.col("node").alias("v"), F.col("_rank").alias("_rv")),
+            "v",
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("_ru") < F.col("_rv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(F.col("_ru") < F.col("_rv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.least("_ru", "_rv").alias("_ra"),
+        F.greatest("_ru", "_rv").alias("_rb"),
+    )
+    e1 = oriented.select("a", F.col("b").alias("w1"), F.col("_rb").alias("_r1"))
+    e2 = oriented.select("a", F.col("b").alias("w2"), F.col("_rb").alias("_r2"))
+    wedges = e1.join(e2, "a").filter(F.col("_r1") < F.col("_r2"))
+    closing = oriented.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tris = wedges.join(closing, ["w1", "w2"]).select(
+        F.col("a").alias("x"), F.col("w1").alias("y"), F.col("w2").alias("z")
+    )
+    corners = (
+        tris.select(F.col("x").alias("node"))
+        .union(tris.select(F.col("y").alias("node")))
+        .union(tris.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def cluster_sizes(components: DataFrame) -> DataFrame:
     """Entity sizes: one row per component with its member count."""
     return components.groupBy("component").agg(

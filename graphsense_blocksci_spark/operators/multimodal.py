@@ -255,6 +255,133 @@ def resize_netpbm(
     return media.mapInPandas(_batches, schema=schema)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over NetPBM payloads — the
+    image-side analog of the text near-dup fingerprints: decode, sum
+    channels to an integer gray raster, nearest-neighbor resize to
+    (hash_w+1) × hash_h (the same floor(i*src/dst) index mapping as
+    `resize_netpbm`, bit-deterministic, no interpolation floats), then
+    one bit per cell: gray[r,c] > gray[r,c+1], packed row-major into a
+    64-bit integer. Identical-looking images (crops/rescales of the
+    same source) collide on dhash, so exact dedup of perceptual
+    duplicates is a plain hash groupBy downstream — no pairwise
+    comparison. Poison payloads degrade to decode_ok=false.
+
+    Gray = channel SUM (not mean): exact integer, order-preserving for
+    equal-channel-count corpora, and division-free so the SQL oracle
+    reproduces every bit.
+    """
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_netpbm(bytes(p)) if p is not None else None
+                if parsed is None:
+                    rows.append(
+                        {"media_id": mid, "decode_ok": False, "dhash": None}
+                    )
+                    continue
+                w, h, _c, arr = parsed
+                gray = arr.astype("int64").sum(axis=2)
+                yi = (np.arange(hash_h) * h) // hash_h
+                xi = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                g = gray[yi][:, xi]
+                bits = (g[:, :-1] > g[:, 1:]).astype("int64")
+                weights = 1 << (
+                    np.arange(hash_h * hash_w, dtype="int64").reshape(
+                        hash_h, hash_w
+                    )
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "decode_ok": True,
+                        "dhash": int((bits * weights).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("sq_sum", T.LongType(), False),
+        T.StructField("n_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_frame_features(media: DataFrame, frame_size: int = 30) -> DataFrame:
+    """Frame-wise audio features over PCM16 WAV payloads: one output
+    row per FULL frame of ``frame_size`` samples with the frame's
+    exact integer energy (sum of squared samples — RMS without the
+    final float sqrt, so the value is engine-portable) and its
+    zero-crossing count (adjacent sign changes WITHIN the frame, sign
+    as `sample < 0`). The trailing partial frame is dropped — standard
+    STFT framing. Multi-channel payloads interleave; the fixture path
+    is mono. Undecodable payloads emit no rows (the decode_ok=false
+    row-per-payload contract lives on `decode_audio`; a feature
+    extractor's non-rows are its degrade path).
+
+    This is the vectorized-frame pattern: reshape → per-axis
+    reductions in numpy per Arrow batch, rows out. A video
+    frame-featurizer has the same shape with `frame_sample` offsets.
+    """
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            mids, fidx, sq, zc = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_wav(bytes(p)) if p is not None else None
+                if parsed is None:
+                    continue
+                _rate, _ch, samples = parsed
+                nf = len(samples) // frame_size
+                if nf == 0:
+                    continue
+                s = samples[: nf * frame_size].astype("int64").reshape(
+                    nf, frame_size
+                )
+                neg = s < 0
+                mids.extend([mid] * nf)
+                fidx.extend(range(nf))
+                sq.extend((s * s).sum(axis=1).tolist())
+                zc.extend((neg[:, 1:] != neg[:, :-1]).sum(axis=1).tolist())
+            # explicit dtypes: an all-empty batch would otherwise yield
+            # object columns that Arrow can't map to the long schema
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": fidx,
+                    "sq_sum": sq,
+                    "n_crossings": zc,
+                }
+            ).astype("int64")
+
+    return media.mapInPandas(_batches, schema=AUDIO_FRAMES_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -1,0 +1,241 @@
+"""Bounded-memory sketch operators: frequent items and Bloom filters.
+
+Two candidate/verify compositions that turn classic streaming sketches
+into EXACT distributed answers — the same design as the LSH→verify
+dedup stack (operators/text_dedup.py): an approximate, tiny-state pass
+prunes the search space, then an exact pass over the survivors makes
+the final answer bit-deterministic and oracle-checkable.
+
+1. ``heavy_hitters`` — exact frequent items above a support threshold
+   without ever shuffling the full key space. Phase 1 runs a mergeable
+   Misra-Gries summary (Misra & Gries 1982; mergeability per Agarwal
+   et al., "Mergeable Summaries", PODS'12) per partition inside ONE
+   `mapInPandas` pass; the union of per-partition candidates provably
+   contains every key with global count > n/capacity (pigeonhole over
+   the per-partition error bounds), so with capacity ≥ 2/support the
+   candidate set is a superset of the true answer. Phase 2 recounts
+   ONLY the candidates (broadcast semi-join, map-side partial agg) and
+   applies the exact integer threshold. At 100 TB the full vocabulary
+   (billions of keys) never shuffles — only candidate-key rows do,
+   and the candidate set is ≤ n_partitions × capacity, driver-bounded.
+
+2. ``bloom_decontaminate`` — benchmark decontamination where the eval
+   shingle set rides as a Bloom BITMAP (2 bits/key here) instead of an
+   8-bytes/key broadcast hash set: ~30× smaller at equal eval size.
+   The bitmap is built DISTRIBUTED (per-word `bit_or` aggregation —
+   the hashes never leave the executors except as OR-folded words),
+   shipped as a constant array literal, probed JVM-side (element_at +
+   shiftright, whole-stage codegen), and Bloom false positives are
+   removed by an exact join against the eval hashes — which is now a
+   tiny shuffle because the Bloom pass already dropped ~99% of the
+   corpus. No false negatives by Bloom's one-sided-error construction,
+   so the result is bit-identical to the exact broadcast-join
+   decontamination (operators/text_dedup.py:decontaminate) and shares
+   its oracle shape.
+
+The reference has no sketch surface (its exporter defers analytics to
+Cassandra/BlockSci, blocksci_export.py:1); these are extension
+operators for the curation pipeline, same as the dedup/ANN stack.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MG_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType(), True),
+        T.StructField("partition_total", T.LongType(), True),
+    ]
+)
+
+
+def _mg_partition(capacity: int):
+    """One Misra-Gries summary per partition, merged across Arrow
+    batches with the PODS'12 merge rule: combine counters, then keep
+    the top-`capacity` by subtracting the (capacity+1)-th largest
+    count from everything (vectorized — value_counts + nlargest, no
+    per-row Python loop). Emits the surviving candidate items plus one
+    (NULL, n_p) row carrying the partition's total item count."""
+
+    def run(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        counts: "pd.Series | None" = None
+        total = 0
+        for pdf in it:
+            vc = pdf["item"].dropna().value_counts()
+            total += int(vc.sum())
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > capacity:
+                top = counts.nlargest(capacity + 1)
+                counts = (top - top.iloc[-1]).iloc[:-1]
+                counts = counts[counts > 0]
+        items = [] if counts is None else list(counts.index)
+        yield pd.DataFrame(
+            {
+                "item": items + [None],
+                "partition_total": [None] * len(items) + [total],
+            }
+        )
+
+    return run
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str = "item",
+    support_denominator: int = 512,
+    max_candidates: int = 1 << 20,
+) -> DataFrame:
+    """EXACT frequent items: every value of ``col`` whose count is
+    ≥ ceil(n / support_denominator) where n is the total row count —
+    computed without a full-vocabulary shuffle. Returns
+    ``(item, cnt)``, cnt LONG, exact.
+
+    The support threshold is kept as INTEGER arithmetic
+    (``(n + d - 1) // d``) so the oracle reproduces it with no float
+    rounding hazard. Misra-Gries capacity is 2×denominator, which
+    makes the phase-1 candidate union a guaranteed superset of the
+    answer for any data distribution (threshold ≥ ceil(n/d) > n/(2d)
+    = n/capacity whenever n > 0): the two-phase result is exact
+    always, not just with high probability.
+
+    ``max_candidates`` caps the driver-side candidate collect
+    (≤ n_partitions × capacity rows by construction); exceeding it
+    raises rather than silently degrading.
+    """
+    capacity = 2 * support_denominator
+    src = items.select(F.col(col).cast("string").alias("item"))
+    phase1 = src.mapInPandas(_mg_partition(capacity), schema=_MG_SCHEMA)
+    rows = phase1.collect()
+    total = sum(r["partition_total"] for r in rows if r["partition_total"] is not None)
+    cands = sorted({r["item"] for r in rows if r["item"] is not None})
+    if len(cands) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters candidate set {len(cands)} exceeds "
+            f"max_candidates={max_candidates}; raise the support "
+            "denominator or partition the keyspace first"
+        )
+    spark = items.sparkSession
+    if total == 0 or not cands:
+        return spark.createDataFrame([], "item string, cnt long")
+    threshold = (total + support_denominator - 1) // support_denominator
+    cand_df = spark.createDataFrame([(c,) for c in cands], "item string")
+    return (
+        src.join(F.broadcast(cand_df), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+    )
+
+
+def build_bloom_words(
+    hashes: DataFrame,
+    col: str,
+    n_bits: int,
+    n_hashes: int = 2,
+) -> dict[int, int]:
+    """Distributed Bloom-filter construction: probe positions are
+    Spark-side xxhash64(value, seed) folds, OR-folded into 64-bit words
+    by a per-word `bit_or` aggregate — only the (word_index, word)
+    pairs reach the driver (≤ n_bits/64 rows), never the key set.
+    Returns the sparse {word_index: word} dict. ``n_bits`` must be a
+    power of two so the modulo is a mask on both build and probe."""
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    pos = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(seed)), F.lit(n_bits))
+        for seed in range(n_hashes)
+    ]
+    exploded = hashes.select(
+        F.explode(F.array(*pos)).alias("bit")
+    ).select(
+        (F.col("bit") / 64).cast("long").alias("word_idx"),
+        # shiftleft() wants a literal shift amount; expr() lifts the
+        # per-row bit offset into the JVM expression directly
+        F.expr("shiftleft(1L, cast(pmod(bit, 64) as int))").alias("mask"),
+    )
+    words = exploded.groupBy("word_idx").agg(F.bit_or("mask").alias("word")).collect()
+    return {int(r["word_idx"]): int(r["word"]) for r in words}
+
+
+def bloom_member(col, words: list[int], n_bits: int, n_hashes: int = 2):
+    """JVM-side Bloom membership probe: k xxhash64 positions against a
+    constant array<long> literal — element_at + shiftright + bit-and,
+    all inside whole-stage codegen. `words` is the DENSE word list."""
+    lit = F.lit(words)
+    cond = None
+    for seed in range(n_hashes):
+        bit = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
+        word = F.element_at(lit, (bit / 64).cast("int") + 1)
+        hit = F.getbit(word, F.pmod(bit, F.lit(64))) == 1
+        cond = hit if cond is None else (cond & hit)
+    return cond
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits_per_key: int = 16,
+    n_hashes: int = 2,
+    max_bitmap_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Exact n-gram decontamination (same contract as
+    text_dedup.decontaminate: per training doc, the count of DISTINCT
+    shingle hashes shared with any eval doc) with a Bloom bitmap as
+    the scale vehicle instead of a broadcast hash set.
+
+    Plan: eval shingle hashes → distributed Bloom build (bit_or per
+    word, driver sees only words) → constant-folded bitmap literal →
+    JVM-side probe prunes the training shingle stream → exact inner
+    join of the SURVIVORS against the eval hashes removes Bloom false
+    positives (a tiny shuffle — the bitmap already dropped everything
+    else) → per-doc distinct count. One-sided error means zero false
+    negatives: output is bit-identical to the broadcast-join exact
+    path and shares its oracle.
+
+    ``max_bitmap_bytes`` bounds the literal (64 MB default ≈ 268M eval
+    shingles at 16 bits/key); past that the right move is partitioning
+    the eval space, and the guard raises with that advice.
+    """
+    from graphsense_blocksci_spark.operators.textops import (
+        shingle_hashes,
+        spread,
+    )
+
+    def hashes_of(docs: DataFrame) -> DataFrame:
+        return (
+            spread(docs)
+            .select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.explode(shingle_hashes(F.col(text_col))).alias("h"),
+            )
+            .distinct()
+        )
+
+    eh = hashes_of(eval_docs).select("h").distinct()
+    n_keys = eh.count()
+    n_bits = 64
+    while n_bits < max(64, n_keys * bits_per_key):
+        n_bits <<= 1
+    if n_bits // 8 > max_bitmap_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {n_bits // 8} bytes for {n_keys} eval "
+            f"shingles (cap {max_bitmap_bytes}); shard the eval set and "
+            "union the per-shard decontamination counts instead"
+        )
+    sparse = build_bloom_words(eh, "h", n_bits, n_hashes)
+    words = [sparse.get(i, 0) for i in range(n_bits // 64)]
+
+    th = hashes_of(train)
+    candidates = th.filter(bloom_member(F.col("h"), words, n_bits, n_hashes))
+    confirmed = candidates.join(eh, "h")  # exact false-positive removal
+    return confirmed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )

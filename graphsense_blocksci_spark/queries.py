@@ -3120,6 +3120,181 @@ def qd23_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-supplier graph (suppliers
+    co-occurring in one order are adjacent) — the clustering-coefficient
+    numerator, the standard graph statistic the entity-graph stack
+    (qd16/qd19) was missing. Degree-ordered orientation + wedge join
+    (Suri & Vassilvitskii WWW'11) bounds the only super-linear
+    intermediate; see operators/graph.py:triangle_count. Oracle:
+    DuckDB replays the identical orientation/wedge algebra."""
+    from graphsense_blocksci_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").cast("long").alias("s")
+    ).distinct()
+    b = a.select("k", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+def q121_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (count ≥ ceil(n/512)) via the two-phase
+    Misra-Gries candidate/recount plan (operators/sketches.py) — the
+    full vocabulary never shuffles, only MG candidates do. The
+    threshold is pure integer arithmetic ((n+511)//512), so the oracle
+    reproduces it with no float rounding hazard."""
+    from graphsense_blocksci_spark.operators.sketches import heavy_hitters
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(F.explode(tokens(F.col("text"))).alias("item"))
+    return heavy_hitters(toks, "item", support_denominator=512).select(
+        F.col("item").alias("token"), F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q122_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (q91 semantics, eval = every 7th doc)
+    with the eval shingle set carried as a Bloom BITMAP instead of a
+    broadcast hash set: distributed bit_or build, constant-folded
+    array literal, JVM-side probe, exact join on the survivors to
+    remove false positives (operators/sketches.py). One-sided error ⇒
+    output is bit-identical to the exact path, so the q91-shape oracle
+    verifies the whole Bloom pipeline cell-exactly."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 7 == 0
+    return bloom_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval)
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+    )
+
+
+def q123_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: each document's tiled text
+    bytes become an 18×16 binary-P5 image, decoded + NN-resized to
+    8×8 gray + difference-hashed by the numpy path
+    (operators/multimodal.py:image_dhash, 7 bits/row × 8 rows = 56
+    bits so the packed hash stays positive in both engines), and the
+    per-hash group size — the perceptual-duplicate count a dedup
+    keeper-pick runs on — is a window count over dhash. The oracle
+    re-derives every bit from the tiled text's code points through the
+    same floor(i·src/dst) sampling arithmetic; the 8×8 variant and
+    poison payloads are pytest-pinned."""
+    from graphsense_blocksci_spark.operators.multimodal import image_dhash
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    w, h = 18, 16
+    need = w * h
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    raster_txt = F.substring(
+        F.repeat(
+            F.col("text"),
+            F.floor(F.lit(need) / F.length("text")).cast("int") + 1,
+        ),
+        1,
+        need,
+    )
+    media = spread(docs).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(
+            F.encode(F.lit(f"P5\n{w} {h}\n255\n"), "utf-8"),
+            F.encode(raster_txt, "utf-8"),
+        ).alias("payload"),
+    )
+    hashed = image_dhash(media, hash_w=7, hash_h=8).filter(
+        F.col("decode_ok")
+    )
+    return hashed.select(
+        "media_id",
+        F.col("dhash").cast("long").alias("dhash"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("dhash"))
+        .cast("long")
+        .alias("n_same_hash"),
+    )
+
+
+def q124_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-wise audio features end-to-end: the q116 WAV payloads
+    (120 PCM16 samples whose high bytes are the tiled text, low bytes
+    zero) framed at 30 samples → 4 rows per doc with exact integer
+    energy (Σ sample², RMS minus the final sqrt) and zero-crossing
+    counts (operators/multimodal.py:audio_frame_features). The oracle
+    re-derives both from the tiled text: sample = (code−128)·256, so
+    sq_sum = 65536·Σ(code−128)² and a crossing is (code<128) flipping
+    between adjacent samples within the frame."""
+    import struct
+
+    from graphsense_blocksci_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    n = 120
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 2 * n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 2 * n)
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    tiled = F.substring(
+        F.repeat(
+            F.col("text"),
+            F.floor(F.lit(n) / F.length("text")).cast("int") + 1,
+        ),
+        1,
+        n,
+    )
+    sample_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.split(tiled, ""),
+            lambda c: F.concat(
+                F.lit("00"),
+                F.lpad(F.hex(F.ascii(c).bitwiseXOR(F.lit(128))), 2, "0"),
+            ),
+        ),
+    )
+    media = spread(docs).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.concat(F.lit(header), F.unhex(sample_hex)).alias("payload"),
+    )
+    return audio_frame_features(media, frame_size=30).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("sq_sum").cast("long").alias("sq_sum"),
+        F.col("n_crossings").cast("long").alias("n_crossings"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3194,6 +3369,11 @@ QUERIES: dict[str, QueryFn] = {
     "q118_batch_planning": q118_batch_planning,
     "q119_language_confusion": q119_language_confusion,
     "qd23_binary_files": qd23_binary_files,
+    "q120_triangle_count": q120_triangle_count,
+    "q121_heavy_hitters": q121_heavy_hitters,
+    "q122_bloom_decontaminate": q122_bloom_decontaminate,
+    "q123_image_dhash": q123_image_dhash,
+    "q124_audio_frames": q124_audio_frames,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -5894,3 +6074,140 @@ GROUP BY 1, 2
 # qd23 emits exactly q102's rows — the binaryFile round-trip must be
 # invisible to the decode — so it shares the q102 oracle verbatim.
 ORACLE_SQL["qd23_binary_files"] = ORACLE_SQL["q102_netpbm_decode"]
+
+# q120: DuckDB replays the identical degree-ordered orientation and
+# wedge-join algebra (rank = degree * 2^32 + node makes the total
+# order deterministic in both engines, no row_number anywhere).
+ORACLE_SQL["q120_triangle_count"] = """
+WITH su AS (
+    SELECT DISTINCT l_orderkey AS k, CAST(l_suppkey AS BIGINT) AS s
+    FROM lineitem
+),
+ed AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM su a JOIN su b ON a.k = b.k AND a.s < b.s
+),
+sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+rk AS (SELECT node, d * 4294967296 + node AS r FROM deg),
+orient AS (
+    SELECT CASE WHEN ru.r < rv.r THEN e.u ELSE e.v END AS a,
+           CASE WHEN ru.r < rv.r THEN e.v ELSE e.u END AS b,
+           greatest(ru.r, rv.r) AS rb
+    FROM ed e
+    JOIN rk ru ON e.u = ru.node
+    JOIN rk rv ON e.v = rv.node
+),
+wedge AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM orient e1 JOIN orient e2 ON e1.a = e2.a AND e1.rb < e2.rb
+),
+tri AS (
+    SELECT w.x, w.y, w.z
+    FROM wedge w JOIN orient o ON w.y = o.a AND w.z = o.b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+# q121: the oracle is the DIRECT definition (full group-by + integer
+# threshold); the Spark side must reach the same set through the
+# Misra-Gries candidate/recount composition.
+ORACLE_SQL["q121_heavy_hitters"] = (
+    "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+t AS (SELECT unnest(toks) AS token FROM tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY token
+HAVING count(*) >= (SELECT (n + 511) // 512 FROM tot)
+"""
+)
+
+# q122: identical to the q91 oracle shape with the %7 eval split — the
+# Bloom pipeline's one-sided error must be invisible in the output.
+ORACLE_SQL["q122_bloom_decontaminate"] = (
+    "WITH "
+    + _TEXT_CTE
+    + """,
+eh AS (
+    SELECT DISTINCT h FROM (
+        SELECT unnest(hs) AS h FROM sh WHERE doc_id % 7 = 0
+    )
+),
+tr AS (
+    SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 7 <> 0
+)
+SELECT CAST(tr.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM tr JOIN eh ON tr.h = eh.h
+GROUP BY tr.doc_id
+"""
+)
+
+# q123: every dhash bit re-derived from the tiled text's code points.
+# Sampling arithmetic mirrors image_dhash exactly: an 18x16 P5 raster
+# NN-resized to 8 cols x 8 rows means gray[r][c] = code point at
+# 1-based position 36*r + (c*18)//8 + 1; bit k (k = r*7 + c, c < 7)
+# compares sample column c against c+1. 56 bits keeps every weight
+# positive in BIGINT (DuckDB raises on 1<<63; numpy would wrap).
+ORACLE_SQL["q123_image_dhash"] = """
+WITH raster AS (
+    SELECT doc_id AS media_id,
+           substring(
+               repeat(text, CAST(floor(288.0 / len(text)) AS INT) + 1),
+               1, 288
+           ) AS r
+    FROM documents
+    WHERE len(text) > 0 AND len(text) = octet_length(encode(text))
+),
+hashed AS (
+    SELECT media_id,
+           CAST(list_sum(list_transform(range(0, 56), k ->
+               CASE WHEN
+                   ascii(substr(r, CAST(36*(k//7) + ((k%7)*18)//8 + 1 AS INT), 1))
+                 > ascii(substr(r, CAST(36*(k//7) + (((k%7)+1)*18)//8 + 1 AS INT), 1))
+               THEN 1::BIGINT << CAST(k AS INT) ELSE 0::BIGINT END
+           )) AS BIGINT) AS dhash
+    FROM raster
+)
+SELECT media_id, dhash,
+       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same_hash
+FROM hashed
+"""
+
+# q124: sample(i) = (code(i) - 128) * 256, so frame energy is
+# 65536 * sum((code-128)^2) and a zero crossing is (code < 128)
+# flipping between adjacent samples within the 30-sample frame.
+ORACLE_SQL["q124_audio_frames"] = """
+WITH tiled AS (
+    SELECT doc_id AS media_id,
+           substring(
+               repeat(text, CAST(floor(120.0 / len(text)) AS INT) + 1),
+               1, 120
+           ) AS r
+    FROM documents
+    WHERE len(text) > 0 AND len(text) = octet_length(encode(text))
+),
+frames AS (
+    SELECT media_id, r, unnest(range(0, 4)) AS f FROM tiled
+)
+SELECT media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(list_sum(list_transform(range(1, 31), i ->
+           65536 * (ascii(substr(r, CAST(30*f + i AS INT), 1)) - 128)
+                 * (ascii(substr(r, CAST(30*f + i AS INT), 1)) - 128)
+       )) AS BIGINT) AS sq_sum,
+       CAST(list_sum(list_transform(range(1, 30), i ->
+           CASE WHEN (ascii(substr(r, CAST(30*f + i AS INT), 1)) < 128)
+                  <> (ascii(substr(r, CAST(30*f + i + 1 AS INT), 1)) < 128)
+           THEN 1 ELSE 0 END
+       )) AS BIGINT) AS n_crossings
+FROM frames
+"""

@@ -84,3 +84,35 @@ def test_decode_audio_dataframe(spark):
     assert got[0]["peak"] == 1024
     assert not got[1]["decode_ok"]
     assert not got[2]["decode_ok"]
+
+
+def test_audio_frame_features_parity(spark):
+    from graphsense_blocksci_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, size=23, dtype=np.int64).astype("<i2")
+    rows = [
+        (0, bytearray(_wav(s))),
+        (1, bytearray(b"not a wav")),  # poison: emits no rows
+        (2, bytearray(_wav(s[:3]))),  # shorter than one frame: no rows
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["frame_idx"]: r
+        for r in audio_frame_features(df, frame_size=5).collect()
+        if r["media_id"] == 0
+    }
+    all_ids = {
+        r["media_id"] for r in audio_frame_features(df, frame_size=5).collect()
+    }
+    assert all_ids == {0}  # poison + short payloads emit nothing
+    # numpy reference: 4 full frames of 5, tail of 3 dropped
+    sl = s.astype("int64")
+    assert sorted(got) == [0, 1, 2, 3]
+    for f in range(4):
+        fr = sl[f * 5 : (f + 1) * 5]
+        assert got[f]["sq_sum"] == int((fr * fr).sum())
+        neg = fr < 0
+        assert got[f]["n_crossings"] == int((neg[1:] != neg[:-1]).sum())

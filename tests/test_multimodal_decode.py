@@ -68,3 +68,61 @@ def test_resize_netpbm_nearest_neighbor(spark):
     assert row["decode_ok"]
     assert row["px_sum"] == int(expect.sum())
     assert row["thumb_md5"] == hashlib.md5(expect.tobytes()).hexdigest()
+
+
+def test_image_dhash_parity_and_poison(spark):
+    from graphsense_blocksci_spark.operators.multimodal import image_dhash
+
+    # 18x16 grayscale with a deterministic non-trivial pattern,
+    # resized to 9x8 for the standard 8x8-bit hash
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(16, 18), dtype=np.uint8)
+    payload = b"P5\n18 16\n255\n" + arr.tobytes()
+    # P6 twin: per-pixel RGB whose channel sum equals a known gray
+    rgb = np.repeat(arr[:, :, None], 3, axis=2).astype(np.uint8)
+    p6 = b"P6\n18 16\n255\n" + rgb.tobytes()
+    rows = [
+        (1, bytearray(payload)),
+        (2, bytearray(p6)),
+        (3, bytearray(b"poison")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in image_dhash(df, 8, 8).collect()}
+
+    def ref_dhash(gray: np.ndarray, hw: int, hh: int) -> int:
+        h, w = gray.shape
+        yi = (np.arange(hh) * h) // hh
+        xi = (np.arange(hw + 1) * w) // (hw + 1)
+        g = gray[yi][:, xi].astype(np.int64)
+        bits = g[:, :-1] > g[:, 1:]
+        out = 0
+        for r in range(hh):
+            for c in range(hw):
+                if bits[r, c]:
+                    out += 1 << (r * hw + c)
+        # pack to signed int64 like numpy does
+        return int(np.int64(np.uint64(out)))
+
+    assert got[1]["decode_ok"]
+    assert got[1]["dhash"] == ref_dhash(arr.astype(np.int64), 8, 8)
+    # P6 gray = channel sum = 3x the P5 gray: same comparisons, same hash
+    assert got[2]["dhash"] == got[1]["dhash"]
+    assert not got[3]["decode_ok"] and got[3]["dhash"] is None
+    assert not got[4]["decode_ok"]
+
+
+def test_image_dhash_shift_invariance(spark):
+    from graphsense_blocksci_spark.operators.multimodal import image_dhash
+
+    # dHash is invariant to uniform brightness shift (gradient signs
+    # unchanged) — the property that makes it a perceptual hash
+    rng = np.random.default_rng(12)
+    arr = rng.integers(0, 200, size=(16, 18), dtype=np.uint8)
+    rows = [
+        (1, bytearray(b"P5\n18 16\n255\n" + arr.tobytes())),
+        (2, bytearray(b"P5\n18 16\n255\n" + (arr + 40).tobytes())),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df, 7, 8).collect()}
+    assert got[1] == got[2]

@@ -1,0 +1,179 @@
+"""Tests for the sketch candidate/verify operators: Misra-Gries exact
+heavy hitters, Bloom-prefilter decontamination, and triangle counting
+(the wedge-join graph statistic that rides the same exact-composition
+philosophy)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- heavy hitters
+def _exact_hh(values: list[str], denom: int) -> dict[str, int]:
+    n = len(values)
+    thr = (n + denom - 1) // denom
+    return {k: c for k, c in Counter(values).items() if c >= thr}
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        # uniform tail + two genuine heavy keys
+        ["hot"] * 400 + ["warm"] * 100 + [f"t{i}" for i in range(300)],
+        # everything below threshold
+        [f"t{i}" for i in range(600)],
+        # all one key
+        ["only"] * 50,
+        # adversarial: many keys exactly at the boundary
+        [f"b{i % 7}" for i in range(700)] + [f"t{i}" for i in range(100)],
+    ],
+)
+def test_heavy_hitters_exact(spark, values):
+    from graphsense_blocksci_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in values], "item string").repartition(5)
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df, "item", support_denominator=512).collect()
+    }
+    assert got == _exact_hh(values, 512)
+
+
+def test_heavy_hitters_small_denominator(spark):
+    # tiny capacity exercises real Misra-Gries decrements: 3 heavy keys
+    # among 50 distinct with denominator 8 (capacity 16 < 53 keys)
+    from graphsense_blocksci_spark.operators.sketches import heavy_hitters
+
+    values = ["a"] * 30 + ["b"] * 20 + ["c"] * 15 + [f"t{i}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in values], "item string").repartition(3)
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df, "item", support_denominator=8).collect()
+    }
+    assert got == _exact_hh(values, 8)
+
+
+def test_heavy_hitters_empty(spark):
+    from graphsense_blocksci_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([], "item string")
+    assert heavy_hitters(df, "item").count() == 0
+
+
+def test_mg_partition_superset_guarantee():
+    # direct unit check of the phase-1 summary: any key with count >
+    # n/capacity must survive, across multiple merged batches
+    import pandas as pd
+
+    from graphsense_blocksci_spark.operators.sketches import _mg_partition
+
+    cap = 8
+    values = ["h"] * 40 + [f"t{i}" for i in range(200)]  # n=240, n/cap=30
+    batches = [
+        pd.DataFrame({"item": values[i : i + 37]}) for i in range(0, len(values), 37)
+    ]
+    (out,) = list(_mg_partition(cap)(iter(batches)))
+    items = set(out["item"].dropna())
+    total = int(out["partition_total"].dropna().iloc[0])
+    assert total == 240
+    assert "h" in items
+    assert len(items) <= cap
+
+
+# ---------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    from graphsense_blocksci_spark.operators.sketches import (
+        bloom_member,
+        build_bloom_words,
+    )
+
+    keys = list(range(0, 5000, 7))
+    df = spark.createDataFrame([(k,) for k in keys], "h long")
+    n_bits = 1 << 14
+    sparse = build_bloom_words(df, "h", n_bits)
+    words = [sparse.get(i, 0) for i in range(n_bits // 64)]
+    probe = spark.createDataFrame([(k,) for k in range(5000)], "h long")
+    hits = {
+        r["h"]
+        for r in probe.filter(bloom_member(F.col("h"), words, n_bits)).collect()
+    }
+    assert set(keys) <= hits  # one-sided error: every inserted key hits
+    # and the filter actually prunes (false-positive rate is not ~1)
+    assert len(hits) < 5000
+
+
+def test_bloom_decontaminate_equals_exact(spark, sf_dir):
+    from graphsense_blocksci_spark.operators.sketches import bloom_decontaminate
+    from graphsense_blocksci_spark.operators.text_dedup import decontaminate
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 7 == 0
+    got = {
+        (r["doc_id"], r["n_shared_shingles"])
+        for r in bloom_decontaminate(
+            docs.filter(~is_eval), docs.filter(is_eval)
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_shared_shingles"])
+        for r in decontaminate(
+            docs.filter(~is_eval), docs.filter(is_eval)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_bloom_bitmap_cap_raises(spark):
+    from graphsense_blocksci_spark.operators.sketches import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (7, "alpha beta gamma x y z")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="shard the eval set"):
+        bloom_decontaminate(
+            docs.filter(F.col("doc_id") != 7),
+            docs.filter(F.col("doc_id") == 7),
+            max_bitmap_bytes=1,
+        )
+
+
+# ------------------------------------------------------------------ triangles
+def _tri_ref(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out: Counter = Counter()
+    for u in sorted(adj):
+        for v in [x for x in adj[u] if x > u]:
+            for w in [x for x in adj[u] & adj[v] if x > v]:
+                out[u] += 1
+                out[v] += 1
+                out[w] += 1
+    return dict(out)
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (1, 3)],  # one triangle
+        [(1, 2), (2, 3), (3, 4)],  # path: none
+        # K4 (4 triangles, every node in 3) plus a pendant
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        # two triangles sharing an edge + duplicate/reversed inputs
+        [(1, 2), (2, 3), (1, 3), (3, 2), (2, 4), (3, 4), (1, 2)],
+        # hub: star has no triangles until the rim closes
+        [(0, i) for i in range(1, 8)] + [(1, 2), (5, 6)],
+    ],
+)
+def test_triangle_count(spark, edges):
+    from graphsense_blocksci_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == _tri_ref(edges)
