@@ -23,6 +23,7 @@ from graphsense_blocksci_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_gemm,
     cosine_topk_ivf,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
     embedding_neardup,
     embedding_neardup_gemm,
@@ -55,10 +56,26 @@ from graphsense_blocksci_spark.operators.sampling import (
 )
 from graphsense_blocksci_spark.operators.multimodal import (
     attach_payload,
+    audio_frame_features,
     decode_audio,
+    decode_image,
     extract_features,
     frame_sample,
+    image_dhash,
     resize_image,
+    resize_netpbm,
+)
+from graphsense_blocksci_spark.operators.sketches import (
+    bloom_decontaminate,
+    heavy_hitters,
+)
+from graphsense_blocksci_spark.operators.graph import (
+    bfs_reachability,
+    connected_components,
+    incremental_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
 )
 
 __all__ = [
@@ -84,6 +101,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_gemm",
     "cosine_topk_ivf",
+    "cosine_topk_ivfpq",
     "cosine_topk_lsh",
     "embedding_neardup",
     "embedding_neardup_gemm",
@@ -95,10 +113,22 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "attach_payload",
+    "audio_frame_features",
     "decode_audio",
+    "decode_image",
     "extract_features",
     "frame_sample",
+    "image_dhash",
     "resize_image",
+    "resize_netpbm",
+    "heavy_hitters",
+    "bloom_decontaminate",
+    "bfs_reachability",
+    "connected_components",
+    "incremental_components",
+    "label_propagation",
+    "pagerank",
+    "triangle_count",
     "salted_agg",
     "salted_join",
     "latest_per_group",

@@ -400,6 +400,246 @@ def cosine_topk_ivf(
     )
 
 
+def _train_pq_codebooks(
+    vectors: DataFrame,
+    n_subspaces: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 1024,
+    iters: int = 5,
+    seed: int = 43,
+):
+    """Product-quantization codebooks (Jégou et al. TPAMI'11) trained
+    driver-side on the bounded lowest-id sample of UNIT vectors: the
+    dimension axis splits into ``n_subspaces`` contiguous blocks and
+    each block gets its own ``n_codes``-centroid Euclidean k-means.
+    Returns ndarray (n_subspaces, n_codes, dim/n_subspaces). Same
+    bounded-training contract as `_train_centroids` — the codebooks
+    are KBs regardless of corpus size; only encode touches all data."""
+    import numpy as np
+
+    sample = (
+        vectors.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col))
+        .orderBy("_id")
+        .limit(sample_size)
+        .toPandas()
+    )
+    if len(sample) == 0:
+        return None
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"vector dim {dim} is not divisible by n_subspaces="
+            f"{n_subspaces}; pick a divisor (PQ blocks must tile the dim)"
+        )
+    dsub = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = []
+    for m in range(n_subspaces):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(len(C)):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def cosine_topk_ivfpq(
+    vectors: DataFrame,
+    k: int = 1,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF + product quantization with exact
+    re-ranking — the memory-scale ANN path next to `cosine_topk_ivf`
+    (full vectors in the cells) and the LSH family.
+
+    Why PQ at 100 TB: inside a probed cell, every candidate is
+    represented by ``n_subspaces`` one-byte codes (8 bytes/vector here
+    vs 512 for a float64[64] — a 64× smaller shuffle and cell
+    footprint), and scoring a candidate is ``n_subspaces`` table
+    lookups instead of a ``dim``-length dot product (ADC, asymmetric
+    distance computation: the QUERY stays exact, only candidates are
+    quantized). The plan:
+
+    1. coarse quantizer: `_train_centroids` (bounded driver sample);
+    2. one distributed encode pass: cell id + PQ codes per vector
+       (Arrow-batched numpy, the only Python over the full corpus);
+    3. queries build their per-subspace lookup table
+       lut[m][c] = q_sub·codebook[m][c] (query-side linear work);
+    4. candidates meet queries on cell id; the ADC score
+       Σ_m lut[m][code_m] is a JVM-side `aggregate` over the code
+       array — whole-stage codegen, no Python in the O(candidates)
+       join path;
+    5. the per-query ADC shortlist (``rerank`` ids) joins back to the
+       full vectors for EXACT cosine re-ranking, so reported sims are
+       true cosines (the approximation only affects which candidates
+       make the shortlist — same contract as the LSH entries, recall
+       pytest-gated).
+    """
+    import numpy as np
+
+    from graphsense_blocksci_spark.operators.textops import spread
+    from pyspark.sql import types as T
+
+    spark = vectors.sparkSession
+    B = _train_pq_codebooks(
+        vectors, n_subspaces, n_codes, id_col, vec_col, seed=seed + 1
+    )
+    if B is None:  # empty input: also skips the coarse training below
+        return _empty_topk(spark)
+    C = _train_centroids(vectors, n_centroids, id_col, vec_col, seed=seed)
+    bc_C = spark.sparkContext.broadcast(C)
+    bc_B = spark.sparkContext.broadcast(B)
+    dsub = B.shape[2]
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _encode(it):
+        import numpy as np
+        import pandas as pd
+
+        Cm, Bm = bc_C.value, bc_B.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            cell = np.argmax(X @ Cm.T, axis=1).astype(np.int32)
+            codes = np.empty((len(X), len(Bm)), dtype=np.int32)
+            for m in range(len(Bm)):
+                S = X[:, m * dsub : (m + 1) * dsub]
+                d2 = ((S[:, None, :] - Bm[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["_id"].to_numpy(np.int64),
+                    "cell": cell,
+                    "codes": list(codes),
+                }
+            )
+
+    lut_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lut", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _query_lut(it):
+        import numpy as np
+        import pandas as pd
+
+        Cm, Bm = bc_C.value, bc_B.value
+        n_sub = len(Bm)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            cells = np.argsort(-(X @ Cm.T), axis=1)[:, :n_probe]
+            # lut[m*n_codes + c] = dot(q_sub_m, codebook[m][c])
+            luts = np.concatenate(
+                [
+                    X[:, m * dsub : (m + 1) * dsub] @ Bm[m].T
+                    for m in range(n_sub)
+                ],
+                axis=1,
+            )
+            frames = []
+            for j in range(cells.shape[1]):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["_id"].to_numpy(np.int64),
+                            "cell": cells[:, j].astype(np.int32),
+                            "lut": list(luts),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    base = spread(
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+        )
+    )
+    enc = base.mapInPandas(_encode, schema=enc_schema)
+    qry = base.mapInPandas(_query_lut, schema=lut_schema)
+
+    # ADC score, fully JVM-side: n_subspaces array lookups per pair
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"),
+            (m * n_codes + F.element_at(F.col("codes"), (m + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    scored = (
+        qry.join(enc, "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", adc.alias("adc_sim"))
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.max("adc_sim").alias("adc_sim"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("vec_id", "neighbor_id")
+    )
+    # exact re-rank: fetch true unit vectors for shortlist ids only
+    uv = base.select(
+        F.col("_id"), unit_vector(F.col("_v")).alias("_uv")
+    )
+    exact = (
+        shortlist.join(
+            uv.select(F.col("_id").alias("vec_id"), F.col("_uv").alias("_qv")),
+            "vec_id",
+        )
+        .join(
+            uv.select(
+                F.col("_id").alias("neighbor_id"), F.col("_uv").alias("_cv")
+            ),
+            "neighbor_id",
+        )
+        .select("vec_id", "neighbor_id", dot(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
+    )
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     k: int = 1,

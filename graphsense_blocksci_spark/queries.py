@@ -3295,6 +3295,23 @@ def q124_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q125_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-1 via IVF + product quantization with
+    exact re-ranking (operators/similarity.py:cosine_topk_ivfpq) —
+    the memory-scale ANN path: candidates ride as 8 one-byte codes
+    through the cell shuffle (64× smaller than the float vectors),
+    ADC scoring is a JVM-side table-lookup aggregate, and the
+    shortlist re-ranks against true vectors so reported sims are
+    exact cosines. Approximate shortlist ⇒ rows-only check; recall
+    and re-rank exactness are pytest-gated."""
+    from graphsense_blocksci_spark.operators import cosine_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb, k=1, n_centroids=16, n_probe=4, n_subspaces=8, n_codes=16
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3374,6 +3391,7 @@ QUERIES: dict[str, QueryFn] = {
     "q122_bloom_decontaminate": q122_bloom_decontaminate,
     "q123_image_dhash": q123_image_dhash,
     "q124_audio_frames": q124_audio_frames,
+    "q125_knn_ivfpq": q125_knn_ivfpq,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,

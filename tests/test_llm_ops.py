@@ -895,3 +895,42 @@ def test_temperature_sample_flattens_head(spark):
 
     with pytest.raises(ValueError, match="power of two"):
         temperature_sample(df, "lang", "doc_id", temperature=3.0)
+
+
+def test_knn_ivfpq_recall_and_exact_rerank(spark):
+    import random
+
+    from graphsense_blocksci_spark.operators import cosine_topk_ivfpq
+
+    rng = random.Random(29)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact_all = {
+        (r.vec_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_bruteforce(df, k=119).collect()
+    }
+    exact_top1 = {
+        r.vec_id: r.neighbor_id
+        for r in cosine_topk_bruteforce(df, k=1).collect()
+    }
+    approx = cosine_topk_ivfpq(
+        df, k=1, n_centroids=8, n_probe=4, n_subspaces=4, n_codes=16,
+        rerank=16,
+    ).collect()
+    hits = sum(1 for r in approx if exact_top1.get(r.vec_id) == r.neighbor_id)
+    assert hits / len(exact_top1) >= 0.7  # PQ shortlist + exact re-rank
+    for r in approx:  # re-rank means every reported sim is a true cosine
+        assert abs(exact_all[(r.vec_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_ivfpq_dim_not_divisible_raises(spark):
+    import pytest as _pytest
+
+    from graphsense_blocksci_spark.operators import cosine_topk_ivfpq
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3]), (1, [0.3, 0.1, 0.2])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        cosine_topk_ivfpq(df, n_subspaces=2)
