@@ -3295,6 +3295,45 @@ def q124_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd24_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming sketch under the correctness gate:
+    sharded Misra-Gries heavy hitters via applyInPandasWithState
+    (streaming/sketches.py), driven availableNow over the documents
+    tokens staged as a file stream. A single micro-batch with capacity
+    ≥ per-shard distinct items means no decrement ever fires, so the
+    snapshot counts are EXACT running counts and the oracle is the
+    plain token group-by. Cross-batch state carry and
+    decrement-under-pressure are pytest-gated
+    (tests/test_streaming.py); this entry pins the operator's
+    end-to-end plumbing and the no-pressure semantics vs SQL."""
+    import tempfile
+
+    from graphsense_blocksci_spark.operators.textops import tokens
+    from graphsense_blocksci_spark.streaming.sketches import (
+        heavy_hitters_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    work = tempfile.mkdtemp(prefix="gbs_shh_")
+    toks.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("item string").parquet(f"{work}/src")
+    q = (
+        heavy_hitters_stream(stream, capacity=65536, n_shards=8)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("item string, approx_count long, shard_total long")
+        .parquet(f"{work}/out")
+        .select(F.col("item").alias("token"), F.col("approx_count").alias("cnt"))
+    )
+
+
 def q125_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-1 via IVF + product quantization with
     exact re-ranking (operators/similarity.py:cosine_topk_ivfpq) —
@@ -3392,6 +3431,7 @@ QUERIES: dict[str, QueryFn] = {
     "q123_image_dhash": q123_image_dhash,
     "q124_audio_frames": q124_audio_frames,
     "q125_knn_ivfpq": q125_knn_ivfpq,
+    "qd24_streaming_heavy_hitters": qd24_streaming_heavy_hitters,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -6229,3 +6269,16 @@ SELECT media_id,
        )) AS BIGINT) AS n_crossings
 FROM frames
 """
+
+# qd24: one micro-batch + capacity above the per-shard distinct count
+# means the Misra-Gries snapshot IS the exact token count — the
+# streaming plumbing must be invisible in the output.
+ORACLE_SQL["qd24_streaming_heavy_hitters"] = (
+    "WITH "
+    + _TEXT_CTE.split(",\ngrams")[0]
+    + """,
+t AS (SELECT unnest(toks) AS token FROM tok)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY token
+"""
+)

@@ -516,3 +516,69 @@ def test_stream_stream_left_outer_emits_on_timeout(spark, tmp_path):
     # k=99's join window (100000..100060) is still open at shutdown —
     # correctly retained in state, not emitted
     assert got == [(1, 1), (2, None), (3, None)]
+
+
+def test_streaming_heavy_hitters_across_batches_with_pressure(spark, tmp_path):
+    """Two micro-batches with a capacity small enough to force real
+    Misra-Gries decrements: the final snapshot must equal the Python
+    reference that applies the same mergeable reduce batch-by-batch
+    (the reduce is value-deterministic even under count ties — every
+    item strictly above the (capacity+1)-th largest count survives)."""
+    import pandas as pd
+
+    from graphsense_blocksci_spark.streaming.sketches import (
+        _merge_mg,
+        heavy_hitters_stream,
+    )
+
+    b1 = ["a"] * 10 + ["b"] * 6 + [f"t{i}" for i in range(8)]
+    b2 = ["a"] * 5 + ["c"] * 7 + [f"u{i}" for i in range(6)]
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "hh_ckpt")
+    sink = str(tmp_path / "hh_out")
+    spark.createDataFrame([(v,) for v in b1], "item string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            heavy_hitters_stream(stream, capacity=4, n_shards=1)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame([(v,) for v in b2], "item string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()
+
+    # reference: the same reduce applied batch-by-batch
+    ref = _merge_mg(None, pd.Series(b1), 4)
+    ref = _merge_mg(ref, pd.Series(b2), 4)
+    want = {(k, int(v)) for k, v in ref.items()}
+
+    out = spark.read.schema(
+        "item string, approx_count long, shard_total long"
+    ).parquet(sink)
+    # snapshots append per batch: the batch-2 snapshot rows are the
+    # ones carrying the full stream total
+    total = len(b1) + len(b2)
+    final = {
+        (r.item, r.approx_count)
+        for r in out.filter(F.col("shard_total") == total).collect()
+    }
+    assert final == want
+    # batch-1 snapshot was also emitted
+    assert out.filter(F.col("shard_total") == len(b1)).count() > 0
