@@ -67,6 +67,10 @@ from graphsense_blocksci_spark.operators.multimodal import (
 )
 from graphsense_blocksci_spark.operators.sketches import (
     bloom_decontaminate,
+    hdr_bucket,
+    hdr_bucket_low,
+    hdr_histogram,
+    hdr_quantiles,
     heavy_hitters,
 )
 from graphsense_blocksci_spark.operators.graph import (
@@ -123,6 +127,10 @@ __all__ = [
     "resize_netpbm",
     "heavy_hitters",
     "bloom_decontaminate",
+    "hdr_bucket",
+    "hdr_bucket_low",
+    "hdr_histogram",
+    "hdr_quantiles",
     "bfs_reachability",
     "connected_components",
     "incremental_components",

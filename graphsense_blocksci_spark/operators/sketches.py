@@ -42,9 +42,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 _MG_SCHEMA = T.StructType(
     [
@@ -132,6 +136,103 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))
     )
+
+
+def hdr_bucket(col, sub_bits: int = 4):
+    """HDR-histogram bucket id for a non-negative integer value —
+    log2 exponent + ``sub_bits`` of mantissa, ALL integer arithmetic
+    (bit_length via length(bin(v)), shifts as exact power-of-two
+    division inside the double-exact domain), so every engine computes
+    the identical id: values ≤ 2^(sub_bits+1)-1 are their own bucket
+    (exact); above that, id = e*2^sub_bits + mantissa_prefix -
+    2^sub_bits where e is the bit length. Monotone in v with relative
+    bucket width ≤ 2^-sub_bits — the deterministic, mergeable
+    alternative to rank-error sketches whose merge order changes the
+    answer."""
+    v = _c(col).cast("long")
+    e = F.length(F.bin(v)).cast("long")
+    small_max = (1 << (sub_bits + 1)) - 1
+    shift = e - F.lit(1 + sub_bits)
+    m = F.floor(v / F.pow(F.lit(2.0), shift.cast("double"))).cast("long")
+    return F.when(v <= small_max, v).otherwise(
+        e * F.lit(1 << sub_bits) + m - F.lit(1 << sub_bits)
+    )
+
+
+def hdr_bucket_low(bucket_col, sub_bits: int = 4):
+    """Inverse of `hdr_bucket`: the smallest value mapping to the
+    bucket — the deterministic quantile estimate the histogram
+    reports."""
+    b = _c(bucket_col).cast("long")
+    small_max = (1 << (sub_bits + 1)) - 1
+    e = F.floor(b / F.lit(1 << sub_bits)).cast("long")
+    m = b % F.lit(1 << sub_bits) + F.lit(1 << sub_bits)
+    return F.when(b <= small_max, b).otherwise(
+        F.floor(
+            m * F.pow(F.lit(2.0), (e - F.lit(1 + sub_bits)).cast("double"))
+        ).cast("long")
+    )
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Mergeable quantile-sketch PARTIALS: per-group bucket counts
+    ``(*group_cols, bucket, cnt)``. The quantile analog of the q97
+    HLL partials — per-day (or per-shard) histograms union by simply
+    summing counts per bucket, and merge order cannot change a single
+    count, unlike GK/KLL-style rank sketches. Histogram size is
+    bounded by the value range (≈ sub_bits·64 buckets for longs),
+    not the row count."""
+    b = hdr_bucket(F.col(value_col), sub_bits).alias("bucket")
+    return df.groupBy(*group_cols, b).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    quantiles: tuple[tuple[int, int], ...] = ((50, 100), (90, 100), (99, 100)),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Quantile estimates from merged histogram partials: for each
+    rational q = num/den, the lower bound of the first bucket whose
+    cumulative count reaches rank = ceil(q·n) (integer arithmetic —
+    no float rank). Returns ``(q_num, q_den, est)``, all LONG.
+
+    The cumulative window runs over the BUCKET-ID order on the merged
+    histogram — a bounded frame (hundreds of rows however large the
+    input), the same deliberate single-partition shape as the
+    sequence-packing offset window."""
+    merged = hist.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    picks = []
+    for num, den in quantiles:
+        rank = (F.col("n") * num + F.lit(den - 1)) / F.lit(den)
+        picks.append(
+            cum.filter(F.col("cum") >= F.floor(rank))
+            .groupBy()
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                F.lit(num).cast("long").alias("q_num"),
+                F.lit(den).cast("long").alias("q_den"),
+                hdr_bucket_low(F.col("bucket"), sub_bits).alias("est"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def build_bloom_words(

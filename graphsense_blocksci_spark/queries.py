@@ -3334,6 +3334,31 @@ def qd24_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q126_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile partials (the quantile analog of the q97 HLL
+    partials): per-orderdate HDR-histogram bucket counts over
+    order-value cents, merged by a plain per-bucket sum, then
+    p50/p90/p99 picked by integer cumulative rank
+    (operators/sketches.py:hdr_histogram/hdr_quantiles). Every step is
+    integer/bit-exact arithmetic — unlike rank-error sketches, merge
+    order cannot change a count — so the oracle re-derives the same
+    buckets, ranks and estimates cell-exactly. The partial/merge
+    equivalence and the 2^-sub_bits relative-error bound are
+    pytest-gated."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.col("o_orderdate").alias("day"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    hist = hdr_histogram(vals, "cents", group_cols=("day",))
+    return hdr_quantiles(hist, ((50, 100), (90, 100), (99, 100)))
+
+
 def q125_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-1 via IVF + product quantization with
     exact re-ranking (operators/similarity.py:cosine_topk_ivfpq) —
@@ -3432,6 +3457,7 @@ QUERIES: dict[str, QueryFn] = {
     "q124_audio_frames": q124_audio_frames,
     "q125_knn_ivfpq": q125_knn_ivfpq,
     "qd24_streaming_heavy_hitters": qd24_streaming_heavy_hitters,
+    "q126_hdr_quantiles": q126_hdr_quantiles,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -6282,3 +6308,39 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM t GROUP BY token
 """
 )
+
+# q126: DuckDB re-derives the HDR buckets with pure integer bit
+# arithmetic (bit length via length(bin(v)), shifts as >>/<<), the
+# integer ceil-rank, and the bucket lower-bound estimates. Per-day
+# partials on the Spark side are invisible here by merge invariance:
+# summing per-day bucket counts equals bucketing the whole table.
+ORACLE_SQL["q126_hdr_quantiles"] = """
+WITH vals AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+b AS (
+    SELECT CASE WHEN v <= 31 THEN v
+                ELSE length(bin(v)) * 16 + (v >> (length(bin(v)) - 5)) - 16
+           END AS bucket
+    FROM vals
+),
+h AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+cum AS (
+    SELECT bucket,
+           sum(c) OVER (ORDER BY bucket) AS cum,
+           sum(c) OVER () AS n
+    FROM h
+),
+qs AS (SELECT * FROM (VALUES (50, 100), (90, 100), (99, 100)) AS t(qn, qd)),
+pick AS (
+    SELECT qn, qd, min(bucket) AS bucket
+    FROM qs JOIN cum ON cum >= (n * qn + qd - 1) // qd
+    GROUP BY qn, qd
+)
+SELECT CAST(qn AS BIGINT) AS q_num,
+       CAST(qd AS BIGINT) AS q_den,
+       CAST(CASE WHEN bucket <= 31 THEN bucket
+                 ELSE (bucket % 16 + 16) * (1::BIGINT << CAST(bucket // 16 - 5 AS INT))
+            END AS BIGINT) AS est
+FROM pick
+"""

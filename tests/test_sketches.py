@@ -177,3 +177,76 @@ def test_triangle_count(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == _tri_ref(edges)
+
+
+# -------------------------------------------------------------- HDR quantiles
+def test_hdr_bucket_monotone_and_error_bound(spark):
+    from graphsense_blocksci_spark.operators.sketches import (
+        hdr_bucket,
+        hdr_bucket_low,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    vals = sorted(
+        {rng.randrange(0, 10**9) for _ in range(500)}
+        | {0, 1, 31, 32, 33, 10**9}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = (
+        df.select(
+            "v",
+            hdr_bucket(F.col("v")).alias("b"),
+            hdr_bucket_low(hdr_bucket(F.col("v"))).alias("lb"),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    prev_b = -1
+    for r in rows:
+        assert r["b"] >= prev_b  # monotone in v
+        prev_b = r["b"]
+        assert r["lb"] <= r["v"]  # lower bound really is one
+        # relative width bound: v < lb * (1 + 1/16) for composite
+        # buckets; small buckets (v <= 31) are exact
+        if r["v"] > 31:
+            assert r["v"] < r["lb"] * 17 / 16
+        else:
+            assert r["lb"] == r["v"]
+
+
+def test_hdr_partials_merge_equals_direct_and_rank_semantics(spark):
+    from graphsense_blocksci_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    rows = [(i % 7, rng.randrange(0, 10**7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "day int, v long")
+    # partials per day, merged inside hdr_quantiles
+    per_day = hdr_histogram(df, "v", group_cols=("day",))
+    direct = hdr_histogram(df, "v")
+    merged = {
+        (r["bucket"], r["cnt"])
+        for r in per_day.groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == {(r["bucket"], r["cnt"]) for r in direct.collect()}
+
+    got = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in hdr_quantiles(per_day).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    for (num, den), est in got.items():
+        rank = (n * num + den - 1) // den
+        true = vals[rank - 1]
+        assert est <= true
+        if true > 31:
+            assert true < est * 17 / 16
