@@ -1,6 +1,7 @@
 from graphsense_blocksci_spark.operators.windows import (
     latest_per_group,
     dedup_last_write_wins,
+    skyline_2d,
     top_k,
     high_water_mark_filter,
 )
@@ -141,6 +142,7 @@ __all__ = [
     "salted_join",
     "latest_per_group",
     "dedup_last_write_wins",
+    "skyline_2d",
     "top_k",
     "high_water_mark_filter",
     "asof_join",

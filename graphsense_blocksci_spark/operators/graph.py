@@ -430,6 +430,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list. Returns
     ``(node, rank)`` where ranks sum to ~1 (dangling mass is
@@ -455,6 +456,14 @@ def pagerank(
     are partition-order-dependent doubles, so cross-engine comparison
     is tolerance-based (pytest vs a dense numpy reference), not
     hash-exact like the integer/graph oracles.
+
+    ``seeds`` (a frame with a ``node`` column) switches to
+    PERSONALIZED PageRank: the teleport mass (1-d) and the dangling
+    return both land uniformly on the seed set instead of all nodes —
+    the standard random-walk-with-restart relevance score. Plan shape
+    is unchanged: the seed flag is one extra broadcast-joined boolean
+    on the node frame; iterations stay one job each. The initial rank
+    is uniform over seeds (non-seeds start at 0).
     """
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
@@ -472,13 +481,33 @@ def pagerank(
             "left",
         )
         .select("node", F.coalesce("_has_out", F.lit(False)).alias("_has_out"))
-        .localCheckpoint(eager=True)
     )
+    if seeds is not None:
+        nodes = nodes.join(
+            F.broadcast(
+                seeds.select(F.col("node").cast("long").alias("node"))
+                .distinct()
+                .withColumn("_is_seed", F.lit(True))
+            ),
+            "node",
+            "left",
+        ).select(
+            "node", "_has_out", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed")
+        )
+    else:
+        nodes = nodes.withColumn("_is_seed", F.lit(True))
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.select("node").withColumn("rank", F.lit(0.0))
+    n_tele = n if seeds is None else nodes.filter(F.col("_is_seed")).count()
+    if n_tele == 0:
+        raise ValueError("personalized pagerank: no seed appears in the graph")
     ed = e.join(out_deg, "_src").localCheckpoint(eager=True)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(F.lit(0.0)),
+    )
     for _ in range(iterations):
         contrib = (
             ranks.join(ed, ranks.node == ed._src)
@@ -496,15 +525,17 @@ def pagerank(
                 F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
             ).alias("_dangling")
         )
+        tele = F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "_has_out",
+                "_is_seed",
                 (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+                    F.lit(1.0 - damping) * tele
+                    + F.lit(damping) * F.col("_dangling") * tele
                     + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -70,3 +70,51 @@ def high_water_mark_filter(
         )
         .drop("_hwm")
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline), both dimensions MINIMIZED:
+    rows for which no other row has x ≤ and y ≤ with at least one
+    strict. Duplicates of a skyline point all survive (neither
+    dominates the other). Returns the input columns unchanged.
+
+    Two-phase, all-JVM plan (no mapInPandas, no global sort in
+    phase 1): a row is dominated iff
+      min(y) over rows with STRICTLY smaller x   ≤ y      (earlier-x)
+      or min(y) over rows with EQUAL x            < y      (same-x)
+    — one RANGE-frame window + one partition-min window. Phase 1
+    evaluates this within x-bucket partitions (``x // bucket_width``),
+    in parallel: bucket-local skylines are a SUPERSET of the global
+    skyline (domination within a bucket is domination globally).
+    Phase 2 re-runs the same predicate globally over the surviving
+    candidates only — a single-partition window, but over the
+    candidate set (≈ per-bucket frontier sizes, not the input), the
+    same bounded-frame contract as the sequence-packing offset window.
+    """
+    x = F.col(x_col).cast("long")
+    base = df.withColumn("_bk", F.floor(x / F.lit(bucket_width)))
+
+    def survivors(frame: DataFrame, *part_cols: str) -> DataFrame:
+        wr = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col(x_col).cast("long"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        we = Window.partitionBy(*part_cols, x_col)
+        return (
+            frame.withColumn("_pre", F.min(F.col(y_col)).over(wr))
+            .withColumn("_same", F.min(F.col(y_col)).over(we))
+            .filter(
+                (F.col("_pre").isNull() | (F.col("_pre") > F.col(y_col)))
+                & (F.col("_same") >= F.col(y_col))
+            )
+            .drop("_pre", "_same")
+        )
+
+    local = survivors(base, "_bk")
+    return survivors(local).drop("_bk")

@@ -3376,6 +3376,117 @@ def q125_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase per user, each
+    step within 86400 s of the previous: t_view = first view,
+    t_click = first click in [t_view, t_view+86400], t_purchase
+    likewise after t_click. Expressed as chained conditional-min
+    aggregations (filter → join previous stage → min), NOT a per-user
+    event-list collect: each stage is one user-keyed shuffle of that
+    stage's events only, so a power user with millions of events
+    never materializes as a single array."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("e"),
+        "event_type",
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("e").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("e") >= F.col("t_view")) & (F.col("e") <= F.col("t_view") + 86400))
+        .groupBy("user_id")
+        .agg(F.min("e").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("e") >= F.col("t_click")) & (F.col("e") <= F.col("t_click") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("e").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+
+
+def q128_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = epoch-week of a user's first
+    event; one row per (cohort_week, week_offset) counting users still
+    active that many weeks later. The (user, week) distinct runs
+    BEFORE the cohort join, so each user contributes ≤ weeks rows to
+    the join however many raw events they have."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 604800)
+        .cast("long")
+        .alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q129_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of orders — earliest AND cheapest (both
+    dimensions minimized, strict domination): the multi-objective
+    filter a curation pipeline uses for cost/quality trade-offs.
+    Two-phase all-JVM RANGE-window plan
+    (operators/windows.py:skyline_2d): bucket-local frontiers in
+    parallel, then one global pass over the surviving candidates
+    only. Oracle: the identical two-window predicate in one global
+    DuckDB pass (a superset-then-filter plan must be invisible)."""
+    from graphsense_blocksci_spark.operators.windows import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    return skyline_2d(base, "day", "cents")
+
+
+def q130_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the teleport (and the dangling-mass
+    return) lands uniformly on a SEED set instead of all nodes — the
+    relevance-to-these-addresses score GraphSense-style investigations
+    rank by. Same one-job-per-iteration plan as q84
+    (operators/graph.py:pagerank with a seed frame); float sums ⇒
+    rows-only, numpy parity pytest-gated."""
+    from graphsense_blocksci_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    ).distinct()
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 10 == 0)
+    )
+    return pagerank(edges, iterations=8, seeds=seeds)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3458,6 +3569,10 @@ QUERIES: dict[str, QueryFn] = {
     "q125_knn_ivfpq": q125_knn_ivfpq,
     "qd24_streaming_heavy_hitters": qd24_streaming_heavy_hitters,
     "q126_hdr_quantiles": q126_hdr_quantiles,
+    "q127_funnel": q127_funnel,
+    "q128_cohort_retention": q128_cohort_retention,
+    "q129_skyline": q129_skyline,
+    "q130_personalized_pagerank": q130_personalized_pagerank,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -6343,4 +6458,71 @@ SELECT CAST(qn AS BIGINT) AS q_num,
                  ELSE (bucket % 16 + 16) * (1::BIGINT << CAST(bucket // 16 - 5 AS INT))
             END AS BIGINT) AS est
 FROM pick
+"""
+
+# q127: the same chained conditional-min derivation as the Spark plan.
+ORACLE_SQL["q127_funnel"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS e,
+           event_type
+    FROM events
+),
+v AS (
+    SELECT user_id, min(e) AS t_view FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT ev.user_id, min(e) AS t_click
+    FROM ev JOIN v ON ev.user_id = v.user_id
+    WHERE event_type = 'click' AND e >= t_view AND e <= t_view + 86400
+    GROUP BY ev.user_id
+),
+p AS (
+    SELECT ev.user_id, min(e) AS t_purchase
+    FROM ev JOIN c ON ev.user_id = c.user_id
+    WHERE event_type = 'purchase' AND e >= t_click AND e <= t_click + 86400
+    GROUP BY ev.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+ORACLE_SQL["q128_cohort_retention"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(floor(extract(epoch FROM ts)) / 604800) AS BIGINT) AS week
+    FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM ev)
+SELECT cohort_week,
+       week - cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+# q129: strict 2-D domination in ONE global pass — the Spark side's
+# bucket-local superset phase must be invisible in the output.
+ORACLE_SQL["q129_skyline"] = """
+WITH base AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+flagged AS (
+    SELECT o_orderkey, day, cents,
+           min(cents) OVER (
+               ORDER BY day RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS pre,
+           min(cents) OVER (PARTITION BY day) AS same
+    FROM base
+)
+SELECT o_orderkey, day, cents
+FROM flagged
+WHERE (pre IS NULL OR pre > cents) AND same >= cents
 """

@@ -460,3 +460,81 @@ def test_hll_sketch_partials_union_and_accuracy(spark):
     )
     global_exact = ev.agg(F.countDistinct("user_id").alias("n")).first()["n"]
     assert abs(union_est - global_exact) <= max(1, 0.05 * global_exact)
+
+
+def test_personalized_pagerank_matches_dense_reference(spark):
+    """Seeded (personalized) PageRank == the dense recurrence where
+    teleport and dangling mass land uniformly on the seed set only;
+    mass still sums to 1 and non-seed sources decay."""
+    from graphsense_blocksci_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    seeds = spark.createDataFrame([(1,), (3,)], "node: long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=12, seeds=seeds).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    seed_set = {1, 3}
+    out = {}
+    for a, b in set(edges):
+        out.setdefault(a, []).append(b)
+    tele = [1.0 / len(seed_set) if v in seed_set else 0.0 for v in nodes]
+    r = list(tele)
+    d = 0.85
+    for _ in range(12):
+        nxt = [0.0] * n
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        for a, targets in out.items():
+            share = r[idx[a]] / len(targets)
+            for b in targets:
+                nxt[idx[b]] += share
+        r = [
+            (1.0 - d) * tele[i] + d * dangling * tele[i] + d * nxt[i]
+            for i in range(n)
+        ]
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_seed_not_in_graph_raises(spark):
+    import pytest as _pytest
+
+    from graphsense_blocksci_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    seeds = spark.createDataFrame([(99,)], "node: long")
+    with _pytest.raises(ValueError, match="no seed appears"):
+        pagerank(df, seeds=seeds)
+
+
+def test_skyline_2d_matches_quadratic_reference(spark):
+    """Two-phase bucket skyline == the O(n^2) strict-domination
+    definition, including duplicate points (both survive) and
+    same-x ties."""
+    import random
+
+    from graphsense_blocksci_spark.operators.windows import skyline_2d
+
+    rng = random.Random(17)
+    pts = [(rng.randrange(0, 50), rng.randrange(0, 50)) for _ in range(300)]
+    pts += [(5, 5), (5, 5), (0, 49), (49, 0)]  # dup skyline point + extremes
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", bucket_width=8).collect()}
+
+    def dominated(a, b):  # b dominates a
+        return b[0] <= a[0] and b[1] <= a[1] and (b[0] < a[0] or b[1] < a[1])
+
+    # identical duplicate points never dominate each other (no strict)
+    want = {
+        i
+        for i, p in enumerate(pts)
+        if not any(dominated(p, pts[j]) for j in range(len(pts)) if j != i)
+    }
+    assert got == want
