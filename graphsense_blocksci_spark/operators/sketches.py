@@ -264,11 +264,18 @@ def build_bloom_words(
     return {int(r["word_idx"]): int(r["word"]) for r in words}
 
 
-def bloom_member(col, words: list[int], n_bits: int, n_hashes: int = 2):
+def bloom_member(
+    col, words: "list[int] | Column", n_bits: int, n_hashes: int = 2
+):
     """JVM-side Bloom membership probe: k xxhash64 positions against a
-    constant array<long> literal — element_at + shiftright + bit-and,
-    all inside whole-stage codegen. `words` is the DENSE word list."""
-    lit = F.lit(words)
+    dense array<long> bitmap — element_at + getbit, all inside
+    whole-stage codegen. ``words`` is either a small literal list or a
+    Column carrying the bitmap (the scale form: a 1-row broadcast
+    crossJoin — `F.lit(list)` would build a CreateArray expression
+    with one child PER WORD, and a megabit bitmap as a 32k-node
+    Catalyst tree costs more in analysis/codegen than the whole
+    query)."""
+    lit = words if isinstance(words, Column) else F.lit(words)
     cond = None
     for seed in range(n_hashes):
         bit = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(n_bits))
@@ -320,7 +327,10 @@ def bloom_decontaminate(
             .distinct()
         )
 
-    eh = hashes_of(eval_docs).select("h").distinct()
+    # one materialization: the count below, the bitmap build and the
+    # final verify join all reuse the cached eval hash set instead of
+    # re-running the shingle pipeline three times
+    eh = hashes_of(eval_docs).select("h").distinct().localCheckpoint(eager=True)
     n_keys = eh.count()
     n_bits = 64
     while n_bits < max(64, n_keys * bits_per_key):
@@ -333,9 +343,21 @@ def bloom_decontaminate(
         )
     sparse = build_bloom_words(eh, "h", n_bits, n_hashes)
     words = [sparse.get(i, 0) for i in range(n_bits // 64)]
+    # bitmap as DATA on a broadcast 1-row frame, not as a literal
+    # expression: one Literal node + one broadcast instead of a
+    # CreateArray tree with n_bits/64 children
+    bloom_df = train.sparkSession.createDataFrame(
+        [(words,)], "bloom_words array<bigint>"
+    )
 
     th = hashes_of(train)
-    candidates = th.filter(bloom_member(F.col("h"), words, n_bits, n_hashes))
+    candidates = (
+        th.crossJoin(F.broadcast(bloom_df))
+        .filter(
+            bloom_member(F.col("h"), F.col("bloom_words"), n_bits, n_hashes)
+        )
+        .drop("bloom_words")
+    )
     confirmed = candidates.join(eh, "h")  # exact false-positive removal
     return confirmed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
