@@ -90,6 +90,18 @@ BENCH_QUERIES = [
     "q128_cohort_retention",
     "q129_skyline",
     "q130_personalized_pagerank",
+    "q131_max_concurrency",
+    "q132_record_linkage",
+    "q133_scd2_intervals",
+    "q134_mad_outliers",
+    "q135_ewma_smoothing",
+    "q136_zorder_key",
+    "q137_shortest_paths",
+    "q138_kcore",
+    "q139_column_profile",
+    "q140_bpe_train",
+    "q141_interval_overlap_join",
+    "q142_systematic_sample",
 ]
 # qd23 (binaryFile round-trip) is gate-only: its fixture-file write is
 # driver-side setup and would dominate the timing; qd24 (streaming

@@ -39,3 +39,28 @@ def tx_hash_prefix(col: Column | str, length: int = TX_HASH_PREFIX_LENGTH) -> Co
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.lower(F.hex(c)), 1, length)
+
+
+def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integers into
+    one LONG: bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    The multi-dimensional clustering key data-skipping layouts sort by
+    (Delta/Iceberg OPTIMIZE ZORDER): writing files in morton order
+    makes each file's (x, y) bounding box small, so min/max footer
+    stats prune scans on EITHER dimension — a range-partition on x
+    alone can only prune x. Pure bit arithmetic (shiftleft/or), stays
+    inside whole-stage codegen; `bits` per dimension caps the domain
+    at [0, 2^bits) (callers bucket raw values down first — layout
+    keys need ordering, not precision).
+    """
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key

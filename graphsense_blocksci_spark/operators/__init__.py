@@ -52,9 +52,17 @@ from graphsense_blocksci_spark.operators.batching import plan_batches
 from graphsense_blocksci_spark.operators.sampling import (
     group_capped_sample,
     hash_sample,
+    systematic_sample,
     temperature_sample,
     train_test_split,
 )
+from graphsense_blocksci_spark.operators.intervals import (
+    interval_overlap_join,
+    sweep_concurrency,
+)
+from graphsense_blocksci_spark.operators.entity_resolution import record_linkage
+from graphsense_blocksci_spark.operators.diff import scd2_intervals, snapshot_diff
+from graphsense_blocksci_spark.operators.tokenizer import bpe_train
 from graphsense_blocksci_spark.operators.multimodal import (
     attach_payload,
     audio_frame_features,
@@ -78,8 +86,10 @@ from graphsense_blocksci_spark.operators.graph import (
     bfs_reachability,
     connected_components,
     incremental_components,
+    kcore,
     label_propagation,
     pagerank,
+    shortest_paths,
     triangle_count,
 )
 
@@ -101,8 +111,15 @@ __all__ = [
     "group_capped_sample",
     "plan_batches",
     "hash_sample",
+    "systematic_sample",
     "temperature_sample",
     "train_test_split",
+    "interval_overlap_join",
+    "sweep_concurrency",
+    "record_linkage",
+    "bpe_train",
+    "scd2_intervals",
+    "snapshot_diff",
     "cosine_topk_bruteforce",
     "cosine_topk_gemm",
     "cosine_topk_ivf",
@@ -135,8 +152,10 @@ __all__ = [
     "bfs_reachability",
     "connected_components",
     "incremental_components",
+    "kcore",
     "label_propagation",
     "pagerank",
+    "shortest_paths",
     "triangle_count",
     "salted_agg",
     "salted_join",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,59 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key: str,
+    state: str,
+    ts: str,
+    order: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a change-event stream into slowly-changing-dimension
+    type-2 validity intervals: one row per (key, state run) with
+    ``valid_from`` / ``valid_to`` (NULL = current). Consecutive events
+    with the SAME state merge into one interval; only transitions open
+    a new row.
+
+    The warehouse-side complement of `snapshot_diff`: diff tells you
+    WHAT changed between two snapshots, SCD2 tells you WHEN each state
+    held, queryable with a plain BETWEEN (the as-of-join pattern,
+    operators/asof.py).
+
+    Scale shape: two windows over the SAME (key, ts) partitioning —
+    Catalyst plans one shuffle + one sort for both (lag to flag
+    transitions, running max to number runs) — then one (key, run)
+    aggregate reusing that partitioning, and a lead window on the
+    run-level rows (already collapsed, ≤ transitions per key) for
+    valid_to. Per-key data never concentrates beyond its own events.
+
+    ``order`` adds tie-break columns after ts for a total order
+    (determinism with same-timestamp events).
+    """
+    ob = [F.col(ts)] + [F.col(c) for c in order]
+    w = Window.partitionBy(key).orderBy(*ob)
+    flagged = events.withColumn(
+        "_new_run",
+        F.when(
+            F.lag(state).over(w).isNull()
+            | (F.lag(state).over(w) != F.col(state)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_run",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy(key, "_run").agg(
+        F.min_by(F.col(state), F.struct(*ob)).alias(state),
+        F.min(ts).alias("valid_from"),
+    )
+    w_runs = Window.partitionBy(key).orderBy("_run")
+    return runs.select(
+        key,
+        state,
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+    )

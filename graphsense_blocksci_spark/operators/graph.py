@@ -542,3 +542,131 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded weighted single-source(-set) shortest paths
+    (distributed Bellman-Ford). Returns ``(node, dist)`` — the minimum
+    total INTEGER edge weight over any directed path of ≤ ``max_hops``
+    edges from the seed set. Seeds have dist 0.
+
+    The weighted generalization of `bfs_reachability` ("follow the
+    funds" with a cost: fee-weighted hops, latency-weighted routes).
+    Integer weights keep min() exact, so the result is oracle-checkable
+    cell-exact against a recursive-CTE min aggregation — unlike
+    float-summing PageRank.
+
+    Scale shape per round: relax ONLY the frontier (nodes whose dist
+    improved last round) against the edge table — one equi-join on
+    `src` (co-locatable by pre-bucketing edges), one (node, min)
+    aggregate, one join against current dists to keep improvements.
+    The frontier shrinks as distances settle (early-exit when it
+    drains), and the dist frame stays 2 longs/row. localCheckpoint per
+    round keeps lineage flat; only the empty-frontier probe reaches
+    the driver.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("_src"),
+            F.col(dst).cast("long").alias("_dst"),
+            F.col(weight).cast("long").alias("_w"),
+        )
+        .groupBy("_src", "_dst")
+        .agg(F.min("_w").alias("_w"))  # parallel edges: keep the cheapest
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(e, frontier.node == e._src)
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            relaxed.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .union(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling: iteratively delete nodes with
+    undirected degree < ``k``; after ``rounds`` passes return the
+    surviving ``(node, degree)`` (degree within the surviving
+    subgraph). With enough rounds this converges to the exact k-core —
+    the dense backbone community detection and spam/bot-net analyses
+    key on; a FIXED round count keeps the result deterministic and
+    oracle-checkable (the oracle unrolls the same peels, as q87 does
+    for LPA).
+
+    Scale shape per round: one degree aggregate over the surviving
+    symmetric edge list + two semi-joins to drop edges touching peeled
+    nodes — all shuffles on node id, hub fan-in collapsed by map-side
+    partial counts. The edge frame only ever shrinks; localCheckpoint
+    per round keeps lineage flat, and the loop early-exits once a
+    round peels nothing.
+    """
+    sym = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        nxt = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        # early-exit: nothing peeled -> fixpoint reached
+        if nxt.count() == sym.count():
+            sym = nxt
+            break
+        sym = nxt
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("u").alias("node"), F.col("degree").cast("long").alias("degree"))
+    )

@@ -194,3 +194,56 @@ def group_capped_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    step: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Weighted systematic (size-proportional) sampling WITHOUT
+    replacement: lay rows end-to-end in stable `id_col` order, each
+    spanning `weight_col` integer units, and select every row whose
+    span contains a multiple of ``step`` (sample points 0, step,
+    2*step, ...). A row with weight >= step is always selected; a row
+    with weight w < step is selected with probability exactly w/step
+    under a random phase — here the phase is FIXED at 0, trading the
+    unbiasedness guarantee for determinism (retries, backfills and the
+    DuckDB oracle agree row-for-row, which `rand()`-phase sampling
+    cannot).
+
+    This is the classic PPS-systematic design (survey sampling /
+    importance-weighted corpus mixing) expressed on the repo's
+    distributed two-phase prefix sum (operators/packing.py) — the
+    global cumulative weight is bucket-local running sums plus one
+    bounded n_buckets-row offset window, never a corpus-wide
+    single-partition sort.
+
+    Returns (id_col, weight, offset, selected) — `offset` the
+    exclusive prefix weight, `selected` the sampling verdict — so
+    callers can filter or audit inclusion probabilities.
+    """
+    from graphsense_blocksci_spark.operators.packing import sequence_packing
+
+    packed = sequence_packing(
+        df,
+        budget=step,
+        id_col=id_col,
+        count_col=weight_col,
+        n_buckets=n_buckets,
+    )
+    # span [offset, offset+w) contains a multiple of `step` iff the
+    # bin of its last unit exceeds the bin of the unit before its
+    # first — integer-exact, and offset=0 selects (floor(-1/step) = -1).
+    sel = (
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / step)
+        > F.floor((F.col("offset") - 1) / step)
+    ) & (F.col("n_tokens") > 0)
+    return packed.select(
+        F.col("doc_id").alias(id_col),
+        F.col("n_tokens").alias("weight"),
+        "offset",
+        sel.alias("selected"),
+    )

@@ -219,3 +219,35 @@ def compact_parquet(
     Path(staging).rename(p)
     # rglob, not glob: partitioned layouts nest files under key=value dirs
     return len(list(p.rglob("*.parquet")))
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    num_chunks: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort on the
+    Morton interleave of two integer columns (functions/layout.py:
+    morton_key), then drop the key — the OPTIMIZE ZORDER primitive for
+    data skipping. Each output file's (x, y) bounding box is a small
+    Z-curve segment, so parquet min/max footer stats prune scans that
+    filter on EITHER column; a plain `write_range_sorted(x)` can only
+    prune x. Same shuffle cost as any global sort (one range exchange);
+    the win is entirely at read time.
+    """
+    from graphsense_blocksci_spark.functions.layout import morton_key
+
+    if num_chunks is None:
+        num_chunks = df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn("_zkey", morton_key(x_col, y_col, bits=bits))
+    (
+        keyed.repartitionByRange(num_chunks, F.col("_zkey"))
+        .sortWithinPartitions(F.col("_zkey"))
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,359 @@
+"""Round-4 extension operators: intervals, record linkage, SCD2,
+systematic sampling, Z-order layout, weighted shortest paths, k-core,
+and distributed BPE training — each pinned against a brute-force or
+pure-Python reference (the SQL oracles cover the testdata shapes; these
+cover the edge cases the testdata cannot)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- intervals
+
+
+def _brute_concurrency(intervals):
+    """All boundary instants with the open-interval count (half-open)."""
+    deltas = {}
+    for s, e in intervals:
+        deltas.setdefault((s, 1), 0)
+        deltas[(s, 1)] += 1
+        deltas.setdefault((e, -1), 0)
+        deltas[(e, -1)] -= 1
+    out = []
+    running = 0
+    for (t, d) in sorted(deltas):
+        running += deltas[(t, d)]
+        out.append((t, d, running))
+    return out
+
+
+def test_sweep_concurrency_matches_bruteforce(spark):
+    from graphsense_blocksci_spark.operators.intervals import sweep_concurrency
+
+    rng = random.Random(7)
+    iv = [
+        (s := rng.randrange(0, 1000), s + rng.randrange(1, 200))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(iv, "start long, end long")
+    got = sorted(
+        tuple(r) for r in sweep_concurrency(df, n_buckets=7).collect()
+    )
+    assert got == sorted(_brute_concurrency(iv))
+
+
+def test_sweep_concurrency_handoff_never_double_counts(spark):
+    from graphsense_blocksci_spark.operators.intervals import sweep_concurrency
+
+    # back-to-back handoff at t=10: end applies before start
+    df = spark.createDataFrame([(0, 10), (10, 20)], "start long, end long")
+    rows = {r["t"]: r["concurrent"] for r in sweep_concurrency(df).collect()}
+    assert max(rows.values()) == 1
+
+
+def test_sweep_concurrency_empty(spark):
+    from graphsense_blocksci_spark.operators.intervals import sweep_concurrency
+
+    df = spark.createDataFrame([], "start long, end long")
+    assert sweep_concurrency(df).count() == 0
+
+
+def test_interval_overlap_join_matches_cross_join(spark):
+    from graphsense_blocksci_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(11)
+    mk = lambda n, o: [  # noqa: E731
+        (i + o, s := rng.randrange(0, 3000), s + rng.randrange(0, 500))
+        for i in range(n)
+    ]
+    lft = spark.createDataFrame(mk(80, 0), "id long, start long, end long")
+    rgt = spark.createDataFrame(mk(80, 1000), "id long, start long, end long")
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(lft, rgt, bucket_width=256).collect()
+    )
+    expect = sorted(
+        (r["l"], r["r"])
+        for r in lft.alias("a")
+        .crossJoin(rgt.alias("b"))
+        .filter(
+            (F.col("a.start") <= F.col("b.end"))
+            & (F.col("b.start") <= F.col("a.end"))
+        )
+        .select(F.col("a.id").alias("l"), F.col("b.id").alias("r"))
+        .collect()
+    )
+    assert got == expect
+    assert len(got) == len(set(got))  # exactly-once, no dedup needed
+
+
+# ------------------------------------------------------------ record linkage
+
+
+def test_record_linkage_finds_near_names_only(spark):
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        record_linkage,
+    )
+
+    rows = [
+        (1, "jon smith", 1),
+        (2, "john smith", 1),  # dist 1 from jon smith — but len differs!
+        (3, "jon smyth", 1),  # dist 1 from jon smith, same length
+        (4, "completely", 1),
+        (5, "jon smith", 2),  # other block: never compared
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk long")
+    df = df.withColumn("nl", F.length("name").cast("long"))
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in record_linkage(
+            df, ["blk", "nl"], max_dist=2, id_col="id", name_col="name"
+        ).collect()
+    }
+    assert (1, 3, 1) in got
+    assert all(a != 5 and b != 5 for a, b, _ in got)
+    assert all(d <= 2 for _, _, d in got)
+
+
+def test_record_linkage_max_block_raises_with_advice(spark):
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        record_linkage,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "same", 0) for i in range(30)], "id long, name string, blk long"
+    )
+    with pytest.raises(ValueError, match="max_block"):
+        record_linkage(
+            df, ["blk"], max_dist=1, id_col="id", name_col="name", max_block=10
+        ).collect()
+
+
+# -------------------------------------------------------------------- SCD2
+
+
+def test_scd2_merges_runs_and_chains_validity(spark):
+    from graphsense_blocksci_spark.operators.diff import scd2_intervals
+
+    rows = [
+        (1, "a", 10, 1),
+        (1, "a", 20, 2),  # same state: merged into the first run
+        (1, "b", 30, 3),
+        (1, "a", 40, 4),  # back to a: NEW run, not merged with row 1
+        (2, "x", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, st string, ts long, ord long")
+    got = sorted(
+        tuple(r)
+        for r in scd2_intervals(
+            df, key="k", state="st", ts="ts", order=["ord"]
+        ).collect()
+    )
+    assert got == [
+        (1, "a", 10, 30),
+        (1, "a", 40, None),
+        (1, "b", 30, 40),
+        (2, "x", 5, None),
+    ]
+
+
+# -------------------------------------------------------- systematic sample
+
+
+def test_systematic_sample_invariants(spark):
+    from graphsense_blocksci_spark.operators.sampling import systematic_sample
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(0, 40)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    step = 100
+    out = systematic_sample(df, step=step).collect()
+    # python reference: prefix sums in id order
+    cum = 0
+    expect = {}
+    for i, w in sorted(rows):
+        sel = w > 0 and (cum + w - 1) // step > (cum - 1) // step
+        expect[i] = (w, cum, sel)
+        cum += w
+    got = {r["doc_id"]: (r["weight"], r["offset"], r["selected"]) for r in out}
+    assert got == expect
+    n_sel = sum(1 for _, _, s in got.values() if s)
+    total = sum(w for w, _, _ in got.values())
+    # every step-window of weight contains exactly one selection
+    assert n_sel == (total + step - 1) // step
+    # any row with weight >= step is always selected
+    assert all(s for w, _, s in got.values() if w >= step)
+
+
+# ------------------------------------------------------------------ z-order
+
+
+def test_write_zorder_files_have_small_bounding_boxes(spark, tmp_path):
+    from graphsense_blocksci_spark.sources.sinks import write_zorder
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    path = str(tmp_path / "zorder")
+    write_zorder(df, path, "x", "y", bits=6, num_chunks=16)
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    spans = []
+    for f in Path(path).glob("*.parquet"):
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        if xs:
+            spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    assert spans
+    # a z-ordered 16-way split of a 64x64 grid keeps BOTH dims far below
+    # the global span on every file; a plain x-sort would leave the y
+    # span at 63 everywhere.
+    assert all(sx < n and sy < n for sx, sy in spans)
+    avg_y = sum(sy for _, sy in spans) / len(spans)
+    assert avg_y <= n / 2
+
+
+# ------------------------------------------------------------------- graph
+
+
+def _ref_shortest(edges, seeds, max_hops):
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, w))
+    dist = {s: 0 for s in seeds}
+    frontier = dict(dist)
+    for _ in range(max_hops):
+        nxt = {}
+        for u, du in frontier.items():
+            for v, w in adj[u]:
+                cand = du + w
+                if cand < dist.get(v, 1 << 60) and cand < nxt.get(v, 1 << 60):
+                    nxt[v] = cand
+        frontier = {v: c for v, c in nxt.items() if c < dist.get(v, 1 << 60)}
+        dist.update(frontier)
+        if not frontier:
+            break
+    return dist
+
+
+def test_shortest_paths_matches_reference(spark):
+    from graphsense_blocksci_spark.operators.graph import shortest_paths
+
+    rng = random.Random(5)
+    edges = [
+        (rng.randrange(30), rng.randrange(30), rng.randrange(1, 10))
+        for _ in range(120)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, 5).collect()}
+    assert got == _ref_shortest(edges, [0, 7], 5)
+
+
+def test_shortest_paths_prefers_cheap_long_path(spark):
+    from graphsense_blocksci_spark.operators.graph import shortest_paths
+
+    # direct hop costs 10; the 3-hop detour costs 3
+    edges = [(0, 9, 10), (0, 1, 1), (1, 2, 1), (2, 9, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, seeds, 4).collect()}
+    assert got[9] == 3
+
+
+def _ref_kcore(edges, k, rounds):
+    sym = set()
+    for u, v in edges:
+        if u != v:
+            sym.add((u, v))
+            sym.add((v, u))
+    for _ in range(rounds):
+        deg = {}
+        for u, _v in sym:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in sym if u in keep and v in keep}
+        if nxt == sym:
+            break
+        sym = nxt
+    deg = {}
+    for u, _v in sym:
+        deg[u] = deg.get(u, 0) + 1
+    return deg
+
+
+def test_kcore_matches_reference_and_converges(spark):
+    from graphsense_blocksci_spark.operators.graph import kcore
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(250)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 4):
+        got = {r["node"]: r["degree"] for r in kcore(e, k, rounds=6).collect()}
+        assert got == _ref_kcore(edges, k, 6)
+
+
+def test_kcore_triangle_survives_chain_dies(spark):
+    from graphsense_blocksci_spark.operators.graph import kcore
+
+    # triangle (each degree 2) + a pendant chain
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"] for r in kcore(e, k=2, rounds=5).collect()}
+    assert got == {0, 1, 2}
+
+
+# --------------------------------------------------------------- BPE train
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from graphsense_blocksci_spark.operators.tokenizer import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    texts = [
+        "the theme thesis then",
+        "low lower lowest low low",
+        "new newer newest news new",
+        "the the the lowest theme",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    assert got == bpe_train_reference(counts, n_merges=6)
+
+
+def test_bpe_train_overlap_counting_and_greedy_application(spark):
+    from graphsense_blocksci_spark.operators.tokenizer import bpe_train
+
+    # "aaaa" x3: round 0 counts (a,a) 9 times (overlapping, Sennrich
+    # get_stats), merges to [aa, aa]; round 1 merges (aa, aa).
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    assert got[0] == (0, "a", "a", 9)
+    assert got[1] == (1, "aa", "aa", 3)
+    # after [aaaa] no pairs remain: training early-exits at 2 merges
+    assert len(got) == 2
