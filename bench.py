@@ -102,7 +102,13 @@ BENCH_QUERIES = [
     "q140_bpe_train",
     "q141_interval_overlap_join",
     "q142_systematic_sample",
+    "q143_scene_changes",
+    "q144_random_walks",
+    "q145_bigram_lm",
 ]
+# qd25 (streaming HDR quantiles) is gate-only like qd23/qd24: its
+# fixture staging + checkpoint setup would dominate the timing; the
+# batch twin q126 carries the timing signal.
 # qd23 (binaryFile round-trip) is gate-only: its fixture-file write is
 # driver-side setup and would dominate the timing; qd24 (streaming
 # heavy hitters) likewise stages a file stream + checkpoint per run —

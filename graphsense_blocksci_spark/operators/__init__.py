@@ -89,6 +89,7 @@ from graphsense_blocksci_spark.operators.graph import (
     kcore,
     label_propagation,
     pagerank,
+    random_walks,
     shortest_paths,
     triangle_count,
 )
@@ -155,6 +156,7 @@ __all__ = [
     "kcore",
     "label_propagation",
     "pagerank",
+    "random_walks",
     "shortest_paths",
     "triangle_count",
     "salted_agg",

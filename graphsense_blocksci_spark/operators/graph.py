@@ -670,3 +670,99 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("u").alias("node"), F.col("degree").cast("long").alias("degree"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_length: int,
+    n_walks: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+    node_space: int = 8192,
+) -> DataFrame:
+    """Deterministic hash-driven random walks — the DeepWalk/node2vec
+    corpus generator, with the same rand()-is-wrong-at-scale fix as
+    operators/sampling.py: the "random" neighbor choice at (walk,
+    step) is the out-neighbor minimizing the repo's 28-bit md5 prefix
+    of ``walk_id|step|neighbor``, so retries, backfills and the DuckDB
+    oracle reproduce identical walks (true RNG walks cannot be
+    oracle-checked and resample on every task retry).
+
+    Returns ``(seed, walk_id, path)`` — path the comma-joined node
+    sequence (arrays stringified per repo convention). A walk reaching
+    a sink node stops early and keeps its shorter path.
+
+    Scale shape per step: ONE equi-join of the walk frame (|seeds| ×
+    n_walks rows, constant) against the edge table on the current
+    node + one min aggregate per walk — the hash tie-break rides the
+    aggregate as ``h * node_space + dst`` (order-preserving because
+    dst < node_space), so no window, no per-walk sort. localCheckpoint
+    per step keeps lineage flat. Walk storage is a STRING per walk,
+    never an exploded row per visited node.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
+    ).distinct().localCheckpoint(eager=True)
+    walks = (
+        seeds.select(F.col(id_col).cast("long").alias("seed"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                seeds.sparkSession.range(n_walks).select(
+                    F.col("id").alias("walk_id")
+                )
+            )
+        )
+        .select(
+            "seed",
+            "walk_id",
+            F.col("seed").alias("cur"),
+            F.col("seed").cast("string").alias("path"),
+        )
+    )
+    for step in range(1, walk_length + 1):
+        hk = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("walk_id").cast("string"),
+                            F.lit(step).cast("string"),
+                            F.col("_dst").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * node_space
+            + F.col("_dst")
+        )
+        walks = (
+            walks.join(e, walks.cur == e._src, "left")
+            .groupBy("seed", "walk_id")
+            .agg(
+                F.first("path").alias("_path"),
+                F.min(hk).alias("_hk"),
+            )
+            .select(
+                "seed",
+                "walk_id",
+                (F.col("_hk") % node_space).alias("cur"),
+                F.when(
+                    F.col("_hk").isNotNull(),
+                    F.concat_ws(
+                        ",",
+                        F.col("_path"),
+                        (F.col("_hk") % node_space).cast("string"),
+                    ),
+                ).otherwise(F.col("_path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return walks.select("seed", "walk_id", "path")

@@ -3821,6 +3821,189 @@ def q142_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q143_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection: each document becomes a 4-frame
+    "clip" (frame f rasters a 7-byte-shifted window of the tiled
+    text into an 18×16 P5 image), every frame is perceptually hashed
+    by the REAL numpy decode+resize path (multimodal.image_dhash),
+    and a scene cut is a consecutive-frame Hamming distance ≥ 10 —
+    lag + xor + bit_count, all JVM. The frame-dedup/shot-boundary
+    primitive a video curation pipeline keys on. Oracle: re-derives
+    all 56 dhash bits per frame from code points (q123 arithmetic)
+    plus the same lag/popcount."""
+    from graphsense_blocksci_spark.operators.multimodal import image_dhash
+    from graphsense_blocksci_spark.operators.textops import spread
+
+    w, h, stride, n_frames = 18, 16, 7, 4
+    need = w * h + stride * (n_frames - 1)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    tiled = F.substring(
+        F.repeat(
+            F.col("text"),
+            F.floor(F.lit(need) / F.length("text")).cast("int") + 1,
+        ),
+        1,
+        need,
+    )
+    frames = spread(docs).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        tiled.alias("_tiled"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_no"),
+    ).select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.concat(
+            F.encode(F.lit(f"P5\n{w} {h}\n255\n"), "utf-8"),
+            F.encode(
+                F.substring(
+                    F.col("_tiled"), F.lit(1) + F.col("frame_no") * stride, w * h
+                ),
+                "utf-8",
+            ),
+        ).alias("payload"),
+    )
+    hashed = image_dhash(
+        frames.withColumn(
+            "media_id", F.col("media_id") * 10 + F.col("frame_no")
+        ).drop("frame_no"),
+        hash_w=7,
+        hash_h=8,
+    ).filter(F.col("decode_ok"))
+    per_frame = hashed.select(
+        F.floor(F.col("media_id") / 10).cast("long").alias("media_id"),
+        (F.col("media_id") % 10).cast("long").alias("frame_no"),
+        F.col("dhash").cast("long").alias("dhash"),
+    )
+    wlag = Window.partitionBy("media_id").orderBy("frame_no")
+    hamming = F.bit_count(
+        F.col("dhash").bitwiseXOR(F.lag("dhash").over(wlag))
+    ).cast("long")
+    return per_frame.select(
+        "media_id",
+        "frame_no",
+        "dhash",
+        hamming.alias("hamming"),
+        F.when(hamming.isNull(), F.lit(None).cast("boolean"))
+        .otherwise(hamming >= 10)
+        .alias("scene_change"),
+    )
+
+
+def q144_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-driven random walks (the DeepWalk/node2vec
+    training-corpus generator; operators/graph.py:random_walks): 3
+    walks × 4 steps per seed over the lineitem-derived graph, the
+    neighbor choice at each (walk, step) being the out-neighbor
+    minimizing the 28-bit md5 of walk|step|neighbor — retries and the
+    oracle reproduce IDENTICAL walks, which rand()-driven walks
+    cannot. One join + one min aggregate per step; walks ride as one
+    string per walk. Oracle: 4 unrolled left-join/argmin steps over
+    the same hash."""
+    from graphsense_blocksci_spark.operators.graph import random_walks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") < 10).select(
+        (F.col("l_orderkey") % 5000).cast("long").alias("src"),
+        (F.col("l_partkey") % 5000).cast("long").alias("dst"),
+    )
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 200 == 0
+    )
+    return random_walks(edges, seeds, walk_length=4, n_walks=3)
+
+
+def q145_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model (the n-gram LM table a
+    perplexity filter scores against): adjacent token pairs via the
+    offset-slice zip (NO positional self-join — the q115 PMI
+    machinery), context counts as the sum of outgoing bigrams, and
+    the conditional probability reported as floor(1e6 · c2/c1) —
+    one double division + floor, bit-portable (ln/raw-prob floats are
+    not). min_count=3 prunes the Zipf tail before any join. Scale:
+    one (w1,w2) hash aggregate with map-side partials + a vocab-sized
+    context aggregate joined back."""
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(tokens("text").alias("t"))
+    n = F.size("t")
+    pairs = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n - 1).alias("a"),
+                    F.slice("t", 2, n - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = pairs.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        pairs.filter(F.col("c2") >= 3)
+        .join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            "c1",
+            F.floor(F.lit(1000000.0) * F.col("c2") / F.col("c1"))
+            .cast("long")
+            .alias("pmill"),
+        )
+    )
+
+
+def qd25_streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mergeable quantile partials under the exact gate:
+    per-day HDR histogram bucket counts folded into the
+    applyInPandasWithState store (streaming/sketches.py:
+    hdr_histogram_stream — bucket ids computed JVM-side with the q126
+    bit arithmetic, state bounded by value RANGE not stream length),
+    driven availableNow over orders staged as a file stream. A single
+    micro-batch means every snapshot is the exact histogram, so the
+    oracle is the plain per-day bucket group-by — the streaming
+    plumbing must be invisible. Cross-batch accumulation is
+    pytest-gated (tests/test_streaming.py)."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.sketches import (
+        hdr_histogram_stream,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_shdr_")
+    vals.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("day long, cents long").parquet(
+        f"{work}/src"
+    )
+    q = (
+        hdr_histogram_stream(stream, "cents", "day")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("group long, bucket long, cnt long")
+        .parquet(f"{work}/out")
+        .select(F.col("group").alias("day"), "bucket", "cnt")
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -3919,6 +4102,10 @@ QUERIES: dict[str, QueryFn] = {
     "q140_bpe_train": q140_bpe_train,
     "q141_interval_overlap_join": q141_interval_overlap_join,
     "q142_systematic_sample": q142_systematic_sample,
+    "q143_scene_changes": q143_scene_changes,
+    "q144_random_walks": q144_random_walks,
+    "q145_bigram_lm": q145_bigram_lm,
+    "qd25_streaming_hdr_quantiles": qd25_streaming_hdr_quantiles,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -7143,4 +7330,127 @@ SELECT doc_id, weight, "offset",
         AND floor(("offset" + weight - 1) / 5000.0)
             > floor(("offset" - 1) / 5000.0)) AS selected
 FROM cum
+"""
+
+# q143: per-frame dhash bits re-derived from code points (q123
+# arithmetic) on each 7-byte-shifted 288-byte window, then the same
+# lag + xor + popcount.
+ORACLE_SQL["q143_scene_changes"] = """
+WITH raster AS (
+    SELECT doc_id AS media_id,
+           substring(
+               repeat(text, CAST(floor(309.0 / len(text)) AS INT) + 1),
+               1, 309
+           ) AS tiled
+    FROM documents
+    WHERE len(text) > 0 AND len(text) = octet_length(encode(text))
+),
+fr AS (
+    SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+           substr(tiled, CAST(1 + 7 * f AS INT), 288) AS r
+    FROM (SELECT media_id, tiled, unnest(range(0, 4)) AS f FROM raster)
+),
+hashed AS (
+    SELECT media_id, frame_no,
+           CAST(list_sum(list_transform(range(0, 56), k ->
+               CASE WHEN
+                   ascii(substr(r, CAST(36*(k//7) + ((k%7)*18)//8 + 1 AS INT), 1))
+                 > ascii(substr(r, CAST(36*(k//7) + (((k%7)+1)*18)//8 + 1 AS INT), 1))
+               THEN 1::BIGINT << CAST(k AS INT) ELSE 0::BIGINT END
+           )) AS BIGINT) AS dhash
+    FROM fr
+),
+lagd AS (
+    SELECT media_id, frame_no, dhash,
+           lag(dhash) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+    FROM hashed
+)
+SELECT media_id, frame_no, dhash,
+       CAST(CASE WHEN prev IS NULL THEN NULL
+                 ELSE bit_count(xor(dhash, prev)) END AS BIGINT) AS hamming,
+       CASE WHEN prev IS NULL THEN NULL
+            ELSE bit_count(xor(dhash, prev)) >= 10 END AS scene_change
+FROM lagd
+"""
+
+
+def _walk_step_sql(step: int) -> str:
+    p, s, w = f"w{step - 1}", f"s{step}", f"w{step}"
+    return f"""
+{s} AS (
+    SELECT seed, walk_id, path,
+           min(('0x' || substr(md5(concat(walk_id, '|', {step}, '|', dst)),
+                1, 7))::BIGINT * 8192 + dst) AS hk
+    FROM {p} LEFT JOIN e ON {p}.cur = e.src
+    GROUP BY seed, walk_id, path
+),
+{w} AS (
+    SELECT seed, walk_id, hk % 8192 AS cur,
+           CASE WHEN hk IS NULL THEN path
+                ELSE path || ',' || CAST(hk % 8192 AS VARCHAR) END AS path
+    FROM {s}
+)"""
+
+
+ORACLE_SQL["q144_random_walks"] = (
+    """
+WITH e AS (
+    SELECT DISTINCT CAST(l_orderkey % 5000 AS BIGINT) AS src,
+                    CAST(l_partkey % 5000 AS BIGINT) AS dst
+    FROM lineitem WHERE l_quantity < 10
+),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 200 = 0),
+w0 AS (
+    SELECT node AS seed, CAST(wid AS BIGINT) AS walk_id, node AS cur,
+           CAST(node AS VARCHAR) AS path
+    FROM seeds CROSS JOIN (VALUES (0), (1), (2)) t(wid)
+),"""
+    + ",".join(_walk_step_sql(s) for s in (1, 2, 3, 4))
+    + "\nSELECT seed, walk_id, path FROM w4"
+)
+
+ORACLE_SQL["q145_bigram_lm"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+pr AS (
+    SELECT unnest(list_transform(
+               range(1, len(toks)), i -> [toks[i], toks[i + 1]]
+           )) AS p
+    FROM tok WHERE len(toks) >= 2
+),
+pairs AS (
+    SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c2
+    FROM pr GROUP BY 1, 2
+),
+ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM pairs GROUP BY w1)
+SELECT pairs.w1, w2, c2, c1,
+       CAST(floor(1000000.0 * c2 / c1) AS BIGINT) AS pmill
+FROM pairs JOIN ctx ON pairs.w1 = ctx.w1
+WHERE c2 >= 3
+"""
+
+# qd25: one micro-batch means every state snapshot is the exact
+# per-day histogram — the streaming plumbing must be invisible.
+ORACLE_SQL["qd25_streaming_hdr_quantiles"] = """
+WITH vals AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders
+),
+b AS (
+    SELECT day,
+           CASE WHEN v <= 31 THEN v
+                ELSE length(bin(v)) * 16 + (v >> (length(bin(v)) - 5)) - 16
+           END AS bucket
+    FROM vals
+)
+SELECT day, CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY day, bucket
 """

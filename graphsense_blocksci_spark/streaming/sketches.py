@@ -129,3 +129,79 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HDR_OUTPUT = T.StructType(
+    [
+        T.StructField("group", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+HDR_STATE = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _hdr_group(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    acc: dict[int, int] = {}
+    if state.exists:
+        buckets, counts = state.get
+        acc = dict(zip(buckets, counts))
+    for pdf in pdfs:
+        for b, c in pdf.groupby("bucket")["bucket"].count().items():
+            acc[int(b)] = acc.get(int(b), 0) + int(c)
+    state.update(([int(b) for b in acc], [int(c) for c in acc.values()]))
+    if acc:
+        items = sorted(acc.items())
+        yield pd.DataFrame(
+            {
+                "group": key[0],
+                "bucket": [b for b, _ in items],
+                "cnt": [c for _, c in items],
+            }
+        )
+
+
+def hdr_histogram_stream(
+    values: DataFrame,
+    value_col: str,
+    group_col: str,
+    sub_bits: int = 4,
+) -> DataFrame:
+    """STREAMING mergeable quantile partials: the stateful face of
+    `operators/sketches.py:hdr_histogram`. The HDR bucket id is
+    computed JVM-side on the stream (the same integer bit arithmetic
+    as the batch operator — the Python state op never sees raw
+    values), rows shuffle to their group's state key, and each group
+    folds its micro-batch bucket counts into the store with a plain
+    per-bucket sum — the merge that CANNOT be order-sensitive, which
+    is exactly why HDR partials and not a rank sketch live in the
+    state store. After each batch a group emits its refreshed
+    histogram snapshot ``(group, bucket, cnt)``; a consumer takes the
+    latest snapshot per group and feeds `hdr_quantiles` unchanged.
+
+    State per group is bounded by the VALUE RANGE (≈ sub_bits·64
+    buckets), not the stream length — the same guarantee as the
+    Misra-Gries store above, with zero approximation: snapshot counts
+    are always exact running counts (unlike MG under pressure).
+    """
+    from graphsense_blocksci_spark.operators.sketches import hdr_bucket
+
+    keyed = values.select(
+        F.col(group_col).cast("long").alias("group"),
+        hdr_bucket(F.col(value_col), sub_bits).alias("bucket"),
+    )
+    return keyed.groupBy("group").applyInPandasWithState(
+        _hdr_group,
+        outputStructType=HDR_OUTPUT,
+        stateStructType=HDR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -357,3 +357,95 @@ def test_bpe_train_overlap_counting_and_greedy_application(spark):
     assert got[1] == (1, "aa", "aa", 3)
     # after [aaaa] no pairs remain: training early-exits at 2 merges
     assert len(got) == 2
+
+
+# ------------------------------------------------------------ random walks
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from graphsense_blocksci_spark.operators.graph import random_walks
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    out1 = sorted(tuple(r) for r in random_walks(e, seeds, 4, n_walks=2).collect())
+    out2 = sorted(tuple(r) for r in random_walks(e, seeds, 4, n_walks=2).collect())
+    assert out1 == out2  # retry/backfill determinism
+    assert len(out1) == 2 * 2  # seeds x n_walks
+    eset = {(s, d) for s, d in edges}
+    for _seed, _wid, path in out1:
+        nodes = [int(x) for x in path.split(",")]
+        assert nodes[0] == _seed
+        assert len(nodes) <= 5
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in eset  # every hop is a real edge
+
+
+def test_random_walks_stop_at_sink(spark):
+    from graphsense_blocksci_spark.operators.graph import random_walks
+
+    # 0 -> 1 -> 2, node 2 has no out-edges: walks stop after 2 hops
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    rows = random_walks(e, seeds, walk_length=5, n_walks=2).collect()
+    assert all(r["path"] == "0,1,2" for r in rows)
+
+
+# ----------------------------------------------------- streaming HDR state
+
+
+def test_streaming_hdr_accumulates_across_batches(spark, tmp_path):
+    """Two micro-batches: the batch-2 snapshot histogram per group must
+    equal the batch operator's histogram over BOTH batches — the
+    per-bucket-sum merge has no pressure/approximation case at all."""
+    from graphsense_blocksci_spark.operators.sketches import hdr_histogram
+    from graphsense_blocksci_spark.streaming.sketches import hdr_histogram_stream
+
+    rng = random.Random(21)
+    b1 = [(i % 3, rng.randrange(0, 100000)) for i in range(400)]
+    b2 = [(i % 3, rng.randrange(0, 100000)) for i in range(300)]
+    src = tmp_path / "hdr_src"
+    src.mkdir()
+    ckpt, sink = str(tmp_path / "hdr_ckpt"), str(tmp_path / "hdr_out")
+    spark.createDataFrame(b1, "day long, cents long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("day long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            hdr_histogram_stream(stream, "cents", "day")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(b2, "day long, cents long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    run_once()
+
+    out = spark.read.schema("group long, bucket long, cnt long").parquet(sink)
+    # counts only grow: the final snapshot per (group, bucket) is the max
+    final = {
+        (r["group"], r["bucket"]): r["cnt"]
+        for r in out.groupBy("group", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    both = spark.createDataFrame(b1 + b2, "day long, cents long")
+    want = {
+        (r["day"], r["bucket"]): r["cnt"]
+        for r in hdr_histogram(both, "cents", group_cols=("day",)).collect()
+    }
+    assert final == want
