@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "q143_scene_changes",
     "q144_random_walks",
     "q145_bigram_lm",
+    "q146_kmv_sketch",
+    "q147_negative_sampling",
+    "q148_harmonic_centrality",
 ]
 # qd25 (streaming HDR quantiles) is gate-only like qd23/qd24: its
 # fixture staging + checkpoint setup would dominate the timing; the

@@ -766,3 +766,52 @@ def random_walks(
             .localCheckpoint(eager=True)
         )
     return walks.select("seed", "walk_id", "path")
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded BFS from EVERY seed simultaneously: returns
+    ``(source, node, hops)`` — the minimum hop count from each seed to
+    each node it reaches within ``max_hops``, INCLUDING the seed
+    itself at hops 0. The one-frame generalization of
+    `bfs_reachability` that centrality estimators need: k seeds cost
+    one shared frontier pass per hop, not k separate BFS driver loops.
+
+    Scale shape per hop: one equi-join of the (source, node) frontier
+    against the edge table on the node side + one min-dedup + one
+    anti-join against the visited set — all shuffles on node id. The
+    state is (source, node) pairs: bounded by k · reachable-set, the
+    price of per-source distances (an unlabeled union would lose the
+    per-seed attribution harmonic/closeness centrality divides by).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
+    ).distinct()
+    visited = (
+        seeds.select(F.col(id_col).cast("long").alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("node"))
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._src)
+            .select("source", F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

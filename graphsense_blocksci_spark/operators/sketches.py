@@ -362,3 +362,101 @@ def bloom_decontaminate(
     return confirmed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
     )
+
+
+# 28-bit hash space of the repo-wide md5-prefix convention
+KMV_SPACE = 1 << 28
+
+
+def _h28(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_hashes(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """The trimmed KMV hash set per group: the ``k`` smallest DISTINCT
+    28-bit md5-prefix hashes of the value, as rows ``(*group_cols,
+    h)``. This is the mergeable partial — union sketches by unioning
+    hash frames and re-trimming (`kmv_trim`), exactly like the HDR
+    bucket partials merge by summing.
+
+    Scale shape: one dedup shuffle on (group, hash) — same cost as any
+    distinct — then TWO bounded window passes: k-smallest per
+    (group, hash-salt) in parallel, then k-smallest per group over the
+    ≤ salt_buckets·k survivors. A billion-distinct group never sorts
+    more than salt_buckets·k rows in one task.
+    """
+    hashed = (
+        df.select(*group_cols, _h28(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+    w_salt = Window.partitionBy(
+        *group_cols, (F.col("h") % salt_buckets).alias("_salt")
+    ).orderBy("h")
+    phase1 = (
+        hashed.withColumn("_rn", F.row_number().over(w_salt))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return kmv_trim(phase1, group_cols, k)
+
+
+def kmv_trim(
+    hashes: DataFrame, group_cols: tuple[str, ...], k: int
+) -> DataFrame:
+    """Re-trim a (merged) hash frame to the k smallest distinct per
+    group — the KMV union/merge step."""
+    w_grp = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.distinct()
+        .withColumn("_rn", F.row_number().over(w_grp))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    hashes: DataFrame, group_cols: tuple[str, ...], k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate from a trimmed KMV hash frame:
+    ``(*group_cols, n_sketch, kth_hash, est_distinct)`` — when a group
+    holds fewer than k hashes the sketch IS the exact distinct set
+    (est = n_sketch); otherwise est = floor((k-1)·2^28 / kth), the
+    classic KMV estimator (Bar-Yossef et al. 2002). One double
+    division + floor — bit-portable."""
+    return hashes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)))
+        .otherwise(
+            F.floor(F.lit(float((k - 1) * KMV_SPACE)) / F.max("h")).cast(
+                "long"
+            )
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group — see `kmv_hashes`
+    (the partial) and `kmv_estimate` (the estimator). Why KMV next to
+    the HLL entries (q54/q97): KMV supports set INTERSECTION via
+    Jaccard on merged sketches — HLL can only union — and, being a
+    deterministic function of the value hashes, the whole sketch is
+    ORACLE-CHECKABLE cell-exact, which no randomized sketch is."""
+    return kmv_estimate(
+        kmv_hashes(df, value_col, group_cols, k, salt_buckets), group_cols, k
+    )

@@ -4004,6 +4004,139 @@ def qd25_streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches WITH set operations (the capability HLL
+    lacks): per-priority distinct-customer sketches (k=256 smallest
+    md5 hashes — operators/sketches.py:kmv_hashes, two bounded window
+    passes, never a full per-group sort), their UNION ('ALL'), and the
+    Jaccard-based INTERSECTION estimate of two priorities. Every
+    number is a deterministic function of the value hashes, so unlike
+    any randomized sketch the whole pipeline is cell-exact against
+    the oracle's replay of the same trims and estimator arithmetic."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        KMV_SPACE,
+        kmv_estimate,
+        kmv_hashes,
+        kmv_trim,
+    )
+
+    k = 256
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").cast("long").alias("cust"),
+    )
+    hs = kmv_hashes(o, "cust", ("grp",), k=k).localCheckpoint(eager=True)
+    per_group = kmv_estimate(hs, ("grp",), k)
+    all_sk = kmv_trim(
+        hs.select(F.lit("ALL").alias("grp"), "h"), ("grp",), k
+    )
+    per_all = kmv_estimate(all_sk, ("grp",), k)
+    a = hs.filter(F.col("grp") == "1-URGENT").select("h")
+    b = hs.filter(F.col("grp") == "5-LOW").select("h")
+    merged = kmv_trim(
+        a.union(b).select(F.lit("AB").alias("grp"), "h"), ("grp",), k
+    )
+    mm = merged.agg(
+        F.count(F.lit(1)).alias("n_m"), F.max("h").alias("kth")
+    )
+    mt = (
+        merged.join(a, "h", "left_semi")
+        .join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    est_u = F.floor(F.lit(float((k - 1) * KMV_SPACE)) / F.col("kth")).cast(
+        "long"
+    )
+    inter = (
+        mm.crossJoin(mt)
+        .select(
+            F.lit("INTER:1-URGENT&5-LOW").alias("grp"),
+            F.col("matches").cast("long").alias("n_sketch"),
+            F.col("kth").alias("kth_hash"),
+            F.when(F.col("n_m") < k, F.col("matches").cast("long"))
+            .otherwise(
+                F.floor(
+                    (F.col("matches") * est_u) / F.lit(float(k))
+                ).cast("long")
+            )
+            .alias("est_distinct"),
+        )
+    )
+    return per_group.unionByName(per_all).unionByName(inter)
+
+
+def q147_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (the contrastive-pair generator
+    for embedding training): documents get a dense rank via the
+    distributed prefix sum (packing machinery with weight 1 — NO
+    global row_number window), and each anchor draws 4 pseudo-random
+    partners by Knuth multiplicative mixing of (rank, j) mod N — a
+    pure function of the data, so retries and the oracle reproduce the
+    identical pairs, where rand() negatives cannot. One uniform
+    rank-keyed join fetches partner ids; self-draws are dropped
+    (documented, matching standard implementations)."""
+    from graphsense_blocksci_spark.operators.packing import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.lit(1).alias("one")
+    )
+    ranked = sequence_packing(
+        docs, budget=1, id_col="doc_id", count_col="one"
+    ).select("doc_id", F.col("offset").alias("rank"))
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    anchors = ranked.crossJoin(F.broadcast(n)).select(
+        F.col("doc_id").alias("anchor_doc"),
+        "rank",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    )
+    drawn = anchors.select(
+        "anchor_doc",
+        "j",
+        F.pmod(
+            F.col("rank") * 2654435761 + F.col("j") * 40503 + 7, F.col("n")
+        ).alias("p_rank"),
+        "rank",
+    ).filter(F.col("p_rank") != F.col("rank"))
+    partners = ranked.select(
+        F.col("rank").alias("p_rank"), F.col("doc_id").alias("neg_doc")
+    )
+    return drawn.join(partners, "p_rank").select(
+        "anchor_doc", F.col("j").cast("long").alias("j"), "neg_doc"
+    )
+
+
+def q148_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded harmonic centrality from a seed sample: ONE shared
+    multi-source BFS (operators/graph.py:multi_source_bfs — k seeds
+    ride one frontier, not k BFS loops) and the centrality sum uses
+    integer 60/d credits (60 = lcm(1,2,3)) so the per-node aggregate
+    is order-free exact — the float 1/d formulation would be
+    partition-order dependent. Oracle: recursive-CTE min-hop
+    enumeration + the same integer credits."""
+    from graphsense_blocksci_spark.operators.graph import multi_source_bfs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") < 10).select(
+        (F.col("l_orderkey") % 5000).cast("long").alias("src"),
+        (F.col("l_partkey") % 5000).cast("long").alias("dst"),
+    )
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 1000 == 0
+    )
+    vis = multi_source_bfs(edges, seeds, max_hops=3)
+    return (
+        vis.filter(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.floor(F.lit(60) / F.col("hops")).cast("long")).alias(
+                "h60"
+            ),
+            F.count(F.lit(1)).alias("n_src"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4106,6 +4239,9 @@ QUERIES: dict[str, QueryFn] = {
     "q144_random_walks": q144_random_walks,
     "q145_bigram_lm": q145_bigram_lm,
     "qd25_streaming_hdr_quantiles": qd25_streaming_hdr_quantiles,
+    "q146_kmv_sketch": q146_kmv_sketch,
+    "q147_negative_sampling": q147_negative_sampling,
+    "q148_harmonic_centrality": q148_harmonic_centrality,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -7453,4 +7589,105 @@ b AS (
 )
 SELECT day, CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
 FROM b GROUP BY day, bucket
+"""
+
+# q146: 68451041280.0 = (k-1)*2^28 for k=256 — the KMV estimator
+# constant; the oracle replays every trim and the same floor chain.
+ORACLE_SQL["q146_kmv_sketch"] = """
+WITH base AS (
+    SELECT DISTINCT o_orderpriority AS grp,
+           ('0x' || substr(md5(CAST(CAST(o_custkey AS BIGINT) AS VARCHAR)),
+               1, 7))::BIGINT AS h
+    FROM orders
+),
+sk AS (
+    SELECT grp, h FROM base
+    QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= 256
+),
+perg AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n_sketch,
+           max(h) AS kth_hash,
+           CAST(CASE WHEN count(*) < 256 THEN count(*)
+                     ELSE floor(68451041280.0 / max(h)) END AS BIGINT)
+               AS est_distinct
+    FROM sk GROUP BY grp
+),
+all_sk AS (
+    SELECT h FROM (SELECT DISTINCT h FROM sk)
+    QUALIFY row_number() OVER (ORDER BY h) <= 256
+),
+perall AS (
+    SELECT 'ALL' AS grp, CAST(count(*) AS BIGINT) AS n_sketch,
+           max(h) AS kth_hash,
+           CAST(CASE WHEN count(*) < 256 THEN count(*)
+                     ELSE floor(68451041280.0 / max(h)) END AS BIGINT)
+               AS est_distinct
+    FROM all_sk
+),
+a AS (SELECT h FROM sk WHERE grp = '1-URGENT'),
+b AS (SELECT h FROM sk WHERE grp = '5-LOW'),
+m AS (
+    SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+    )
+    QUALIFY row_number() OVER (ORDER BY h) <= 256
+),
+mm AS (SELECT count(*) AS n_m, max(h) AS kth FROM m),
+mt AS (
+    SELECT count(*) AS matches FROM m
+    WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)
+),
+inter AS (
+    SELECT 'INTER:1-URGENT&5-LOW' AS grp,
+           CAST(matches AS BIGINT) AS n_sketch,
+           kth AS kth_hash,
+           CAST(CASE WHEN n_m < 256 THEN matches
+                     ELSE floor((matches
+                          * CAST(floor(68451041280.0 / kth) AS BIGINT))
+                          / 256.0)
+                END AS BIGINT) AS est_distinct
+    FROM mm, mt
+)
+SELECT * FROM perg
+UNION ALL SELECT * FROM perall
+UNION ALL SELECT * FROM inter
+"""
+
+ORACLE_SQL["q147_negative_sampling"] = """
+WITH ranked AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM documents
+),
+drawn AS (
+    SELECT doc_id AS anchor_doc, CAST(j AS BIGINT) AS j,
+           (r * 2654435761 + j * 40503 + 7) % n AS p_rank, r
+    FROM ranked, unnest(range(0, 4)) AS t(j)
+)
+SELECT anchor_doc, j, p.doc_id AS neg_doc
+FROM drawn JOIN ranked p ON drawn.p_rank = p.r
+WHERE drawn.p_rank <> drawn.r
+"""
+
+ORACLE_SQL["q148_harmonic_centrality"] = """
+WITH RECURSIVE eraw AS (
+    SELECT CAST(l_orderkey % 5000 AS BIGINT) AS src,
+           CAST(l_partkey % 5000 AS BIGINT) AS dst
+    FROM lineitem WHERE l_quantity < 10
+),
+e AS (SELECT DISTINCT src, dst FROM eraw),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 0),
+walk(source, node, hops) AS (
+    SELECT node, node, 0 FROM seeds
+    UNION ALL
+    SELECT walk.source, e.dst, hops + 1
+    FROM walk JOIN e ON walk.node = e.src
+    WHERE hops < 3
+),
+md AS (SELECT source, node, min(hops) AS d FROM walk GROUP BY source, node)
+SELECT node,
+       CAST(sum(CAST(floor(60 / d) AS BIGINT)) AS BIGINT) AS h60,
+       CAST(count(*) AS BIGINT) AS n_src
+FROM md WHERE d > 0 GROUP BY node
 """

@@ -449,3 +449,92 @@ def test_streaming_hdr_accumulates_across_batches(spark, tmp_path):
         for r in hdr_histogram(both, "cents", group_cols=("day",)).collect()
     }
     assert final == want
+
+
+# --------------------------------------------------------------- KMV sketch
+
+
+def test_kmv_exact_below_k_and_estimator_accuracy(spark):
+    from graphsense_blocksci_spark.operators.sketches import kmv_sketch
+
+    small = spark.createDataFrame(
+        [(i % 50,) for i in range(400)], "v long"
+    )
+    row = kmv_sketch(small, "v", k=256).collect()[0]
+    assert row["n_sketch"] == 50 and row["est_distinct"] == 50  # exact set
+
+    big = spark.createDataFrame([(i,) for i in range(20000)], "v long")
+    row = kmv_sketch(big, "v", k=256).collect()[0]
+    assert row["n_sketch"] == 256
+    # KMV rel. error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma
+    assert abs(row["est_distinct"] - 20000) / 20000 < 0.20
+
+
+def test_kmv_merge_is_exact_union_of_partials(spark):
+    from graphsense_blocksci_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_hashes,
+        kmv_trim,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 2, i % 3000) for i in range(9000)], "g long, v long"
+    )
+    parts = kmv_hashes(df, "v", ("g",), k=512)
+    merged = kmv_trim(parts.select(F.lit(0).alias("g"), "h"), ("g",), 512)
+    direct = kmv_hashes(df.select("v"), "v", (), k=512)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+    est = kmv_estimate(merged, ("g",), 512).collect()[0]["est_distinct"]
+    # KMV rel. error ~ 1/sqrt(k) ≈ 4.4% at k=512; allow ~4 sigma for
+    # this FIXED (deterministic-hash) value set
+    assert abs(est - 3000) / 3000 < 0.18
+
+
+# -------------------------------------------------------- negative sampling
+
+
+def test_negative_sampling_invariants(spark, sf_dir):
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    out1 = sorted(
+        tuple(r) for r in QUERIES["q147_negative_sampling"](spark, sf_dir).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in QUERIES["q147_negative_sampling"](spark, sf_dir).collect()
+    )
+    assert out1 == out2  # retry determinism
+    assert len(out1) > 0
+    assert all(a != neg for a, _j, neg in out1)  # no self pairs
+    per_anchor: dict[int, int] = {}
+    for a, _j, _n in out1:
+        per_anchor[a] = per_anchor.get(a, 0) + 1
+    assert max(per_anchor.values()) <= 4
+
+
+# -------------------------------------------------------- multi-source BFS
+
+
+def test_multi_source_bfs_matches_per_seed_bfs(spark):
+    from graphsense_blocksci_spark.operators.graph import (
+        bfs_reachability,
+        multi_source_bfs,
+    )
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seed_ids = [0, 7, 13]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "node long")
+    multi = {
+        (r["source"], r["node"]): r["hops"]
+        for r in multi_source_bfs(e, seeds, 3).collect()
+    }
+    single = {}
+    for s in seed_ids:
+        one = spark.createDataFrame([(s,)], "node long")
+        for r in bfs_reachability(e, one, 3).collect():
+            single[(s, r["node"])] = r["hops"]
+    assert multi == single
