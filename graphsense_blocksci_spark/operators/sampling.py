@@ -247,3 +247,80 @@ def systematic_sample(
         "offset",
         sel.alias("selected"),
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    max_weight: int = 16,
+) -> DataFrame:
+    """Weighted sampling without replacement, k per group (A-ES /
+    Efraimidis-Spirakis): classically each row draws u ~ U(0,1) and
+    the k rows with the largest u^(1/w) win. pow() is not
+    bit-portable across engines, so for INTEGER weights this uses the
+    exact equivalent: max(u_1..u_w) of w independent uniforms has CDF
+    u^w — the same distribution as u^(1/w) — so a row's priority is
+    the MAX of w independent 28-bit md5 draws md5(key || '#' || i),
+    i in [0, w). Pure integer comparisons end to end: retries,
+    backfills and the DuckDB oracle agree row-for-row, and ties break
+    on the key.
+
+    `max_weight` bounds the explode fan-out (a weight-w row costs w
+    hash rows). Weights are clamped to [1, max_weight]; at 100 TB the
+    explode is map-side only — the shuffle moves ONE row per input row
+    (the max-aggregated priority), then the per-group top-k is the
+    same WindowGroupLimit plan as group_capped_sample. For huge
+    real-valued weights you'd switch to the float u^(1/w) form and
+    accept a rows-only gate; the integer form is the oracle-exact
+    path.
+
+    Returns the k winners per group with their integer `priority` and
+    1-based `sample_rank`.
+    """
+    w_clamped = F.greatest(
+        F.lit(1), F.least(F.col(weight_col).cast("int"), F.lit(max_weight))
+    )
+    drawn = df.withColumn(
+        "_priority",
+        F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), w_clamped - 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#", F.col(key_col).cast("string"), i
+                            )
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_priority").desc(), F.col(key_col).asc()
+    )
+    return (
+        drawn.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .withColumnRenamed("_priority", "priority")
+    )
+
+
+def kfold_assign(df: DataFrame, key_col: str, n_folds: int = 5) -> DataFrame:
+    """Stratification-free k-fold cross-validation assignment: adds
+    `fold` = md5-hash(key) mod n_folds. Group-safe like
+    train_test_split (all rows of a key share a fold — no leakage
+    between folds however the data is partitioned), deterministic
+    across engines/retries, and a pure projection: zero shuffle,
+    fully pushdown-friendly at any scale."""
+    return df.withColumn(
+        "fold", (_hash_mod(F.col(key_col)) % n_folds).cast("int")
+    )

@@ -7457,8 +7457,8 @@ WITH d AS (
 ),
 cum AS (
     SELECT doc_id, weight,
-           sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-               - weight AS "offset"
+           CAST(sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - weight AS BIGINT) AS "offset"
     FROM d
 )
 SELECT doc_id, weight, "offset",
