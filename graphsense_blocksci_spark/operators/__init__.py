@@ -86,6 +86,16 @@ from graphsense_blocksci_spark.operators.sketches import (
     hdr_quantiles,
     heavy_hitters,
 )
+from graphsense_blocksci_spark.operators.evaluation import (
+    distribution_drift,
+    equiwidth_bins,
+    roc_auc,
+    zscore_normalize,
+)
+from graphsense_blocksci_spark.operators.sampling import (
+    kfold_assign,
+    weighted_reservoir,
+)
 from graphsense_blocksci_spark.operators.graph import (
     bfs_reachability,
     connected_components,
@@ -101,6 +111,12 @@ from graphsense_blocksci_spark.operators.graph import (
 
 __all__ = [
     "exact_dedup",
+    "roc_auc",
+    "distribution_drift",
+    "equiwidth_bins",
+    "zscore_normalize",
+    "weighted_reservoir",
+    "kfold_assign",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",

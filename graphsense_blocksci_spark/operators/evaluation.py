@@ -1,0 +1,274 @@
+"""Model-evaluation and distribution statistics over corpus tables —
+the measurement half of a training-data pipeline: how good is the
+quality classifier (AUC), how far has the corpus drifted from a
+reference mix (total-variation distance), what does a feature's
+distribution look like (equi-width binning), how do we normalize a
+feature per group (z-score).
+
+All four operators are *oracle-exact by construction*: every sum that
+feeds a float is an integer sum (order-independent), and the floats
+that appear in the output are produced by a short fixed chain of
+IEEE-754 basic operations (div, mul, sqrt — each correctly rounded) on
+those exact integers, so any engine computes bit-identical values.
+This is the same exactness discipline as the repo's
+q99 unigram-likelihood and q46 near-dup oracles.
+
+Reference parity: none — the reference has no evaluation surface; this
+module is part of the beyond-reference LLM-pipeline brief.
+
+Scale shapes are documented per function; none of them materializes a
+corpus-sized single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a boolean label via
+    the Mann-Whitney rank-sum identity with midrank tie handling:
+
+        AUC = (R_pos - n_pos*(n_pos+1)/2) / (n_pos * n_neg)
+
+    where R_pos is the sum of the midranks of the positives. Ties
+    share the midrank (rank_lo + rank_hi)/2, which is the standard
+    trapezoidal tie correction (AUC counts a tie as half a win).
+
+    REQUIRES an integer score in a bounded domain (a classifier score
+    scaled to e.g. [0, 1000]): the aggregation collapses the corpus to
+    one row per distinct score FIRST, so the only ordered window runs
+    over at most |score domain| rows — bounded by construction, never
+    by corpus size. At 100 TB this is one map-side-combined groupBy to
+    ≤ |domain| rows, a window over those, and a 1-row final aggregate.
+
+    Exactness: midranks are kept ×2 (integers); R_pos×2 and the AUC
+    numerator ×2 are exact longs; the returned `auc` double is one
+    integer-to-double division.
+
+    Returns one row: (n_pos, n_neg, auc_num2, auc_den, auc).
+    """
+    per_score = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        )
+    )
+    # midrank*2 of score s = 2*(count below s) + (n_s + 1)
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("midrank2", 2 * F.col("below") + F.col("n") + 1)
+    totals = ranked.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("n_pos") * F.col("midrank2")).cast("long").alias("rpos2"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        (F.col("rpos2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("auc_num2"),
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+        (
+            (F.col("rpos2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+def distribution_drift(
+    tokens: DataFrame,
+    group_col: str,
+    token_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Corpus drift between two sources' token unigram distributions:
+    total-variation distance plus vocabulary overlap.
+
+        TVD = 1/2 * Σ_t | c_a(t)/N_a - c_b(t)/N_b |
+
+    computed as the INTEGER sum Σ_t |c_a(t)*N_b - c_b(t)*N_a| over the
+    common denominator N_a*N_b — order-independent and exact, unlike a
+    float Σ of per-token differences. Vocab overlap is the exact
+    Jaccard of the two token sets (integers).
+
+    Input is one row per token OCCURRENCE (pre-tokenized); the operator
+    does the (group, token) count itself. Scale shape: one map-side-
+    combined groupBy to vocab-sized rows, a vocab-sized full-outer
+    self-align via conditional aggregation (no join — tokens are
+    aggregated once with per-group conditional counts), one final
+    1-row aggregate. The corpus is touched once.
+
+    Returns one row: (n_a, n_b, vocab_a, vocab_b, vocab_common,
+    tvd_num, tvd_den, tvd, vocab_jaccard).
+    """
+    counted = (
+        tokens.select(
+            F.col(group_col).alias("g"), F.col(token_col).alias("t")
+        )
+        .filter(F.col("g").isin(group_a, group_b))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    tot = counted.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    per_tok = counted.crossJoin(F.broadcast(tot)).select(
+        "ca",
+        "cb",
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).alias(
+            "dnum"
+        ),
+    )
+    return (
+        per_tok.agg(
+            F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_a"),
+            F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_b"),
+            F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_common"),
+            F.sum("dnum").cast("long").alias("tvd_num"),
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "vocab_a",
+            "vocab_b",
+            "vocab_common",
+            "tvd_num",
+            (2 * F.col("n_a") * F.col("n_b")).cast("long").alias("tvd_den"),
+            (
+                F.col("tvd_num").cast("double")
+                / (2 * F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("tvd"),
+            (
+                F.col("vocab_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("vocab_common")
+                ).cast("double")
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+def equiwidth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Equi-width histogram / feature discretization over an integer
+    column: bin i covers [min + i*w, min + (i+1)*w) with the integer
+    width w = ceil((max - min + 1) / n_bins), so every value maps to a
+    bin by pure integer arithmetic — no percentile sort, no global
+    ordered window (the NTILE idiom is a corpus-wide single-partition
+    sort; this is the scale-safe discretizer when equi-POPULATED bins
+    are not required).
+
+    Scale shape: one 1-row min/max aggregate broadcast back over the
+    scan (crossJoin of a 1-row frame), then one map-side-combined
+    groupBy on ≤ n_bins keys. Two passes over the column, zero wide
+    shuffles.
+
+    Returns (bin, lo, hi, n_rows, sum_value) — lo/hi the inclusive
+    integer bounds actually covered.
+    """
+    v = F.col(value_col).cast("long")
+    bounds = df.agg(
+        F.min(v).cast("long").alias("_lo"), F.max(v).cast("long").alias("_hi")
+    )
+    width = F.ceil(
+        (F.col("_hi") - F.col("_lo") + 1) / F.lit(n_bins)
+    ).cast("long")
+    return (
+        df.select(v.alias("_v"))
+        .crossJoin(F.broadcast(bounds))
+        .select("_v", "_lo", width.alias("_w"))
+        # integer floor-division, not floor(double-div): a quotient that
+        # lands within one ulp of an integer must not straddle a bin edge
+        .select(
+            F.expr("CAST((_v - _lo) DIV _w AS BIGINT)").alias("bin"),
+            "_v",
+            "_lo",
+            "_w",
+        )
+        .groupBy("bin", "_lo", "_w")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_v").cast("long").alias("sum_value"),
+        )
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * F.col("_w")).alias("lo"),
+            (F.col("_lo") + (F.col("bin") + 1) * F.col("_w") - 1).alias("hi"),
+            "n_rows",
+            "sum_value",
+        )
+    )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> Column | DataFrame:
+    """Per-group z-score normalization of an integer feature (the
+    per-source quality-score standardization step before thresholds
+    can be compared across sources), exact-arithmetic formulation:
+
+        z = (n*x - S) / sqrt(n*Q - S^2)
+
+    which equals (x - mean) / std_pop with mean = S/n and
+    std_pop = sqrt(nQ - S^2)/n, but every input to the float chain is
+    an exact integer (S = Σx, Q = Σx² as longs), so the divide and the
+    correctly-rounded IEEE sqrt give bit-identical z in any engine —
+    a float Σ(x-mean)² could not.
+
+    Groups with zero variance (or a single row) get z = NULL.
+
+    Scale shape: one map-side-combined groupBy to |groups| rows,
+    broadcast back over the scan (groups are a dimension, rows are
+    not). One wide shuffle only if |groups| exceeds broadcast size.
+    """
+    x = F.col(value_col).cast("long")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(x).cast("long").alias("_s"),
+        F.sum(x * x).cast("long").alias("_q"),
+    )
+    joined = df.join(F.broadcast(stats), group_col)
+    disc = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    z = F.when(
+        disc > 0,
+        (F.col("_n") * x - F.col("_s")).cast("double")
+        / F.sqrt(disc.cast("double")),
+    )
+    return joined.withColumn("z", z).drop("_n", "_s", "_q")

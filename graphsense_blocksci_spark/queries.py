@@ -4137,6 +4137,129 @@ def q148_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q149_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement, 5 docs per
+    language, weight = 1 + n_chars % 8 (operators/sampling.py:
+    weighted_reservoir): the A-ES priority u^(1/w) realized EXACTLY
+    for integer weights as the max of w independent md5 draws (max of
+    w uniforms has CDF u^w = the u^(1/w) law), so selection is pure
+    integer comparison — retries, backfills and the oracle agree
+    row-for-row where a float pow() would drift an ulp. Oracle: the
+    identical max-of-w-hashes ranking in DuckDB."""
+    from graphsense_blocksci_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        (F.lit(1) + F.col("n_chars").cast("long") % 8).alias("weight"),
+    )
+    out = weighted_reservoir(
+        docs, "lang", k=5, key_col="doc_id", weight_col="weight",
+        max_weight=8,
+    )
+    return out.select("doc_id", "lang", "weight", "priority", "sample_rank")
+
+
+def q150_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of an integer score vs a boolean label via the
+    Mann-Whitney rank-sum identity with midrank ties
+    (operators/evaluation.py:roc_auc) — the classifier-evaluation step
+    of a curation pipeline. The corpus collapses to one row per
+    distinct score BEFORE any ordered window, so the window is bounded
+    by the score domain (997 here), never corpus size; midranks ride
+    x2 as integers and the final AUC is a single int/int division.
+    Oracle: same rank-sum in one DuckDB window."""
+    from graphsense_blocksci_spark.operators.evaluation import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars").cast("long") % 997).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return roc_auc(docs, "score", "label")
+
+
+def q151_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift between two sources' token unigram distributions
+    (operators/evaluation.py:distribution_drift): total-variation
+    distance as the INTEGER sum |c_a*N_b - c_b*N_a| over the common
+    denominator (a float sum of per-token diffs would be
+    partition-order dependent) plus exact vocab Jaccard. One
+    map-side-combined vocab aggregate with per-group conditional
+    counts — no join, corpus touched once."""
+    from graphsense_blocksci_spark.operators.evaluation import (
+        distribution_drift,
+    )
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    return distribution_drift(toks, "source", "token", "src0", "src1")
+
+
+def q152_equiwidth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value in cents, 16 bins
+    (operators/evaluation.py:equiwidth_bins): the scale-safe
+    discretizer — one 1-row min/max aggregate broadcast back, one
+    integer floor-division per row, one <=16-key aggregate. No
+    percentile sort, no NTILE corpus-wide single-partition window.
+    Oracle: identical integer arithmetic in DuckDB."""
+    from graphsense_blocksci_spark.operators.evaluation import (
+        equiwidth_bins,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("cents")
+    )
+    return equiwidth_bins(o, "cents", 16)
+
+
+def q153_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length
+    (operators/evaluation.py:zscore_normalize) in the exact-arithmetic
+    form z = (n*x - S)/sqrt(n*Q - S^2): every float input is an exact
+    integer aggregate, the sqrt is IEEE-correctly-rounded, so any
+    engine reproduces z to the bit — the naive (x-mean)/stddev float
+    pipeline could not. |groups|-row stats broadcast back over the
+    scan."""
+    from graphsense_blocksci_spark.operators.evaluation import (
+        zscore_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return zscore_normalize(docs, "lang", "n_chars")
+
+
+def q154_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment
+    (operators/sampling.py:kfold_assign): fold = md5(doc_id) mod 5 —
+    group-safe (a key's rows always share a fold), engine-portable,
+    zero-shuffle projection; summarized per (fold, lang) so the
+    oracle pins both the assignment and the fold balance."""
+    from graphsense_blocksci_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return (
+        kfold_assign(docs, "doc_id", n_folds=5)
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4242,6 +4365,12 @@ QUERIES: dict[str, QueryFn] = {
     "q146_kmv_sketch": q146_kmv_sketch,
     "q147_negative_sampling": q147_negative_sampling,
     "q148_harmonic_centrality": q148_harmonic_centrality,
+    "q149_weighted_reservoir": q149_weighted_reservoir,
+    "q150_roc_auc": q150_roc_auc,
+    "q151_corpus_drift": q151_corpus_drift,
+    "q152_equiwidth_bins": q152_equiwidth_bins,
+    "q153_zscore_normalize": q153_zscore_normalize,
+    "q154_kfold_assign": q154_kfold_assign,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -7690,4 +7819,155 @@ SELECT node,
        CAST(sum(CAST(floor(60 / d) AS BIGINT)) AS BIGINT) AS h60,
        CAST(count(*) AS BIGINT) AS n_src
 FROM md WHERE d > 0 GROUP BY node
+"""
+
+# q149: identical max-of-w-md5-draws priority; range(0, w) mirrors
+# Spark sequence(0, w-1); '#'-joined key||index string is byte-equal.
+ORACLE_SQL["q149_weighted_reservoir"] = """
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(1 + CAST(n_chars AS BIGINT) % 8 AS BIGINT) AS weight
+    FROM documents
+),
+pr AS (
+    SELECT doc_id, lang, weight,
+           list_max(list_transform(
+               range(0, CAST(weight AS INT)),
+               i -> ('0x' || substr(md5(doc_id::VARCHAR || '#' || i::VARCHAR),
+                                    1, 7))::BIGINT
+           )) AS priority
+    FROM d
+),
+r AS (
+    SELECT doc_id, lang, weight, priority,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY priority DESC, doc_id ASC
+           ) AS rn
+    FROM pr
+)
+SELECT doc_id, lang, weight, priority, CAST(rn AS INTEGER) AS sample_rank
+FROM r WHERE rn <= 5
+"""
+
+# q150: Mann-Whitney rank-sum with x2 integer midranks; one window
+# over <=997 distinct scores, single final int/int division.
+ORACLE_SQL["q150_roc_auc"] = """
+WITH d AS (
+    SELECT CAST(n_chars AS BIGINT) % 997 AS s, (lang = 'en') AS y
+    FROM documents
+),
+per AS (
+    SELECT s, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM d GROUP BY s
+),
+rk AS (
+    SELECT n, n_pos,
+           CAST(COALESCE(sum(n) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS below
+    FROM per
+),
+t AS (
+    SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+           CAST(sum(n_pos * (2 * below + n + 1)) AS BIGINT) AS rpos2
+    FROM rk
+)
+SELECT n_pos, n_neg,
+       CAST(rpos2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+       CAST(rpos2 - n_pos * (n_pos + 1) AS DOUBLE)
+           / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM t
+"""
+
+# q151: integer TVD numerator over the common denominator 2*N_a*N_b;
+# repo-standard whitespace tokenizer.
+ORACLE_SQL["q151_corpus_drift"] = r"""
+WITH norm AS (
+    SELECT source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents WHERE source IN ('src0', 'src1')
+),
+t AS (
+    SELECT source,
+           unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token
+    FROM norm
+),
+c AS (
+    SELECT token,
+           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM t GROUP BY token
+),
+tots AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c
+),
+f AS (
+    SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+           CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_common,
+           CAST(sum(abs(ca * tb - cb * ta)) AS BIGINT) AS tvd_num,
+           CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+    FROM c, tots
+)
+SELECT n_a, n_b, vocab_a, vocab_b, vocab_common, tvd_num,
+       CAST(2 * n_a * n_b AS BIGINT) AS tvd_den,
+       CAST(tvd_num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS tvd,
+       CAST(vocab_common AS DOUBLE)
+           / CAST(vocab_a + vocab_b - vocab_common AS DOUBLE) AS vocab_jaccard
+FROM f
+"""
+
+# q152: same integer floor-division bin edges; width = ceil(span/16).
+ORACLE_SQL["q152_equiwidth_bins"] = """
+WITH d AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+b AS (
+    SELECT CAST(min(v) AS BIGINT) AS lo_all,
+           CAST(ceil((max(v) - min(v) + 1) / 16.0) AS BIGINT) AS w
+    FROM d
+)
+SELECT (v - lo_all) // w AS bin,
+       CAST(lo_all + ((v - lo_all) // w) * w AS BIGINT) AS lo,
+       CAST(lo_all + ((v - lo_all) // w + 1) * w - 1 AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_value
+FROM d, b
+GROUP BY 1, 2, 3
+"""
+
+# q153: z = (n*x - S)/sqrt(nQ - S^2) — exact-integer inputs, one IEEE
+# divide over one IEEE sqrt; zero-variance groups -> NULL.
+ORACLE_SQL["q153_zscore_normalize"] = """
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_chars AS BIGINT) AS x
+    FROM documents
+),
+s AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * x) AS BIGINT) AS qx
+    FROM d GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.x AS n_chars,
+       CASE WHEN n * qx - sx * sx > 0 THEN
+           CAST(n * x - sx AS DOUBLE) / sqrt(CAST(n * qx - sx * sx AS DOUBLE))
+       END AS z
+FROM d JOIN s ON d.lang = s.lang
+"""
+
+# q154: md5-mod-5 fold assignment summarized per (fold, lang).
+ORACLE_SQL["q154_kfold_assign"] = """
+SELECT CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+             % 10000) % 5 AS INTEGER) AS fold,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(CAST(doc_id AS BIGINT)) AS BIGINT) AS min_doc,
+       CAST(max(CAST(doc_id AS BIGINT)) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY 1, 2
 """

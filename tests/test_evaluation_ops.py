@@ -1,0 +1,178 @@
+"""Evaluation / distribution-statistics operators (operators/evaluation.py)
+and the weighted-reservoir + k-fold sampling additions: each pinned
+against a tiny hand-checkable frame or a pure-Python reference, plus
+the scale-shape invariants the docstrings claim."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_roc_auc_matches_python_reference(spark):
+    # scores with ties, mixed labels
+    rows = [
+        (1, True),
+        (1, False),
+        (2, True),
+        (3, False),
+        (3, True),
+        (3, True),
+        (5, False),
+    ]
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    from graphsense_blocksci_spark.operators.evaluation import roc_auc
+
+    got = roc_auc(df, "score", "label").first()
+
+    # reference: P(pos > neg) + 0.5 * P(pos == neg) over all pairs
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = wins / (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert math.isclose(got.auc, want, rel_tol=0, abs_tol=1e-12)
+    # exact rational identity
+    assert got.auc_num2 / got.auc_den == pytest.approx(want, abs=1e-12)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    # all positives above all negatives -> AUC 1; identical -> 0.5
+    from graphsense_blocksci_spark.operators.evaluation import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(10, True), (11, True), (1, False), (2, False)],
+        "score long, label boolean",
+    )
+    assert roc_auc(perfect, "score", "label").first().auc == 1.0
+    flat = spark.createDataFrame(
+        [(7, True), (7, False), (7, True), (7, False)],
+        "score long, label boolean",
+    )
+    assert roc_auc(flat, "score", "label").first().auc == 0.5
+
+
+def test_distribution_drift_identical_and_disjoint(spark):
+    from graphsense_blocksci_spark.operators.evaluation import (
+        distribution_drift,
+    )
+
+    same = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "g string, t string",
+    )
+    r = distribution_drift(same, "g", "t", "a", "b").first()
+    assert r.tvd == 0.0 and r.vocab_jaccard == 1.0
+
+    disjoint = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "u"), ("b", "v")],
+        "g string, t string",
+    )
+    r = distribution_drift(disjoint, "g", "t", "a", "b").first()
+    assert r.tvd == 1.0 and r.vocab_jaccard == 0.0
+    assert r.vocab_common == 0
+
+
+def test_distribution_drift_matches_python(spark):
+    from collections import Counter
+
+    from graphsense_blocksci_spark.operators.evaluation import (
+        distribution_drift,
+    )
+
+    a = ["the", "cat", "sat", "the", "mat", "cat", "the"]
+    b = ["the", "dog", "sat", "sat", "log"]
+    rows = [("a", t) for t in a] + [("b", t) for t in b]
+    df = spark.createDataFrame(rows, "g string, t string")
+    got = distribution_drift(df, "g", "t", "a", "b").first()
+
+    ca, cb = Counter(a), Counter(b)
+    na, nb = len(a), len(b)
+    tvd = 0.5 * sum(
+        abs(ca[t] / na - cb[t] / nb) for t in set(ca) | set(cb)
+    )
+    assert got.n_a == na and got.n_b == nb
+    assert got.tvd == pytest.approx(tvd, abs=1e-12)
+    inter = len(set(ca) & set(cb))
+    union = len(set(ca) | set(cb))
+    assert got.vocab_common == inter
+    assert got.vocab_jaccard == pytest.approx(inter / union, abs=1e-12)
+
+
+def test_equiwidth_bins_cover_domain_and_counts(spark):
+    from graphsense_blocksci_spark.operators.evaluation import equiwidth_bins
+
+    vals = [0, 1, 5, 9, 10, 15, 19, 99, 100]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = equiwidth_bins(df, "v", 4).collect()
+    # width = ceil(101/4) = 26
+    assert sum(r.n_rows for r in out) == len(vals)
+    for r in out:
+        assert r.hi - r.lo + 1 == 26
+        members = [v for v in vals if r.lo <= v <= r.hi]
+        assert r.n_rows == len(members) and r.sum_value == sum(members)
+    # every value falls inside exactly one emitted bin
+    covered = sorted((r.lo, r.hi) for r in out)
+    for v in vals:
+        assert sum(1 for lo, hi in covered if lo <= v <= hi) == 1
+
+
+def test_zscore_normalize_exact_and_degenerate(spark):
+    from graphsense_blocksci_spark.operators.evaluation import (
+        zscore_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 2), ("g", 4), ("g", 6), ("one", 7), ("flat", 5), ("flat", 5)],
+        "grp string, x long",
+    )
+    rows = {
+        (r.grp, r.x): r.z for r in zscore_normalize(df, "grp", "x").collect()
+    }
+    # g: mean 4, std_pop sqrt(8/3)
+    std = math.sqrt(8 / 3)
+    assert rows[("g", 2)] == pytest.approx((2 - 4) / std, abs=1e-12)
+    assert rows[("g", 4)] == pytest.approx(0.0, abs=1e-12)
+    assert rows[("g", 6)] == pytest.approx((6 - 4) / std, abs=1e-12)
+    # singleton and zero-variance groups -> NULL, never a div-by-zero
+    assert rows[("one", 7)] is None
+    assert rows[("flat", 5)] is None
+
+
+def test_weighted_reservoir_exact_k_and_weight_monotonicity(spark):
+    from graphsense_blocksci_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    # 200 keys, two strata of weights: heavy (8) ids < 50, light (1) rest.
+    rows = [(i, "g", 8 if i < 50 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string, w long")
+    out = weighted_reservoir(df, "g", k=40, key_col="k", weight_col="w").collect()
+    assert len(out) == 40
+    assert sorted({r.sample_rank for r in out}) == list(range(1, 41))
+    heavy = sum(1 for r in out if r.k < 50)
+    # heavy items are 50/200 of keys but 400/550 of mass; expect far
+    # more than the unweighted 10 — loose deterministic bound
+    assert heavy > 15
+    # determinism: second run identical
+    again = weighted_reservoir(df, "g", k=40, key_col="k", weight_col="w").collect()
+    assert sorted(r.k for r in out) == sorted(r.k for r in again)
+
+
+def test_kfold_assign_partitions_every_key_once(spark):
+    from graphsense_blocksci_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = kfold_assign(df, "k", n_folds=7)
+    folds = out.groupBy("fold").count().collect()
+    assert sorted(r.fold for r in folds) == list(range(7))
+    assert sum(r["count"] for r in folds) == 500
+    # balance within loose tolerance of uniform hashing
+    for r in folds:
+        assert 35 <= r["count"] <= 110
+    # group-safe: same key always same fold (projection is deterministic)
+    a = {r.k: r.fold for r in out.collect()}
+    b = {r.k: r.fold for r in kfold_assign(df, "k", 7).collect()}
+    assert a == b
