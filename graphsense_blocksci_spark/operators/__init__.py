@@ -96,6 +96,10 @@ from graphsense_blocksci_spark.operators.sampling import (
     kfold_assign,
     weighted_reservoir,
 )
+from graphsense_blocksci_spark.operators.setsim import (
+    jaccard_join,
+    tf_cosine_join,
+)
 from graphsense_blocksci_spark.operators.graph import (
     bfs_reachability,
     connected_components,
@@ -117,6 +121,8 @@ __all__ = [
     "zscore_normalize",
     "weighted_reservoir",
     "kfold_assign",
+    "jaccard_join",
+    "tf_cosine_join",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",

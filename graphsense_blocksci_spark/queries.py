@@ -4260,6 +4260,70 @@ def q154_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q155_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered Jaccard set-similarity self-join
+    (operators/setsim.py:jaccard_join) over 3-gram shingle sets:
+    every pair with Jaccard >= 0.6, NO false negatives — the
+    guaranteed-complete counterpart of the probabilistic MinHash-LSH
+    path (q36/q38), pruned by the rare-token-first prefix filter
+    instead of banding, so the candidate join fans out on the
+    shortest posting lists. Integer threshold predicate; the oracle
+    is the brute-force all-pairs join (a complete candidate/verify
+    plan must be INVISIBLE next to it)."""
+    from graphsense_blocksci_spark.operators.setsim import jaccard_join
+    from graphsense_blocksci_spark.operators.textops import (
+        spread,
+        word_shingles,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        word_shingles("text").alias("gs"),
+    )
+    return jaccard_join(docs, "doc_id", "gs", threshold_pct=60)
+
+
+def q156_tf_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-weighted cosine similarity self-join through the
+    inverted index (operators/setsim.py:tf_cosine_join) over word
+    bigram counts: sparse GEMM as posting-list join + groupBy, integer
+    dot products and norms, (100*dot)^2 >= t^2*q_a*q_b verify. max_df
+    caps posting-list fan-out (inactive at oracle scale, prunes the
+    quadratic head at bench scale — the stopword-pruning contract).
+    Bigrams ride the q145 offset-slice zip, not a positional
+    self-join."""
+    from graphsense_blocksci_spark.operators.setsim import tf_cosine_join
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n = F.size(F.col("t"))
+    bigrams = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens("text").alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.arrays_zip(
+                        F.slice("t", 1, n - 1).alias("a"),
+                        F.slice("t", 2, n - 1).alias("b"),
+                    ),
+                    lambda p: F.concat_ws(" ", p["a"], p["b"]),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("bg"),
+        )
+    )
+    return tf_cosine_join(
+        bigrams, "doc_id", "bg", threshold_pct=70, max_df=100
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4371,6 +4435,8 @@ QUERIES: dict[str, QueryFn] = {
     "q152_equiwidth_bins": q152_equiwidth_bins,
     "q153_zscore_normalize": q153_zscore_normalize,
     "q154_kfold_assign": q154_kfold_assign,
+    "q155_jaccard_join": q155_jaccard_join,
+    "q156_tf_cosine_join": q156_tf_cosine_join,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -7970,4 +8036,85 @@ SELECT CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
        CAST(max(CAST(doc_id AS BIGINT)) AS BIGINT) AS max_doc
 FROM documents
 GROUP BY 1, 2
+"""
+
+# q155: brute-force all-pairs shingle-set Jaccard — the completeness
+# oracle for the prefix-filtered plan (same integer threshold).
+ORACLE_SQL["q155_jaccard_join"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS toks
+    FROM norm
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END AS gs
+    FROM tok
+),
+d AS (
+    SELECT CAST(doc_id AS BIGINT) AS id, gs, len(gs) AS n
+    FROM grams WHERE len(gs) > 0
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM d a JOIN d b ON a.id < b.id
+)
+SELECT id_a, id_b, inter, n_a, n_b,
+       CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+FROM pairs
+WHERE 100 * inter >= 60 * (n_a + n_b - inter)
+"""
+
+# q156: brute-force inverted-index bigram TF cosine (max_df=100 is
+# inactive at this scale but mirrored for contract parity).
+ORACLE_SQL["q156_tf_cosine_join"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS toks
+    FROM norm
+),
+bi AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END) AS t
+    FROM tok
+),
+tf AS (
+    SELECT CAST(doc_id AS BIGINT) AS id, t,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM bi GROUP BY 1, 2
+),
+kept AS (
+    SELECT tf.* FROM tf
+    JOIN (SELECT t FROM tf GROUP BY t HAVING count(*) <= 100) ok USING (t)
+),
+norms AS (
+    SELECT id, CAST(sum(tf * tf) AS BIGINT) AS q FROM kept GROUP BY id
+),
+dots AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+    FROM kept a JOIN kept b ON a.t = b.t AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot, na.q AS q_a, nb.q AS q_b,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na.q * nb.q AS DOUBLE)) AS cosine
+FROM dots
+JOIN norms na ON dots.id_a = na.id
+JOIN norms nb ON dots.id_b = nb.id
+WHERE (100 * dot) * (100 * dot) >= 70 * 70 * na.q * nb.q
 """

@@ -1,0 +1,115 @@
+"""Prefix-filtered Jaccard join and inverted-index TF-cosine join
+(operators/setsim.py): completeness vs a brute-force all-pairs
+reference is THE property — the prefix filter must never lose a
+qualifying pair."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+
+
+def _brute_jaccard(sets: dict[int, set], t: float):
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= t:
+            out[(a, b)] = inter
+    return out
+
+
+def test_jaccard_join_complete_vs_bruteforce(spark):
+    from graphsense_blocksci_spark.operators.setsim import jaccard_join
+
+    # clusters of near-identical sets + noise; includes sets sharing
+    # ONLY frequent tokens (the case a naive rare-token heuristic
+    # would lose) and identical twins.
+    base = ["a", "b", "c", "d", "e", "f", "g", "h", "i", "j"]
+    rows = [
+        (1, base),
+        (2, base[:9] + ["z"]),          # jaccard 9/11
+        (3, base),                       # identical twin of 1
+        (4, ["a", "b", "c"]),
+        (5, ["a", "b", "c", "d"]),      # 3/4 vs doc 4
+        (6, ["x", "y"]),
+        (7, ["x", "y"]),                 # twin on frequent-only tokens
+        (8, ["q"]),
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        (r.id_a, r.id_b): r.inter
+        for r in jaccard_join(df, "id", "toks", threshold_pct=70).collect()
+    }
+    want = _brute_jaccard({i: set(t) for i, t in rows}, 0.7)
+    assert got == want
+    # sanity: the planted pairs are present
+    assert (1, 3) in got and (6, 7) in got and (2, 3) in got
+
+
+def test_jaccard_join_threshold_exactness(spark):
+    from graphsense_blocksci_spark.operators.setsim import jaccard_join
+
+    # jaccard exactly at the threshold boundary must be INCLUDED
+    # (>=): 3 common of 5 union = 0.6
+    rows = [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c", "e"])]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = jaccard_join(df, "id", "toks", threshold_pct=60).collect()
+    assert len(got) == 1 and got[0].inter == 3
+    assert got[0].jaccard == pytest.approx(0.6, abs=1e-12)
+    # one notch above the ratio -> excluded
+    assert (
+        jaccard_join(df, "id", "toks", threshold_pct=61).count() == 0
+    )
+
+
+def test_tf_cosine_join_matches_python(spark):
+    from collections import Counter
+
+    from graphsense_blocksci_spark.operators.setsim import tf_cosine_join
+
+    corp = {
+        1: ["w", "w", "x", "y"],
+        2: ["w", "w", "x", "z"],
+        3: ["p", "q"],
+        4: ["p", "q", "q"],
+        5: ["only"],
+    }
+    rows = [(i, t) for i, t in corp.items()]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tf_cosine_join(df, "id", "toks", threshold_pct=50).collect()
+    }
+
+    def cos(a, b):
+        ca, cb = Counter(corp[a]), Counter(corp[b])
+        dot = sum(ca[t] * cb[t] for t in ca)
+        return dot / math.sqrt(
+            sum(v * v for v in ca.values()) * sum(v * v for v in cb.values())
+        )
+
+    want = {
+        (a, b): cos(a, b)
+        for a, b in itertools.combinations(sorted(corp), 2)
+        if cos(a, b) >= 0.5
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_tf_cosine_max_df_prunes_stopwords(spark):
+    from graphsense_blocksci_spark.operators.setsim import tf_cosine_join
+
+    # 'the' appears in every doc; with max_df=2 it drops out and the
+    # docs share nothing -> no pairs; without the cap they all pair up
+    rows = [(1, ["the", "a"]), (2, ["the", "b"]), (3, ["the", "c"])]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    assert tf_cosine_join(df, "id", "toks", threshold_pct=40).count() == 3
+    assert (
+        tf_cosine_join(df, "id", "toks", threshold_pct=40, max_df=2).count()
+        == 0
+    )
