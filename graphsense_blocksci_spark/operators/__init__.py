@@ -106,11 +106,13 @@ from graphsense_blocksci_spark.operators.graph import (
     incremental_components,
     kcore,
     label_propagation,
+    modularity,
     multi_source_bfs,
     pagerank,
     random_walks,
     shortest_paths,
     triangle_count,
+    two_hop_counts,
 )
 
 __all__ = [
@@ -186,11 +188,13 @@ __all__ = [
     "incremental_components",
     "kcore",
     "label_propagation",
+    "modularity",
     "multi_source_bfs",
     "pagerank",
     "random_walks",
     "shortest_paths",
     "triangle_count",
+    "two_hop_counts",
     "salted_agg",
     "salted_join",
     "latest_per_group",

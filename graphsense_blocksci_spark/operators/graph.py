@@ -815,3 +815,137 @@ def multi_source_bfs(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a given partition, per community, in exact
+    integer arithmetic — the quality gauge for ANY community
+    assignment (LPA labels, entity clusters, a hash partition):
+
+        Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+
+    over the undirected simple graph (edges deduped as unordered
+    pairs, self-loops dropped), where e_c = intra-community edges,
+    d_c = total degree of c, m = |edges|. Multiplying through by 4m²
+    keeps every term integer:  q_num_c = 4·m·e_c − d_c², and
+    Q = Σ_c q_num_c / (4m²) — so the per-community rows hash-compare
+    exactly, and the one float (`q_contrib`) is a single int/int
+    division any engine reproduces bit-for-bit.
+
+    Scale shape: canonicalize+dedup edges (one shuffle), one broadcast
+    join of the (small) label map onto each endpoint, a |labels|-keyed
+    degree aggregate and a |labels|-keyed intra-edge aggregate, plus a
+    1-row m/total broadcast — no iteration, no driver collect.
+
+    Returns (label, n_nodes, d_tot, e_in, q_num, q_contrib) — sum
+    q_num over rows and divide by 4m² for total Q.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias(
+                "a"
+            ),
+            F.greatest(
+                F.col(src).cast("long"), F.col(dst).cast("long")
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = labels.select(
+        F.col(node_col).cast("long").alias("n"),
+        F.col(label_col).cast("long").alias("c"),
+    ).distinct()
+    la = lab.select(F.col("n").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("n").alias("b"), F.col("c").alias("cb"))
+    tagged = und.join(F.broadcast(la), "a").join(F.broadcast(lb), "b")
+    m_row = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # degree per community: each undirected edge adds 1 to both ends
+    deg = (
+        tagged.select(F.col("ca").alias("c"))
+        .union(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_tot"))
+    )
+    e_in = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    nodes = lab.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    out = (
+        nodes.join(deg, "c", "left")
+        .join(e_in, "c", "left")
+        .na.fill({"d_tot": 0, "e_in": 0})
+        .crossJoin(F.broadcast(m_row))
+    )
+    return out.select(
+        F.col("c").alias("label"),
+        "n_nodes",
+        "d_tot",
+        "e_in",
+        (4 * F.col("m") * F.col("e_in") - F.col("d_tot") * F.col("d_tot"))
+        .cast("long")
+        .alias("q_num"),
+        (
+            (
+                4 * F.col("m") * F.col("e_in")
+                - F.col("d_tot") * F.col("d_tot")
+            ).cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double")
+        ).alias("q_contrib"),
+    )
+
+
+def two_hop_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Distinct 2-hop neighborhood size per node (friends-of-friends
+    reach): nodes y reachable as src→x→y with y ≠ src and y NOT a
+    direct neighbor — the expansion metric feature engineering and
+    link-prediction baselines use.
+
+    Scale shape: one self-join on the mid node, one distinct, one
+    anti-join against the direct edge set, one count aggregate — all
+    shuffles on node id. The mid-node join fans out quadratically on
+    hub nodes (a hub with 10⁶ in- and out-edges contributes 10¹²
+    pairs); for hub-heavy graphs cap or sample hub adjacency first —
+    the same `max_bucket` discipline as the LSH family. Fixture-graph
+    degrees are bounded, so the exact form is the oracle path.
+
+    Returns (node, n_two_hop).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"),
+            F.col(dst).cast("long").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hop2 = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.d") == F.col("e2.s"))
+        .select(F.col("e1.s").alias("s"), F.col("e2.d").alias("y"))
+        .filter(F.col("s") != F.col("y"))
+        .distinct()
+        .join(
+            e.select(F.col("s"), F.col("d").alias("y")),
+            ["s", "y"],
+            "left_anti",
+        )
+    )
+    return hop2.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_two_hop")
+    )

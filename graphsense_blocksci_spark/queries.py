@@ -4324,6 +4324,47 @@ def q156_tf_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q157_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 10).select(
+        (F.col("l_orderkey") % 5000).cast("long").alias("src"),
+        (F.col("l_partkey") % 5000).cast("long").alias("dst"),
+    )
+
+
+def q157_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity per community in exact integer arithmetic
+    (operators/graph.py:modularity) — the partition-quality gauge for
+    LPA/entity-cluster output, computed here over a deterministic
+    hash partition (node % 16) so the oracle can re-derive the SAME
+    labels: q_num = 4*m*e_in - d_tot^2 per community, Q = sum/4m^2.
+    Zero iteration; label map broadcast onto both endpoints; the only
+    float is one int/int division."""
+    from graphsense_blocksci_spark.operators.graph import modularity
+
+    edges = _q157_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", (F.col("node") % 16).alias("label"))
+    return modularity(edges, labels)
+
+
+def q158_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-hop neighborhood size per node
+    (operators/graph.py:two_hop_counts): src→x→y with y neither the
+    source nor a direct neighbor — the friends-of-friends expansion
+    feature. Mid-node self-join + distinct + anti-join, all shuffles
+    on node id; hub fan-out documented with the max_bucket-style cap
+    discipline. Oracle: the identical three-join SQL."""
+    from graphsense_blocksci_spark.operators.graph import two_hop_counts
+
+    return two_hop_counts(_q157_edges(spark, sf_dir))
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4437,6 +4478,8 @@ QUERIES: dict[str, QueryFn] = {
     "q154_kfold_assign": q154_kfold_assign,
     "q155_jaccard_join": q155_jaccard_join,
     "q156_tf_cosine_join": q156_tf_cosine_join,
+    "q157_modularity": q157_modularity,
+    "q158_two_hop": q158_two_hop,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8117,4 +8160,70 @@ FROM dots
 JOIN norms na ON dots.id_a = na.id
 JOIN norms nb ON dots.id_b = nb.id
 WHERE (100 * dot) * (100 * dot) >= 70 * 70 * na.q * nb.q
+"""
+
+# q157: same canonical undirected dedup, hash-partition labels,
+# integer 4m*e_in - d^2 per community.
+ORACLE_SQL["q157_modularity"] = """
+WITH eraw AS (
+    SELECT CAST(l_orderkey % 5000 AS BIGINT) AS src,
+           CAST(l_partkey % 5000 AS BIGINT) AS dst
+    FROM lineitem WHERE l_quantity < 10
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM eraw WHERE src <> dst
+),
+nodes AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM eraw UNION ALL SELECT dst FROM eraw
+    )
+),
+lab AS (SELECT node AS n, CAST(node % 16 AS BIGINT) AS c FROM nodes),
+m_row AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+tagged AS (
+    SELECT la.c AS ca, lb.c AS cb
+    FROM und JOIN lab la ON und.a = la.n JOIN lab lb ON und.b = lb.n
+),
+deg AS (
+    SELECT c, CAST(count(*) AS BIGINT) AS d_tot FROM (
+        SELECT ca AS c FROM tagged UNION ALL SELECT cb FROM tagged
+    ) GROUP BY c
+),
+ein AS (
+    SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_in
+    FROM tagged WHERE ca = cb GROUP BY ca
+),
+nn AS (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY c)
+SELECT nn.c AS label, nn.n_nodes,
+       COALESCE(deg.d_tot, 0) AS d_tot,
+       COALESCE(ein.e_in, 0) AS e_in,
+       CAST(4 * m * COALESCE(ein.e_in, 0)
+            - COALESCE(deg.d_tot, 0) * COALESCE(deg.d_tot, 0) AS BIGINT)
+           AS q_num,
+       CAST(4 * m * COALESCE(ein.e_in, 0)
+            - COALESCE(deg.d_tot, 0) * COALESCE(deg.d_tot, 0) AS DOUBLE)
+           / CAST(4 * m * m AS DOUBLE) AS q_contrib
+FROM nn LEFT JOIN deg ON nn.c = deg.c LEFT JOIN ein ON nn.c = ein.c, m_row
+"""
+
+# q158: identical mid-node self-join + direct-neighbor anti-join.
+ORACLE_SQL["q158_two_hop"] = """
+WITH eraw AS (
+    SELECT CAST(l_orderkey % 5000 AS BIGINT) AS src,
+           CAST(l_partkey % 5000 AS BIGINT) AS dst
+    FROM lineitem WHERE l_quantity < 10
+),
+e AS (SELECT DISTINCT src AS s, dst AS d FROM eraw WHERE src <> dst),
+h2 AS (
+    SELECT DISTINCT e1.s AS s, e2.d AS y
+    FROM e e1 JOIN e e2 ON e1.d = e2.s
+    WHERE e1.s <> e2.d
+),
+indirect AS (
+    SELECT h2.s, h2.y FROM h2
+    ANTI JOIN e ON h2.s = e.s AND h2.y = e.d
+)
+SELECT s AS node, CAST(count(*) AS BIGINT) AS n_two_hop
+FROM indirect GROUP BY s
 """

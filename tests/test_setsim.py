@@ -113,3 +113,56 @@ def test_tf_cosine_max_df_prunes_stopwords(spark):
         tf_cosine_join(df, "id", "toks", threshold_pct=40, max_df=2).count()
         == 0
     )
+
+
+def test_modularity_two_cliques(spark):
+    from graphsense_blocksci_spark.operators.graph import modularity
+
+    # two 3-cliques joined by one bridge: textbook Q = 2*(3/7 - (7/14)^2)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)],
+        "node long, label long",
+    )
+    rows = {r.label: r for r in modularity(e, labels).collect()}
+    m = 7
+    for c in (0, 1):
+        r = rows[c]
+        assert r.n_nodes == 3 and r.e_in == 3 and r.d_tot == 7
+        assert r.q_num == 4 * m * 3 - 49
+        assert r.q_contrib == (4 * m * 3 - 49) / (4 * m * m)
+    q_total = sum(r.q_num for r in rows.values()) / (4 * m * m)
+    assert q_total == pytest.approx(2 * (3 / 7 - 0.25), abs=1e-12)
+
+
+def test_modularity_dedups_direction_and_selfloops(spark):
+    from graphsense_blocksci_spark.operators.graph import modularity
+
+    # duplicated + reversed + self-loop edges collapse to ONE edge
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0)], "node long, label long"
+    )
+    r = modularity(e, labels).collect()
+    assert len(r) == 1
+    assert r[0].e_in == 1 and r[0].d_tot == 2
+    # single community holds all edges: Q = e/m - (d/2m)^2 = 1 - 1 = 0
+    assert r[0].q_num == 4 * 1 * 1 - 4 == 0
+
+
+def test_two_hop_counts_small_graph(spark):
+    from graphsense_blocksci_spark.operators.graph import two_hop_counts
+
+    # 1->2->3, 1->3 (3 is direct: excluded), 2->4, 3->1 (cycle back to
+    # source: excluded for node 1 via s != y)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (3, 1)],
+        "src long, dst long",
+    )
+    got = {r.node: r.n_two_hop for r in two_hop_counts(e).collect()}
+    # node 1: via 2 -> {3 (direct, drop), 4 (keep)}; via 3 -> {1 self, drop} => 1
+    # node 2: via 3 -> {1} => 1 ; node 3: via 1 -> {2, 3-self} => 1
+    assert got == {1: 1, 2: 1, 3: 1}
