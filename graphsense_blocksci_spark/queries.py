@@ -4365,6 +4365,26 @@ def q158_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_counts(_q157_edges(spark, sf_dir))
 
 
+
+def q159_simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: all doc pairs within Hamming
+    distance 3 of the 32-bit frequency-weighted simhash (q37's
+    signature), EXACT via the pigeonhole block trick
+    (operators/text_dedup.py:simhash_hamming_join) — 4 bit-blocks, a
+    qualifying pair must share one verbatim, so candidates are
+    (block, value) bucket joins and verify is one XOR popcount.
+    Completes the Charikar pipeline the q37 signature starts.
+    Oracle: brute-force all-pairs popcount."""
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        simhash,
+        simhash_hamming_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs)
+    return simhash_hamming_join(sigs, max_hamming=3, bits=32)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4480,6 +4500,7 @@ QUERIES: dict[str, QueryFn] = {
     "q156_tf_cosine_join": q156_tf_cosine_join,
     "q157_modularity": q157_modularity,
     "q158_two_hop": q158_two_hop,
+    "q159_simhash_join": q159_simhash_join,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8227,3 +8248,17 @@ indirect AS (
 SELECT s AS node, CAST(count(*) AS BIGINT) AS n_two_hop
 FROM indirect GROUP BY s
 """
+
+
+# q159: brute-force all-pairs Hamming over the q37 signatures — the
+# completeness oracle for the pigeonhole block join.
+ORACLE_SQL["q159_simhash_join"] = (
+    "WITH sims AS ("
+    + ORACLE_SQL["q37_simhash"]
+    + """)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)

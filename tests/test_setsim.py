@@ -166,3 +166,32 @@ def test_two_hop_counts_small_graph(spark):
     # node 1: via 2 -> {3 (direct, drop), 4 (keep)}; via 3 -> {1 self, drop} => 1
     # node 2: via 3 -> {1} => 1 ; node 3: via 1 -> {2, 3-self} => 1
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_simhash_hamming_join_complete_vs_bruteforce(spark):
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        simhash_hamming_join,
+    )
+
+    # signatures engineered so differing bits land INSIDE single
+    # blocks and ACROSS blocks, at exactly d and d+1
+    sigs = [
+        (1, 0b0000_0000_0000_0000_0000_0000_0000_0000),
+        (2, 0b0000_0000_0000_0000_0000_0000_0000_0111),  # h=3 vs 1
+        (3, 0b1000_0000_0000_0000_0000_0000_0000_0011),  # h=3 vs 1, cross-block
+        (4, 0b0000_0000_0000_0000_0000_0000_0000_1111),  # h=4 vs 1 (excluded)
+        (5, 0b0000_0000_0000_0000_0000_0000_0000_0111),  # identical to 2
+        (6, 0b1111_1111_1111_1111_1111_1111_1111_1111),
+    ]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_join(df, max_hamming=3).collect()
+    }
+    want = {}
+    for (a, sa), (b, sb) in itertools.combinations(sigs, 2):
+        h = bin(sa ^ sb).count("1")
+        if h <= 3:
+            want[(a, b)] = h
+    assert got == want
+    assert (1, 4) not in got and got[(2, 5)] == 0 and got[(1, 3)] == 3
