@@ -108,6 +108,17 @@ BENCH_QUERIES = [
     "q146_kmv_sketch",
     "q147_negative_sampling",
     "q148_harmonic_centrality",
+    "q149_weighted_reservoir",
+    "q150_roc_auc",
+    "q151_corpus_drift",
+    "q152_equiwidth_bins",
+    "q153_zscore_normalize",
+    "q154_kfold_assign",
+    "q155_jaccard_join",
+    "q156_tf_cosine_join",
+    "q157_modularity",
+    "q158_two_hop",
+    "q159_simhash_join",
 ]
 # qd25 (streaming HDR quantiles) is gate-only like qd23/qd24: its
 # fixture staging + checkpoint setup would dominate the timing; the
