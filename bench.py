@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "q158_two_hop",
     "q159_simhash_join",
 ]
+# q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
+# shuffles each is honest algorithmic cost, but at toy scale the
+# per-stage scheduler latency dominates (55 s of overhead for <1 s of
+# compute); pagerank/LPA carry the iterative-graph timing signal.
 # qd25 (streaming HDR quantiles) is gate-only like qd23/qd24: its
 # fixture staging + checkpoint setup would dominate the timing; the
 # batch twin q126 carries the timing signal.

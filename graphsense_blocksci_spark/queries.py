@@ -4385,6 +4385,30 @@ def q159_simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_join(sigs, max_hamming=3, bits=32)
 
 
+
+def q160_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Louvain (operators/graph.py:louvain):
+    modularity-maximizing communities over the q157 graph — exact
+    2m-scaled integer gain comparisons, stay-biased total tie-breaks,
+    parity-alternating synchronous moves, one contraction level.
+    Bit-reproducible output where textbook Louvain's random node
+    order is not; summarized per community so the rows-only gate
+    pins (community, size) shape. Quality is pytest-gated with the
+    exact-integer modularity operator (planted-partition recovery,
+    never-worse-than-singletons)."""
+    from graphsense_blocksci_spark.operators.graph import louvain
+
+    out = louvain(_q157_edges(spark, sf_dir), sub_rounds=3, levels=2)
+    return (
+        out.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4501,6 +4525,7 @@ QUERIES: dict[str, QueryFn] = {
     "q157_modularity": q157_modularity,
     "q158_two_hop": q158_two_hop,
     "q159_simhash_join": q159_simhash_join,
+    "q160_louvain": q160_louvain,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,

@@ -195,3 +195,58 @@ def test_simhash_hamming_join_complete_vs_bruteforce(spark):
             want[(a, b)] = h
     assert got == want
     assert (1, 4) not in got and got[(2, 5)] == 0 and got[(1, 3)] == 3
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    from graphsense_blocksci_spark.operators.graph import louvain, modularity
+
+    # ring of 4 4-cliques, one bridge each: optimum = the cliques
+    edges = []
+    for c in range(4):
+        ns = [c * 4 + i for i in range(4)]
+        edges += list(itertools.combinations(ns, 2))
+        edges.append((c * 4 + 3, ((c + 1) % 4) * 4))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = louvain(e, sub_rounds=4, levels=2).collect()
+    comms = {}
+    for r in out:
+        comms.setdefault(r.community, set()).add(r.node)
+    assert sorted(sorted(v) for v in comms.values()) == [
+        [0, 1, 2, 3],
+        [4, 5, 6, 7],
+        [8, 9, 10, 11],
+        [12, 13, 14, 15],
+    ]
+    # exact modularity of the recovered partition beats singletons (0-)
+    labels = spark.createDataFrame(
+        [(r.node, r.community) for r in out], "node long, label long"
+    )
+    m = len(edges)
+    q = sum(r.q_num for r in modularity(e, labels).collect()) / (4 * m * m)
+    assert q > 0.5  # planted-partition quality
+
+
+def test_louvain_two_cliques_optimal_and_deterministic(spark):
+    from graphsense_blocksci_spark.operators.graph import louvain, modularity
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r.node, r.community) for r in louvain(e).collect())
+    b = sorted((r.node, r.community) for r in louvain(e).collect())
+    assert a == b  # bit-reproducible
+    assert a == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+    labels = spark.createDataFrame(a, "node long, label long")
+    q = sum(r.q_num for r in modularity(e, labels).collect()) / (4 * 49)
+    assert q == pytest.approx(2 * (3 / 7 - 0.25), abs=1e-12)
+
+
+def test_louvain_weighted_edges_flip_the_partition(spark):
+    from graphsense_blocksci_spark.operators.graph import louvain
+
+    # a 4-cycle with two heavy opposite edges: communities follow weight
+    e = spark.createDataFrame(
+        [(1, 2, 10), (3, 4, 10), (2, 3, 1), (4, 1, 1)],
+        "src long, dst long, w long",
+    )
+    out = {r.node: r.community for r in louvain(e, weight_col="w").collect()}
+    assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
