@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q157_modularity",
     "q158_two_hop",
     "q159_simhash_join",
+    "q161_attribution",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -87,6 +87,9 @@ from graphsense_blocksci_spark.operators.sketches import (
     hdr_quantiles,
     heavy_hitters,
 )
+from graphsense_blocksci_spark.operators.attribution import (
+    attribute_conversions,
+)
 from graphsense_blocksci_spark.operators.evaluation import (
     distribution_drift,
     equiwidth_bins,
@@ -119,6 +122,7 @@ from graphsense_blocksci_spark.operators.graph import (
 
 __all__ = [
     "exact_dedup",
+    "attribute_conversions",
     "roc_auc",
     "distribution_drift",
     "equiwidth_bins",

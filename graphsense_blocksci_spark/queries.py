@@ -4409,6 +4409,24 @@ def q160_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q161_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (operators/attribution.py:attribute_conversions): every purchase
+    credits the earliest and latest view/click of the same user in
+    the preceding 7 days; ties on the timestamp break on event id via
+    struct-ordered min/max (the same total order DuckDB evaluates),
+    and unattributed purchases survive with NULL touches. One
+    user-keyed range join + one aggregate per conversion — the funnel
+    family's credit-assignment sibling."""
+    from graphsense_blocksci_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribute_conversions(ev)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4526,6 +4544,7 @@ QUERIES: dict[str, QueryFn] = {
     "q158_two_hop": q158_two_hop,
     "q159_simhash_join": q159_simhash_join,
     "q160_louvain": q160_louvain,
+    "q161_attribution": q161_attribution,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8287,3 +8306,39 @@ FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 )
+
+
+# q161: identical per-user range join + struct-ordered min/max.
+ORACLE_SQL["q161_attribution"] = """
+WITH base AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
+           event_type AS et,
+           CAST(event_id AS BIGINT) AS eid
+    FROM events
+),
+conv AS (
+    SELECT user_id, eid AS conversion_id, t AS t_conv
+    FROM base WHERE et = 'purchase'
+),
+touch AS (
+    SELECT user_id, eid AS touch_id, t AS t_touch
+    FROM base WHERE et IN ('view', 'click')
+),
+credited AS (
+    SELECT conversion_id,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           min({'t_touch': t_touch, 'touch_id': touch_id}) AS f,
+           max({'t_touch': t_touch, 'touch_id': touch_id}) AS l
+    FROM conv JOIN touch USING (user_id)
+    WHERE t_touch <= t_conv AND t_touch >= t_conv - 604800
+    GROUP BY conversion_id
+)
+SELECT conv.conversion_id, conv.user_id, conv.t_conv,
+       COALESCE(credited.n_touches, 0) AS n_touches,
+       credited.f.touch_id AS first_touch_id,
+       credited.f.t_touch AS first_touch_ts,
+       credited.l.touch_id AS last_touch_id,
+       credited.l.t_touch AS last_touch_ts
+FROM conv LEFT JOIN credited USING (conversion_id)
+"""

@@ -176,3 +176,42 @@ def test_kfold_assign_partitions_every_key_once(spark):
     a = {r.k: r.fold for r in out.collect()}
     b = {r.k: r.fold for r in kfold_assign(df, "k", 7).collect()}
     assert a == b
+
+
+def test_attribution_first_last_and_unattributed(spark):
+    from graphsense_blocksci_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    rows = [
+        # user 1: touches 10,20 then purchase at 25; late touch 30 ignored
+        (1, 10, "view", 100),
+        (1, 20, "click", 101),
+        (1, 25, "purchase", 102),
+        (1, 30, "view", 103),
+        # user 2: touch OUTSIDE the lookback -> unattributed
+        (2, 5, "view", 200),
+        (2, 1000000, "purchase", 201),
+        # user 3: tie on timestamp -> smaller id is first, larger is last
+        (3, 50, "view", 300),
+        (3, 50, "click", 301),
+        (3, 60, "purchase", 302),
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), e, i) for u, t, e, i in rows],
+        "user_id long, ts double, event_type string, event_id long",
+    ).selectExpr(
+        "user_id",
+        "CAST(ts AS TIMESTAMP) AS ts",
+        "event_type",
+        "event_id",
+    )
+    out = {
+        r.conversion_id: r
+    for r in attribute_conversions(ev, lookback=100).collect()}
+    r1 = out[102]
+    assert (r1.first_touch_id, r1.last_touch_id, r1.n_touches) == (100, 101, 2)
+    r2 = out[201]
+    assert r2.n_touches == 0 and r2.first_touch_id is None
+    r3 = out[302]
+    assert (r3.first_touch_id, r3.last_touch_id) == (300, 301)
