@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q158_two_hop",
     "q159_simhash_join",
     "q161_attribution",
+    "q162_rank_fusion",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

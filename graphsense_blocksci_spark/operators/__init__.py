@@ -39,7 +39,7 @@ from graphsense_blocksci_spark.operators.text_analysis import (
     language_id,
     doc_fingerprint,
 )
-from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+from graphsense_blocksci_spark.operators.retrieval import bm25_topk, rank_fusion_borda
 from graphsense_blocksci_spark.operators.chunking import chunk_documents
 from graphsense_blocksci_spark.operators.cooccurrence import pmi_pairs
 from graphsense_blocksci_spark.operators.redaction import redact_pii
@@ -138,6 +138,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "substring_dedup",
     "bm25_topk",
+    "rank_fusion_borda",
     "chunk_documents",
     "pmi_pairs",
     "redact_pii",

@@ -141,3 +141,66 @@ def bm25_topk(
             "query_id", id_col, F.col("rank").cast("long").alias("rank"), "score"
         )
     )
+
+
+def rank_fusion_borda(
+    candidates: DataFrame,
+    prior: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    prior_col: str = "prior",
+) -> DataFrame:
+    """Hybrid-retrieval rank fusion by Borda count: fuse a per-query
+    candidate ranking (e.g. BM25 top-k) with a static document prior
+    (quality score, length, freshness) — the lexical+prior fusion
+    every two-stage retrieval stack runs before the expensive
+    reranker. Borda is the INTEGER fusion rule (points = n − rank per
+    list, summed), chosen over reciprocal-rank fusion deliberately:
+    RRF's Σ 1/(60+r) is a float sum whose value depends on summation
+    order, while Borda is exact and hash-comparable in any engine.
+
+    The prior is re-ranked WITHIN each query's candidate set (ties:
+    higher prior first, then ascending id), so no corpus-wide prior
+    ranking exists anywhere — the fusion only ever touches
+    |queries| × k candidate rows, which is broadcast-sized by
+    construction. fused = 2n − rank − prior_rank, re-ranked
+    descending with ascending-id ties.
+
+    Returns (query_col, id_col, rank_col, prior_rank, borda,
+    fused_rank) for fused_rank <= k.
+    """
+    j = candidates.select(
+        query_col, id_col, F.col(rank_col).cast("long").alias(rank_col)
+    ).join(
+        prior.select(
+            F.col(id_col), F.col(prior_col).cast("long").alias("_prior")
+        ),
+        id_col,
+    )
+    n = j.groupBy(query_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    pw = Window.partitionBy(query_col).orderBy(
+        F.desc("_prior"), F.asc(id_col)
+    )
+    ranked = j.withColumn(
+        "prior_rank", F.row_number().over(pw).cast("long")
+    ).join(n, query_col)
+    fused = ranked.select(
+        query_col,
+        id_col,
+        rank_col,
+        "prior_rank",
+        (2 * F.col("_n") - F.col(rank_col) - F.col("prior_rank"))
+        .cast("long")
+        .alias("borda"),
+    )
+    fw = Window.partitionBy(query_col).orderBy(
+        F.desc("borda"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(fw).cast("long")
+        )
+        .filter(F.col("fused_rank") <= k)
+    )

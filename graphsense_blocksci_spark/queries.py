@@ -4273,13 +4273,16 @@ def q155_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan must be INVISIBLE next to it)."""
     from graphsense_blocksci_spark.operators.setsim import jaccard_join
     from graphsense_blocksci_spark.operators.textops import (
-        spread,
-        word_shingles,
+        shingle_hash_frame,
     )
 
-    docs = spread(load_table(spark, sf_dir, "documents")).select(
+    # sets are the 28-bit md5 shingle HASHES (the repo-wide staged
+    # Arrow path, 24x the interpreted HOF shingling) — identical
+    # md5 in the oracle, so a collision collapses the same element
+    # on both sides and Jaccard parity is preserved exactly
+    docs = shingle_hash_frame(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        word_shingles("text").alias("gs"),
+        F.col("_sh").alias("gs"),
     )
     return jaccard_join(docs, "doc_id", "gs", threshold_pct=60)
 
@@ -4427,6 +4430,29 @@ def q161_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_conversions(ev)
 
 
+
+def q162_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 candidates per fixture query
+    fused with a static length prior by integer Borda count
+    (operators/retrieval.py:rank_fusion_borda) — RRF's float
+    1/(60+r) sum is order-dependent, Borda is exact, so the fused
+    ranking hash-compares. Prior is re-ranked INSIDE each candidate
+    set (never a corpus-wide prior window); fusion touches only
+    |queries| x 20 rows."""
+    from graphsense_blocksci_spark.operators.retrieval import (
+        bm25_topk,
+        rank_fusion_borda,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = bm25_topk(docs, k=20)
+    prior = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("prior"),
+    )
+    return rank_fusion_borda(cand, prior, k=10)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4545,6 +4571,7 @@ QUERIES: dict[str, QueryFn] = {
     "q159_simhash_join": q159_simhash_join,
     "q160_louvain": q160_louvain,
     "q161_attribution": q161_attribution,
+    "q162_rank_fusion": q162_rank_fusion,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8166,9 +8193,15 @@ grams AS (
            ELSE [] END AS gs
     FROM tok
 ),
+hashed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
+    FROM grams
+),
 d AS (
-    SELECT CAST(doc_id AS BIGINT) AS id, gs, len(gs) AS n
-    FROM grams WHERE len(gs) > 0
+    SELECT CAST(doc_id AS BIGINT) AS id, hs AS gs, len(hs) AS n
+    FROM hashed WHERE len(hs) > 0
 ),
 pairs AS (
     SELECT a.id AS id_a, b.id AS id_b,
@@ -8342,3 +8375,45 @@ SELECT conv.conversion_id, conv.user_id, conv.t_conv,
        credited.l.t_touch AS last_touch_ts
 FROM conv LEFT JOIN credited USING (conversion_id)
 """
+
+
+# q162: the q107 oracle (k widened to 20) as the candidate CTE, then
+# the same integer Borda fusion windows.
+ORACLE_SQL["q162_rank_fusion"] = (
+    "WITH cand AS (\n"
+    + ORACLE_SQL["q107_bm25_topk"].replace(
+        "WHERE rank <= 10", "WHERE rank <= 20"
+    )
+    + """),
+pri AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS _prior
+    FROM documents
+),
+j AS (
+    SELECT c.query_id, c.doc_id, c.rank, p._prior
+    FROM cand c JOIN pri p USING (doc_id)
+),
+counted AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS _n FROM j GROUP BY query_id
+),
+qr AS (
+    SELECT j.*,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY _prior DESC, doc_id ASC
+           ) AS BIGINT) AS prior_rank
+    FROM j
+),
+f AS (
+    SELECT qr.query_id, qr.doc_id, qr.rank, qr.prior_rank,
+           CAST(2 * counted._n - qr.rank - qr.prior_rank AS BIGINT) AS borda
+    FROM qr JOIN counted USING (query_id)
+)
+SELECT query_id, doc_id, rank, prior_rank, borda,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY borda DESC, doc_id ASC
+       ) AS BIGINT) AS fused_rank
+FROM f
+QUALIFY fused_rank <= 10
+"""
+)
