@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q159_simhash_join",
     "q161_attribution",
     "q162_rank_fusion",
+    "q163_count_min",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -460,3 +460,103 @@ def kmv_sketch(
     return kmv_estimate(
         kmv_hashes(df, value_col, group_cols, k, salt_buckets), group_cols, k
     )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan '05) of a key
+    column's occurrence counts: ``depth`` hash rows × ``width``
+    counters; every occurrence increments counter[d][h_d(key)].
+    Estimates overcount only (est >= true, whp within 2N/width), and
+    sketches MERGE by adding counters cell-wise — the mergeable
+    frequency summary that pairs with the repo's KMV (distincts) and
+    HDR (quantiles) partials.
+
+    Hash rows are the repo-wide deterministic 28-bit md5 of
+    ``d || '#' || key`` mod width — a pure function of the data, so
+    unlike a seeded-random CMS the whole counter table is
+    ORACLE-CHECKABLE cell-exact, and any engine rebuilds the identical
+    sketch.
+
+    Scale shape: explode ×depth map-side, then ONE map-side-combined
+    groupBy onto at most depth·width cells — the shuffle carries
+    bounded cells, not occurrences. Returns (d, bucket, cnt); absent
+    cells are zero.
+    """
+    rows = df.select(F.col(key_col).cast("string").alias("k"))
+    exploded = rows.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(depth - 1))
+        ).alias("d"),
+        "k",
+    )
+    return (
+        exploded.select(
+            F.col("d").cast("long").alias("d"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.col("d"), F.col("k"))), 1, 7
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a Count-Min sketch: for each key, the estimate is
+    the MIN over hash rows of its counter (missing cell ⇒ 0 ⇒ the key
+    definitely never occurred). The sketch is depth·width rows —
+    broadcast by construction; the probe is a map-side hash join
+    however large the key set is.
+
+    Returns the ``keys`` frame with an ``est`` column (long).
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        key_col,
+        F.col("d").cast("long").alias("d"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("d"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -4453,6 +4453,36 @@ def q162_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_fusion_borda(cand, prior, k=10)
 
 
+
+def q163_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates
+    (operators/sketches.py:cms_build/cms_estimate): 4x256 counters
+    over event user occurrences, probed for every 20th user and
+    joined against the true counts — est >= true is the CMS
+    contract, pinned by pytest; md5-derived hash rows make the whole
+    counter table deterministic, so the oracle rebuilds the sketch
+    cell-exact (impossible for a seeded-random CMS). Shuffle carries
+    <= depth*width cells, never occurrences; the probe join is a
+    broadcast."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    sketch = cms_build(ev, "user_id", depth=4, width=256)
+    keys = ev.distinct().filter(F.col("user_id") % 20 == 0)
+    est = cms_estimate(sketch, keys, "user_id", depth=4, width=256)
+    true_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    return est.join(true_counts, "user_id").select(
+        "user_id", "est", "true_cnt"
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4572,6 +4602,7 @@ QUERIES: dict[str, QueryFn] = {
     "q160_louvain": q160_louvain,
     "q161_attribution": q161_attribution,
     "q162_rank_fusion": q162_rank_fusion,
+    "q163_count_min": q163_count_min,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8417,3 +8448,36 @@ FROM f
 QUALIFY fused_rank <= 10
 """
 )
+
+
+# q163: rebuild the identical md5 counter table and min-probe it.
+ORACLE_SQL["q163_count_min"] = """
+WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id FROM events),
+cells AS (
+    SELECT d,
+           (('0x' || substr(md5(d::VARCHAR || '#' || user_id::VARCHAR),
+                            1, 7))::BIGINT % 256) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ev, (SELECT unnest(range(0, 4)) AS d)
+    GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 20 = 0),
+probes AS (
+    SELECT user_id, d,
+           (('0x' || substr(md5(d::VARCHAR || '#' || user_id::VARCHAR),
+                            1, 7))::BIGINT % 256) AS bucket
+    FROM keys, (SELECT unnest(range(0, 4)) AS d)
+),
+est AS (
+    SELECT probes.user_id,
+           CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+    FROM probes LEFT JOIN cells USING (d, bucket)
+    GROUP BY probes.user_id
+),
+tc AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+    FROM ev GROUP BY user_id
+)
+SELECT est.user_id, est.est, tc.true_cnt
+FROM est JOIN tc USING (user_id)
+"""

@@ -250,3 +250,63 @@ def test_hdr_partials_merge_equals_direct_and_rank_semantics(spark):
         assert est <= true
         if true > 31:
             assert true < est * 17 / 16
+
+
+def test_cms_overcounts_never_undercounts(spark):
+    from collections import Counter
+
+    from graphsense_blocksci_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # skewed stream: key i appears i times, forcing bucket collisions
+    # at width 16
+    vals = [i for i in range(1, 40) for _ in range(i)]
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    sketch = cms_build(df, "k", depth=3, width=16)
+    keys = df.distinct()
+    est = {
+        r.k: r.est
+        for r in cms_estimate(sketch, keys, "k", depth=3, width=16).collect()
+    }
+    true = Counter(vals)
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t  # CMS never undercounts
+    # total overcount bounded: each row's counters sum to the stream size
+    assert sum(r.cnt for r in sketch.collect()) == 3 * len(vals)
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    from graphsense_blocksci_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i % 5,) for i in range(30)], "k long")
+    merged_direct = cms_build(a.union(b), "k", depth=2, width=32)
+    merged_partials = (
+        cms_build(a, "k", depth=2, width=32)
+        .union(cms_build(b, "k", depth=2, width=32))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged_direct.collect())) == sorted(
+        map(tuple, merged_partials.collect())
+    )
+
+
+def test_cms_absent_key_estimates_zero_when_no_collision(spark):
+    from graphsense_blocksci_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    sketch = cms_build(df, "k", depth=4, width=4096)
+    ghost = spark.createDataFrame([(999999,)], "k long")
+    est = cms_estimate(sketch, ghost, "k", depth=4, width=4096).first()
+    assert est.est == 0  # wide sketch, 3 keys: collision chance ~0
