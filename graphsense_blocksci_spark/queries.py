@@ -4483,6 +4483,44 @@ def q163_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q164_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream Markov transition matrix: consecutive event-type
+    pairs per user in (ts, event_id) order — the behavioral analog of
+    the q145 text bigram LM. One per-user lag window (user-keyed
+    partitions, never global), one (from,to) aggregate with map-side
+    partials, context totals joined back; transition probability as
+    floor(1e6 * c/ctx) — one division + floor, bit-portable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("u"),
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    pairs = (
+        ev.withColumn("prev_et", F.lag("et").over(w))
+        .filter(F.col("prev_et").isNotNull())
+        .groupBy(
+            F.col("prev_et").alias("from_type"),
+            F.col("et").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ctx = pairs.groupBy("from_type").agg(
+        F.sum("c").cast("long").alias("ctx")
+    )
+    return pairs.join(ctx, "from_type").select(
+        "from_type",
+        "to_type",
+        "c",
+        "ctx",
+        F.floor(F.lit(1000000.0) * F.col("c") / F.col("ctx"))
+        .cast("long")
+        .alias("pmill"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4603,6 +4641,7 @@ QUERIES: dict[str, QueryFn] = {
     "q161_attribution": q161_attribution,
     "q162_rank_fusion": q162_rank_fusion,
     "q163_count_min": q163_count_min,
+    "q164_event_transitions": q164_event_transitions,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8480,4 +8519,34 @@ tc AS (
 )
 SELECT est.user_id, est.est, tc.true_cnt
 FROM est JOIN tc USING (user_id)
+"""
+
+
+# q164: identical per-user lag in (t, eid) order + floor(1e6*c/ctx).
+ORACLE_SQL["q164_event_transitions"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS u,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
+           CAST(event_id AS BIGINT) AS eid,
+           event_type AS et
+    FROM events
+),
+lagged AS (
+    SELECT u, et,
+           lag(et) OVER (PARTITION BY u ORDER BY t, eid) AS prev_et
+    FROM ev
+),
+pairs AS (
+    SELECT prev_et AS from_type, et AS to_type,
+           CAST(count(*) AS BIGINT) AS c
+    FROM lagged WHERE prev_et IS NOT NULL
+    GROUP BY 1, 2
+),
+ctx AS (
+    SELECT from_type, CAST(sum(c) AS BIGINT) AS ctx
+    FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.c, ctx.ctx,
+       CAST(floor(1000000.0 * p.c / ctx.ctx) AS BIGINT) AS pmill
+FROM pairs p JOIN ctx USING (from_type)
 """
