@@ -4521,6 +4521,43 @@ def q164_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def qd26_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min sketch under the exact gate: per-hash-row
+    counter cells folded into the applyInPandasWithState store
+    (streaming/sketches.py:cms_stream — cells computed JVM-side with
+    the q163 md5 arithmetic, state bounded by width, merge is the
+    order-insensitive cell sum), driven availableNow over events
+    staged as a file stream. A single micro-batch means the snapshot
+    IS the batch sketch, so the oracle is q163's counter-table CTE —
+    the streaming plumbing must be invisible. Cross-batch
+    accumulation (partials ≡ direct) is pytest-gated."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.sketches import cms_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    work = tempfile.mkdtemp(prefix="gbs_scms_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("user_id long").parquet(f"{work}/src")
+    q = (
+        cms_stream(stream, "user_id", depth=4, width=256)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("group long, bucket long, cnt long")
+        .parquet(f"{work}/out")
+        .select(F.col("group").alias("d"), "bucket", "cnt")
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4642,6 +4679,7 @@ QUERIES: dict[str, QueryFn] = {
     "q162_rank_fusion": q162_rank_fusion,
     "q163_count_min": q163_count_min,
     "q164_event_transitions": q164_event_transitions,
+    "qd26_streaming_count_min": qd26_streaming_count_min,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8549,4 +8587,16 @@ ctx AS (
 SELECT p.from_type, p.to_type, p.c, ctx.ctx,
        CAST(floor(1000000.0 * p.c / ctx.ctx) AS BIGINT) AS pmill
 FROM pairs p JOIN ctx USING (from_type)
+"""
+
+
+# qd26: single-batch snapshot == the q163 counter table.
+ORACLE_SQL["qd26_streaming_count_min"] = """
+WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id FROM events)
+SELECT d,
+       (('0x' || substr(md5(d::VARCHAR || '#' || user_id::VARCHAR),
+                        1, 7))::BIGINT % 256) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ev, (SELECT unnest(range(0, 4)) AS d)
+GROUP BY 1, 2
 """

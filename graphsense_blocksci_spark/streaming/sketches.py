@@ -205,3 +205,53 @@ def hdr_histogram_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """STREAMING Count-Min sketch: the stateful face of
+    `operators/sketches.py:cms_build`. The (hash-row, bucket) cell of
+    every occurrence is computed JVM-side with the same md5 arithmetic
+    as the batch operator (the Python state op never sees raw keys);
+    cells shuffle to their hash-row's state key and fold into the
+    store with a plain per-bucket sum — the order-insensitive merge
+    that makes CMS partials safe in a state store (identical argument
+    to the HDR histogram above, and the same stateful fold executes
+    both). After each batch every hash-row emits its refreshed counter
+    snapshot ``(d, bucket, cnt)``; a consumer takes the latest
+    snapshot per row and probes it with
+    `operators/sketches.py:cms_estimate` unchanged.
+
+    State per hash-row is bounded by ``width`` counters — the store
+    never grows with the stream; snapshot counts are exact running
+    cell counts, so a single-batch run reproduces the batch sketch
+    cell-for-cell (the qd26 gate).
+    """
+    exploded = keys.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_d"),
+        F.col(key_col).cast("string").alias("_k"),
+    )
+    keyed = exploded.select(
+        F.col("_d").cast("long").alias("group"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("_d"), F.col("_k"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("bucket"),
+    )
+    return keyed.groupBy("group").applyInPandasWithState(
+        _hdr_group,
+        outputStructType=HDR_OUTPUT,
+        stateStructType=HDR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

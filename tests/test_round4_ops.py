@@ -538,3 +538,71 @@ def test_multi_source_bfs_matches_per_seed_bfs(spark):
         for r in bfs_reachability(e, one, 3).collect():
             single[(s, r["node"])] = r["hops"]
     assert multi == single
+
+
+def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
+    """Two micro-batches: the final CMS snapshot must equal the batch
+    sketch over BOTH batches — cell sums merge with no approximation
+    case, and estimates probed from the streamed sketch match the
+    batch-built sketch exactly."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from graphsense_blocksci_spark.streaming.sketches import cms_stream
+
+    b1 = [(i % 17,) for i in range(300)]
+    b2 = [(i % 11,) for i in range(200)]
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    ckpt, sink = str(tmp_path / "cms_ckpt"), str(tmp_path / "cms_out")
+    spark.createDataFrame(b1, "k long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            cms_stream(stream, "k", depth=3, width=64)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(b2, "k long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    run_once()
+
+    out = spark.read.schema("group long, bucket long, cnt long").parquet(sink)
+    # counts only grow: final snapshot per cell is the max
+    final = (
+        out.groupBy("group", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .select(F.col("group").alias("d"), "bucket", "cnt")
+    )
+    both = spark.createDataFrame(b1 + b2, "k long")
+    want = cms_build(both, "k", depth=3, width=64)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # probing the streamed sketch gives the batch estimates
+    keys = both.distinct()
+    est_stream = {
+        r.k: r.est
+        for r in cms_estimate(final, keys, "k", depth=3, width=64).collect()
+    }
+    est_batch = {
+        r.k: r.est
+        for r in cms_estimate(want, keys, "k", depth=3, width=64).collect()
+    }
+    assert est_stream == est_batch
