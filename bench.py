@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q162_rank_fusion",
     "q163_count_min",
     "q164_event_transitions",
+    "q165_span_dedup_rewrite",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

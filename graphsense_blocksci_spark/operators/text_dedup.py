@@ -481,3 +481,81 @@ def simhash_hamming_join(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup WITH rewrite (the deduplicate-and-cut
+    step of Lee et al. 2022, at fixed span granularity): tokenize,
+    cut each document into consecutive ``span_tokens``-token spans,
+    keep only the corpus-wide FIRST occurrence of every distinct span
+    (first = smallest (doc, span position) — total order, so retries
+    and the oracle agree), and reassemble each document from its
+    surviving spans in order. The q105 substring detector FINDS
+    repeated spans; this operator REMOVES them and emits the cleaned
+    corpus.
+
+    Scale shape: one posexplode to span occurrences (map-side), one
+    span-keyed min aggregate (map-side combined — a boilerplate span
+    occurring 10⁶ times shuffles once per partition, not per copy),
+    one join back on the span key, one per-doc regroup. Span strings
+    ride the shuffle once; at web scale hash them first (the q155
+    trick) and verify the tail exactly.
+
+    Returns (id, n_spans, n_kept, new_text) — n_kept = 0 docs come
+    back with an empty string, preserving corpus membership.
+    """
+    toks = spread(docs).select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens(text_col).alias("_t"),
+    )
+    n = F.size("_t")
+    nspans = F.ceil(n / F.lit(span_tokens)).cast("int")
+    spans = toks.filter(n > 0).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nspans - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice("_t", i * span_tokens + 1, span_tokens),
+                ),
+            )
+        ).alias("idx", "span"),
+    )
+    keeper = spans.groupBy("span").agg(
+        F.min(F.struct("id", "idx")).alias("_k")
+    )
+    kept = (
+        spans.join(keeper, "span")
+        .filter(
+            (F.col("id") == F.col("_k.id")) & (F.col("idx") == F.col("_k.idx"))
+        )
+        .select("id", "idx", "span")
+    )
+    stats = spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda x: x["span"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        stats.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

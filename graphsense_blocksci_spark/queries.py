@@ -4558,6 +4558,31 @@ def qd26_streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q165_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup WITH corpus rewrite (the Lee et al. 2022
+    deduplicate-and-cut step; operators/text_dedup.py:
+    span_dedup_rewrite): 10-token spans, corpus-wide first occurrence
+    survives (smallest (doc, position) — total order), documents
+    reassembled from surviving spans; fully-duplicated docs come back
+    empty but stay in the corpus. q105 FINDS repeated spans, this
+    REMOVES them. One span-keyed min aggregate + one join back + one
+    per-doc regroup."""
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        span_dedup_rewrite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup_rewrite(docs, span_tokens=10)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "n_kept",
+        F.length("new_text").cast("long").alias("new_len"),
+        "new_text",
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4680,6 +4705,7 @@ QUERIES: dict[str, QueryFn] = {
     "q163_count_min": q163_count_min,
     "q164_event_transitions": q164_event_transitions,
     "qd26_streaming_count_min": qd26_streaming_count_min,
+    "q165_span_dedup_rewrite": q165_span_dedup_rewrite,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8599,4 +8625,49 @@ SELECT d,
        CAST(count(*) AS BIGINT) AS cnt
 FROM ev, (SELECT unnest(range(0, 4)) AS d)
 GROUP BY 1, 2
+"""
+
+
+# q165: identical span cut / first-occurrence keep / ordered rebuild.
+ORACLE_SQL["q165_span_dedup_rewrite"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           list_filter(string_split(s, ' '), t -> t <> '') AS toks
+    FROM norm
+),
+spans AS (
+    SELECT id, CAST(i AS INT) AS idx,
+           array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+               AS span
+    FROM (
+        SELECT id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+        FROM tok WHERE len(toks) > 0
+    )
+),
+keeper AS (
+    SELECT span, min({'id': id, 'idx': idx}) AS k FROM spans GROUP BY span
+),
+kept AS (
+    SELECT s.id, s.idx, s.span
+    FROM spans s JOIN keeper USING (span)
+    WHERE s.id = k.id AND s.idx = k.idx
+),
+stats AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY id
+),
+rebuilt AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(span, ' ' ORDER BY idx) AS new_text
+    FROM kept GROUP BY id
+)
+SELECT stats.id AS doc_id, stats.n_spans,
+       COALESCE(rebuilt.n_kept, 0) AS n_kept,
+       CAST(length(COALESCE(rebuilt.new_text, '')) AS BIGINT) AS new_len,
+       COALESCE(rebuilt.new_text, '') AS new_text
+FROM stats LEFT JOIN rebuilt USING (id)
 """

@@ -250,3 +250,44 @@ def test_louvain_weighted_edges_flip_the_partition(spark):
     )
     out = {r.node: r.community for r in louvain(e, weight_col="w").collect()}
     assert out[1] == out[2] and out[3] == out[4] and out[1] != out[3]
+
+
+def test_span_dedup_rewrite_removes_later_copies(spark):
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        span_dedup_rewrite,
+    )
+
+    # span size 3: doc 1 owns "a b c"; doc 2 repeats it (dropped) and
+    # keeps its own tail span; doc 3 is entirely a copy -> empty
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "a b c"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in span_dedup_rewrite(docs, span_tokens=3).collect()}
+    assert out[1].new_text == "a b c d e f" and out[1].n_kept == 2
+    assert out[2].new_text == "x y z" and out[2].n_kept == 1
+    assert out[3].new_text == "" and out[3].n_kept == 0 and out[3].n_spans == 1
+    assert 4 not in out  # empty docs have no spans at all
+    # total kept spans == distinct spans in the corpus
+    # ("a b c", "d e f", "x y z")
+    assert sum(r.n_kept for r in out.values()) == 3
+
+
+def test_span_dedup_rewrite_partial_tail_span(spark):
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        span_dedup_rewrite,
+    )
+
+    # 7 tokens at span 3 -> spans of 3,3,1; the 1-token tail is its own
+    # dedup unit
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u v"), (2, "v")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in span_dedup_rewrite(docs, span_tokens=3).collect()}
+    assert out[1].n_spans == 3 and out[1].new_text == "p q r s t u v"
+    assert out[2].n_kept == 0  # "v" already owned by doc 1's tail
