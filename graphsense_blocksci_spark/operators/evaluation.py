@@ -272,3 +272,97 @@ def zscore_normalize(
         / F.sqrt(disc.cast("double")),
     )
     return joined.withColumn("z", z).drop("_n", "_s", "_q")
+
+
+def gram_matrix(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+) -> DataFrame:
+    """Distributed linear-regression sufficient statistics: the Gram
+    matrix X'X and moment vector X'y as ONE map-side-combined
+    aggregate pass — the normal-equations route that turns a 100 TB
+    regression into a d²-number shuffle (d = #features). With INTEGER
+    features and target every entry is an exact integer sum
+    (order-independent), so the whole sufficient-statistics frame is
+    oracle-checkable — the gradient-descent alternative is float-
+    order-dependent and needs epochs over the data; this needs one.
+
+    Returns long-form (row, col, value): col in [0, d) are X'X
+    entries (symmetric, all d² emitted), col = -1 is X'y, and the
+    (row=-1, col=-1) entry is n. Domain bound: Σ|x_i·x_j| and
+    Σ|x_i·y| must stay under 2^63 — scale features to keep products
+    bounded, or move to decimal(38,0) sums past that.
+
+    Scale shape: one projection computing d² + d + 1 products per row
+    (JVM codegen), one 1-row aggregate — zero wide shuffles; the
+    driver-side solve (`ridge_solve`) touches exactly d² + d + 1
+    numbers regardless of corpus size.
+    """
+    d = len(feature_cols)
+    xs = [F.col(c).cast("long") for c in feature_cols]
+    y = F.col(target_col).cast("long")
+    aggs = []
+    for i in range(d):
+        for j in range(d):
+            aggs.append(
+                F.sum(xs[i] * xs[j]).cast("long").alias(f"xx_{i}_{j}")
+            )
+    for i in range(d):
+        aggs.append(F.sum(xs[i] * y).cast("long").alias(f"xy_{i}"))
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n"))
+    wide = df.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("row"),
+                        F.lit(j).cast("long").alias("col"),
+                        F.col(f"xx_{i}_{j}").alias("value"),
+                    )
+                    for i in range(d)
+                    for j in range(d)
+                ]
+                + [
+                    F.struct(
+                        F.lit(i).cast("long").alias("row"),
+                        F.lit(-1).cast("long").alias("col"),
+                        F.col(f"xy_{i}").alias("value"),
+                    )
+                    for i in range(d)
+                ]
+                + [
+                    F.struct(
+                        F.lit(-1).cast("long").alias("row"),
+                        F.lit(-1).cast("long").alias("col"),
+                        F.col("n").alias("value"),
+                    )
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.row", "_e.col", "_e.value")
+
+
+def ridge_solve(
+    gram: DataFrame,
+    d: int,
+    lam: float = 0.0,
+) -> list[float]:
+    """Solve (X'X + λI) β = X'y from a `gram_matrix` frame. Driver-
+    side by design: the sufficient statistics are d²+d+1 numbers — a
+    bounded collect whatever the corpus size (the same cap argument
+    as the GEMM index collect). Returns the coefficient list β.
+    Floats enter only here, AFTER the exact distributed aggregation.
+    """
+    import numpy as np
+
+    rows = gram.collect()
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for r in rows:
+        if r.row >= 0 and r.col >= 0:
+            xtx[r.row][r.col] = float(r.value)
+        elif r.row >= 0:
+            xty[r.row] = float(r.value)
+    return list(np.linalg.solve(xtx + lam * np.eye(d), xty))

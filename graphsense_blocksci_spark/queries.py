@@ -4583,6 +4583,52 @@ def q165_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q166_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear-regression sufficient statistics
+    (operators/evaluation.py:gram_matrix): X'X, X'y and n for
+    price ~ [1, quantity, discount_pct] over lineitem as ONE
+    map-side-combined aggregate — the normal-equations route that
+    reduces a 100 TB regression to a d²-number shuffle and a bounded
+    driver solve (q167). Integer features make every entry an exact
+    integer sum, so the whole statistics frame hash-compares."""
+    from graphsense_blocksci_spark.operators.evaluation import gram_matrix
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit(1).cast("long").alias("one"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    return gram_matrix(li, ["one", "qty", "disc_pct"], "price_cents")
+
+
+def q167_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression fit from the q166 sufficient statistics
+    (operators/evaluation.py:ridge_solve): the driver touches exactly
+    d²+d+1 numbers however large the corpus — floats enter only AFTER
+    the exact distributed aggregation, in one LAPACK solve. Rows-only
+    (LAPACK is not SQL); pytest-gated against numpy lstsq on the
+    collected toy frame and the normal-equations residual."""
+    from graphsense_blocksci_spark.operators.evaluation import (
+        gram_matrix,
+        ridge_solve,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit(1).cast("long").alias("one"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    gram = gram_matrix(li, ["one", "qty", "disc_pct"], "price_cents")
+    beta = ridge_solve(gram, d=3, lam=1.0)
+    return spark.createDataFrame(
+        [(i, float(b)) for i, b in enumerate(beta)],
+        "coef_idx long, beta double",
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4706,6 +4752,8 @@ QUERIES: dict[str, QueryFn] = {
     "q164_event_transitions": q164_event_transitions,
     "qd26_streaming_count_min": qd26_streaming_count_min,
     "q165_span_dedup_rewrite": q165_span_dedup_rewrite,
+    "q166_gram_matrix": q166_gram_matrix,
+    "q167_ridge_fit": q167_ridge_fit,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8670,4 +8718,41 @@ SELECT stats.id AS doc_id, stats.n_spans,
        CAST(length(COALESCE(rebuilt.new_text, '')) AS BIGINT) AS new_len,
        COALESCE(rebuilt.new_text, '') AS new_text
 FROM stats LEFT JOIN rebuilt USING (id)
+"""
+
+
+# q166: the identical 9+3+1 integer sums in long form.
+ORACLE_SQL["q166_gram_matrix"] = """
+WITH d AS (
+    SELECT CAST(1 AS BIGINT) AS one,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+w AS (
+    SELECT
+        CAST(sum(one * one) AS BIGINT) AS xx00,
+        CAST(sum(one * qty) AS BIGINT) AS xx01,
+        CAST(sum(one * disc_pct) AS BIGINT) AS xx02,
+        CAST(sum(qty * one) AS BIGINT) AS xx10,
+        CAST(sum(qty * qty) AS BIGINT) AS xx11,
+        CAST(sum(qty * disc_pct) AS BIGINT) AS xx12,
+        CAST(sum(disc_pct * one) AS BIGINT) AS xx20,
+        CAST(sum(disc_pct * qty) AS BIGINT) AS xx21,
+        CAST(sum(disc_pct * disc_pct) AS BIGINT) AS xx22,
+        CAST(sum(one * y) AS BIGINT) AS xy0,
+        CAST(sum(qty * y) AS BIGINT) AS xy1,
+        CAST(sum(disc_pct * y) AS BIGINT) AS xy2,
+        CAST(count(*) AS BIGINT) AS n
+    FROM d
+)
+SELECT CAST(t.r AS BIGINT) AS "row", CAST(t.c AS BIGINT) AS col, t.v AS value
+FROM w, LATERAL (VALUES
+    (0, 0, xx00), (0, 1, xx01), (0, 2, xx02),
+    (1, 0, xx10), (1, 1, xx11), (1, 2, xx12),
+    (2, 0, xx20), (2, 1, xx21), (2, 2, xx22),
+    (0, -1, xy0), (1, -1, xy1), (2, -1, xy2),
+    (-1, -1, n)
+) AS t(r, c, v)
 """

@@ -215,3 +215,46 @@ def test_attribution_first_last_and_unattributed(spark):
     assert r2.n_touches == 0 and r2.first_touch_id is None
     r3 = out[302]
     assert (r3.first_touch_id, r3.last_touch_id) == (300, 301)
+
+
+def test_gram_matrix_and_ridge_solve_match_numpy(spark):
+    import numpy as np
+
+    from graphsense_blocksci_spark.operators.evaluation import (
+        gram_matrix,
+        ridge_solve,
+    )
+
+    rng = np.random.RandomState(7)
+    X = np.column_stack(
+        [np.ones(200), rng.randint(1, 50, 200), rng.randint(0, 10, 200)]
+    ).astype(int)
+    beta_true = np.array([100, 3, -7])
+    y = (X @ beta_true + rng.randint(-5, 6, 200)).astype(int)
+    rows = [
+        (int(a), int(b), int(c), int(t)) for (a, b, c), t in zip(X, y)
+    ]
+    df = spark.createDataFrame(rows, "one long, f1 long, f2 long, y long")
+    gram = gram_matrix(df, ["one", "f1", "f2"], "y")
+
+    # exact sufficient statistics
+    cells = {(r.row, r.col): r.value for r in gram.collect()}
+    assert cells[(-1, -1)] == 200
+    np_xtx = X.T @ X
+    for i in range(3):
+        for j in range(3):
+            assert cells[(i, j)] == np_xtx[i][j]
+        assert cells[(i, -1)] == (X.T @ y)[i]
+
+    # OLS solve (lam=0) == numpy lstsq
+    beta = np.array(ridge_solve(gram, d=3, lam=0.0))
+    want = np.linalg.lstsq(X.astype(float), y.astype(float), rcond=None)[0]
+    assert np.allclose(beta, want, atol=1e-8)
+    # near the planted coefficients
+    assert np.allclose(beta, beta_true, atol=1.0)
+
+    # ridge shrinks toward zero and satisfies its normal equations
+    lam = 10.0
+    br = np.array(ridge_solve(gram, d=3, lam=lam))
+    resid = (np_xtx + lam * np.eye(3)) @ br - X.T @ y
+    assert np.allclose(resid, 0, atol=1e-6)
