@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "q165_span_dedup_rewrite",
     "q166_gram_matrix",
     "q167_ridge_fit",
+    "q168_path_counts",
+    "q169_betweenness",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -1177,3 +1177,158 @@ def louvain(
                 .localCheckpoint(eager=True)
             )
     return mapping
+
+
+def bfs_path_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+) -> DataFrame:
+    """Forward pass of Brandes' betweenness algorithm, multi-source:
+    for every seed, the shortest-path DISTANCE and NUMBER OF SHORTEST
+    PATHS (σ) to every node within ``max_hops``. σ is an exact
+    integer — σ(w, h) = Σ over BFS-tree predecessors u of σ(u) — so
+    unlike the float dependency pass this frame is oracle-checkable
+    (a hop-bounded recursive path enumeration counts the same paths).
+
+    Scale shape per hop: one frontier⋈edges equi-join + one
+    (source, node) sum aggregate + one anti-join against the visited
+    set — the `multi_source_bfs` plan plus a σ column riding the
+    aggregate. State is (source, node) pairs with two longs.
+
+    Returns (source, node, dist, sigma) including (s, s, 0, 1).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"),
+        F.col(dst).cast("long").alias("_dst"),
+    ).distinct().localCheckpoint(eager=True)
+    visited = (
+        seeds.select(F.col(id_col).cast("long").alias("source"))
+        .distinct()
+        .select(
+            "source",
+            F.col("source").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._src)
+            .groupBy("source", F.col("_dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(
+                visited.select("source", "node"),
+                ["source", "node"],
+                "left_anti",
+            )
+            .withColumn("dist", F.lit(h).cast("long"))
+            .select("source", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded sampled betweenness centrality (Brandes 2001 with
+    source sampling — the standard estimator at graph scale, since
+    exact betweenness is all-pairs): forward `bfs_path_counts` for
+    distances and integer σ, then the backward dependency
+    accumulation level by level:
+
+        δ(v) += σ(v)/σ(w) · (1 + δ(w))   for BFS-tree edges v→w
+
+    and betweenness(v) = Σ over sampled sources of δ(v), v ≠ source.
+    The δ pass divides path counts — floats — so the query gate is
+    rows-only; exactness is pytest-gated against a pure-Python
+    Brandes reference (same hop bound, same seeds).
+
+    Scale shape: 2·max_hops node-keyed joins total (forward + one
+    backward join per level, deepest level first); the backward state
+    is the same (source, node) frame width as the forward pass. Seeds
+    are a sample — cost scales with |seeds| · reachable set, the
+    estimator's dial.
+
+    Returns (node, betweenness, n_sources).
+    """
+    paths = bfs_path_counts(edges, seeds, max_hops, src, dst, id_col)
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"),
+        F.col(dst).cast("long").alias("_dst"),
+    ).distinct().localCheckpoint(eager=True)
+    deepest = paths.agg(F.max("dist")).first()[0] or 0
+    # delta starts 0 everywhere; accumulate level by level, deep first
+    delta = paths.select(
+        "source", "node", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    for h in range(int(deepest), 0, -1):
+        w_level = (
+            paths.filter(F.col("dist") == h)
+            .join(delta, ["source", "node"])
+            .select(
+                F.col("source").alias("src_w"),
+                F.col("node").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        v_level = paths.filter(F.col("dist") == h - 1).select(
+            F.col("source").alias("src_v"),
+            F.col("node").alias("v"),
+            F.col("sigma").alias("sigma_v"),
+        )
+        contribs = (
+            w_level.join(e, F.col("w") == F.col("_dst"))
+            .join(
+                v_level,
+                (F.col("_src") == F.col("v"))
+                & (F.col("src_w") == F.col("src_v")),
+            )
+            .select(
+                F.col("src_v").alias("source"),
+                F.col("v").alias("node"),
+                (
+                    F.col("sigma_v").cast("double")
+                    / F.col("sigma_w").cast("double")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("c"),
+            )
+            .groupBy("source", "node")
+            .agg(F.sum("c").alias("c"))
+        )
+        delta = (
+            delta.join(contribs, ["source", "node"], "left")
+            .select(
+                "source",
+                "node",
+                (F.col("delta") + F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                    "delta"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_sources = seeds.select(
+        F.col(id_col).cast("long").alias("s")
+    ).distinct().count()
+    return (
+        delta.filter(F.col("node") != F.col("source"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("betweenness"))
+        .withColumn("n_sources", F.lit(n_sources).cast("long"))
+    )

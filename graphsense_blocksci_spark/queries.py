@@ -4629,6 +4629,51 @@ def q167_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q168_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes forward pass (operators/graph.py:bfs_path_counts):
+    hop-bounded multi-source shortest-path DISTANCES and PATH COUNTS
+    sigma — sigma is the exact integer sum over BFS-tree
+    predecessors, so the frame hash-compares against a recursive
+    path enumeration (count of length-d paths at d = min distance ==
+    sigma, since a shortest path cannot revisit a node). One
+    frontier join + one (source,node) sum + one anti-join per hop."""
+    from graphsense_blocksci_spark.operators.graph import bfs_path_counts
+
+    edges = _q157_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 1000 == 0)
+    )
+    return bfs_path_counts(edges, seeds, max_hops=3)
+
+
+def q169_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled hop-bounded betweenness centrality (Brandes 2001 with
+    source sampling; operators/graph.py:betweenness_sampled): exact
+    integer sigma from q168's forward pass, then the level-by-level
+    float dependency accumulation delta(v) += sigma_v/sigma_w *
+    (1+delta_w). Rows-only (float path-count ratios); pinned against
+    a pure-Python Brandes reference in pytest."""
+    from graphsense_blocksci_spark.operators.graph import (
+        betweenness_sampled,
+    )
+
+    edges = _q157_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 1000 == 0)
+    )
+    out = betweenness_sampled(edges, seeds, max_hops=3)
+    return out.select(
+        "node",
+        F.round(F.col("betweenness"), 6).alias("betweenness"),
+        "n_sources",
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4754,6 +4799,8 @@ QUERIES: dict[str, QueryFn] = {
     "q165_span_dedup_rewrite": q165_span_dedup_rewrite,
     "q166_gram_matrix": q166_gram_matrix,
     "q167_ridge_fit": q167_ridge_fit,
+    "q168_path_counts": q168_path_counts,
+    "q169_betweenness": q169_betweenness,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8755,4 +8802,32 @@ FROM w, LATERAL (VALUES
     (0, -1, xy0), (1, -1, xy1), (2, -1, xy2),
     (-1, -1, n)
 ) AS t(r, c, v)
+"""
+
+
+# q168: recursive path enumeration — length-d paths at the min
+# distance d ARE the shortest paths, so count(*) == sigma.
+ORACLE_SQL["q168_path_counts"] = """
+WITH RECURSIVE eraw AS (
+    SELECT CAST(l_orderkey % 5000 AS BIGINT) AS src,
+           CAST(l_partkey % 5000 AS BIGINT) AS dst
+    FROM lineitem WHERE l_quantity < 10
+),
+e AS (SELECT DISTINCT src, dst FROM eraw),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 1000 = 0),
+walk(source, node, hops) AS (
+    SELECT node, node, 0 FROM seeds
+    UNION ALL
+    SELECT walk.source, e.dst, hops + 1
+    FROM walk JOIN e ON walk.node = e.src
+    WHERE hops < 3
+),
+md AS (
+    SELECT source, node, min(hops) AS d FROM walk GROUP BY source, node
+)
+SELECT w.source, w.node, CAST(md.d AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS sigma
+FROM walk w
+JOIN md ON w.source = md.source AND w.node = md.node AND w.hops = md.d
+GROUP BY w.source, w.node, md.d
 """

@@ -291,3 +291,89 @@ def test_span_dedup_rewrite_partial_tail_span(spark):
     out = {r.id: r for r in span_dedup_rewrite(docs, span_tokens=3).collect()}
     assert out[1].n_spans == 3 and out[1].new_text == "p q r s t u v"
     assert out[2].n_kept == 0  # "v" already owned by doc 1's tail
+
+
+def _brandes_ref(edges, seeds, max_hops):
+    """Hop-bounded Brandes reference: truncated BFS sigma + level-wise
+    dependency accumulation, mirroring the operator's contract."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        if (u, v) not in [(a, b) for a, b in []]:
+            pass
+    eset = sorted(set(edges))
+    for u, v in eset:
+        adj[u].append(v)
+    bet = defaultdict(float)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    order.append(v)
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for u, v in eset:
+                if v == w and u in dist and dist[u] == dist[w] - 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+        for v in order:
+            if v != s:
+                bet[v] += delta[v]
+    return dict(bet)
+
+
+def test_path_counts_diamond(spark):
+    from graphsense_blocksci_spark.operators.graph import bfs_path_counts
+
+    # diamond: 1->2, 1->3, 2->4, 3->4 => sigma(4) = 2
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        (r.source, r.node): (r.dist, r.sigma)
+        for r in bfs_path_counts(e, seeds, max_hops=3).collect()
+    }
+    assert got == {
+        (1, 1): (0, 1),
+        (1, 2): (1, 1),
+        (1, 3): (1, 1),
+        (1, 4): (2, 2),
+    }
+
+
+def test_betweenness_matches_python_reference(spark):
+    import pytest as _pt
+
+    from graphsense_blocksci_spark.operators.graph import betweenness_sampled
+
+    # two diamonds chained + a side chain; all nodes as sources
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 7), (6, 7),
+        (7, 8), (9, 1),
+    ]
+    nodes = sorted({x for e_ in edges for x in e_})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_sampled(e, seeds, max_hops=4).collect()
+    }
+    want = _brandes_ref(edges, nodes, max_hops=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == _pt.approx(want[k], abs=1e-9)
+    # the diamond midpoint 4 must dominate
+    assert got[4] == max(got.values())
