@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q167_ridge_fit",
     "q168_path_counts",
     "q169_betweenness",
+    "q170_pca_eigenvalues",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -4674,6 +4674,21 @@ def q169_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q170_pca_eigenvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table
+    (operators/decomposition.py:pca_topk): second-moment matrix via
+    one Arrow-batched numpy GEMM partial per partition (the cosine-
+    GEMM discipline), d²+d+1 numbers to the driver, one bounded eigh.
+    Output is eigenvalues + explained variance only — eigenvector
+    sign is indeterminate, eigenvalues are not. Rows-only (float
+    partials are partition-order dependent); numpy parity pytest."""
+    from graphsense_blocksci_spark.operators.decomposition import pca_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_topk(emb, k=8)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4801,6 +4816,7 @@ QUERIES: dict[str, QueryFn] = {
     "q167_ridge_fit": q167_ridge_fit,
     "q168_path_counts": q168_path_counts,
     "q169_betweenness": q169_betweenness,
+    "q170_pca_eigenvalues": q170_pca_eigenvalues,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,

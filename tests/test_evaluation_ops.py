@@ -258,3 +258,27 @@ def test_gram_matrix_and_ridge_solve_match_numpy(spark):
     br = np.array(ridge_solve(gram, d=3, lam=lam))
     resid = (np_xtx + lam * np.eye(3)) @ br - X.T @ y
     assert np.allclose(resid, 0, atol=1e-6)
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from graphsense_blocksci_spark.operators.decomposition import pca_topk
+
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: variance concentrated in two directions
+    base = rng.randn(300, 2) @ np.array([[5.0, 0.0], [0.0, 2.0]])
+    rot = np.linalg.qr(rng.randn(6, 6))[0]
+    X = np.hstack([base, 0.1 * rng.randn(300, 4)]) @ rot
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pca_topk(df, k=6).collect()
+    cov = np.cov(X.T, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1]
+    for r in got:
+        assert r.eigenvalue == pytest.approx(want[r.component], rel=1e-6)
+    # top-2 explain nearly everything
+    assert sum(r.explained_frac for r in got[:2]) > 0.99
+    assert got[0].total_variance == pytest.approx(want.sum(), rel=1e-9)
