@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "q168_path_counts",
     "q169_betweenness",
     "q170_pca_eigenvalues",
+    "q171_feature_hash",
+    "q172_skew_report",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -4689,6 +4689,74 @@ def q170_pca_eigenvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_topk(emb, k=8)
 
 
+
+def q171_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse features (Weinberger et al. 2009): tokens
+    hash into 1024 buckets with a SIGNED contribution (the sign bit
+    decorrelates collisions, keeping the inner product unbiased) —
+    the fixed-width feature map a linear classifier (q108) trains on
+    without any vocabulary table. value(bucket) = Σ ±tf, all
+    integers: bucket = hash28(token) % 1024, sign from the next hash
+    bit. Zero vocabulary state, one map-side-combined (doc, bucket)
+    aggregate — the feature extraction that never needs a fit step
+    at 100 TB."""
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens("text")).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 7), 16, 10).cast("long")
+    return (
+        occ.select(
+            "doc_id",
+            (h % 1024).alias("bucket"),
+            F.when((F.floor(h / 1024) % 2) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("value"))
+        .filter(F.col("value") != 0)
+    )
+
+
+def q172_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (the report behind every salting
+    decision in this repo): per user-key row counts, corpus share in
+    ppm, and the integer salt factor ceil(cnt/(total/32)) a 32-way
+    salted join would need to level that key — top 20 keys by count.
+    Exact integers + one TakeOrdered; the operator that tells you
+    WHEN q55/q28's salting path is worth its extra shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "cnt",
+            "total",
+            F.floor(F.lit(1000000) * F.col("cnt") / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.lit(32) * F.col("cnt") / F.col("total")),
+            )
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4817,6 +4885,8 @@ QUERIES: dict[str, QueryFn] = {
     "q168_path_counts": q168_path_counts,
     "q169_betweenness": q169_betweenness,
     "q170_pca_eigenvalues": q170_pca_eigenvalues,
+    "q171_feature_hash": q171_feature_hash,
+    "q172_skew_report": q172_skew_report,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8846,4 +8916,45 @@ SELECT w.source, w.node, CAST(md.d AS BIGINT) AS dist,
 FROM walk w
 JOIN md ON w.source = md.source AND w.node = md.node AND w.hops = md.d
 GROUP BY w.source, w.node, md.d
+"""
+
+
+# q171: identical md5 bucket + sign-bit arithmetic.
+ORACLE_SQL["q171_feature_hash"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+occ AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(list_filter(string_split(s, ' '), t -> t <> '')) AS t
+    FROM norm
+),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 7))::BIGINT AS h
+    FROM occ
+)
+SELECT doc_id, h % 1024 AS bucket,
+       CAST(sum(CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+           AS value
+FROM hashed
+GROUP BY doc_id, h % 1024
+HAVING sum(CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+"""
+
+# q172: identical integer share/salt arithmetic, same total order.
+ORACLE_SQL["q172_skew_report"] = """
+WITH c AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+SELECT user_id, cnt, total,
+       CAST(floor(1000000 * cnt / total) AS BIGINT) AS share_ppm,
+       CAST(greatest(1, ceil(32 * cnt / total)) AS BIGINT) AS salt_factor
+FROM c, t
+ORDER BY cnt DESC, user_id ASC
+LIMIT 20
 """
