@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q170_pca_eigenvalues",
     "q171_feature_hash",
     "q172_skew_report",
+    "q173_logistic_gd",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -4757,6 +4757,28 @@ def q172_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q173_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent
+    (operators/evaluation.py:logistic_gd): predict returned lineitems
+    from [1, qty/10, discount] — 6 fixed iterations, the weight
+    vector riding as a broadcast 1-row frame (never a driver
+    collect), one scan + one (d+1)-number aggregate per iteration.
+    Rows-only (exp); numpy replays the identical schedule in
+    pytest to 1e-9."""
+    from graphsense_blocksci_spark.operators.evaluation import logistic_gd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit(1.0).alias("one"),
+        (F.col("l_quantity") / 10.0).alias("qty10"),
+        F.col("l_discount").cast("double").alias("disc"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    out = logistic_gd(li, ["one", "qty10", "disc"], "y", lr=0.5,
+                      iterations=6)
+    return out.select("idx", F.round("weight", 9).alias("weight"))
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4887,6 +4909,7 @@ QUERIES: dict[str, QueryFn] = {
     "q170_pca_eigenvalues": q170_pca_eigenvalues,
     "q171_feature_hash": q171_feature_hash,
     "q172_skew_report": q172_skew_report,
+    "q173_logistic_gd": q173_logistic_gd,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,

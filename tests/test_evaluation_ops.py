@@ -282,3 +282,36 @@ def test_pca_matches_numpy(spark):
     # top-2 explain nearly everything
     assert sum(r.explained_frac for r in got[:2]) > 0.99
     assert got[0].total_variance == pytest.approx(want.sum(), rel=1e-9)
+
+
+def test_logistic_gd_matches_numpy_schedule(spark):
+    import numpy as np
+
+    from graphsense_blocksci_spark.operators.evaluation import logistic_gd
+
+    rng = np.random.RandomState(11)
+    X = np.column_stack([np.ones(400), rng.randn(400), rng.randn(400)])
+    w_true = np.array([-0.5, 2.0, -1.0])
+    y = (1 / (1 + np.exp(-(X @ w_true))) > rng.rand(400)).astype(float)
+    df = spark.createDataFrame(
+        [
+            (float(a), float(b), float(c), float(t))
+            for (a, b, c), t in zip(X, y)
+        ],
+        "one double, f1 double, f2 double, y double",
+    )
+    got = {
+        r.idx: r.weight
+        for r in logistic_gd(
+            df, ["one", "f1", "f2"], "y", lr=1.0, iterations=8
+        ).collect()
+    }
+
+    w = np.zeros(3)
+    for _ in range(8):
+        p = 1 / (1 + np.exp(-(X @ w)))
+        w = w - (X.T @ (p - y)) / len(y)
+    for i in range(3):
+        assert got[i] == pytest.approx(w[i], abs=1e-9)
+    # learned the signs of the planted coefficients
+    assert got[1] > 0.5 and got[2] < -0.2
