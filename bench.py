@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q171_feature_hash",
     "q172_skew_report",
     "q173_logistic_gd",
+    "q174_seasonal_profile",
+    "q175_data_quality",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -4779,6 +4779,95 @@ def q173_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("idx", F.round("weight", 9).alias("weight"))
 
 
+
+def q174_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile + anomaly numerator (the seasonal-naive
+    baseline a forecast/anomaly pipeline starts from): per
+    (day-of-week, hour) mean event value in exact-rational form —
+    sums and counts as integers, mean as one division — plus the
+    peak deviation numerator max|value*n - sum| per cell, which is
+    |value - mean| x n kept integer-exact (the q134 MAD discipline
+    applied to seasonality)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = ev.select(
+        (F.dayofweek("ts")).cast("long").alias("dow"),
+        (F.hour("ts")).cast("long").alias("hod"),
+        "cents",
+    )
+    stats = cells.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+    )
+    return stats.select(
+        "dow",
+        "hod",
+        "n",
+        "sum_cents",
+        (F.col("sum_cents").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        F.greatest(
+            F.col("max_cents") * F.col("n") - F.col("sum_cents"),
+            F.col("sum_cents") - F.col("min_cents") * F.col("n"),
+        )
+        .cast("long")
+        .alias("peak_dev_num"),
+    )
+
+
+def q175_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite validation report (the expectations check
+    every ingest gate runs): orphan foreign keys (lineitem->orders
+    anti-join), primary-key duplicates, domain violations (negative
+    quantity / out-of-range discount), and null counts — one row per
+    check with violation counts. All exact integers; the anti-join is
+    the only wide operation and runs on the join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              li.l_orderkey == o.o_orderkey, "left_anti")
+        .count()
+    )
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    checks = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_discount"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_shipdate"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ).first()
+    rows = [
+        ("fk_orphan_lineitem_orders", int(orphans)),
+        ("pk_duplicate_orders", int(dup_pk)),
+        ("domain_qty_nonpositive", int(checks["bad_qty"])),
+        ("domain_discount_range", int(checks["bad_discount"])),
+        ("null_shipdate", int(checks["null_shipdate"])),
+        ("row_count_lineitem", int(checks["n_rows"])),
+    ]
+    return spark.createDataFrame(rows, "check_name string, violations long")
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -4910,6 +4999,8 @@ QUERIES: dict[str, QueryFn] = {
     "q171_feature_hash": q171_feature_hash,
     "q172_skew_report": q172_skew_report,
     "q173_logistic_gd": q173_logistic_gd,
+    "q174_seasonal_profile": q174_seasonal_profile,
+    "q175_data_quality": q175_data_quality,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -8980,4 +9071,51 @@ SELECT user_id, cnt, total,
 FROM c, t
 ORDER BY cnt DESC, user_id ASC
 LIMIT 20
+"""
+
+
+# q174: DuckDB dayofweek is 0-6 (Sunday=0); Spark dayofweek is 1-7
+# (Sunday=1) — the +1 aligns them.
+ORACLE_SQL["q174_seasonal_profile"] = """
+WITH c AS (
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT dow, hod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_cents,
+       CAST(greatest(
+           max(cents) * count(*) - sum(cents),
+           sum(cents) - min(cents) * count(*)
+       ) AS BIGINT) AS peak_dev_num
+FROM c GROUP BY dow, hod
+"""
+
+ORACLE_SQL["q175_data_quality"] = """
+SELECT 'fk_orphan_lineitem_orders' AS check_name,
+       CAST((SELECT count(*) FROM lineitem
+             ANTI JOIN orders ON l_orderkey = o_orderkey) AS BIGINT)
+           AS violations
+UNION ALL
+SELECT 'pk_duplicate_orders',
+       CAST((SELECT count(*) FROM (
+           SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1
+       )) AS BIGINT)
+UNION ALL
+SELECT 'domain_qty_nonpositive',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'domain_discount_range',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+UNION ALL
+SELECT 'null_shipdate',
+       CAST((SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+           AS BIGINT)
+UNION ALL
+SELECT 'row_count_lineitem',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
 """
