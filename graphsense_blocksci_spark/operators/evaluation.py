@@ -423,6 +423,9 @@ def logistic_gd(
                 for i in range(d)
             ],
         )
+        # lazy checkpoint: the 1-row weight frame materializes as part
+        # of the NEXT iteration's broadcast (one job per iteration
+        # total), instead of spending a separate eager job per round
         wdf = agg.select(
             F.array(
                 *[
@@ -431,7 +434,7 @@ def logistic_gd(
                     for i in range(d)
                 ]
             ).alias("w")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return wdf.select(
         F.posexplode("w").alias("idx", "weight")
     ).select(F.col("idx").cast("long").alias("idx"), "weight")
