@@ -136,3 +136,65 @@ def address_balances(txs: DataFrame) -> DataFrame:
             "balance"
         ),
     )
+
+
+def daily_balances(txs: DataFrame) -> DataFrame:
+    """Per-address DAILY balance time series — the running-ledger view
+    GraphSense's transformation stage materializes on top of the
+    qd15 totals: credits land on the receiving tx's day, debits on
+    the SPENDING tx's day (resolved through the B1 linkage join), net
+    per (addr, day), and the running balance as a per-address
+    cumulative window.
+
+    Scale shape: credits are one exploded-output aggregate; debits pay
+    the linkage shuffle once (uniform spent-tx key) plus a timestamp
+    join on the spender's tx id; the cumulative window partitions BY
+    ADDRESS — per-partition frames are one address's active days,
+    never a global sort. Same multisig/no-address identity rules as
+    `address_balances`.
+
+    Returns (addr, day, net_value, balance) for days with activity.
+    """
+    days = txs.select(
+        F.col("tx_id"),
+        F.floor(F.col("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    outs = (
+        explode_outputs(txs)
+        .filter(F.size("address") > 0)
+        .select(
+            "tx_id",
+            "output_index",
+            F.concat_ws("|", "address").alias("addr"),
+            "value",
+        )
+    )
+    credits = (
+        outs.join(days, "tx_id")
+        .select("addr", "day", F.col("value").cast("long").alias("delta"))
+    )
+    ins = explode_inputs(txs.filter(~F.col("coinbase")))
+    debits = (
+        link_inputs_to_outputs(ins, outs)
+        .filter(F.col("addr").isNotNull())
+        .select("tx_id", "addr", "value")
+        .join(days, "tx_id")
+        .select("addr", "day", (-F.col("value").cast("long")).alias("delta"))
+    )
+    from pyspark.sql import Window
+
+    net = (
+        credits.union(debits)
+        .groupBy("addr", "day")
+        .agg(F.sum("delta").cast("long").alias("net_value"))
+    )
+    w = (
+        Window.partitionBy("addr")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return net.withColumn(
+        "balance", F.sum("net_value").over(w).cast("long")
+    )

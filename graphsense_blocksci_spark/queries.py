@@ -4868,6 +4868,26 @@ def q175_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "check_name string, violations long")
 
 
+
+def qd27_daily_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address DAILY balance time series over the real fixture
+    chain (operators/linkage.py:daily_balances): credits on the
+    receiving day, debits on the SPENDING tx's day through the B1
+    linkage, running balance as a per-address cumulative window
+    (address-partitioned — never a global sort). The ledger view
+    GraphSense's transformation stage layers on qd15's lifetime
+    totals. Oracle: identical window over the same linkage SQL."""
+    from graphsense_blocksci_spark.operators.linkage import daily_balances
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    return daily_balances(raw_txs).select(
+        "addr",
+        "day",
+        "net_value",
+        "balance",
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5001,6 +5021,7 @@ QUERIES: dict[str, QueryFn] = {
     "q173_logistic_gd": q173_logistic_gd,
     "q174_seasonal_profile": q174_seasonal_profile,
     "q175_data_quality": q175_data_quality,
+    "qd27_daily_balances": qd27_daily_balances,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9118,4 +9139,56 @@ SELECT 'null_shipdate',
 UNION ALL
 SELECT 'row_count_lineitem',
        CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+"""
+
+
+# qd27: qd15's linkage CTEs + spend-day attribution + running window.
+ORACLE_SQL["qd27_daily_balances"] = f"""
+WITH days AS (
+    SELECT tx_id AS dtx,
+           CAST(CAST(timestamp AS BIGINT) // 86400 AS BIGINT) AS day
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM outs WHERE u.alen > 0
+),
+credits AS (
+    SELECT o2.addr, days.day, CAST(o2.oval AS BIGINT) AS delta
+    FROM o2 JOIN days ON o2.otx = days.dtx
+),
+ins AS (
+    SELECT tx_id AS itx,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+debits AS (
+    SELECT o2.addr, days.day, CAST(-o2.oval AS BIGINT) AS delta
+    FROM ins
+    JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
+    JOIN days ON ins.itx = days.dtx
+),
+net AS (
+    SELECT addr, day, CAST(sum(delta) AS BIGINT) AS net_value
+    FROM (SELECT * FROM credits UNION ALL SELECT * FROM debits)
+    GROUP BY addr, day
+)
+SELECT addr, day, net_value,
+       CAST(sum(net_value) OVER (
+           PARTITION BY addr ORDER BY day
+           ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS balance
+FROM net
 """

@@ -538,3 +538,36 @@ def test_skyline_2d_matches_quadratic_reference(spark):
         if not any(dominated(p, pts[j]) for j in range(len(pts)) if j != i)
     }
     assert got == want
+
+
+def test_daily_balances_final_day_equals_lifetime_ledger(spark):
+    """Cross-operator invariant: the last daily running balance per
+    address must equal the qd15 lifetime ledger balance, and per-addr
+    net deltas must sum to it."""
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.operators.linkage import (
+        address_balances,
+        daily_balances,
+    )
+    from graphsense_blocksci_spark.sources.tables import load_raw_txs
+    from pyspark.sql import functions as F
+
+    fixtures.ensure_fixtures()
+    txs = load_raw_txs(spark)
+    daily = daily_balances(txs)
+    last = (
+        daily.groupBy("addr")
+        .agg(
+            F.max_by("balance", "day").alias("final_balance"),
+            F.sum("net_value").alias("net_sum"),
+        )
+    )
+    lifetime = address_balances(txs).select("addr", "balance")
+    joined = last.join(lifetime, "addr", "full")
+    bad = joined.filter(
+        (F.col("final_balance") != F.col("balance"))
+        | (F.col("net_sum") != F.col("balance"))
+        | F.col("final_balance").isNull()
+        | F.col("balance").isNull()
+    )
+    assert bad.count() == 0
