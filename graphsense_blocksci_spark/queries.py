@@ -4888,6 +4888,69 @@ def qd27_daily_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q176_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (fraction of agreeing signature slots —
+    the estimator the banding scheme is built on) side by side with
+    the EXACT shingle Jaccard, plus the signed error. Every number is
+    a deterministic function of the md5 permutations, so unlike any
+    seeded sketch the estimator itself is oracle-checkable — the
+    audit that tells you whether 8 permutations are enough before you
+    scale the dedup to the full corpus."""
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        MINHASH_PERMS,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from graphsense_blocksci_spark.operators.textops import (
+        shingle_hash_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sigs = minhash_signatures(docs)
+    n = MINHASH_PERMS
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)],
+    )
+    matches = None
+    for i in range(n):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    sh = shingle_hash_frame(docs)
+    ha = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("matches", matches.cast("long"))
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "matches",
+            F.lit(n).cast("long").alias("n_perms"),
+            (F.col("matches").cast("double") / F.lit(float(n))).alias("est"),
+            inter.alias("inter"),
+            uni.alias("uni"),
+            (inter.cast("double") / uni.cast("double")).alias("exact"),
+            (
+                F.col("matches").cast("double") / F.lit(float(n))
+                - inter.cast("double") / uni.cast("double")
+            ).alias("err"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5022,6 +5085,7 @@ QUERIES: dict[str, QueryFn] = {
     "q174_seasonal_profile": q174_seasonal_profile,
     "q175_data_quality": q175_data_quality,
     "qd27_daily_balances": qd27_daily_balances,
+    "q176_minhash_estimate": q176_minhash_estimate,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9191,4 +9255,39 @@ SELECT addr, day, net_value,
            ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS balance
 FROM net
+"""
+
+
+# q176: q36's candidate CTE + slot-agreement estimate + exact shingle
+# Jaccard, all from the shared md5 permutation constants.
+_Q176_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+ORACLE_SQL["q176_minhash_estimate"] = f"""
+WITH cand AS (
+{ORACLE_SQL["q36_lsh_pairs"]}
+),
+sh2 AS (
+{ORACLE_SQL["q35_minhash_signatures"]}
+),
+hsets AS (
+    WITH {_TEXT_CTE}
+    SELECT doc_id, hs FROM sh
+)
+SELECT cand.id_a, cand.id_b,
+       CAST({_Q176_MATCHES} AS BIGINT) AS matches,
+       CAST(8 AS BIGINT) AS n_perms,
+       CAST({_Q176_MATCHES} AS DOUBLE) / 8.0 AS est,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+       CAST(len(list_distinct(ha.hs || hb.hs)) AS BIGINT) AS uni,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+           / CAST(len(list_distinct(ha.hs || hb.hs)) AS DOUBLE) AS exact,
+       CAST({_Q176_MATCHES} AS DOUBLE) / 8.0
+       - CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+           / CAST(len(list_distinct(ha.hs || hb.hs)) AS DOUBLE) AS err
+FROM cand
+JOIN sh2 a ON cand.id_a = a.doc_id
+JOIN sh2 b ON cand.id_b = b.doc_id
+JOIN hsets ha ON cand.id_a = ha.doc_id
+JOIN hsets hb ON cand.id_b = hb.doc_id
 """
