@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q174_seasonal_profile",
     "q175_data_quality",
     "q176_minhash_estimate",
+    "q177_calibration_curve",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

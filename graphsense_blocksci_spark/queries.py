@@ -4951,6 +4951,43 @@ def q176_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q177_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the q150 score/label pair: decile-wide
+    score buckets -> observed positive rate (exact n/n_pos integers,
+    rate as one division) — the calibration check that pairs with
+    AUC: a model can rank well (high AUC) and still be badly
+    calibrated. One bounded-key aggregate; bucket edges are integer
+    floor-division, never a quantile sort."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars").cast("long") % 997).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return (
+        docs.groupBy(
+            F.expr("CAST(score DIV 100 AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "min_score",
+            "max_score",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5086,6 +5123,7 @@ QUERIES: dict[str, QueryFn] = {
     "q175_data_quality": q175_data_quality,
     "qd27_daily_balances": qd27_daily_balances,
     "q176_minhash_estimate": q176_minhash_estimate,
+    "q177_calibration_curve": q177_calibration_curve,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9290,4 +9328,20 @@ JOIN sh2 a ON cand.id_a = a.doc_id
 JOIN sh2 b ON cand.id_b = b.doc_id
 JOIN hsets ha ON cand.id_a = ha.doc_id
 JOIN hsets hb ON cand.id_b = hb.doc_id
+"""
+
+
+ORACLE_SQL["q177_calibration_curve"] = """
+WITH d AS (
+    SELECT CAST(n_chars AS BIGINT) % 997 AS score, (lang = 'en') AS label
+    FROM documents
+)
+SELECT score // 100 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM d GROUP BY 1
 """
