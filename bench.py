@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q175_data_quality",
     "q176_minhash_estimate",
     "q177_calibration_curve",
+    "q178_cms_join_size",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -4988,6 +4988,50 @@ def q177_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q178_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by Count-Min inner product
+    (Cormode-Muthukrishnan): |orders ⋈ customer on custkey| estimated
+    as min over hash rows of Σ_bucket cntA·cntB — never an
+    underestimate, computed from two depth×width sketches without
+    touching the join itself (the optimizer-style cardinality probe
+    at 100 TB: two scans + a 2·d·w-cell join, no shuffle of the fact
+    table). Deterministic md5 rows ⇒ the ESTIMATE is oracle-exact;
+    the true size rides along for the error audit."""
+    from graphsense_blocksci_spark.operators.sketches import cms_build
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    sa = cms_build(o, "k", depth=4, width=256)
+    sb = cms_build(c, "k", depth=4, width=256)
+    per_row = (
+        sa.alias("a")
+        .join(sb.alias("b"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt"))
+            .cast("long")
+            .alias("ip")
+        )
+    )
+    est = per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    exact = (
+        o.join(c, "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_join_size"))
+    )
+    return (
+        est.crossJoin(exact)
+        .crossJoin(o.agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+        .crossJoin(
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5124,6 +5168,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd27_daily_balances": qd27_daily_balances,
     "q176_minhash_estimate": q176_minhash_estimate,
     "q177_calibration_curve": q177_calibration_curve,
+    "q178_cms_join_size": q178_cms_join_size,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9344,4 +9389,34 @@ SELECT score // 100 AS bucket,
        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS pos_rate
 FROM d GROUP BY 1
+"""
+
+
+# q178: rebuild both md5 counter tables, min-of-rows inner product.
+ORACLE_SQL["q178_cms_join_size"] = """
+WITH oa AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+cb AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+sa AS (
+    SELECT d,
+           (('0x' || substr(md5(d::VARCHAR || '#' || k::VARCHAR),
+                            1, 7))::BIGINT % 256) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM oa, (SELECT unnest(range(0, 4)) AS d) GROUP BY 1, 2
+),
+sb AS (
+    SELECT d,
+           (('0x' || substr(md5(d::VARCHAR || '#' || k::VARCHAR),
+                            1, 7))::BIGINT % 256) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM cb, (SELECT unnest(range(0, 4)) AS d) GROUP BY 1, 2
+),
+ips AS (
+    SELECT sa.d, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+    FROM sa JOIN sb USING (d, bucket) GROUP BY sa.d
+)
+SELECT CAST((SELECT min(ip) FROM ips) AS BIGINT) AS est_join_size,
+       CAST((SELECT count(*) FROM oa JOIN cb USING (k)) AS BIGINT)
+           AS true_join_size,
+       CAST((SELECT count(*) FROM oa) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_customers
 """

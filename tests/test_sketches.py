@@ -310,3 +310,35 @@ def test_cms_absent_key_estimates_zero_when_no_collision(spark):
     ghost = spark.createDataFrame([(999999,)], "k long")
     est = cms_estimate(sketch, ghost, "k", depth=4, width=4096).first()
     assert est.est == 0  # wide sketch, 3 keys: collision chance ~0
+
+
+def test_cms_inner_product_never_underestimates_join_size(spark):
+    from graphsense_blocksci_spark.operators.sketches import cms_build
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(i % 13,) for i in range(200)], "k long")
+    b = spark.createDataFrame([(i % 9,) for i in range(90)], "k long")
+    sa = cms_build(a, "k", depth=3, width=32)
+    sb = cms_build(b, "k", depth=3, width=32)
+    est = (
+        sa.alias("x")
+        .join(sb.alias("y"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("ip"))
+        .agg(F.min("ip"))
+        .first()[0]
+    )
+    true = a.join(b, "k").count()
+    assert est >= true  # CM inner product overestimates only
+    # with a wide sketch (no collisions) the estimate is exact
+    sa2 = cms_build(a, "k", depth=3, width=4096)
+    sb2 = cms_build(b, "k", depth=3, width=4096)
+    est2 = (
+        sa2.alias("x")
+        .join(sb2.alias("y"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("ip"))
+        .agg(F.min("ip"))
+        .first()[0]
+    )
+    assert est2 == true
