@@ -5032,6 +5032,90 @@ def q178_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def qd28_utxo_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO-set snapshot at the chain tip: outputs never referenced
+    by any input (anti-join on the (spent_tx_id, spent_index) back-
+    reference), summarized per address_type — the unspent-set size/
+    value accounting BlockSci exposes natively and a relational
+    engine derives with ONE anti-join on the uniform spent-tx key.
+    No-address outputs stay in (the UTXO set doesn't care about
+    renderability; only the ledger does)."""
+    from graphsense_blocksci_spark.operators.linkage import (
+        explode_inputs,
+        explode_outputs,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    outs = explode_outputs(raw_txs)
+    ins = explode_inputs(raw_txs.filter(~F.col("coinbase"))).select(
+        F.col("spent_tx_id").alias("tx_id"),
+        F.col("spent_index").alias("output_index"),
+    )
+    utxo = outs.join(ins, ["tx_id", "output_index"], "left_anti")
+    return utxo.groupBy(
+        F.col("address_type").cast("long").alias("address_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_utxos"),
+        F.sum("value").cast("long").alias("total_value"),
+        F.max("value").cast("long").alias("max_value"),
+    )
+
+
+def qd29_tx_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction fee (inputs total − outputs total, coinbase
+    excluded — the parser resolves input values so the fee is pure
+    nested-array arithmetic, BlockSci's tx.fee accessor) rolled up
+    per block: n_txs, total/max fee — the fee-market table every
+    chain analytics stack materializes. Zero joins: two array sums
+    per row + one block-keyed aggregate."""
+    from graphsense_blocksci_spark.functions.io_aggs import io_total_value
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    fees = raw_txs.filter(~F.col("coinbase")).select(
+        F.col("block_id").cast("long").alias("block_id"),
+        (
+            io_total_value("inputs") - io_total_value("outputs")
+        ).cast("long").alias("fee"),
+    )
+    return fees.groupBy("block_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_txs"),
+        F.sum("fee").cast("long").alias("total_fee"),
+        F.max("fee").cast("long").alias("max_fee"),
+    )
+
+
+def qd30_block_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-interval statistics: per-day mean/max seconds between
+    consecutive blocks (lag over the block chain ordered by id — ONE
+    global-but-block-count-sized window, bounded by chain height not
+    tx volume), the difficulty-retarget diagnostic every chain
+    monitor computes. Exact-rational mean (sum/count integers, one
+    division)."""
+    raw_blocks, _, _ = _fixture_frames(spark)
+    w = Window.orderBy("block_id")
+    iv = (
+        raw_blocks.select(
+            F.col("block_id").cast("long").alias("block_id"),
+            F.col("timestamp").cast("long").alias("ts"),
+        )
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            F.floor(F.col("ts") / 86400).cast("long").alias("day"),
+            (F.col("ts") - F.col("prev_ts")).alias("gap"),
+        )
+    )
+    return iv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+        (F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_gap"
+        ),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5169,6 +5253,9 @@ QUERIES: dict[str, QueryFn] = {
     "q176_minhash_estimate": q176_minhash_estimate,
     "q177_calibration_curve": q177_calibration_curve,
     "q178_cms_join_size": q178_cms_join_size,
+    "qd28_utxo_snapshot": qd28_utxo_snapshot,
+    "qd29_tx_fees": qd29_tx_fees,
+    "qd30_block_intervals": qd30_block_intervals,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9419,4 +9506,74 @@ SELECT CAST((SELECT min(ip) FROM ips) AS BIGINT) AS est_join_size,
            AS true_join_size,
        CAST((SELECT count(*) FROM oa) AS BIGINT) AS n_orders,
        CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_customers
+"""
+
+
+ORACLE_SQL["qd28_utxo_snapshot"] = f"""
+WITH outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      atype: outputs[i].address_type,
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi,
+           CAST(u.atype AS BIGINT) AS address_type,
+           CAST(u.oval AS BIGINT) AS oval
+    FROM outs
+),
+ins AS (
+    SELECT unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+utxo AS (
+    SELECT o2.* FROM o2
+    ANTI JOIN ins ON o2.otx = ins.u.stx AND o2.oi = ins.u.sidx
+)
+SELECT address_type,
+       CAST(count(*) AS BIGINT) AS n_utxos,
+       CAST(sum(oval) AS BIGINT) AS total_value,
+       CAST(max(oval) AS BIGINT) AS max_value
+FROM utxo GROUP BY address_type
+"""
+
+ORACLE_SQL["qd29_tx_fees"] = f"""
+WITH fees AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(coalesce(list_sum(list_transform(inputs, x -> x.value)), 0)
+                - coalesce(list_sum(list_transform(outputs, x -> x.value)), 0)
+                AS BIGINT) AS fee
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+)
+SELECT block_id,
+       CAST(count(*) AS BIGINT) AS n_txs,
+       CAST(sum(fee) AS BIGINT) AS total_fee,
+       CAST(max(fee) AS BIGINT) AS max_fee
+FROM fees GROUP BY block_id
+"""
+
+ORACLE_SQL["qd30_block_intervals"] = f"""
+WITH b AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(timestamp AS BIGINT) AS ts
+    FROM read_parquet('{_FIXTURE_DIR}/raw_blocks.parquet')
+),
+iv AS (
+    SELECT CAST(ts // 86400 AS BIGINT) AS day,
+           ts - lag(ts) OVER (ORDER BY block_id) AS gap
+    FROM b
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap,
+       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap
+FROM iv WHERE gap IS NOT NULL
+GROUP BY day
 """
