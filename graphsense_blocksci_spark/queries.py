@@ -5116,6 +5116,42 @@ def qd30_block_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def qd31_entity_daily_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: per-ENTITY daily balance time series
+    — qd27's daily address ledger rolled up to qd16's co-spend
+    entities (output-only addresses as singleton entities via the
+    shared 28-bit hash, the qd17 rule), running balance per entity.
+    The investigation-grade view GraphSense's transformation stage
+    serves: how an entity's holdings evolved day by day. One entity
+    join + one (entity, day) aggregate + an entity-partitioned
+    cumulative window on top of the already-verified qd27 plan."""
+    from graphsense_blocksci_spark.operators.linkage import daily_balances
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    daily = daily_balances(raw_txs)
+    ent = qd16_cospend_entities(spark, sf_dir)
+    net = (
+        daily.join(ent, "addr", "left")
+        .select(
+            F.coalesce("entity", hash28(F.col("addr"))).alias("entity"),
+            "day",
+            "net_value",
+        )
+        .groupBy("entity", "day")
+        .agg(F.sum("net_value").cast("long").alias("net_value"))
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return net.withColumn(
+        "balance", F.sum("net_value").over(w).cast("long")
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5256,6 +5292,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd28_utxo_snapshot": qd28_utxo_snapshot,
     "qd29_tx_fees": qd29_tx_fees,
     "qd30_block_intervals": qd30_block_intervals,
+    "qd31_entity_daily_balances": qd31_entity_daily_balances,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9576,4 +9613,70 @@ SELECT day,
        CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap
 FROM iv WHERE gap IS NOT NULL
 GROUP BY day
+"""
+
+
+# qd31: qd16's recursive entity oracle as a CTE over qd27's daily
+# ledger CTEs, singleton rule coalesced identically to qd17.
+ORACLE_SQL["qd31_entity_daily_balances"] = f"""
+WITH ents AS (
+{ORACLE_SQL["qd16_cospend_entities"]}
+),
+days AS (
+    SELECT tx_id AS dtx,
+           CAST(CAST(timestamp AS BIGINT) // 86400 AS BIGINT) AS day
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM outs WHERE u.alen > 0
+),
+credits AS (
+    SELECT o2.addr, days.day, CAST(o2.oval AS BIGINT) AS delta
+    FROM o2 JOIN days ON o2.otx = days.dtx
+),
+ins AS (
+    SELECT tx_id AS itx,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+debits AS (
+    SELECT o2.addr, days.day, CAST(-o2.oval AS BIGINT) AS delta
+    FROM ins
+    JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
+    JOIN days ON ins.itx = days.dtx
+),
+anet AS (
+    SELECT addr, day, CAST(sum(delta) AS BIGINT) AS net_value
+    FROM (SELECT * FROM credits UNION ALL SELECT * FROM debits)
+    GROUP BY addr, day
+),
+joined AS (
+    SELECT CAST(coalesce(ents.entity,
+               ('0x' || substr(md5(anet.addr), 1, 7))::BIGINT) AS BIGINT)
+               AS entity,
+           anet.day, anet.net_value
+    FROM anet LEFT JOIN ents ON anet.addr = ents.addr
+),
+enet AS (
+    SELECT entity, day, CAST(sum(net_value) AS BIGINT) AS net_value
+    FROM joined GROUP BY entity, day
+)
+SELECT entity, day, net_value,
+       CAST(sum(net_value) OVER (
+           PARTITION BY entity ORDER BY day ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS balance
+FROM enet
 """
