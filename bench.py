@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "q176_minhash_estimate",
     "q177_calibration_curve",
     "q178_cms_join_size",
+    "q179_window_distinct_merge",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

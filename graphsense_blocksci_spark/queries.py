@@ -5152,6 +5152,42 @@ def qd31_entity_daily_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q179_window_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window sketch rollup: HOURLY KMV partials of distinct
+    users merged (union + re-trim) into DAILY distinct estimates —
+    the pre-aggregated dashboard path where raw events are compacted
+    to bounded per-hour sketches and any coarser window derives from
+    partials alone. Lossless by construction: a hash in the day's
+    k-smallest is necessarily in its hour's k-smallest, so the oracle
+    computes the day sketch directly and must agree hash-for-hash.
+    True per-day distincts ride along for the error audit."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_hashes,
+        kmv_trim,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 3600)
+        .cast("long")
+        .alias("hour"),
+        F.floor(F.col("ts").cast("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    hourly = kmv_hashes(ev, "user_id", ("day", "hour"), k=64)
+    daily = kmv_trim(hourly.select("day", "h"), ("day",), k=64)
+    est = kmv_estimate(daily, ("day",), k=64)
+    exact = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(exact, "day").select(
+        "day", "n_sketch", "kth_hash", "est_distinct", "true_distinct"
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5293,6 +5329,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd29_tx_fees": qd29_tx_fees,
     "qd30_block_intervals": qd30_block_intervals,
     "qd31_entity_daily_balances": qd31_entity_daily_balances,
+    "q179_window_distinct_merge": q179_window_distinct_merge,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9679,4 +9716,39 @@ SELECT entity, day, net_value,
            PARTITION BY entity ORDER BY day ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS balance
 FROM enet
+"""
+
+
+# q179: the day sketch computed DIRECTLY — merged hourly partials
+# must agree hash-for-hash (losslessness of KMV union).
+ORACLE_SQL["q179_window_distinct_merge"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) // 86400 AS day
+    FROM events
+),
+base AS (
+    SELECT DISTINCT day,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT AS h
+    FROM ev
+),
+sk AS (
+    SELECT day, h FROM base
+    QUALIFY row_number() OVER (PARTITION BY day ORDER BY h) <= 64
+),
+est AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS n_sketch,
+           max(h) AS kth_hash,
+           CAST(CASE WHEN count(*) < 64 THEN count(*)
+                     ELSE floor(16911433728.0 / max(h)) END AS BIGINT)
+               AS est_distinct
+    FROM sk GROUP BY day
+),
+tc AS (
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+    FROM ev GROUP BY day
+)
+SELECT est.day, est.n_sketch, est.kth_hash, est.est_distinct,
+       tc.true_distinct
+FROM est JOIN tc USING (day)
 """
