@@ -342,3 +342,69 @@ def test_sequence_packing_matches_python_reference(spark, rows, budget, n_bucket
         end = (off + n - 1) // budget if n > 0 else start
         assert got[doc_id] == (off, start, end)
         off += n
+
+
+@SLOW
+@given(
+    sets=st.lists(
+        st.frozensets(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=12
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([40, 60, 80, 100]),
+)
+def test_jaccard_join_never_misses_a_pair(spark, sets, threshold):
+    """Prefix-filter completeness under random sets: every pair at or
+    above the threshold must be emitted with its exact intersection."""
+    import itertools
+
+    from graphsense_blocksci_spark.operators.setsim import jaccard_join
+
+    rows = [(i, [str(x) for x in sorted(s)]) for i, s in enumerate(sets)]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    got = {
+        (r.id_a, r.id_b): r.inter
+        for r in jaccard_join(
+            df, "id", "toks", threshold_pct=threshold
+        ).collect()
+    }
+    want = {}
+    for (a, sa), (b, sb) in itertools.combinations(enumerate(sets), 2):
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if 100 * inter >= threshold * union:
+            want[(a, b)] = inter
+    assert got == want
+
+
+@SLOW
+@given(
+    sigs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),
+        min_size=2,
+        max_size=10,
+    ),
+    d=st.sampled_from([1, 2, 3, 5]),
+)
+def test_simhash_pigeonhole_never_misses_a_pair(spark, sigs, d):
+    import itertools
+
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        simhash_hamming_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_join(df, max_hamming=d).collect()
+    }
+    want = {
+        (a, b): bin(sa ^ sb).count("1")
+        for (a, sa), (b, sb) in itertools.combinations(enumerate(sigs), 2)
+        if bin(sa ^ sb).count("1") <= d
+    }
+    assert got == want
