@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "q177_calibration_curve",
     "q178_cms_join_size",
     "q179_window_distinct_merge",
+    "q180_point_in_time_lookup",
+    "q181_golden_record",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

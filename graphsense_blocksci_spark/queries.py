@@ -5188,6 +5188,110 @@ def q179_window_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q180_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup (the late-arriving-fact
+    join every SCD2 warehouse needs): purchases join the
+    view/click-state SCD2 history (q133 machinery restricted to the
+    dimension stream) to recover each user's state AS OF the purchase
+    instant — join on key + interval containment, half-open
+    [valid_from, valid_to), NULL valid_to = current version.
+    Purchases before any state survive with NULL (left interval
+    join). One user-keyed range join against a version-count-sized
+    dimension."""
+    from graphsense_blocksci_spark.operators.diff import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("ts").cast("timestamp").cast("long").alias("e"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type").isin("view", "click")),
+        key="user_id",
+        state="event_type",
+        ts="e",
+        order=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("e").alias("t"),
+    )
+    return (
+        facts.join(
+            dim,
+            (facts.user_id == dim.user_id)
+            & (F.col("valid_from") <= F.col("t"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("t") < F.col("valid_to"))
+            ),
+            "left",
+        )
+        .select(
+            facts.user_id.alias("user_id"),
+            "purchase_id",
+            "t",
+            "state",
+            "valid_from",
+        )
+    )
+
+
+
+def q181_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM step after record linkage):
+    q132's levenshtein-verified match pairs become duplicate clusters
+    (connected components, min-member id), every unmatched customer
+    stays a singleton, and each cluster elects one surviving record —
+    name from the smallest member id (struct-ordered min, the
+    first-record-wins rule), best balance as the max, segment spread
+    counted. The dedup-then-merge that turns matched PAIRS into a
+    clean dimension table."""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        _cents("c_acctbal").alias("bal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pairs = q132_record_linkage(spark, sf_dir).select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    cc = connected_components(pairs)
+    return (
+        c.join(
+            cc.select(F.col("node").alias("id"), "component"), "id", "left"
+        )
+        .select(
+            F.coalesce("component", F.col("id")).alias("cluster"),
+            "id",
+            "name",
+            "bal_cents",
+            "segment",
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(F.struct("id", "name"))["name"].alias("canonical_name"),
+            F.max("bal_cents").cast("long").alias("best_bal_cents"),
+            F.countDistinct("segment").cast("long").alias("n_segments"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5330,6 +5434,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd30_block_intervals": qd30_block_intervals,
     "qd31_entity_daily_balances": qd31_entity_daily_balances,
     "q179_window_distinct_merge": q179_window_distinct_merge,
+    "q180_point_in_time_lookup": q180_point_in_time_lookup,
+    "q181_golden_record": q181_golden_record,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9751,4 +9857,91 @@ tc AS (
 SELECT est.day, est.n_sketch, est.kth_hash, est.est_distinct,
        tc.true_distinct
 FROM est JOIN tc USING (day)
+"""
+
+
+# q180: q133's interval SQL over the dimension stream only, then the
+# same half-open containment left join.
+ORACLE_SQL["q180_point_in_time_lookup"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS e,
+           CAST(event_id AS BIGINT) AS event_id
+    FROM events
+),
+dimev AS (SELECT * FROM ev WHERE event_type IN ('view', 'click')),
+flag AS (
+    SELECT *,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS nr
+    FROM dimev
+    WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)
+),
+run AS (
+    SELECT *,
+           sum(nr) OVER (
+               PARTITION BY user_id ORDER BY e, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS r
+    FROM flag
+),
+runs AS (
+    SELECT user_id, r, min(event_type) AS state, min(e) AS valid_from
+    FROM run GROUP BY user_id, r
+),
+dim AS (
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY r)
+               AS valid_to
+    FROM runs
+),
+facts AS (
+    SELECT user_id, event_id AS purchase_id, e AS t
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT facts.user_id, facts.purchase_id, facts.t, dim.state,
+       dim.valid_from
+FROM facts
+LEFT JOIN dim ON facts.user_id = dim.user_id
+    AND dim.valid_from <= facts.t
+    AND (dim.valid_to IS NULL OR facts.t < dim.valid_to)
+"""
+
+
+# q181: q132's pair SQL -> recursive min-label components ->
+# struct-ordered survivorship.
+ORACLE_SQL["q181_golden_record"] = """
+WITH RECURSIVE c AS (
+    SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           c_mktsegment AS segment,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           substr(c_name, 10, 6) AS name_prefix
+    FROM customer
+),
+pairs AS (
+    SELECT a.id AS src, b.id AS dst
+    FROM c a JOIN c b
+      ON a.nation = b.nation AND a.name_len = b.name_len
+     AND a.name_prefix = b.name_prefix AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 2
+),
+edges AS (
+    SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT coalesce(cc.component, c.id) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min({'id': c.id, 'name': c.name}).name AS canonical_name,
+       CAST(max(c.bal_cents) AS BIGINT) AS best_bal_cents,
+       CAST(count(DISTINCT c.segment) AS BIGINT) AS n_segments
+FROM c LEFT JOIN cc ON c.id = cc.node
+GROUP BY 1
 """
