@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q179_window_distinct_merge",
     "q180_point_in_time_lookup",
     "q181_golden_record",
+    "q182_ab_test",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -5292,6 +5292,77 @@ def q181_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q182_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split deterministically into two
+    arms (md5(user) mod 2 — the same keyed-hash assignment as the
+    train/test split, so re-runs and the oracle agree user-for-user),
+    conversion = user purchased; per-arm counts plus the pooled
+    two-proportion z statistic
+
+        z = (p1 − p0) / sqrt(p̄(1−p̄)(1/n0 + 1/n1))
+
+    computed as a fixed chain of IEEE ops over exact integer counts —
+    the experimentation-analysis primitive, hash-comparable because
+    every float comes from the same deterministic arithmetic in both
+    engines. One user-level aggregate + one 2-row arm aggregate +
+    a 1-row final."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+    )
+    # outcome: heavy purchaser (>= 18 purchase events) — every fixture
+    # user buys at least once, so plain conversion would be degenerate
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 18
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % 2
+    )
+    arms = users.withColumn("arm", arm).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("conv").alias("c0")
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("conv").alias("c1")
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pbar = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return a0.crossJoin(a1).select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        p0.alias("rate0"),
+        p1.alias("rate1"),
+        ((p1 - p0) / se).alias("z_stat"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5436,6 +5507,7 @@ QUERIES: dict[str, QueryFn] = {
     "q179_window_distinct_merge": q179_window_distinct_merge,
     "q180_point_in_time_lookup": q180_point_in_time_lookup,
     "q181_golden_record": q181_golden_record,
+    "q182_ab_test": q182_ab_test,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -9944,4 +10016,35 @@ SELECT coalesce(cc.component, c.id) AS cluster,
        CAST(count(DISTINCT c.segment) AS BIGINT) AS n_segments
 FROM c LEFT JOIN cc ON c.id = cc.node
 GROUP BY 1
+"""
+
+
+# q182: identical md5 arm split and the SAME float association order.
+ORACLE_SQL["q182_ab_test"] = """
+WITH users AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     >= 18 THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY 1
+),
+arms AS (
+    SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+            % 2) AS arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(converted) AS BIGINT) AS conv
+    FROM users GROUP BY 1
+),
+a0 AS (SELECT n AS n0, conv AS c0 FROM arms WHERE arm = 0),
+a1 AS (SELECT n AS n1, conv AS c1 FROM arms WHERE arm = 1)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+       ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+       / sqrt(
+           (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+       ) AS z_stat
+FROM a0, a1
 """
