@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "q180_point_in_time_lookup",
     "q181_golden_record",
     "q182_ab_test",
+    "q183_cuped",
+    "q184_winsorized_mean",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

@@ -5363,6 +5363,125 @@ def q182_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q183_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the q182 experiment (Deng et al.
+    2013): covariate X = the user's view count, outcome Y = purchase
+    count; θ = cov(X,Y)/var(X) computed from INTEGER moment sums
+    (n·ΣXY − ΣX·ΣY over n·ΣX² − (ΣX)²), then the covariate-adjusted
+    arm delta (Ȳ − θX̄)₁ − (Ȳ − θX̄)₀. Every sufficient statistic is
+    an exact long; θ and the adjusted delta are a short fixed IEEE
+    chain — the modern experimentation pipeline, hash-comparable
+    end to end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % 2
+    )
+    au = users.withColumn("arm", arm)
+    moments = au.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    arms = au.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("an"),
+        F.sum("x").cast("long").alias("ax"),
+        F.sum("y").cast("long").alias("ay"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("an").alias("n0"), F.col("ax").alias("x0"),
+        F.col("ay").alias("y0"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("an").alias("n1"), F.col("ax").alias("x1"),
+        F.col("ay").alias("y1"),
+    )
+    theta_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = theta_num.cast("double") / theta_den.cast("double")
+    adj1 = F.col("y1").cast("double") / F.col("n1").cast("double") - theta * (
+        F.col("x1").cast("double") / F.col("n1").cast("double")
+    )
+    adj0 = F.col("y0").cast("double") / F.col("n0").cast("double") - theta * (
+        F.col("x0").cast("double") / F.col("n0").cast("double")
+    )
+    return (
+        moments.crossJoin(a0)
+        .crossJoin(a1)
+        .select(
+            "n",
+            theta_num.cast("long").alias("theta_num"),
+            theta_den.cast("long").alias("theta_den"),
+            theta.alias("theta"),
+            "n0",
+            "y0",
+            "n1",
+            "y1",
+            (adj1 - adj0).alias("cuped_delta"),
+            (
+                F.col("y1").cast("double") / F.col("n1").cast("double")
+                - F.col("y0").cast("double") / F.col("n0").cast("double")
+            ).alias("raw_delta"),
+        )
+    )
+
+
+def q184_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (capped) per-priority order-value means: values are
+    clamped to the group's exact [p05, p95] interpolated percentiles
+    (the q59 bit-portable percentile contract) before averaging — the
+    robust revenue metric a few whale orders cannot drag, unlike the
+    raw mean. Cap sums stay exact multiples of 0.01 cents so the
+    float mean is one division over an exact rational."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    caps = o.groupBy("o_orderpriority").agg(
+        F.percentile("cents", F.lit(0.05)).alias("p05"),
+        F.percentile("cents", F.lit(0.95)).alias("p95"),
+    )
+    w = o.join(F.broadcast(caps), "o_orderpriority").select(
+        "o_orderpriority",
+        F.greatest(F.least(F.col("cents").cast("double"), F.col("p95")),
+                   F.col("p05")).alias("wv"),
+    )
+    # x20 scaling makes every winsorized value an exact integer (the
+    # 0.05-step interpolation has denominator 20), so the sum is
+    # order-free exact and the mean is one division — a float Σ of
+    # doubles would be partition-order dependent
+    return (
+        w.select(
+            "o_orderpriority",
+            F.round(F.col("wv") * 20).cast("long").alias("wv20"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("wv20").cast("long").alias("win_sum20"),
+            (
+                F.sum("wv20").cast("double")
+                / (20 * F.count(F.lit(1))).cast("double")
+            ).alias("win_mean"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5508,6 +5627,8 @@ QUERIES: dict[str, QueryFn] = {
     "q180_point_in_time_lookup": q180_point_in_time_lookup,
     "q181_golden_record": q181_golden_record,
     "q182_ab_test": q182_ab_test,
+    "q183_cuped": q183_cuped,
+    "q184_winsorized_mean": q184_winsorized_mean,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -10047,4 +10168,80 @@ SELECT n0, c0, n1, c1,
            * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
        ) AS z_stat
 FROM a0, a1
+"""
+
+
+ORACLE_SQL["q183_cuped"] = """
+WITH users AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+au AS (
+    SELECT *, (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+               % 2) AS arm
+    FROM users
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM au
+),
+a0 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(x) AS BIGINT) AS x0,
+           CAST(sum(y) AS BIGINT) AS y0
+    FROM au WHERE arm = 0
+),
+a1 AS (
+    SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(x) AS BIGINT) AS x1,
+           CAST(sum(y) AS BIGINT) AS y1
+    FROM au WHERE arm = 1
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS theta_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS theta_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+       n0, y0, n1, y1,
+       (CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE))
+          * (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+       - (CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))) AS cuped_delta,
+       CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS raw_delta
+FROM m, a0, a1
+"""
+
+ORACLE_SQL["q184_winsorized_mean"] = """
+WITH o AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+caps AS (
+    SELECT o_orderpriority,
+           quantile_cont(cents, 0.05) AS p05,
+           quantile_cont(cents, 0.95) AS p95
+    FROM o GROUP BY 1
+),
+w AS (
+    SELECT o.o_orderpriority,
+           greatest(least(CAST(cents AS DOUBLE), p95), p05) AS wv
+    FROM o JOIN caps USING (o_orderpriority)
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(wv * 20) AS BIGINT)) AS BIGINT) AS win_sum20,
+       CAST(sum(CAST(round(wv * 20) AS BIGINT)) AS DOUBLE)
+           / CAST(20 * count(*) AS DOUBLE) AS win_mean
+FROM w GROUP BY 1
 """
