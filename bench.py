@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q182_ab_test",
     "q183_cuped",
     "q184_winsorized_mean",
+    "q185_mrr",
 ]
 # q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
 # shuffles each is honest algorithmic cost, but at toy scale the

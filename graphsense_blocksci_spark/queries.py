@@ -5482,6 +5482,43 @@ def q184_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q185_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank @10 for the q107 BM25 ranking against a
+    deterministic relevance rule (doc_id % 6 == query_id — synthetic
+    but engine-portable, like every fixture label here): per query
+    the rank of the first relevant hit, and corpus MRR as the EXACT
+    rational Σ 2520/rank over 2520·n (2520 = lcm(1..10), so every
+    reciprocal is an integer) — the float Σ 1/r would be
+    order-dependent. The ranking-evaluation metric that completes
+    the AUC (q150) / calibration (q177) eval suite."""
+    from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, k=10).select(
+        "query_id", F.col("doc_id").cast("long").alias("doc_id"), "rank"
+    )
+    firsts = (
+        ranked.filter(F.col("doc_id") % 6 == F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("long").alias("first_rel_rank"))
+    )
+    n_q = ranked.select("query_id").distinct().count()
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_hit"),
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.sum(
+            F.expr("CAST(2520 DIV first_rel_rank AS BIGINT)")
+        ).cast("long").alias("mrr_num2520"),
+        (
+            F.sum(F.expr("CAST(2520 DIV first_rel_rank AS BIGINT)")).cast(
+                "double"
+            )
+            / F.lit(float(2520 * n_q))
+        ).alias("mrr"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5629,6 +5666,7 @@ QUERIES: dict[str, QueryFn] = {
     "q182_ab_test": q182_ab_test,
     "q183_cuped": q183_cuped,
     "q184_winsorized_mean": q184_winsorized_mean,
+    "q185_mrr": q185_mrr,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -10245,3 +10283,25 @@ SELECT o_orderpriority,
            / CAST(20 * count(*) AS DOUBLE) AS win_mean
 FROM w GROUP BY 1
 """
+
+
+# q185: q107's ranking CTE (k=10), integer 2520/rank reciprocals.
+ORACLE_SQL["q185_mrr"] = (
+    "WITH ranked AS (\n"
+    + ORACLE_SQL["q107_bm25_topk"]
+    + """),
+firsts AS (
+    SELECT query_id, CAST(min(rank) AS BIGINT) AS first_rel_rank
+    FROM ranked WHERE doc_id % 6 = query_id
+    GROUP BY query_id
+),
+nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n FROM ranked)
+SELECT CAST(count(*) AS BIGINT) AS n_with_hit,
+       nq.n AS n_queries,
+       CAST(sum(2520 // first_rel_rank) AS BIGINT) AS mrr_num2520,
+       CAST(sum(2520 // first_rel_rank) AS DOUBLE)
+           / CAST(2520 * nq.n AS DOUBLE) AS mrr
+FROM firsts, nq
+GROUP BY nq.n
+"""
+)
