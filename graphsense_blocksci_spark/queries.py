@@ -5526,6 +5526,17 @@ def q185_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph suite (qd15-qd21), fuzzy/embedding dedup, packing, all 21 TPC-H
 # shapes, PageRank/LPA, the ANN family, and this round's new operators.
 # Previously driver-green entries (rounds 1-3) sit at the back.
+#
+# ROUND-5 ROTATION (do this first next round): move the never-driver-green
+# families into positions 2-50 — the q107-q148 wave (BM25, k-means/SemDeDup,
+# chunking/PII/PMI, WAV/dhash/scene, sketch family, funnel/cohort/skyline,
+# interval/linkage/SCD2, BPE train, walks, KMV, harmonic) and the q149-q185
+# wave (evaluation suite, set-similarity joins, SimHash pairing, modularity/
+# two-hop/betweenness, Louvain, attribution, fusion, CMS family, span dedup,
+# Gram/ridge/logistic/PCA, qd26-qd31 chain analytics, seasonal/data-quality/
+# calibration/AB/CUPED/winsorized/MRR). Keep q01 first; rows-only entries
+# (q160/q167/q169/q170/q173) can sit in-window — the driver records the
+# weaker rows-only check for them.
 QUERIES: dict[str, QueryFn] = {
     # -- round-4 driver window (50) ------------------------------------
     "q01_pricing_summary": q01_pricing_summary,
