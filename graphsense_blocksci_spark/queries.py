@@ -1058,13 +1058,50 @@ def q39_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q44_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-1 via IVF coarse quantization — the
-    second ANN scale path (cells ≈ corpus/n_centroids, probe-bounded
-    candidate generation). Approximate ⇒ rows-only check."""
+    """IVF coarse-quantized ANN, driver-checkable invariant frame
+    (VERDICT r4 item 3 — the former rows-only entry).
+
+    The IVF centroids come from driver-side NumPy k-means (BLAS
+    reduction order), so the approximate result itself can never be
+    SQL-mirrored. What IS oracle-expressible is a mathematical
+    identity: with ``n_probe == n_centroids`` every query probes every
+    cell, the candidate set is the whole corpus, and IVF top-1 must
+    equal the exact brute-force top-1 — independent of where the
+    centroids landed. The frame returned here runs BOTH paths:
+
+    - ``n_queries``   exact top-1 row count  (oracle: count(*))
+    - ``n_results``   the real probe-4 approximate path's row count
+                      (oracle: count(*) — every query's 4 probed cells
+                      contain non-self members at every fixture SF)
+    - ``n_fullprobe_mismatch``  queries where full-probe IVF top-1 ≠
+                      exact top-1 (oracle: the identity, 0)
+
+    So the driver now verifies the full IVF machinery (assignment,
+    cell join, dedup, ranking, tie-break) end-to-end while the
+    approximate path still executes at its production setting."""
     from graphsense_blocksci_spark.operators import cosine_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, k=1, n_centroids=16, n_probe=4)
+    approx = cosine_topk_ivf(emb, k=1, n_centroids=16, n_probe=4)
+    full = cosine_topk_ivf(emb, k=1, n_centroids=16, n_probe=16)
+    exact = cosine_topk_bruteforce(emb, k=1)
+    pairing = full.select(
+        "vec_id", F.col("neighbor_id").alias("ivf_nb")
+    ).join(
+        exact.select("vec_id", F.col("neighbor_id").alias("ex_nb")),
+        "vec_id",
+        "full_outer",
+    )
+    n_queries = exact.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_results = approx.agg(F.count(F.lit(1)).alias("n_results"))
+    n_mismatch = pairing.agg(
+        F.sum(
+            F.when(~F.col("ivf_nb").eqNullSafe(F.col("ex_nb")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_fullprobe_mismatch")
+    )
+    return n_queries.crossJoin(n_results).crossJoin(n_mismatch)
 
 
 def q45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,23 +1128,57 @@ def q43_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q40_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH — the 100 TB
-    path (bucket joins, no cross join). Approximate ⇒ no SQL oracle;
-    the driver records a rows-only check."""
+    path (bucket joins, no cross join). "Approximate" means approximate
+    w.r.t. exact kNN, NOT non-deterministic: the seeded hyperplanes are
+    plan literals and every fold is fixed-order IEEE, so the result is
+    a pure function of the data and the oracle re-derives it bit-exactly
+    in SQL (same mirror machinery as qd12's streaming ANN — VERDICT r4
+    item 3 closed the former rows-only gap)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, k=1, n_planes=8, n_tables=2)
 
 
 def q103_knn_lsh_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH top-k, Arrow+BLAS execution: identical bucket geometry to
-    q40 (same hyperplane literals), unit vectors + all table buckets
-    from one matmul per batch, bucket-local matmul scoring. Rows-only
-    (last-ulp BLAS ties); fold-parity and recall are pytest-gated."""
+    """LSH top-k, Arrow+BLAS execution — driver-checkable parity frame
+    (VERDICT r4 item 3 — the former rows-only entry).
+
+    The GEMM path (identical bucket geometry to q40: same hyperplane
+    literals, unit vectors + all table buckets from one matmul per
+    batch, bucket-local matmul scoring) differs from the fold path only
+    in BLAS reduction order, i.e. last-ulp scores — the (vec_id,
+    neighbor_id, rank) triples must agree EXACTLY. This frame runs both
+    paths and full-outer-joins them on the triple:
+
+    - ``n_pairs``      rows both paths agree on (oracle: the q40 SQL
+                       LSH mirror's row count)
+    - ``n_gemm_only``  / ``n_fold_only``  symmetric difference
+                       (oracle: the identity, 0)
+
+    The driver therefore pins the GEMM execution to the bit-exact SQL
+    mirror of the fold path; scores stay out of the hash."""
     from graphsense_blocksci_spark.operators.similarity import (
         cosine_topk_lsh_gemm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh_gemm(emb, k=1, n_planes=8, n_tables=2)
+    gemm = cosine_topk_lsh_gemm(emb, k=1, n_planes=8, n_tables=2).select(
+        "vec_id", "neighbor_id", "rank", F.lit(1).alias("_g")
+    )
+    fold = cosine_topk_lsh(emb, k=1, n_planes=8, n_tables=2).select(
+        "vec_id", "neighbor_id", "rank", F.lit(1).alias("_f")
+    )
+    j = gemm.join(fold, ["vec_id", "neighbor_id", "rank"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_f").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(F.col("_f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gemm_only"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fold_only"),
+    )
 
 
 def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,14 +1193,44 @@ def q46_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q50_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup throughput path: same banded-LSH candidates as q46, but
-    bucket-local BLAS matmul verification (applyInPandas per bucket —
-    no corpus broadcast). Last-ulp BLAS reduction differences at the
-    threshold boundary ⇒ rows-only check; fold-parity is pytest-gated."""
-    from graphsense_blocksci_spark.operators import embedding_neardup_gemm
+    """Near-dup throughput path — driver-checkable parity frame
+    (VERDICT r4 item 3 — the former rows-only entry).
+
+    Same banded-LSH candidates as q46, but bucket-local BLAS matmul
+    verification (applyInPandas per bucket — no corpus broadcast).
+    BLAS reduction order can move a cosine by an ulp at the threshold
+    boundary, so the scored pairs are compared as ID SETS against the
+    bit-exact fold path (q46, which the driver verifies against its
+    full SQL mirror):
+
+    - ``n_pairs``      pairs both paths emit (oracle: the q46 SQL
+                       near-dup mirror's row count)
+    - ``n_gemm_only`` / ``n_fold_only``  symmetric difference
+                       (oracle: the identity, 0)"""
+    from graphsense_blocksci_spark.operators import (
+        embedding_neardup,
+        embedding_neardup_gemm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_gemm(emb, threshold=0.35, n_bands=4, band_planes=4)
+    gemm = embedding_neardup_gemm(
+        emb, threshold=0.35, n_bands=4, band_planes=4
+    ).select("id_a", "id_b", F.lit(1).alias("_g"))
+    fold = embedding_neardup(
+        emb, threshold=0.35, n_bands=4, band_planes=4
+    ).select("id_a", "id_b", F.lit(1).alias("_f"))
+    j = gemm.join(fold, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_f").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(F.col("_f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gemm_only"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fold_only"),
+    )
 
 
 def q47_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1982,15 +2083,47 @@ def q84_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the q63 co-occurrence graph —
     the weighted-iteration representative (rank mass flows along
     edges; one co-located join + one aggregate shuffle per round).
-    Rows-only in the registry: per-node double sums are partition-
-    order dependent, so parity is pytest-gated against a dense numpy
-    reference (tolerance), not hash-exact."""
+
+    Driver-checkable invariant frame (VERDICT r4 item 3 — the former
+    rows-only entry): per-node double sums are partition-order
+    dependent, so per-node values stay pytest-gated against a dense
+    numpy reference; what IS hash-exact is the conservation law plus
+    the SQL-derivable graph shape the rank vector must respect:
+
+    - ``n_nodes``      rank rows (oracle: distinct chain-graph nodes)
+    - ``n_dangling``   nodes with no out-edge, whose mass the
+                       correction redistributes (oracle: dst-only
+                       nodes of the directed chain edge set)
+    - ``mass_e6``      round(sum(rank) * 1e6) — dangling-corrected
+                       PageRank conserves total mass 1 to ~1e-13, so
+                       the integer is exactly 1_000_000 (oracle: the
+                       identity)
+    - ``n_nonpos``     nodes with rank <= 0 — teleport gives every
+                       node strictly positive mass (oracle: 0)"""
     from graphsense_blocksci_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    return pagerank(_supplier_chain_edges(li), iterations=10).select(
-        F.col("node").cast("long").alias("node"),
-        F.col("rank").cast("double").alias("rank"),
+    edges = _supplier_chain_edges(li)
+    pr = pagerank(edges, iterations=10)
+    mass = pr.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.sum("rank") * F.lit(1e6)).cast("long").alias("mass_e6"),
+        F.sum(F.when(F.col("rank") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonpos"),
+    )
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct()
+    dangling = (
+        e.select(F.col("dst").alias("node"))
+        .union(e.select(F.col("src").alias("node")))
+        .distinct()
+        .join(e.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_dangling"))
+    )
+    return mass.crossJoin(dangling).select(
+        "n_nodes", "n_dangling", "mass_e6", "n_nonpos"
     )
 
 
@@ -5522,24 +5655,154 @@ def q185_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
-# round so every family eventually gets a driver-green row. Round 4 window:
-# graph suite (qd15-qd21), fuzzy/embedding dedup, packing, all 21 TPC-H
-# shapes, PageRank/LPA, the ANN family, and this round's new operators.
-# Previously driver-green entries (rounds 1-3) sit at the back.
+# round so every family eventually gets a driver-green row.
 #
-# ROUND-5 ROTATION (do this first next round): move the never-driver-green
-# families into positions 2-50 — the q107-q148 wave (BM25, k-means/SemDeDup,
-# chunking/PII/PMI, WAV/dhash/scene, sketch family, funnel/cohort/skyline,
-# interval/linkage/SCD2, BPE train, walks, KMV, harmonic) and the q149-q185
-# wave (evaluation suite, set-similarity joins, SimHash pairing, modularity/
-# two-hop/betweenness, Louvain, attribution, fusion, CMS family, span dedup,
-# Gram/ridge/logistic/PCA, qd26-qd31 chain analytics, seasonal/data-quality/
-# calibration/AB/CUPED/winsorized/MRR). Keep q01 first; rows-only entries
-# (q160/q167/q169/q170/q173) can sit in-window — the driver records the
-# weaker rows-only check for them.
+# ROUND-5 WINDOW (this round): the never-driver-green round-4 families, per
+# the rotation plan recorded last round — the VERDICT r4 "done" list (q120
+# triangle, q121/q126/q146 sketches, q155 set-similarity, q157 modularity,
+# q165 span dedup, the q179-q185 evaluation suite, the qd27-qd31 entity
+# ledgers), the five formerly rows-only entries (q84/q40/q44/q103/q50 — now
+# bit-exact oracles or integer invariant frames, VERDICT item 3), and the
+# strongest of the q107-q150 wave. Previously driver-green entries (rounds
+# 1-4) sit at the back.
+#
+# ROUND-6 ROTATION (do this first next round): move the remaining
+# never-driver-green entries into positions 2-50 — q109/q111/q117-q119/qd23/
+# q125/q129/q130/q132/q134-q136/q140/q142-q144/q147/q149/q151-q154/q156/
+# q158/q159/q160-q164/q166-q178/q176 tail plus anything new this round.
+# Rows-only entries (q111/q140/q144/q160/q167/q169/q170/q173) can sit
+# in-window — the driver records the weaker rows-only check for them.
 QUERIES: dict[str, QueryFn] = {
-    # -- round-4 driver window (50) ------------------------------------
+    # -- round-5 driver window (50) ------------------------------------
     "q01_pricing_summary": q01_pricing_summary,
+    # VERDICT r4 "done" list
+    "q120_triangle_count": q120_triangle_count,
+    "q121_heavy_hitters": q121_heavy_hitters,
+    "q126_hdr_quantiles": q126_hdr_quantiles,
+    "q146_kmv_sketch": q146_kmv_sketch,
+    "q155_jaccard_join": q155_jaccard_join,
+    "q157_modularity": q157_modularity,
+    "q165_span_dedup_rewrite": q165_span_dedup_rewrite,
+    "q179_window_distinct_merge": q179_window_distinct_merge,
+    "q180_point_in_time_lookup": q180_point_in_time_lookup,
+    "q181_golden_record": q181_golden_record,
+    "q182_ab_test": q182_ab_test,
+    "q183_cuped": q183_cuped,
+    "q184_winsorized_mean": q184_winsorized_mean,
+    "q185_mrr": q185_mrr,
+    "qd27_daily_balances": qd27_daily_balances,
+    "qd28_utxo_snapshot": qd28_utxo_snapshot,
+    "qd29_tx_fees": qd29_tx_fees,
+    "qd30_block_intervals": qd30_block_intervals,
+    "qd31_entity_daily_balances": qd31_entity_daily_balances,
+    # formerly rows-only (VERDICT r4 item 3): full oracles / invariants
+    "q84_pagerank": q84_pagerank,
+    "q40_knn_lsh": q40_knn_lsh,
+    "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
+    "q44_knn_ivf": q44_knn_ivf,
+    "q50_embedding_neardup_gemm": q50_embedding_neardup_gemm,
+    # round-4 wave, never driver-green
+    "q107_bm25_topk": q107_bm25_topk,
+    "q108_quality_classifier": q108_quality_classifier,
+    "q110_kmeans_assign": q110_kmeans_assign,
+    "q112_semdedup": q112_semdedup,
+    "q113_chunking": q113_chunking,
+    "q114_pii_redaction": q114_pii_redaction,
+    "q115_pmi_collocations": q115_pmi_collocations,
+    "q116_wav_decode": q116_wav_decode,
+    "q122_bloom_decontaminate": q122_bloom_decontaminate,
+    "q123_image_dhash": q123_image_dhash,
+    "q124_audio_frames": q124_audio_frames,
+    "qd24_streaming_heavy_hitters": qd24_streaming_heavy_hitters,
+    "qd25_streaming_hdr_quantiles": qd25_streaming_hdr_quantiles,
+    "qd26_streaming_count_min": qd26_streaming_count_min,
+    "q127_funnel": q127_funnel,
+    "q128_cohort_retention": q128_cohort_retention,
+    "q131_max_concurrency": q131_max_concurrency,
+    "q133_scd2_intervals": q133_scd2_intervals,
+    "q137_shortest_paths": q137_shortest_paths,
+    "q138_kcore": q138_kcore,
+    "q139_column_profile": q139_column_profile,
+    "q141_interval_overlap_join": q141_interval_overlap_join,
+    "q145_bigram_lm": q145_bigram_lm,
+    "q148_harmonic_centrality": q148_harmonic_centrality,
+    "q150_roc_auc": q150_roc_auc,
+    # -- round-6 rotation candidates (never driver-green) ---------------
+    "q109_temperature_sample": q109_temperature_sample,
+    "q111_kmeans_lloyd": q111_kmeans_lloyd,
+    "q117_group_capped_sample": q117_group_capped_sample,
+    "q118_batch_planning": q118_batch_planning,
+    "q119_language_confusion": q119_language_confusion,
+    "qd23_binary_files": qd23_binary_files,
+    "q125_knn_ivfpq": q125_knn_ivfpq,
+    "q129_skyline": q129_skyline,
+    "q130_personalized_pagerank": q130_personalized_pagerank,
+    "q132_record_linkage": q132_record_linkage,
+    "q134_mad_outliers": q134_mad_outliers,
+    "q135_ewma_smoothing": q135_ewma_smoothing,
+    "q136_zorder_key": q136_zorder_key,
+    "q140_bpe_train": q140_bpe_train,
+    "q142_systematic_sample": q142_systematic_sample,
+    "q143_scene_changes": q143_scene_changes,
+    "q144_random_walks": q144_random_walks,
+    "q147_negative_sampling": q147_negative_sampling,
+    "q149_weighted_reservoir": q149_weighted_reservoir,
+    "q151_corpus_drift": q151_corpus_drift,
+    "q152_equiwidth_bins": q152_equiwidth_bins,
+    "q153_zscore_normalize": q153_zscore_normalize,
+    "q154_kfold_assign": q154_kfold_assign,
+    "q156_tf_cosine_join": q156_tf_cosine_join,
+    "q158_two_hop": q158_two_hop,
+    "q159_simhash_join": q159_simhash_join,
+    "q160_louvain": q160_louvain,
+    "q161_attribution": q161_attribution,
+    "q162_rank_fusion": q162_rank_fusion,
+    "q163_count_min": q163_count_min,
+    "q164_event_transitions": q164_event_transitions,
+    "q166_gram_matrix": q166_gram_matrix,
+    "q167_ridge_fit": q167_ridge_fit,
+    "q168_path_counts": q168_path_counts,
+    "q169_betweenness": q169_betweenness,
+    "q170_pca_eigenvalues": q170_pca_eigenvalues,
+    "q171_feature_hash": q171_feature_hash,
+    "q172_skew_report": q172_skew_report,
+    "q173_logistic_gd": q173_logistic_gd,
+    "q174_seasonal_profile": q174_seasonal_profile,
+    "q175_data_quality": q175_data_quality,
+    "q176_minhash_estimate": q176_minhash_estimate,
+    "q177_calibration_curve": q177_calibration_curve,
+    "q178_cms_join_size": q178_cms_join_size,
+    # -- rotate into the window in a later round ------------------------
+    "q37_simhash": q37_simhash,
+    "q38_jaccard_pairs": q38_jaccard_pairs,
+    "q43_knn_gemm": q43_knn_gemm,
+    "q45_curation_pipeline": q45_curation_pipeline,
+    "q47_bpe_tokens": q47_bpe_tokens,
+    "q51_cube": q51_cube,
+    "q52_lead_lag_running": q52_lead_lag_running,
+    "q53_set_ops": q53_set_ops,
+    "q54_approx_distinct": q54_approx_distinct,
+    "q55_salted_join": q55_salted_join,
+    "q59_percentiles": q59_percentiles,
+    "q61_approx_percentiles": q61_approx_percentiles,
+    "q72_stratified_sample": q72_stratified_sample,
+    "q73_train_test_split": q73_train_test_split,
+    "q74_session_window": q74_session_window,
+    "q75_pivot": q75_pivot,
+    "q76_hopping_windows": q76_hopping_windows,
+    "q82_vocabulary": q82_vocabulary,
+    "q83_doc_frequency": q83_doc_frequency,
+    "q85_range_frame": q85_range_frame,
+    "q86_grouping_sets": q86_grouping_sets,
+    "q93_ranking_suite": q93_ranking_suite,
+    "q94_lateral_topk": q94_lateral_topk,
+    "q95_date_spine": q95_date_spine,
+    "q96_snapshot_diff": q96_snapshot_diff,
+    "q97_hll_partials": q97_hll_partials,
+    "q41_media_features": q41_media_features,
+    "q42_frame_sample": q42_frame_sample,
+    "q56_resize_thumbs": q56_resize_thumbs,
+    # -- driver-green round 4 (CORRECTNESS_r04) --------------------------
     "qd15_address_balances": qd15_address_balances,
     "qd16_cospend_entities": qd16_cospend_entities,
     "qd17_entity_summary": qd17_entity_summary,
@@ -5573,13 +5836,8 @@ QUERIES: dict[str, QueryFn] = {
     "q88_product_profit": q88_product_profit,
     "q89_national_part_value": q89_national_part_value,
     "q90_dominant_suppliers": q90_dominant_suppliers,
-    "q84_pagerank": q84_pagerank,
     "q87_label_propagation": q87_label_propagation,
     "q39_knn_bruteforce": q39_knn_bruteforce,
-    "q40_knn_lsh": q40_knn_lsh,
-    "q103_knn_lsh_gemm": q103_knn_lsh_gemm,
-    "q44_knn_ivf": q44_knn_ivf,
-    "q50_embedding_neardup_gemm": q50_embedding_neardup_gemm,
     "q99_unigram_likelihood": q99_unigram_likelihood,
     "q100_boilerplate_ngrams": q100_boilerplate_ngrams,
     "q101_vocab_overlap": q101_vocab_overlap,
@@ -5589,125 +5847,6 @@ QUERIES: dict[str, QueryFn] = {
     "q105_substring_dedup": q105_substring_dedup,
     "q106_bpe_encode": q106_bpe_encode,
     "qd22_fiat_conversion": qd22_fiat_conversion,
-    # -- round-4 additions past the window: lead the r5 rotation -------
-    "q107_bm25_topk": q107_bm25_topk,
-    "q108_quality_classifier": q108_quality_classifier,
-    "q109_temperature_sample": q109_temperature_sample,
-    "q110_kmeans_assign": q110_kmeans_assign,
-    "q111_kmeans_lloyd": q111_kmeans_lloyd,
-    "q112_semdedup": q112_semdedup,
-    "q113_chunking": q113_chunking,
-    "q114_pii_redaction": q114_pii_redaction,
-    "q115_pmi_collocations": q115_pmi_collocations,
-    "q116_wav_decode": q116_wav_decode,
-    "q117_group_capped_sample": q117_group_capped_sample,
-    "q118_batch_planning": q118_batch_planning,
-    "q119_language_confusion": q119_language_confusion,
-    "qd23_binary_files": qd23_binary_files,
-    "q120_triangle_count": q120_triangle_count,
-    "q121_heavy_hitters": q121_heavy_hitters,
-    "q122_bloom_decontaminate": q122_bloom_decontaminate,
-    "q123_image_dhash": q123_image_dhash,
-    "q124_audio_frames": q124_audio_frames,
-    "q125_knn_ivfpq": q125_knn_ivfpq,
-    "qd24_streaming_heavy_hitters": qd24_streaming_heavy_hitters,
-    "q126_hdr_quantiles": q126_hdr_quantiles,
-    "q127_funnel": q127_funnel,
-    "q128_cohort_retention": q128_cohort_retention,
-    "q129_skyline": q129_skyline,
-    "q130_personalized_pagerank": q130_personalized_pagerank,
-    "q131_max_concurrency": q131_max_concurrency,
-    "q132_record_linkage": q132_record_linkage,
-    "q133_scd2_intervals": q133_scd2_intervals,
-    "q134_mad_outliers": q134_mad_outliers,
-    "q135_ewma_smoothing": q135_ewma_smoothing,
-    "q136_zorder_key": q136_zorder_key,
-    "q137_shortest_paths": q137_shortest_paths,
-    "q138_kcore": q138_kcore,
-    "q139_column_profile": q139_column_profile,
-    "q140_bpe_train": q140_bpe_train,
-    "q141_interval_overlap_join": q141_interval_overlap_join,
-    "q142_systematic_sample": q142_systematic_sample,
-    "q143_scene_changes": q143_scene_changes,
-    "q144_random_walks": q144_random_walks,
-    "q145_bigram_lm": q145_bigram_lm,
-    "qd25_streaming_hdr_quantiles": qd25_streaming_hdr_quantiles,
-    "q146_kmv_sketch": q146_kmv_sketch,
-    "q147_negative_sampling": q147_negative_sampling,
-    "q148_harmonic_centrality": q148_harmonic_centrality,
-    "q149_weighted_reservoir": q149_weighted_reservoir,
-    "q150_roc_auc": q150_roc_auc,
-    "q151_corpus_drift": q151_corpus_drift,
-    "q152_equiwidth_bins": q152_equiwidth_bins,
-    "q153_zscore_normalize": q153_zscore_normalize,
-    "q154_kfold_assign": q154_kfold_assign,
-    "q155_jaccard_join": q155_jaccard_join,
-    "q156_tf_cosine_join": q156_tf_cosine_join,
-    "q157_modularity": q157_modularity,
-    "q158_two_hop": q158_two_hop,
-    "q159_simhash_join": q159_simhash_join,
-    "q160_louvain": q160_louvain,
-    "q161_attribution": q161_attribution,
-    "q162_rank_fusion": q162_rank_fusion,
-    "q163_count_min": q163_count_min,
-    "q164_event_transitions": q164_event_transitions,
-    "qd26_streaming_count_min": qd26_streaming_count_min,
-    "q165_span_dedup_rewrite": q165_span_dedup_rewrite,
-    "q166_gram_matrix": q166_gram_matrix,
-    "q167_ridge_fit": q167_ridge_fit,
-    "q168_path_counts": q168_path_counts,
-    "q169_betweenness": q169_betweenness,
-    "q170_pca_eigenvalues": q170_pca_eigenvalues,
-    "q171_feature_hash": q171_feature_hash,
-    "q172_skew_report": q172_skew_report,
-    "q173_logistic_gd": q173_logistic_gd,
-    "q174_seasonal_profile": q174_seasonal_profile,
-    "q175_data_quality": q175_data_quality,
-    "qd27_daily_balances": qd27_daily_balances,
-    "q176_minhash_estimate": q176_minhash_estimate,
-    "q177_calibration_curve": q177_calibration_curve,
-    "q178_cms_join_size": q178_cms_join_size,
-    "qd28_utxo_snapshot": qd28_utxo_snapshot,
-    "qd29_tx_fees": qd29_tx_fees,
-    "qd30_block_intervals": qd30_block_intervals,
-    "qd31_entity_daily_balances": qd31_entity_daily_balances,
-    "q179_window_distinct_merge": q179_window_distinct_merge,
-    "q180_point_in_time_lookup": q180_point_in_time_lookup,
-    "q181_golden_record": q181_golden_record,
-    "q182_ab_test": q182_ab_test,
-    "q183_cuped": q183_cuped,
-    "q184_winsorized_mean": q184_winsorized_mean,
-    "q185_mrr": q185_mrr,
-    # -- rotate into the window in a later round ------------------------
-    "q37_simhash": q37_simhash,
-    "q38_jaccard_pairs": q38_jaccard_pairs,
-    "q43_knn_gemm": q43_knn_gemm,
-    "q45_curation_pipeline": q45_curation_pipeline,
-    "q47_bpe_tokens": q47_bpe_tokens,
-    "q51_cube": q51_cube,
-    "q52_lead_lag_running": q52_lead_lag_running,
-    "q53_set_ops": q53_set_ops,
-    "q54_approx_distinct": q54_approx_distinct,
-    "q55_salted_join": q55_salted_join,
-    "q59_percentiles": q59_percentiles,
-    "q61_approx_percentiles": q61_approx_percentiles,
-    "q72_stratified_sample": q72_stratified_sample,
-    "q73_train_test_split": q73_train_test_split,
-    "q74_session_window": q74_session_window,
-    "q75_pivot": q75_pivot,
-    "q76_hopping_windows": q76_hopping_windows,
-    "q82_vocabulary": q82_vocabulary,
-    "q83_doc_frequency": q83_doc_frequency,
-    "q85_range_frame": q85_range_frame,
-    "q86_grouping_sets": q86_grouping_sets,
-    "q93_ranking_suite": q93_ranking_suite,
-    "q94_lateral_topk": q94_lateral_topk,
-    "q95_date_spine": q95_date_spine,
-    "q96_snapshot_diff": q96_snapshot_diff,
-    "q97_hll_partials": q97_hll_partials,
-    "q41_media_features": q41_media_features,
-    "q42_frame_sample": q42_frame_sample,
-    "q56_resize_thumbs": q56_resize_thumbs,
     # -- driver-green rounds 1-3 (CORRECTNESS_r01-r03) -------------------
     "q02_range_scan": q02_range_scan,
     "q03_bucket_projection": q03_bucket_projection,
@@ -7328,6 +7467,57 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
 FROM documents
 """,
     "q39_knn_bruteforce": _knn_bruteforce_sql(3),
+    # q40: the LSH result is a pure function of the data (seeded
+    # hyperplane literals, fixed-order folds), so the streaming-ANN SQL
+    # mirror re-derives it bit-exactly with q40's batch geometry.
+    "q40_knn_lsh": _stream_ann_sql(
+        k=1, n_planes=8, n_tables=2, seed=42, multiprobe=0, dim=64
+    ),
+    # q103: GEMM-vs-fold parity frame — expected pair count comes from
+    # the same bit-exact LSH mirror; the symmetric difference is an
+    # identity (0).
+    "q103_knn_lsh_gemm": (
+        "SELECT count(*) AS n_pairs, CAST(0 AS BIGINT) AS n_gemm_only,"
+        " CAST(0 AS BIGINT) AS n_fold_only FROM ("
+        + _stream_ann_sql(k=1, n_planes=8, n_tables=2, seed=42, multiprobe=0, dim=64)
+        + ")"
+    ),
+    # q44: invariant frame — full-probe IVF ≡ exact top-1 is a
+    # mathematical identity (candidate set = corpus), and at k=1 both
+    # the exact and the probe-4 result carry one row per vector.
+    "q44_knn_ivf": (
+        "SELECT count(*) AS n_queries, count(*) AS n_results,"
+        " CAST(0 AS BIGINT) AS n_fullprobe_mismatch FROM embeddings"
+    ),
+    # q50: GEMM-vs-fold near-dup parity — expected pair count from the
+    # bit-exact q46 mirror; symmetric difference is an identity (0).
+    "q50_embedding_neardup_gemm": (
+        "SELECT count(*) AS n_pairs, CAST(0 AS BIGINT) AS n_gemm_only,"
+        " CAST(0 AS BIGINT) AS n_fold_only FROM ("
+        + _neardup_sql(0.35, 4, 4, 64)
+        + ")"
+    ),
+    # q84: conservation-law invariant frame — graph shape from the
+    # chain-edge CTE (directed), mass/positivity are identities.
+    "q84_pagerank": """
+WITH g0 AS (
+    SELECT DISTINCT l_orderkey AS g, l_suppkey AS node
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-03-01'
+),
+chain AS (
+    SELECT g, node AS src,
+           lead(node) OVER (PARTITION BY g ORDER BY node) AS dst
+    FROM g0
+),
+e AS (SELECT DISTINCT src, dst FROM chain WHERE dst IS NOT NULL),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM nodes
+        WHERE node NOT IN (SELECT src FROM e)) AS n_dangling,
+       CAST(1000000 AS BIGINT) AS mass_e6,
+       CAST(0 AS BIGINT) AS n_nonpos
+""",
     "q46_embedding_neardup": _neardup_sql(0.35, 4, 4, 64),
     "qd12_streaming_ann": _stream_ann_sql(3, 6, 2, 42, 1, 64),
     "q55_salted_join": """
