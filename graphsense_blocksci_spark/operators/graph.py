@@ -396,12 +396,17 @@ def triangle_count(
             "v",
         )
     )
+    # The oriented frame feeds THREE consumers (both wedge sides and the
+    # closing join); without materialization the degree aggregate and both
+    # rank joins re-execute per consumer (34 exchanges AQE-off). The lazy
+    # localCheckpoint pins it once, restoring the documented 3-shuffle
+    # shape — same treatment as modularity's `und` frame below.
     oriented = ranked.select(
         F.when(F.col("_ru") < F.col("_rv"), F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(F.col("_ru") < F.col("_rv"), F.col("v")).otherwise(F.col("u")).alias("b"),
         F.least("_ru", "_rv").alias("_ra"),
         F.greatest("_ru", "_rv").alias("_rb"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select("a", F.col("b").alias("w1"), F.col("_rb").alias("_r1"))
     e2 = oriented.select("a", F.col("b").alias("w2"), F.col("_rb").alias("_r2"))
     wedges = e1.join(e2, "a").filter(F.col("_r1") < F.col("_r2"))
@@ -409,11 +414,10 @@ def triangle_count(
     tris = wedges.join(closing, ["w1", "w2"]).select(
         F.col("a").alias("x"), F.col("w1").alias("y"), F.col("w2").alias("z")
     )
-    corners = (
-        tris.select(F.col("x").alias("node"))
-        .union(tris.select(F.col("y").alias("node")))
-        .union(tris.select(F.col("z").alias("node")))
-    )
+    # Map-side explode, NOT a 3-way union: a union would make `tris` a
+    # triple consumer and replicate the wedge+closing join tree per
+    # corner (the SMJ work runs 3x even when exchanges are reused).
+    corners = tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 

@@ -68,14 +68,28 @@ def bm25_topk(
         F.col(id_col).cast("long").alias(id_col),
         tokens(text_col).alias("_t"),
     )
-    dl = toks.select(id_col, F.size("_t").cast("long").alias("dl"))
+    terms = toks.select(id_col, F.explode("_t").alias("term"))
+    # tf is the shared root of FOUR consumers (df_, dl, stats, scored);
+    # the lazy localCheckpoint runs the regexp tokenization + explode
+    # exactly once instead of once per consumer. dl re-derives from tf
+    # (sum of per-term counts == token count) so no consumer reaches
+    # back past the checkpoint.
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # zero-token docs still count toward _n / avgdl: re-attach them via
+    # a column-pruned id scan (no tokenization) with dl = 0.
+    ids = spread(docs).select(F.col(id_col).cast("long").alias(id_col))
+    dl = ids.join(
+        tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("_dl")),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("_dl", F.lit(0)).cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("dl").cast("long").alias("_sumdl"),
-    )
-    terms = toks.select(id_col, F.explode("_t").alias("term"))
-    tf = terms.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qdf = spark.createDataFrame(
@@ -171,13 +185,21 @@ def rank_fusion_borda(
     Returns (query_col, id_col, rank_col, prior_rank, borda,
     fused_rank) for fused_rank <= k.
     """
-    j = candidates.select(
-        query_col, id_col, F.col(rank_col).cast("long").alias(rank_col)
-    ).join(
-        prior.select(
-            F.col(id_col), F.col(prior_col).cast("long").alias("_prior")
-        ),
-        id_col,
+    # `j` feeds both the per-query size agg and the prior window; the
+    # lazy localCheckpoint pins it (|queries| x k rows) so the upstream
+    # candidate ranking — often a full BM25 plan — executes once, not
+    # twice (the q162 shared-subplan audit, VERDICT r4 item 2).
+    j = (
+        candidates.select(
+            query_col, id_col, F.col(rank_col).cast("long").alias(rank_col)
+        )
+        .join(
+            prior.select(
+                F.col(id_col), F.col(prior_col).cast("long").alias("_prior")
+            ),
+            id_col,
+        )
+        .localCheckpoint(eager=False)
     )
     n = j.groupBy(query_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
     pw = Window.partitionBy(query_col).orderBy(

@@ -68,6 +68,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     perms: int = MINHASH_PERMS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document minhash signature columns mh0..mh{perms-1}.
 
@@ -81,7 +82,15 @@ def minhash_signatures(
     Docs too short to have any shingle vanish in the explode — same
     semantics as dropping NULL signatures (no LSH information).
     """
-    sh = shingle_hash_frame(docs, text_col, id_col)
+    # `shingles` lets a caller that also consumes the shingle frame
+    # elsewhere (e.g. the q176 estimator audit) pass a pinned copy so
+    # the normalize→tokenize→shingle pipeline runs once, not per
+    # consumer.
+    sh = (
+        shingle_hash_frame(docs, text_col, id_col)
+        if shingles is None
+        else shingles
+    )
     exploded = sh.select(id_col, F.explode("_sh").alias("_h"))
     aggs = [
         F.min(
@@ -99,6 +108,7 @@ def minhash_lsh_pairs(
     perms: int = MINHASH_PERMS,
     band_rows: int = LSH_BAND_ROWS,
     max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash LSH.
 
@@ -108,7 +118,10 @@ def minhash_lsh_pairs(
     corpora) — pair count is bounded by n_bands * max_bucket² per
     bucket instead of |corpus|².
     """
-    sigs = minhash_signatures(docs, text_col, id_col, perms)
+    # `sigs` lets a caller reuse an already-pinned signature frame so
+    # the whole minhash pipeline isn't recomputed per consumer.
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, id_col, perms)
     n_bands = perms // band_rows
     bands = sigs.select(
         F.col(id_col),

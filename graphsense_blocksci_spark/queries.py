@@ -5041,8 +5041,14 @@ def q176_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs)
-    sigs = minhash_signatures(docs)
+    # Shared-subplan pinning (VERDICT r4 item 2): the shingle frame
+    # feeds the signature agg AND the exact-Jaccard sides, and the
+    # signature frame feeds the LSH pairing AND both estimate sides —
+    # lazy localCheckpoints run each pipeline stage once instead of
+    # once per consumer (was 12 exchanges of recomputation).
+    sh = shingle_hash_frame(docs).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs, shingles=sh).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(docs, sigs=sigs)
     n = MINHASH_PERMS
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
@@ -5056,7 +5062,6 @@ def q176_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(n):
         t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         matches = t if matches is None else matches + t
-    sh = shingle_hash_frame(docs)
     ha = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     hb = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
