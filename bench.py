@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q157_modularity",
     "q158_two_hop",
     "q159_simhash_join",
+    "q160_louvain",
     "q161_attribution",
     "q162_rank_fusion",
     "q163_count_min",
@@ -145,10 +146,9 @@ BENCH_QUERIES = [
     "q184_winsorized_mean",
     "q185_mrr",
 ]
-# q160 (Louvain) is gate-only: 6 local-move sub-rounds x ~6 node-keyed
-# shuffles each is honest algorithmic cost, but at toy scale the
-# per-stage scheduler latency dominates (55 s of overhead for <1 s of
-# compute); pagerank/LPA carry the iterative-graph timing signal.
+# q160 (Louvain) entered the bench list in round 5: lazy checkpoints
+# fold each level's sub-round jobs into one Spark job (~45 s of toy-
+# scale scheduler latency dropped to <10 s at sf0.1).
 # qd25 (streaming HDR quantiles) is gate-only like qd23/qd24: its
 # fixture staging + checkpoint setup would dominate the timing; the
 # batch twin q126 carries the timing signal.

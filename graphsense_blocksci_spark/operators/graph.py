@@ -997,7 +997,10 @@ def _louvain_local_move(
             .cast("long")
             .alias("k"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside the first consuming job, so a level
+        # costs ONE Spark job instead of one per checkpoint (the
+        # job-folding treatment that took logistic GD 5.4->4.4 s)
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select("i", F.col("i").alias("comm"))
     for r in range(sub_rounds):
@@ -1069,7 +1072,7 @@ def _louvain_local_move(
             .select(
                 "i", F.coalesce(F.col("_new"), F.col("comm")).alias("comm")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     canon = labels.groupBy("comm").agg(F.min("i").alias("canon"))
     return labels.join(canon, "comm").select(
@@ -1130,7 +1133,7 @@ def louvain(
         )
         .groupBy("a", "b")
         .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # 2m is invariant across levels (contraction preserves total weight)
     two_m = (
@@ -1142,7 +1145,7 @@ def louvain(
             ).alias("_t")
         )
         .agg(F.sum("_t").cast("long").alias("m"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     mapping: DataFrame | None = None
     cur = und
@@ -1160,7 +1163,7 @@ def louvain(
                 )
                 .select("node", F.col("comm").alias("community"))
             )
-        mapping = mapping.localCheckpoint(eager=True)
+        mapping = mapping.localCheckpoint(eager=False)
         if lvl < levels - 1:
             la = labels.select(
                 F.col("node").alias("a"), F.col("comm").alias("ca")
@@ -1178,7 +1181,7 @@ def louvain(
                 )
                 .groupBy("a", "b")
                 .agg(F.sum("w").cast("long").alias("w"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     return mapping
 
