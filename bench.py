@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q183_cuped",
     "q184_winsorized_mean",
     "q185_mrr",
+    "q186_edit_distance_join",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -5671,6 +5671,22 @@ def q185_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q186_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level record linkage: all customer-name pairs within
+    Levenshtein distance 1, via FastSS deletion-neighborhood blocking
+    (operators/stringsim.py:edit_distance_join) — candidates meet only
+    through shared single-deletion variants (hashed to longs), then the
+    exact integer `levenshtein` verifies; zero false negatives by the
+    pigeonhole argument, so the brute-force all-pairs oracle matches
+    cell-exactly while the Spark plan never forms the cross product."""
+    from graphsense_blocksci_spark.operators.stringsim import (
+        edit_distance_join,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    return edit_distance_join(c, "c_name", "c_custkey", max_dist=1)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5791,6 +5807,7 @@ QUERIES: dict[str, QueryFn] = {
     "q176_minhash_estimate": q176_minhash_estimate,
     "q177_calibration_curve": q177_calibration_curve,
     "q178_cms_join_size": q178_cms_join_size,
+    "q186_edit_distance_join": q186_edit_distance_join,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -10525,3 +10542,14 @@ FROM firsts, nq
 GROUP BY nq.n
 """
 )
+
+
+# q186: brute-force all-pairs Levenshtein — the completeness oracle the
+# FastSS deletion-blocking plan must match exactly.
+ORACLE_SQL["q186_edit_distance_join"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""

@@ -408,3 +408,54 @@ def test_simhash_pigeonhole_never_misses_a_pair(spark, sigs, d):
         if bin(sa ^ sb).count("1") <= d
     }
     assert got == want
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abc#01", min_size=0, max_size=8
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+)
+def test_edit_distance_join_never_misses_a_pair(spark, words):
+    """FastSS deletion-blocking completeness under random short
+    strings: every pair at Levenshtein distance <= 1 must be emitted
+    with its exact distance (the pigeonhole argument over deletion
+    variants, including empty strings and duplicates)."""
+    import itertools
+
+    from graphsense_blocksci_spark.operators.stringsim import (
+        edit_distance_join,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_join(df, "s", "id", max_dist=1).collect()
+    }
+    want = {
+        (a, b): lev(wa, wb)
+        for (a, wa), (b, wb) in itertools.combinations(enumerate(words), 2)
+        if lev(wa, wb) <= 1
+    }
+    assert got == want

@@ -1,0 +1,187 @@
+"""10x scale-up harness (VERDICT r4 item 5): derive an sf1-equivalent
+corpus from sf0.1 and time the most expensive query families at both
+scales, validating the "fixed-iteration overhead dominates at toy
+scale" claims empirically.
+
+The scale-up unions C=10 copies of each table with disjoint key spaces
+and deterministic content perturbation, so cardinalities, group sizes
+and join fan-outs scale linearly while per-copy distributions are
+preserved:
+
+- lineitem / orders : all keys shifted by copy * stride -> the supplier
+  graph becomes 10 disjoint copies (nodes and edges scale x10; degree
+  distribution unchanged), GD/profile scans scale x10.
+- documents         : doc_id shifted; for copy c > 0 every (c+1)-th
+  token is dropped, which rewrites the shingle sets wholesale (cross-
+  copy Jaccard ~ 0) while preserving each copy's internal near-dup
+  structure -- so the set-similarity join grows in corpus, not in
+  degenerate duplicate families.
+- embeddings        : vec_id shifted; components rotated by c, which
+  preserves within-copy pairwise dot products (a coordinate
+  permutation) and decorrelates copies.
+
+Usage: python tools/scale_up.py [out_dir] [copies]
+       python tools/scale_up.py --bench   (build + time the 6 families)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sf1_synth"
+COPIES = 10
+KEY_STRIDE = 100_000_000
+
+FAMILIES = [
+    "q130_personalized_pagerank",
+    "q111_kmeans_lloyd",
+    "q155_jaccard_join",
+    "q139_column_profile",
+    "q173_logistic_gd",
+    "q105_substring_dedup",
+]
+
+
+def _shift(col: str, c: int):
+    return (F.col(col).cast("long") + F.lit(c * KEY_STRIDE)).alias(col)
+
+
+def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    li = load_table(spark, SRC, "lineitem")
+    o = load_table(spark, SRC, "orders")
+    docs = load_table(spark, SRC, "documents")
+    emb = load_table(spark, SRC, "embeddings")
+
+    li_parts = []
+    o_parts = []
+    d_parts = []
+    e_parts = []
+    dim = len(emb.select("embedding").first()[0])
+    for c in range(copies):
+        li_parts.append(
+            li.select(
+                _shift("l_orderkey", c),
+                _shift("l_partkey", c),
+                _shift("l_suppkey", c),
+                *[
+                    col
+                    for col in li.columns
+                    if col not in ("l_orderkey", "l_partkey", "l_suppkey")
+                ],
+            )
+        )
+        o_parts.append(
+            o.select(
+                _shift("o_orderkey", c),
+                _shift("o_custkey", c),
+                *[
+                    col
+                    for col in o.columns
+                    if col not in ("o_orderkey", "o_custkey")
+                ],
+            )
+        )
+        if c == 0:
+            text = F.col("text")
+        else:
+            # drop every (c+1)-th token: rewrites shingles wholesale,
+            # keeps within-copy near-dup structure
+            text = F.array_join(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda x, i: i % (c + 1) != 0,
+                ),
+                " ",
+            )
+        d_parts.append(
+            docs.select(
+                _shift("doc_id", c),
+                text.alias("text"),
+                *[col for col in docs.columns if col not in ("doc_id", "text")],
+            )
+        )
+        rot = c % dim
+        if rot == 0:
+            vec = F.col("embedding")
+        else:
+            vec = F.concat(
+                F.slice(F.col("embedding"), rot + 1, dim - rot),
+                F.slice(F.col("embedding"), 1, rot),
+            )
+        e_parts.append(
+            emb.select(
+                _shift("vec_id", c),
+                vec.alias("embedding"),
+                *[
+                    col
+                    for col in emb.columns
+                    if col not in ("vec_id", "embedding")
+                ],
+            )
+        )
+
+    def union_all(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    for name, frame in (
+        ("lineitem", union_all(li_parts)),
+        ("orders", union_all(o_parts)),
+        ("documents", union_all(d_parts)),
+        ("embeddings", union_all(e_parts)),
+    ):
+        path = f"{out_dir}/{name}.parquet"
+        frame.write.mode("overwrite").parquet(path)
+        print(f"# wrote {path}", file=sys.stderr)
+
+
+def bench(spark, out_dir: str = OUT) -> dict:
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    results: dict[str, dict[str, float]] = {}
+    for name in FAMILIES:
+        row: dict[str, float] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", out_dir)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[label] = round(best, 2)
+            print(f"# {name} {label}: {best:.2f}s", file=sys.stderr)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        results[name] = row
+    return results
+
+
+def main() -> None:
+    from graphsense_blocksci_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-up-spotcheck")
+    if "--bench" in sys.argv:
+        build(spark)
+        out = bench(spark)
+        print(json.dumps(out, indent=2))
+    else:
+        out_dir = sys.argv[1] if len(sys.argv) > 1 else OUT
+        copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+        build(spark, out_dir, copies)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
