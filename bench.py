@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "q184_winsorized_mean",
     "q185_mrr",
     "q186_edit_distance_join",
+    "q187_map_at_10",
+    "q188_autocorrelation",
+    "q190_nb_token_model",
+    "q191_chi2_independence",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -5687,6 +5687,203 @@ def q186_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(c, "c_name", "c_custkey", max_dist=1)
 
 
+def q187_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-Average-Precision@10 inputs for the q107 BM25 ranking,
+    EXACT-rational like q185's MRR: per query, AP's numerator is
+    Σ over relevant ranks r of 2520·cum_rel(r)/r (2520 = lcm(1..10)
+    makes every term an integer), the denominator 2520·min(R, 10)
+    rides alongside, and the float AP is ONE divide on those integers
+    — hash-comparable where float Σ prec/r would be order-dependent.
+    Completes the ranking-eval suite (AUC q150, calibration q177,
+    MRR q185)."""
+    from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, k=10).select(
+        "query_id", F.col("doc_id").cast("long").alias("doc_id"), "rank"
+    )
+    rel = ranked.filter(F.col("doc_id") % 6 == F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    terms = rel.select(
+        "query_id",
+        (
+            F.expr("CAST(2520 DIV rank AS BIGINT)")
+            * F.row_number().over(w).cast("long")
+        ).alias("_term"),
+    )
+    per_q = terms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel_at10"),
+        F.sum("_term").cast("long").alias("ap_num2520"),
+    )
+    corpus_rel = docs.select(
+        (F.col("doc_id") % 6).cast("long").alias("query_id")
+    ).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel_corpus")
+    )
+    return (
+        ranked.select("query_id").distinct()
+        .join(per_q, "query_id", "left")
+        .join(corpus_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel_at10", F.lit(0)).cast("long").alias("n_rel_at10"),
+            F.coalesce("n_rel_corpus", F.lit(0)).cast("long").alias(
+                "n_rel_corpus"
+            ),
+            F.coalesce("ap_num2520", F.lit(0)).cast("long").alias("ap_num2520"),
+            (F.lit(2520) * F.least(F.coalesce("n_rel_corpus", F.lit(0)), F.lit(10)))
+            .cast("long")
+            .alias("ap_den2520"),
+            (
+                F.coalesce("ap_num2520", F.lit(0)).cast("double")
+                / (
+                    F.lit(2520.0)
+                    * F.least(
+                        F.coalesce("n_rel_corpus", F.lit(0)), F.lit(10)
+                    ).cast("double")
+                )
+            ).alias("ap"),
+        )
+    )
+
+
+def q188_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily order-count series at lags
+    1..7 — the seasonality diagnostic (weekly structure) behind the
+    q174 seasonal profile. All sums are INTEGER via the n²-scaling
+    trick: with S = Σx and n days, (n·x_t − S) is an integer, so the
+    lag-k numerator Σ(n·x_t − S)(n·x_{t+k} − S) over day pairs (t,
+    t+k both present) and the denominator Σ(n·x_t − S)² are exact
+    int64 sums (order-independent) and the float ACF is one divide.
+    One tiny daily aggregate, one broadcast self-join on day+lag —
+    nothing here grows past |days| rows regardless of corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    d = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n", "s"
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    left = d.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") + F.col("lag")).alias("day"), F.col("c").alias("c_t")
+    )
+    pairs = left.join(
+        d.select("day", F.col("c").alias("c_tk")), "day"
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("c_t") * F.col("c_tk")).cast("long").alias("num_scaled"),
+    )
+    den = d.agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("den_scaled"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            "num_scaled",
+            "den_scaled",
+            (F.col("num_scaled").cast("double") / F.col("den_scaled").cast("double")).alias(
+                "acf"
+            ),
+        )
+    )
+
+
+def q190_nb_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes training pass: per (lang, token), the
+    Laplace-smoothed class-conditional probability — the integer-
+    division form floor(1e6·(c+1)/(N_lang+V)) so the model is exact
+    and hash-comparable (no logs, no float sums; scoring applies logs
+    at inference, outside this frame). V is the corpus vocabulary,
+    N_lang the class token count. The token-class count matrix is the
+    one shuffle; everything after is vocabulary-sized. Tokens below
+    2 occurrences in a class are dropped to bound the emitted model
+    (the smoothing denominator still counts the full vocabulary)."""
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "lang", F.explode(tokens("text")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    n_lang = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens")
+    )
+    vocab = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    return (
+        counts.filter(F.col("c") >= 2)
+        .join(n_lang, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "token",
+            "c",
+            "n_tokens",
+            "v",
+            F.expr("CAST(1000000 * (c + 1) DIV (n_tokens + v) AS BIGINT)").alias(
+                "p_ppm"
+            ),
+        )
+    )
+
+
+def q191_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence scan between event type and hour of
+    day — the categorical-association profiler (feature-vs-feature
+    screening before training). Per cell: observed count, the row/
+    column margins, and the chi² contribution as a DETERMINISTIC
+    integer — (O·N − rt·ct)²/(rt·ct·N) evaluated in one fixed-shape
+    double expression over int64 inputs (every step correctly rounded
+    IEEE, identical in any engine) and floored to ppm, so the sum is
+    an integer sum. One contingency aggregate + broadcast margins."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("hour").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hour")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "hour",
+            "o",
+            "rt",
+            "ct",
+            "n",
+            F.floor(
+                F.lit(1e6)
+                * F.pow(
+                    F.col("o").cast("double") * F.col("n").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct").cast("double"),
+                    F.lit(2.0),
+                )
+                / (
+                    F.col("rt").cast("double")
+                    * F.col("ct").cast("double")
+                    * F.col("n").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("chi2_ppm"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -5808,6 +6005,10 @@ QUERIES: dict[str, QueryFn] = {
     "q177_calibration_curve": q177_calibration_curve,
     "q178_cms_join_size": q178_cms_join_size,
     "q186_edit_distance_join": q186_edit_distance_join,
+    "q187_map_at_10": q187_map_at_10,
+    "q188_autocorrelation": q188_autocorrelation,
+    "q190_nb_token_model": q190_nb_token_model,
+    "q191_chi2_independence": q191_chi2_independence,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -10552,4 +10753,124 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
 FROM customer a
 JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+# q187: q107's ranking CTE + exact-rational AP terms (2520 = lcm(1..10),
+# so 2520//rank * cum_rel is an integer term).
+ORACLE_SQL["q187_map_at_10"] = (
+    "WITH ranked AS (\n"
+    + ORACLE_SQL["q107_bm25_topk"]
+    + """),
+rel AS (
+    SELECT query_id, rank,
+           row_number() OVER (PARTITION BY query_id ORDER BY rank) AS cum
+    FROM ranked WHERE doc_id % 6 = query_id
+),
+perq AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_at10,
+           CAST(sum((2520 // rank) * cum) AS BIGINT) AS ap_num2520
+    FROM rel GROUP BY query_id
+),
+corpus AS (
+    SELECT CAST(doc_id % 6 AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_rel_corpus
+    FROM documents GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM ranked)
+SELECT q.query_id,
+       COALESCE(p.n_rel_at10, 0) AS n_rel_at10,
+       COALESCE(c.n_rel_corpus, 0) AS n_rel_corpus,
+       COALESCE(p.ap_num2520, 0) AS ap_num2520,
+       CAST(2520 * LEAST(COALESCE(c.n_rel_corpus, 0), 10) AS BIGINT)
+           AS ap_den2520,
+       CAST(COALESCE(p.ap_num2520, 0) AS DOUBLE)
+           / (2520.0 * CAST(LEAST(COALESCE(c.n_rel_corpus, 0), 10) AS DOUBLE))
+           AS ap
+FROM qs q
+LEFT JOIN perq p USING (query_id)
+LEFT JOIN corpus c USING (query_id)
+"""
+)
+
+
+# q188: n^2-scaled integer autocovariance — (n*x_t - S) products are
+# exact int64 sums, so the frame hash-compares.
+ORACLE_SQL["q188_autocorrelation"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+    FROM daily
+),
+d AS (
+    SELECT day, n * x - s AS c FROM daily, stats
+),
+lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+pairs AS (
+    SELECT l.lag, a.c AS c_t, b.c AS c_tk
+    FROM lags l
+    JOIN d a ON TRUE
+    JOIN d b ON b.day = a.day + l.lag
+)
+SELECT lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c_t * c_tk) AS BIGINT) AS num_scaled,
+       (SELECT CAST(sum(c * c) AS BIGINT) FROM d) AS den_scaled,
+       CAST(sum(c_t * c_tk) AS DOUBLE)
+           / CAST((SELECT sum(c * c) FROM d) AS DOUBLE) AS acf
+FROM pairs GROUP BY lag
+"""
+
+
+# q190: Laplace-smoothed class-conditional token probabilities by
+# integer division — mirror of the textops token pipeline.
+ORACLE_SQL["q190_nb_token_model"] = r"""
+WITH tok AS (
+    SELECT lang,
+           unnest(list_filter(
+               string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               t -> t <> '')) AS token
+    FROM documents
+),
+counts AS (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY lang, token
+),
+nl AS (
+    SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens FROM counts GROUP BY lang
+),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM counts)
+SELECT counts.lang, token, c, n_tokens, v.v AS v,
+       CAST(1000000 * (c + 1) // (n_tokens + v.v) AS BIGINT) AS p_ppm
+FROM counts JOIN nl ON counts.lang = nl.lang, v
+WHERE c >= 2
+"""
+
+
+# q191: contingency + margins; chi2 contribution as ONE fixed-shape
+# double expression over int64 inputs (correctly-rounded IEEE in both
+# engines), floored to ppm.
+ORACLE_SQL["q191_chi2_independence"] = """
+WITH cells AS (
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT hour, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT cells.event_type, cells.hour, o, rt.rt AS rt, ct.ct AS ct, n.n AS n,
+       CAST(floor(
+           1e6 * pow(CAST(o AS DOUBLE) * CAST(n.n AS DOUBLE)
+                     - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE), 2.0)
+           / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+              * CAST(n.n AS DOUBLE))
+       ) AS BIGINT) AS chi2_ppm
+FROM cells
+JOIN rt ON cells.event_type = rt.event_type
+JOIN ct ON cells.hour = ct.hour, n
 """
