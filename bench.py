@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q186_edit_distance_join",
     "q187_map_at_10",
     "q188_autocorrelation",
+    "q189_msf_boruvka",
     "q190_nb_token_model",
     "q191_chi2_independence",
     # entity-ledger family over the fixture chain (fixtures are

@@ -1339,3 +1339,110 @@ def betweenness_sampled(
         .agg(F.sum("delta").alias("betweenness"))
         .withColumn("n_sources", F.lit(n_sources).cast("long"))
     )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Deterministic distributed Borůvka minimum spanning forest.
+    Returns the forest edges ``(a, b, w)``, all LONG, one row per
+    chosen edge (n_nodes − n_components rows total).
+
+    Borůvka is THE MapReduce-friendly MST algorithm: every round each
+    component picks its cheapest outgoing edge (all picks in one
+    min_by aggregate), picked edges merge components, and the
+    component count at least halves — O(log n) rounds, like the
+    star-contraction CC this module is built around. Prim/Kruskal are
+    inherently sequential (one global priority queue) and have no
+    shuffle-efficient formulation.
+
+    Determinism: the edge total order is (w, a, b) — with that
+    tie-break the MSF is UNIQUE, so output is reproducible across
+    runs, partitionings and engines (the same discipline as the
+    degree*2^32+id rank in `triangle_count`).
+
+    Plan per round: one labels join onto the (static, checkpointed)
+    edge set + one per-component min_by aggregate + a component
+    contraction on the PICKED edges only (≤ one edge per component —
+    the adaptive `connected_components` solves that tiny graph at the
+    driver long before any distributed rounds are needed). The round
+    count probe collects one long. Multi-edges collapse to their min
+    weight up front, so the shuffled edge set never exceeds the
+    simple-graph size.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    und = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+            w.alias("w"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    forest: DataFrame | None = None
+    for _ in range(max_rounds):
+        la = labels.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        cross = (
+            und.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        sides = cross.select(
+            F.col("ca").alias("comp"), "a", "b", "w", "ca", "cb"
+        ).union(
+            cross.select(F.col("cb").alias("comp"), "a", "b", "w", "ca", "cb")
+        )
+        picked = (
+            sides.groupBy("comp")
+            .agg(
+                F.min_by(
+                    F.struct("a", "b", "w", "ca", "cb"),
+                    F.struct("w", "a", "b"),
+                ).alias("e")
+            )
+            .select("e.a", "e.b", "e.w", "e.ca", "e.cb")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        if picked.limit(1).count() == 0:
+            break
+        chosen = picked.select("a", "b", "w")
+        forest = chosen if forest is None else forest.union(chosen)
+        forest = forest.localCheckpoint(eager=False)
+        mapping = connected_components(
+            picked.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        ).select(F.col("node").alias("comp"), F.col("component").alias("_new"))
+        labels = (
+            labels.join(mapping, "comp", "left")
+            .select(
+                "node", F.coalesce(F.col("_new"), F.col("comp")).alias("comp")
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} rounds"
+        )
+    if forest is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "a long, b long, w long")
+    return forest.distinct()

@@ -5796,6 +5796,48 @@ def q188_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q189_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest over the co-occurrence-weighted
+    supplier chain graph (operators/graph.py:minimum_spanning_forest)
+    — driver-checkable invariant frame: the forest itself is
+    pytest-gated against a python Kruskal reference under the same
+    (w, a, b) total order (the MSF is unique given a total order), and
+    the frame pins the SQL-derivable structure every spanning forest
+    must satisfy:
+
+    - ``n_nodes`` / ``n_components``  (oracle: recursive-CTE CC over
+      the same chain edges, as in q63)
+    - ``n_forest_edges``  — must equal n_nodes − n_components (a
+      spanning forest of each component, acyclic and connected)
+    - ``euler_gap``  n_forest_edges + n_components − n_nodes
+      (oracle: the identity, 0)"""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+        minimum_spanning_forest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    chain = _supplier_chain_edges(li)
+    weighted = chain.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    msf = minimum_spanning_forest(weighted, weight_col="w")
+    cc = connected_components(chain)
+    shape = cc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+    nfe = msf.agg(F.count(F.lit(1)).cast("long").alias("n_forest_edges"))
+    return shape.crossJoin(nfe).select(
+        "n_nodes",
+        "n_components",
+        "n_forest_edges",
+        (
+            F.col("n_forest_edges") + F.col("n_components") - F.col("n_nodes")
+        ).alias("euler_gap"),
+    )
+
+
 def q190_nb_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial naive-Bayes training pass: per (lang, token), the
     Laplace-smoothed class-conditional probability — the integer-
@@ -6007,6 +6049,7 @@ QUERIES: dict[str, QueryFn] = {
     "q186_edit_distance_join": q186_edit_distance_join,
     "q187_map_at_10": q187_map_at_10,
     "q188_autocorrelation": q188_autocorrelation,
+    "q189_msf_boruvka": q189_msf_boruvka,
     "q190_nb_token_model": q190_nb_token_model,
     "q191_chi2_independence": q191_chi2_independence,
     # -- rotate into the window in a later round ------------------------
@@ -10873,4 +10916,42 @@ SELECT cells.event_type, cells.hour, o, rt.rt AS rt, ct.ct AS ct, n.n AS n,
 FROM cells
 JOIN rt ON cells.event_type = rt.event_type
 JOIN ct ON cells.hour = ct.hour, n
+"""
+
+
+# q189: recursive-CTE component count over the chain edges (as in
+# q63); forest-edge count is the spanning-forest identity.
+ORACLE_SQL["q189_msf_boruvka"] = """
+WITH RECURSIVE g0 AS (
+    SELECT DISTINCT l_orderkey AS g, l_suppkey AS node
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-03-01'
+),
+chain AS (
+    SELECT g, node AS src,
+           lead(node) OVER (PARTITION BY g ORDER BY node) AS dst
+    FROM g0
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IS NOT NULL
+    UNION
+    SELECT dst, src FROM chain WHERE dst IS NOT NULL
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+lbl AS (
+    SELECT node, min(comp) AS comp FROM walk GROUP BY node
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(DISTINCT comp) AS BIGINT) AS n_components
+    FROM lbl
+)
+SELECT n_nodes, n_components,
+       CAST(n_nodes - n_components AS BIGINT) AS n_forest_edges,
+       CAST(0 AS BIGINT) AS euler_gap
+FROM agg
 """

@@ -606,3 +606,59 @@ def test_streaming_cms_accumulates_across_batches(spark, tmp_path):
         for r in cms_estimate(want, keys, "k", depth=3, width=64).collect()
     }
     assert est_stream == est_batch
+
+
+def test_msf_boruvka_matches_kruskal_reference(spark):
+    """Borůvka under the (w, a, b) total order must produce THE unique
+    minimum spanning forest — checked edge-for-edge against a python
+    Kruskal using the same order, on a multi-component weighted graph
+    with deliberate weight ties and parallel edges."""
+    import random
+
+    from graphsense_blocksci_spark.operators.graph import (
+        minimum_spanning_forest,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # two dense components with tied weights + one isolated pair
+    for lo, hi in ((0, 12), (20, 29)):
+        nodes = list(range(lo, hi))
+        for _ in range(40):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b, rng.randint(1, 4)))
+    edges.append((50, 51, 9))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = sorted(
+        (r.a, r.b, r.w)
+        for r in minimum_spanning_forest(df, weight_col="w").collect()
+    )
+
+    # Kruskal reference under the same (w, a, b) order on the deduped
+    # simple graph (parallel edges collapse to min weight, as the
+    # operator documents)
+    simple = {}
+    for s, d, w in edges:
+        a, b = min(s, d), max(s, d)
+        simple[(a, b)] = min(simple.get((a, b), w), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = []
+    for (a, b), w in sorted(simple.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.append((a, b, w))
+    assert got == sorted(want)
+
+    # spanning-forest shape: |F| = n - n_components
+    nodes = {x for e in simple for x in e}
+    comps = len({find(x) for x in nodes})
+    assert len(got) == len(nodes) - comps
