@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "q189_msf_boruvka",
     "q190_nb_token_model",
     "q191_chi2_independence",
+    "q192_groupwise_ols",
+    "q193_mann_kendall",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -5926,6 +5926,120 @@ def q191_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q192_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price-vs-quantity slope per
+    return flag) from EXACT integer sufficient statistics: n, Σx, Σy,
+    Σxy, Σx² are int64 sums of integer cents/quantities (order-
+    independent, hash-exact); slope and intercept are then ONE
+    fixed-shape double expression each — n·Σxy−Σx·Σy over n·Σx²−(Σx)²
+    evaluated in doubles (every step correctly-rounded IEEE over
+    exactly-representable int64 inputs, identical in any engine),
+    floored to ppm. The groupBy is the only shuffle; the sufficient-
+    statistic pattern is what makes per-group OLS a one-pass op at
+    100 TB (d² numbers per group, like the global Gram matrix q166)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sum_x"),
+        F.sum(y).cast("long").alias("sum_y_cents"),
+        F.sum(x * y).cast("long").alias("sum_xy"),
+        F.sum(x * x).cast("long").alias("sum_x2"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sum_xy").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_y_cents").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sum_x2").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_x").cast("double")
+    )
+    slope = num / den
+    intercept = (
+        F.col("sum_y_cents").cast("double") - slope * F.col("sum_x").cast("double")
+    ) / F.col("n").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        "sum_x",
+        "sum_y_cents",
+        "sum_xy",
+        "sum_x2",
+        F.floor(F.lit(1e6) * slope).cast("long").alias("slope_ppm"),
+        F.floor(F.lit(1e3) * intercept).cast("long").alias("intercept_milli"),
+    )
+
+
+def q193_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the daily order-count series — the
+    nonparametric is-there-a-trend statistic (S = Σ sign(x_j − x_i)
+    over i<j) that pairs with q188's autocorrelation in the
+    time-series toolkit. S, the pair counts and the tie-corrected
+    variance NUMERATOR are all exact integers; the series is a tiny
+    daily aggregate, so the pair join is a broadcast self-join bounded
+    by |days|² — never corpus-sized (the aggregate comes first)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = daily.select(F.col("day").alias("di"), F.col("x").alias("xi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("x").alias("xj"))
+    pairs = a.join(F.broadcast(b), F.col("di") < F.col("dj"))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long"))
+        .cast("long")
+        .alias("s"),
+        F.sum((F.col("xj") > F.col("xi")).cast("long")).cast("long").alias(
+            "n_concordant"
+        ),
+        F.sum((F.col("xj") < F.col("xi")).cast("long")).cast("long").alias(
+            "n_discordant"
+        ),
+    )
+    # tie-corrected variance numerator: 18*Var(S) = n(n-1)(2n+5) - Σ t(t-1)(2t+5)
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_days",
+            "n_pairs",
+            "s",
+            "n_concordant",
+            "n_discordant",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_s_x18"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -6052,6 +6166,8 @@ QUERIES: dict[str, QueryFn] = {
     "q189_msf_boruvka": q189_msf_boruvka,
     "q190_nb_token_model": q190_nb_token_model,
     "q191_chi2_independence": q191_chi2_independence,
+    "q192_groupwise_ols": q192_groupwise_ols,
+    "q193_mann_kendall": q193_mann_kendall,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -10954,4 +11070,74 @@ SELECT n_nodes, n_components,
        CAST(n_nodes - n_components AS BIGINT) AS n_forest_edges,
        CAST(0 AS BIGINT) AS euler_gap
 FROM agg
+"""
+
+
+# q192: exact int64 sufficient statistics; slope/intercept as one
+# fixed-shape double expression each, floored.
+ORACLE_SQL["q192_groupwise_ols"] = """
+WITH g AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_y_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_xy,
+           CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS sum_x2
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n, sum_x, sum_y_cents, sum_xy, sum_x2,
+       CAST(floor(1e6 * (
+           (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+            - CAST(sum_x AS DOUBLE) * CAST(sum_y_cents AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+       )) AS BIGINT) AS slope_ppm,
+       CAST(floor(1e3 * (
+           (CAST(sum_y_cents AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                - CAST(sum_x AS DOUBLE) * CAST(sum_y_cents AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+              * CAST(sum_x AS DOUBLE))
+           / CAST(n AS DOUBLE)
+       )) AS BIGINT) AS intercept_milli
+FROM g
+"""
+
+
+# q193: exact-integer Mann-Kendall S and tie-corrected 18*Var(S).
+ORACLE_SQL["q193_mann_kendall"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT a.x AS xi, b.x AS xj
+    FROM daily a JOIN daily b ON a.day < b.day
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1 ELSE 0 END)
+                AS BIGINT) AS s,
+           CAST(sum(CASE WHEN xj > xi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_concordant,
+           CAST(sum(CASE WHEN xj < xi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discordant
+    FROM pairs
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+    SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT count(*) AS t FROM daily GROUP BY x HAVING count(*) > 1)
+)
+SELECT n_days, n_pairs, s, n_concordant, n_discordant,
+       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
+           AS var_s_x18
+FROM s, nd, ties
 """
