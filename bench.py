@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "q191_chi2_independence",
     "q192_groupwise_ols",
     "q193_mann_kendall",
+    "q194_clustering_coefficient",
+    "q195_target_encoding",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

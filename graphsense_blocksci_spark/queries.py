@@ -6040,6 +6040,105 @@ def q193_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q194_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node over the q120 co-supplier
+    graph: cc = 2·triangles / (deg·(deg−1)), emitted as the EXACT
+    integer 2_000_000·tri DIV (deg·(deg−1)) — composes the
+    triangle-count operator (orientation-bounded wedges) with the
+    symmetric degree aggregate; one extra join, everything integer.
+    The density statistic community detection (q160) and modularity
+    (q157) consumers read off the same graph."""
+    from graphsense_blocksci_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    b = a.select("k", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_count(edges, src="u", dst="v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "CAST(2000000 * coalesce(n_triangles, 0)"
+                    " DIV (deg * (deg - 1)) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cc_ppm"),
+        )
+    )
+
+
+def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free K-fold target encoding — the feature-engineering
+    staple: each (supplier, fold) cell gets the mean return rate of
+    that supplier computed over the OTHER folds only, so a row never
+    sees its own target. Closed form from two integer aggregates:
+    enc = (S_cat − S_cat,fold) / (n_cat − n_cat,fold) with S/n exact
+    int64 sums (category totals minus own-fold totals — no per-row
+    leave-one-out pass), emitted as the exact integer ppm division.
+    Fold = md5(orderkey) mod 5, the q154 assignment — group-safe and
+    engine-portable. Output is |categories|·|folds| rows; the only
+    shuffle is the (category, fold) aggregate."""
+    from graphsense_blocksci_spark.operators.sampling import kfold_assign
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("cat"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    folded = kfold_assign(li, "l_orderkey", n_folds=5)
+    cell = folded.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_f"),
+        F.sum("y").cast("long").alias("s_f"),
+    )
+    tot = cell.groupBy("cat").agg(
+        F.sum("n_f").cast("long").alias("n_cat"),
+        F.sum("s_f").cast("long").alias("s_cat"),
+    )
+    return (
+        cell.join(tot, "cat")
+        .select(
+            "cat",
+            F.col("fold").cast("int").alias("fold"),
+            "n_f",
+            "s_f",
+            "n_cat",
+            "s_cat",
+            F.when(
+                F.col("n_cat") > F.col("n_f"),
+                F.expr(
+                    "CAST(1000000 * (s_cat - s_f) DIV (n_cat - n_f)"
+                    " AS BIGINT)"
+                ),
+            ).alias("enc_ppm"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -6168,6 +6267,8 @@ QUERIES: dict[str, QueryFn] = {
     "q191_chi2_independence": q191_chi2_independence,
     "q192_groupwise_ols": q192_groupwise_ols,
     "q193_mann_kendall": q193_mann_kendall,
+    "q194_clustering_coefficient": q194_clustering_coefficient,
+    "q195_target_encoding": q195_target_encoding,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -11140,4 +11241,78 @@ SELECT n_days, n_pairs, s, n_concordant, n_discordant,
        CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
            AS var_s_x18
 FROM s, nd, ties
+"""
+
+
+# q194: q120's orientation/wedge CTEs + symmetric degrees; cc as the
+# exact integer ppm division.
+ORACLE_SQL["q194_clustering_coefficient"] = """
+WITH su AS (
+    SELECT DISTINCT l_orderkey AS k, CAST(l_suppkey AS BIGINT) AS s
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01'
+),
+ed AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM su a JOIN su b ON a.k = b.k AND a.s < b.s
+),
+sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+rk AS (SELECT node, d * 4294967296 + node AS r FROM deg),
+orient AS (
+    SELECT CASE WHEN ru.r < rv.r THEN e.u ELSE e.v END AS a,
+           CASE WHEN ru.r < rv.r THEN e.v ELSE e.u END AS b,
+           greatest(ru.r, rv.r) AS rb
+    FROM ed e
+    JOIN rk ru ON e.u = ru.node
+    JOIN rk rv ON e.v = rv.node
+),
+wedge AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM orient e1 JOIN orient e2 ON e1.a = e2.a AND e1.rb < e2.rb
+),
+tri AS (
+    SELECT w.x, w.y, w.z
+    FROM wedge w JOIN orient o ON w.y = o.a AND w.z = o.b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY node)
+SELECT deg.node, d AS deg,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d >= 2
+            THEN CAST(2000000 * COALESCE(t, 0) // (d * (d - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS cc_ppm
+FROM deg LEFT JOIN tc ON deg.node = tc.node
+"""
+
+
+# q195: the q154 fold hash + category/fold integer aggregates; the
+# leave-fold-out mean is an exact integer ppm division.
+ORACLE_SQL["q195_target_encoding"] = """
+WITH rows_ AS (
+    SELECT CAST(l_suppkey AS BIGINT) AS cat,
+           CAST((('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 7))::BIGINT
+                 % 10000) % 5 AS INTEGER) AS fold,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+cell AS (
+    SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_f,
+           CAST(sum(y) AS BIGINT) AS s_f
+    FROM rows_ GROUP BY 1, 2
+),
+tot AS (
+    SELECT cat, CAST(sum(n_f) AS BIGINT) AS n_cat,
+           CAST(sum(s_f) AS BIGINT) AS s_cat
+    FROM cell GROUP BY 1
+)
+SELECT cell.cat, fold, n_f, s_f, n_cat, s_cat,
+       CASE WHEN n_cat > n_f
+            THEN CAST(1000000 * (s_cat - s_f) // (n_cat - n_f) AS BIGINT)
+            END AS enc_ppm
+FROM cell JOIN tot ON cell.cat = tot.cat
 """
