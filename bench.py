@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "q193_mann_kendall",
     "q194_clustering_coefficient",
     "q195_target_encoding",
+    "q196_rendezvous_hashing",
+    "q197_fk_inference",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -6139,6 +6139,102 @@ def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q196_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-placement primitive a 100 TB pipeline uses to route
+    keys to 8 shards so that adding/removing a shard only moves 1/n of
+    the keys (unlike mod-n, where everything moves). Per key the shard
+    is argmax over shards of md5(key:shard) — a zero-shuffle projection
+    (greatest over 8 hash literals inlined by Catalyst); the emitted
+    frame is the per-shard histogram plus key ranges, pinning both the
+    assignment rule and its balance. Fully deterministic and
+    engine-portable (the repo's 28-bit md5-prefix convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    shards = 8
+    weights = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("o_orderkey").cast("string"), F.lit(str(s))
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("w"),
+            F.lit(s).cast("long").alias("shard"),
+        )
+        for s in range(shards)
+    ]
+    assigned = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.greatest(*weights).getField("shard").alias("shard"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def q197_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key candidate discovery by containment counting — the
+    schema-profiling pass (how q175's constraint suite gets its
+    constraints in the first place): for each candidate (child.col →
+    parent.col) pair, |distinct(child)|, |distinct(parent)| and the
+    containment |distinct(child) ∩ distinct(parent)| as exact integer
+    counts plus the ppm containment ratio. A true FK has ratio
+    1_000_000; the deliberately-wrong pair (custkey → orderkey) pins
+    the negative case. Each pair is two pruned distinct scans + one
+    join on the candidate key — never a row-level join of the tables."""
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("orders", "o_custkey", "orders", "o_orderkey"),
+    ]
+    out = None
+    for child_t, child_c, parent_t, parent_c in pairs:
+        child = (
+            load_table(spark, sf_dir, child_t)
+            .select(F.col(child_c).cast("long").alias("k"))
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_c).cast("long").alias("k"))
+            .distinct()
+        )
+        nc = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        np_ = parent.agg(F.count(F.lit(1)).cast("long").alias("n_parent"))
+        ni = child.join(parent, "k").agg(
+            F.count(F.lit(1)).cast("long").alias("n_contained")
+        )
+        row = (
+            nc.crossJoin(np_)
+            .crossJoin(ni)
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                "n_child",
+                "n_parent",
+                "n_contained",
+                F.expr(
+                    "CAST(1000000 * n_contained DIV n_child AS BIGINT)"
+                ).alias("containment_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -6269,6 +6365,8 @@ QUERIES: dict[str, QueryFn] = {
     "q193_mann_kendall": q193_mann_kendall,
     "q194_clustering_coefficient": q194_clustering_coefficient,
     "q195_target_encoding": q195_target_encoding,
+    "q196_rendezvous_hashing": q196_rendezvous_hashing,
+    "q197_fk_inference": q197_fk_inference,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -11315,4 +11413,82 @@ SELECT cell.cat, fold, n_f, s_f, n_cat, s_cat,
             THEN CAST(1000000 * (s_cat - s_f) // (n_cat - n_f) AS BIGINT)
             END AS enc_ppm
 FROM cell JOIN tot ON cell.cat = tot.cat
+"""
+
+
+# q196: the HRW argmax re-derived per shard literal; DuckDB picks the
+# max (weight, shard) struct via window.
+ORACLE_SQL["q196_rendezvous_hashing"] = (
+    "WITH w AS (\n"
+    + "\nUNION ALL\n".join(
+        f"    SELECT o_orderkey, {s} AS shard,"
+        f" ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || '{s}'),"
+        f" 1, 7))::BIGINT AS wt FROM orders"
+        for s in range(8)
+    )
+    + """
+),
+best AS (
+    SELECT o_orderkey, shard,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY wt DESC, shard DESC) AS rn
+    FROM w
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM best WHERE rn = 1
+GROUP BY 1
+"""
+)
+
+
+# q197: containment counting per candidate pair — distinct scans +
+# one key join each, mirrored directly.
+ORACLE_SQL["q197_fk_inference"] = """
+WITH pairs(child, parent) AS (
+    VALUES ('lineitem.l_orderkey', 'orders.o_orderkey'),
+           ('lineitem.l_partkey', 'part.p_partkey'),
+           ('lineitem.l_suppkey', 'supplier.s_suppkey'),
+           ('orders.o_custkey', 'customer.c_custkey'),
+           ('orders.o_custkey', 'orders.o_orderkey')
+),
+stats AS (
+    SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+           (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_parent,
+           (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_contained
+    UNION ALL
+    SELECT 'lineitem.l_partkey', 'part.p_partkey',
+           (SELECT count(DISTINCT l_partkey) FROM lineitem),
+           (SELECT count(DISTINCT p_partkey) FROM part),
+           (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)
+            WHERE l_partkey IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+           (SELECT count(DISTINCT s_suppkey) FROM supplier),
+           (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'orders.o_custkey', 'customer.c_custkey',
+           (SELECT count(DISTINCT o_custkey) FROM orders),
+           (SELECT count(DISTINCT c_custkey) FROM customer),
+           (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+            WHERE o_custkey IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'orders.o_custkey', 'orders.o_orderkey',
+           (SELECT count(DISTINCT o_custkey) FROM orders),
+           (SELECT count(DISTINCT o_orderkey) FROM orders),
+           (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+            WHERE o_custkey IN (SELECT o_orderkey FROM orders))
+)
+SELECT child, parent,
+       CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_parent AS BIGINT) AS n_parent,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(1000000 * n_contained // n_child AS BIGINT) AS containment_ppm
+FROM stats
 """
