@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "q195_target_encoding",
     "q196_rendezvous_hashing",
     "q197_fk_inference",
+    "q198_merkle_diff",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -6139,6 +6139,79 @@ def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot reconciliation — how two 100 TB replicas
+    are compared WITHOUT shipping rows: each side folds its rows into
+    per-bucket checksums (bucket = key mod 64; checksum = SUM of a
+    row-content hash — an order-independent integer fold, so it's
+    partitioning/engine-agnostic; 48-bit md5 prefix so ~30k rows per
+    bucket stay under int64 — at larger bucket fan-in, widen buckets,
+    not the hash), and only the bucket digests are joined. Buckets that agree are pruned; the frame reports every
+    bucket with its two digests, row counts and match flag. The two
+    "snapshots" are derived deterministically from orders (the second
+    drops one priority class and re-prices it — a real drift shape).
+    At scale each side is one aggregate of 64 rows; the compare is a
+    broadcast join of digests, never data."""
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    snap_b = snap_a.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.lit(1).alias("_bump"),
+        ),
+        "k",
+        "left",
+    ).select(
+        "k",
+        F.when(F.col("_bump").isNotNull(), F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def digests(snap, side):
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return snap.groupBy((F.col("k") % 64).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+            F.sum(row_hash).cast("long").alias(f"digest_{side}"),
+        )
+
+    da = digests(snap_a, "a")
+    db = digests(snap_b, "b")
+    return (
+        da.join(db, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("digest_a", F.lit(0)).cast("long").alias("digest_a"),
+            F.coalesce("digest_b", F.lit(0)).cast("long").alias("digest_b"),
+            (
+                F.coalesce("digest_a", F.lit(0))
+                == F.coalesce("digest_b", F.lit(0))
+            )
+            .cast("int")
+            .alias("bucket_matches"),
+        )
+    )
+
+
 def q196_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (highest-random-weight) shard assignment — the
     consistent-placement primitive a 100 TB pipeline uses to route
@@ -6370,6 +6443,7 @@ QUERIES: dict[str, QueryFn] = {
     "q195_target_encoding": q195_target_encoding,
     "q196_rendezvous_hashing": q196_rendezvous_hashing,
     "q197_fk_inference": q197_fk_inference,
+    "q198_merkle_diff": q198_merkle_diff,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -11494,4 +11568,44 @@ SELECT child, parent,
        CAST(n_contained AS BIGINT) AS n_contained,
        CAST(1000000 * n_contained // n_child AS BIGINT) AS containment_ppm
 FROM stats
+"""
+
+
+# q198: both snapshots re-derived in SQL; the same 48-bit md5-prefix
+# row hash summed per bucket (order-independent), full-outer compare.
+ORACLE_SQL["q198_merkle_diff"] = """
+WITH snap_a AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+snap_b AS (
+    SELECT a.k,
+           CASE WHEN u.k IS NOT NULL THEN a.cents + 1 ELSE a.cents END AS cents
+    FROM snap_a a
+    LEFT JOIN (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+               WHERE o_orderpriority = '1-URGENT') u ON a.k = u.k
+),
+da AS (
+    SELECT k % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_a,
+           CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+                     CAST(cents AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT)
+               AS digest_a
+    FROM snap_a GROUP BY 1
+),
+db AS (
+    SELECT k % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' ||
+                     CAST(cents AS VARCHAR)), 1, 12))::BIGINT) AS BIGINT)
+               AS digest_b
+    FROM snap_b GROUP BY 1
+)
+SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(digest_a, 0) AS BIGINT) AS digest_a,
+       CAST(COALESCE(digest_b, 0) AS BIGINT) AS digest_b,
+       CAST(CASE WHEN COALESCE(digest_a, 0) = COALESCE(digest_b, 0)
+                 THEN 1 ELSE 0 END AS INTEGER) AS bucket_matches
+FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
 """
