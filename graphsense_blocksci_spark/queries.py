@@ -6139,6 +6139,75 @@ def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd32_streaming_shard_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the q196 rendezvous router: events staged as
+    a file-source stream, each row routed to its HRW shard (argmax of
+    md5(event_id:shard) over 8 shard literals — a pure streaming
+    projection, no state), written to a SHARD-PARTITIONED parquet sink
+    with availableNow, sink read back and summarized per shard. This
+    is the streaming ingest-router every 100 TB pipeline runs in front
+    of its lake: placement must be deterministic across retries and
+    micro-batch boundaries, which is exactly what the batch oracle
+    checks (same rule, same histogram, cell-exact)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id")
+    )
+    work = tempfile.mkdtemp(prefix="gbs_router_")
+    ev.write.mode("overwrite").parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema("event_id long")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{work}/src")
+    )
+    shards = 8
+    weights = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.lit(str(s)),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("w"),
+            F.lit(s).cast("long").alias("shard"),
+        )
+        for s in range(shards)
+    ]
+    routed = stream.select(
+        "event_id", F.greatest(*weights).getField("shard").alias("shard")
+    )
+    q = (
+        routed.writeStream.format("parquet")
+        .partitionBy("shard")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("qd32 streaming router did not finish in 600s")
+    out = spark.read.parquet(f"{work}/sink")
+    return out.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
 def q198_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle-style snapshot reconciliation — how two 100 TB replicas
     are compared WITHOUT shipping rows: each side folds its rows into
@@ -6444,6 +6513,7 @@ QUERIES: dict[str, QueryFn] = {
     "q196_rendezvous_hashing": q196_rendezvous_hashing,
     "q197_fk_inference": q197_fk_inference,
     "q198_merkle_diff": q198_merkle_diff,
+    "qd32_streaming_shard_router": qd32_streaming_shard_router,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -11609,3 +11679,31 @@ SELECT COALESCE(da.bucket, db.bucket) AS bucket,
                  THEN 1 ELSE 0 END AS INTEGER) AS bucket_matches
 FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
 """
+
+
+# qd32: the q196 HRW rule on event_id — the streamed router must land
+# every event exactly where the batch rule puts it.
+ORACLE_SQL["qd32_streaming_shard_router"] = (
+    "WITH w AS (\n"
+    + "\nUNION ALL\n".join(
+        f"    SELECT event_id, {s} AS shard,"
+        f" ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || '{s}'),"
+        f" 1, 7))::BIGINT AS wt FROM events"
+        for s in range(8)
+    )
+    + """
+),
+best AS (
+    SELECT event_id, shard,
+           row_number() OVER (PARTITION BY event_id
+                              ORDER BY wt DESC, shard DESC) AS rn
+    FROM w
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS min_event,
+       CAST(max(event_id) AS BIGINT) AS max_event
+FROM best WHERE rn = 1
+GROUP BY 1
+"""
+)
