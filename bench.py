@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q196_rendezvous_hashing",
     "q197_fk_inference",
     "q198_merkle_diff",
+    "q199_hll_deterministic",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

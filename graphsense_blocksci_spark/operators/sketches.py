@@ -560,3 +560,80 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 8
+) -> DataFrame:
+    """Deterministic HyperLogLog register table: one row per register
+    bucket with its max rho (Flajolet et al. 2007). Unlike library
+    HLLs (seeded xxhash, opaque binary state), the hash is the repo's
+    md5-prefix convention — a 60-bit integer split into a ``p``-bit
+    bucket and a 52-bit suffix whose leading-zero count is computed
+    EXACTLY via the binary-string length (``53 - length(bin(z))``, no
+    float log2) — so the whole register table is a pure function of
+    the data and a SQL oracle can rebuild it cell-for-cell.
+
+    Scale shape: the groupBy carries at most 2^p rows after map-side
+    partial max — the classic mergeable-partials sketch (register
+    tables from different partitions/windows merge by per-bucket max,
+    exactly, which `hll_estimate`'s callers exploit for rollups).
+    """
+    m = 1 << p
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    # integer shift, NOT h/m: a 60-bit value exceeds double precision
+    z = F.shiftright(h, p)
+    rho = (
+        F.when(z == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(z)))
+        .cast("long")
+    )
+    return (
+        df.select((h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from an HLL register table, with the
+    harmonic sum carried as an EXACT integer: Σ 2^(−rho) over all m
+    registers has common denominator 2^53, so ``harmonic_num = Σ
+    2^(53−rho)`` (absent buckets contribute rho=0 → 2^53) is an exact
+    int64 sum — order-independent, hash-comparable — and the raw HLL
+    estimate is ONE fixed-shape double division α·m²·2^53 /
+    harmonic_num, floored. ``n_zero_registers`` rides along so a
+    consumer can apply linear-counting small-range correction (its ln
+    is deliberately left OUT of this frame: ln is not ulp-portable
+    across engines, the integers are)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.expr("CAST(shiftleft(1L, CAST(53 - rho AS INT)) AS BIGINT)"))
+        .cast("long")
+        .alias("_present_num"),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_registers"),
+        (
+            F.col("_present_num")
+            + (F.lit(m) - F.col("n_present")) * F.lit(1 << 53).cast("long")
+        )
+        .cast("long")
+        .alias("harmonic_num"),
+        F.floor(
+            F.lit(alpha * m * m)
+            * F.lit(float(1 << 53))
+            / (
+                F.col("_present_num")
+                + (F.lit(m) - F.col("n_present")) * F.lit(1 << 53).cast("long")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("est_floor"),
+    )

@@ -6139,6 +6139,55 @@ def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q199_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog over event users — the ORACLE-EXACT
+    counterpart of the built-in approx_count_distinct (q54/q97, which
+    stay rows-only because their seeded binary state can't be
+    mirrored). md5-derived registers (operators/sketches.py:
+    hll_registers), the harmonic sum as an exact integer
+    (hll_estimate), and a MERGEABILITY AUDIT: registers built on the
+    two event-id parity halves and merged by per-bucket max must equal
+    the whole-corpus registers exactly (n_merge_mismatch = 0) — the
+    property that makes HLL partials roll up across partitions,
+    windows and days at 100 TB. True distinct rides along for error
+    context."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    whole = hll_registers(ev, "user_id").localCheckpoint(eager=False)
+    est = hll_estimate(whole)
+    half_a = hll_registers(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    half_b = hll_registers(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    mismatch = (
+        whole.withColumnRenamed("rho", "rho_w")
+        .join(merged.withColumnRenamed("rho", "rho_m"), "bucket", "full_outer")
+        .agg(
+            F.sum(
+                F.when(~F.col("rho_w").eqNullSafe(F.col("rho_m")), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_merge_mismatch")
+        )
+    )
+    truth = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.crossJoin(mismatch).crossJoin(truth)
+
+
 def qd32_streaming_shard_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the q196 rendezvous router: events staged as
     a file-source stream, each row routed to its HRW shard (argmax of
@@ -6513,6 +6562,7 @@ QUERIES: dict[str, QueryFn] = {
     "q196_rendezvous_hashing": q196_rendezvous_hashing,
     "q197_fk_inference": q197_fk_inference,
     "q198_merkle_diff": q198_merkle_diff,
+    "q199_hll_deterministic": q199_hll_deterministic,
     "qd32_streaming_shard_router": qd32_streaming_shard_router,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
@@ -11707,3 +11757,42 @@ FROM best WHERE rn = 1
 GROUP BY 1
 """
 )
+
+
+# q199: the register table rebuilt in SQL (same md5 split, bin-length
+# rho), exact-integer harmonic sum, merge identity as constants.
+ORACLE_SQL["q199_hll_deterministic"] = """
+WITH h AS (
+    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+reg AS (
+    SELECT hv % 256 AS bucket,
+           max(CASE WHEN hv // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(hv // 256)) END) AS rho
+    FROM h GROUP BY 1
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_present,
+           CAST(sum(1::BIGINT << CAST(53 - rho AS INTEGER)) AS BIGINT)
+               AS present_num
+    FROM reg
+),
+truth AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+    FROM events
+)
+SELECT CAST(256 AS BIGINT) AS m,
+       CAST(256 - n_present AS BIGINT) AS n_zero_registers,
+       CAST(present_num + (256 - n_present) * (1::BIGINT << 53) AS BIGINT)
+           AS harmonic_num,
+       CAST(floor(
+           (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+           * CAST(1::BIGINT << 53 AS DOUBLE)
+           / CAST(present_num + (256 - n_present) * (1::BIGINT << 53)
+                  AS DOUBLE)
+       ) AS BIGINT) AS est_floor,
+       CAST(0 AS BIGINT) AS n_merge_mismatch,
+       true_distinct
+FROM agg, truth
+"""

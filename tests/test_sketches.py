@@ -342,3 +342,34 @@ def test_cms_inner_product_never_underestimates_join_size(spark):
         .first()[0]
     )
     assert est2 == true
+
+
+def test_hll_deterministic_accuracy_and_merge(spark):
+    """The md5-register HLL must estimate within ~3 standard errors
+    (1.04/sqrt(m) ≈ 6.5% at m=256) on a known-cardinality corpus, and
+    register tables built on arbitrary splits must merge (per-bucket
+    max) into exactly the whole-corpus table — the mergeable-partials
+    contract that lets partials roll up across partitions/windows."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 7 + 3).alias("k"))
+    est = hll_estimate(hll_registers(df, "k")).first()
+    assert abs(est.est_floor - n) / n < 0.20  # 3 standard errors at m=256
+    # duplicates must not move the registers at all
+    dup = df.union(df).union(df)
+    est_dup = hll_estimate(hll_registers(dup, "k")).first()
+    assert est_dup.harmonic_num == est.harmonic_num
+    # split-and-merge identity
+    a = hll_registers(df.filter(F.col("k") % 3 == 0), "k")
+    b = hll_registers(df.filter(F.col("k") % 3 != 0), "k")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(df, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
