@@ -6139,6 +6139,37 @@ def q195_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd33_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog under the exact gate: per-bucket max-rho
+    registers folded into the applyInPandasWithState store
+    (streaming/sketches.py:hll_stream — registers computed JVM-side
+    with the q199 md5/shift/bin arithmetic, ≤ 2^p longs of state,
+    merge is the idempotent per-bucket MAX), driven availableNow over
+    events staged as a file stream. A single micro-batch means the
+    snapshot IS the batch register table, so the oracle is q199's
+    register CTE — the streaming plumbing must be invisible."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.sketches import hll_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id")
+    )
+    work = tempfile.mkdtemp(prefix="gbs_shll_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("user_id long").parquet(f"{work}/src")
+    q = (
+        hll_stream(stream, "user_id", p=8)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("bucket long, rho long").parquet(f"{work}/out")
+
+
 def q199_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog over event users — the ORACLE-EXACT
     counterpart of the built-in approx_count_distinct (q54/q97, which
@@ -6564,6 +6595,7 @@ QUERIES: dict[str, QueryFn] = {
     "q198_merkle_diff": q198_merkle_diff,
     "q199_hll_deterministic": q199_hll_deterministic,
     "qd32_streaming_shard_router": qd32_streaming_shard_router,
+    "qd33_streaming_hll": qd33_streaming_hll,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -11795,4 +11827,18 @@ SELECT CAST(256 AS BIGINT) AS m,
        CAST(0 AS BIGINT) AS n_merge_mismatch,
        true_distinct
 FROM agg, truth
+"""
+
+
+# qd33: q199's register CTE — the single-batch streamed snapshot must
+# equal the batch register table cell-for-cell.
+ORACLE_SQL["qd33_streaming_hll"] = """
+WITH h AS (
+    SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+)
+SELECT CAST(hv % 256 AS BIGINT) AS bucket,
+       CAST(max(CASE WHEN hv // 256 = 0 THEN 53
+                     ELSE 53 - length(bin(hv // 256)) END) AS BIGINT) AS rho
+FROM h GROUP BY 1
 """

@@ -255,3 +255,62 @@ def cms_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("rho", T.LongType()),
+    ]
+)
+
+HLL_STATE = T.StructType([T.StructField("rho", T.LongType())])
+
+
+def _hll_group(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    best = int(state.get[0]) if state.exists else 0
+    for pdf in pdfs:
+        if len(pdf):
+            best = max(best, int(pdf["rho"].max()))
+    state.update((best,))
+    yield pd.DataFrame({"bucket": [key[0]], "rho": [best]})
+
+
+def hll_stream(values: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """STREAMING HyperLogLog registers: the stateful face of
+    `operators/sketches.py:hll_registers`. The (bucket, rho) pair of
+    every key is computed JVM-side with the identical md5/shift/bin
+    arithmetic (the Python state op only ever sees small integers);
+    rows shuffle to their bucket's state key and fold in with a plain
+    MAX — the order-insensitive, idempotent merge that makes HLL the
+    canonical mergeable sketch (duplicate keys and replayed batches
+    cannot move a register, so retries are free). After each batch a
+    register emits its refreshed (bucket, rho) snapshot; the latest
+    snapshot per bucket IS the batch register table, which
+    `hll_estimate` consumes unchanged.
+
+    State is ONE long per register — at most 2^p state rows total,
+    regardless of stream length or cardinality.
+    """
+    m = 1 << p
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    )
+    z = F.shiftright(h, p)
+    rho = (
+        F.when(z == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(z)))
+        .cast("long")
+    )
+    keyed = values.select((h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _hll_group,
+        outputStructType=HLL_OUTPUT,
+        stateStructType=HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -662,3 +662,52 @@ def test_msf_boruvka_matches_kruskal_reference(spark):
     nodes = {x for e in simple for x in e}
     comps = len({find(x) for x in nodes})
     assert len(got) == len(nodes) - comps
+
+
+def test_streaming_hll_accumulates_across_batches(spark, tmp_path):
+    """Two micro-batches: the latest streamed register snapshot per
+    bucket must equal the batch register table over BOTH batches —
+    the per-bucket MAX merge is idempotent and order-free, so
+    replayed/duplicated input cannot move a register."""
+    from graphsense_blocksci_spark.operators.sketches import hll_registers
+    from graphsense_blocksci_spark.streaming.sketches import hll_stream
+
+    b1 = [(i * 7 + 3,) for i in range(400)]
+    b2 = [(i * 13 + 1,) for i in range(300)]
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    ckpt, sink = str(tmp_path / "hll_ckpt"), str(tmp_path / "hll_out")
+    spark.createDataFrame(b1, "k long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            hll_stream(stream, "k", p=6)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(b2, "k long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    run_once()
+    out = spark.read.schema("bucket long, rho long").parquet(sink)
+    # latest snapshot per bucket = max rho emitted (rho only grows)
+    final = out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    both = spark.createDataFrame(b1 + b2, "k long")
+    want = hll_registers(both, "k", p=6)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
