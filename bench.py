@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "q197_fk_inference",
     "q198_merkle_diff",
     "q199_hll_deterministic",
+    "q200_merge_upsert",
+    "q201_topn_others",
+    "q202_degree_histogram",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7
@@ -177,7 +180,9 @@ BENCH_QUERIES = [
 # qd23 (binaryFile round-trip) is gate-only: its fixture-file write is
 # driver-side setup and would dominate the timing; qd24 (streaming
 # heavy hitters) likewise stages a file stream + checkpoint per run —
-# its batch twin q121 carries the timing signal.
+# its batch twin q121 carries the timing signal. qd32/qd33 (streaming
+# router / streaming HLL) are gate-only for the same staging reason;
+# q196/q199 carry their timing signal.
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last
 # ulp-tie) and the approximate scale path is q40 (LSH).

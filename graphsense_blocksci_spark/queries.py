@@ -6219,6 +6219,137 @@ def q199_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(mismatch).crossJoin(truth)
 
 
+def q200_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert verb) expressed
+    as one full-outer join + CASE — the engine-level form every
+    lakehouse MERGE compiles to: a deterministic change-set against
+    orders (urgent orders get re-priced = WHEN MATCHED UPDATE;
+    synthetic follow-up orders = WHEN NOT MATCHED INSERT; fulfilled
+    'F'-status orders in the change window = WHEN MATCHED DELETE).
+    Returns the post-merge state summarized per status with integer
+    cents totals plus action counts, so the oracle pins every clause.
+    One shuffle on the merge key; at 100 TB this plus dynamic
+    partition overwrite (A21) is the upsert story."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    changes = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "k",
+        F.col("o_orderstatus").alias("cs"),
+        (F.col("cents") + 500).alias("new_cents"),
+    )
+    inserts = changes.select(
+        (F.col("k") + F.lit(10_000_000_000)).alias("k"),
+        F.lit("I").alias("o_orderstatus"),
+        F.col("new_cents").alias("cents"),
+        F.lit("insert").alias("_action"),
+    )
+    merged = (
+        o.join(changes, "k", "full_outer")
+        .select(
+            "k",
+            "o_orderstatus",
+            F.when(
+                F.col("cs").isNotNull() & (F.col("o_orderstatus") == "F"),
+                F.lit("delete"),
+            )
+            .when(F.col("cs").isNotNull(), F.lit("update"))
+            .otherwise(F.lit("keep"))
+            .alias("_action"),
+            F.when(F.col("cs").isNotNull(), F.col("new_cents"))
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .filter(F.col("_action") != "delete")
+        .select("k", "o_orderstatus", "cents", "_action")
+        .unionByName(inserts.select("k", "o_orderstatus", "cents", "_action"))
+    )
+    return merged.groupBy("o_orderstatus", "_action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+def q201_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHERS rollup — the BI staple: per return flag, the
+    top-3 suppliers by revenue keep their identity and every other
+    supplier collapses into one 'OTHERS' row (revenue and member
+    count aggregated), so dashboards stay bounded however many
+    suppliers exist. Rank ties broken by supplier id (total order);
+    revenue in integer cents. One group aggregate + one ranked window
+    over the per-supplier rollup (supplier-count-sized, not
+    fact-sized) + one re-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy(
+        "l_returnflag", F.col("l_suppkey").cast("long").alias("supp")
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cents"), F.asc("supp")
+    )
+    ranked = per_supp.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.select(
+            "l_returnflag",
+            F.when(F.col("rk") <= 3, F.col("supp").cast("string"))
+            .otherwise(F.lit("OTHERS"))
+            .alias("who"),
+            "cents",
+        )
+        .groupBy("l_returnflag", "who")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def q202_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the co-supplier graph — the
+    first diagnostic run on any 100 TB graph (is there a hub tail?
+    how skewed will the joins be?). The log2 bin is the INTEGER
+    binary-string length of the degree (no float log), so the
+    histogram is exact and engine-portable; degrees come from one
+    symmetric aggregate over the q120 edge set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    b = a.select("k", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return (
+        deg.groupBy(F.length(F.bin(F.col("deg"))).cast("long").alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").cast("long").alias("sum_deg"),
+        )
+    )
+
+
 def qd32_streaming_shard_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the q196 rendezvous router: events staged as
     a file-source stream, each row routed to its HRW shard (argmax of
@@ -6596,6 +6727,9 @@ QUERIES: dict[str, QueryFn] = {
     "q199_hll_deterministic": q199_hll_deterministic,
     "qd32_streaming_shard_router": qd32_streaming_shard_router,
     "qd33_streaming_hll": qd33_streaming_hll,
+    "q200_merge_upsert": q200_merge_upsert,
+    "q201_topn_others": q201_topn_others,
+    "q202_degree_histogram": q202_degree_histogram,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -11841,4 +11975,86 @@ SELECT CAST(hv % 256 AS BIGINT) AS bucket,
        CAST(max(CASE WHEN hv // 256 = 0 THEN 53
                      ELSE 53 - length(bin(hv // 256)) END) AS BIGINT) AS rho
 FROM h GROUP BY 1
+"""
+
+
+# q200: the MERGE compiled by hand in SQL — same change-set, same
+# matched/not-matched/delete clauses, summarized per (status, action).
+ORACLE_SQL["q200_merge_upsert"] = """
+WITH o AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+changes AS (
+    SELECT k, o_orderstatus AS cs, cents + 500 AS new_cents
+    FROM o WHERE o_orderpriority = '1-URGENT'
+),
+merged AS (
+    SELECT o.k, o.o_orderstatus,
+           CASE WHEN c.k IS NOT NULL AND o.o_orderstatus = 'F' THEN 'delete'
+                WHEN c.k IS NOT NULL THEN 'update'
+                ELSE 'keep' END AS _action,
+           CASE WHEN c.k IS NOT NULL THEN c.new_cents ELSE o.cents END AS cents
+    FROM o LEFT JOIN changes c ON o.k = c.k
+),
+final AS (
+    SELECT k, o_orderstatus, cents, _action FROM merged
+    WHERE _action <> 'delete'
+    UNION ALL
+    SELECT k + 10000000000 AS k, 'I' AS o_orderstatus, new_cents AS cents,
+           'insert' AS _action
+    FROM changes
+)
+SELECT o_orderstatus, _action,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(k) AS BIGINT) AS min_key,
+       CAST(max(k) AS BIGINT) AS max_key
+FROM final GROUP BY 1, 2
+"""
+
+
+# q201: supplier rollup + ranked window + re-aggregate, mirrored.
+ORACLE_SQL["q201_topn_others"] = """
+WITH per_supp AS (
+    SELECT l_returnflag, CAST(l_suppkey AS BIGINT) AS supp,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+    SELECT l_returnflag, supp, cents,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY cents DESC, supp ASC) AS rk
+    FROM per_supp
+)
+SELECT l_returnflag,
+       CASE WHEN rk <= 3 THEN CAST(supp AS VARCHAR) ELSE 'OTHERS' END AS who,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# q202: same clique edge set as q120; log2 bin via binary-string
+# length (integer, no float log).
+ORACLE_SQL["q202_degree_histogram"] = """
+WITH su AS (
+    SELECT DISTINCT l_orderkey AS k, CAST(l_suppkey AS BIGINT) AS s
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01'
+),
+ed AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM su a JOIN su b ON a.k = b.k AND a.s < b.s
+),
+sym AS (SELECT u FROM ed UNION ALL SELECT v AS u FROM ed),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u)
+SELECT CAST(length(bin(deg)) AS BIGINT) AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg,
+       CAST(sum(deg) AS BIGINT) AS sum_deg
+FROM deg GROUP BY 1
 """
