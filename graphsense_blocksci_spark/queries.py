@@ -6605,10 +6605,12 @@ def q197_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND-6 ROTATION (do this first next round): move the remaining
 # never-driver-green entries into positions 2-50 — q109/q111/q117-q119/qd23/
 # q125/q129/q130/q132/q134-q136/q140/q142-q144/q147/q149/q151-q154/q156/
-# q158/q159/q160-q164/q166-q178 plus the round-5 additions q186-q197
-# (edit-distance join, MAP@10, autocorrelation, Borůvka MSF, NB model,
-# chi², group OLS, Mann-Kendall, clustering coefficient, target
-# encoding, rendezvous hashing, FK inference — all oracle-backed).
+# q158/q159/q160-q164/q166-q178 plus the round-5 additions
+# q186-q202 + qd32/qd33 (edit-distance join, MAP@10, autocorrelation,
+# Borůvka MSF, NB model, chi², group OLS, Mann-Kendall, clustering
+# coefficient, target encoding, rendezvous hashing + streaming router,
+# FK inference, Merkle diff, oracle-exact HLL + streaming twin, MERGE
+# upsert, top-N+OTHERS, degree histogram — all oracle-backed).
 # Rows-only entries (q111/q140/q144/q160/q167/q169/q170/q173) can sit
 # in-window — the driver records the weaker rows-only check for them.
 QUERIES: dict[str, QueryFn] = {
