@@ -563,7 +563,7 @@ def cms_estimate(
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 8
+    df: DataFrame, col: str, p: int = 8, group_cols: list[str] | None = None
 ) -> DataFrame:
     """Deterministic HyperLogLog register table: one row per register
     bucket with its max rho (Flajolet et al. 2007). Unlike library
@@ -591,14 +591,17 @@ def hll_registers(
         .otherwise(F.lit(53) - F.length(F.bin(z)))
         .cast("long")
     )
+    gcols = list(group_cols or [])
     return (
-        df.select((h % F.lit(m)).alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        df.select(*gcols, (h % F.lit(m)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*gcols, "bucket")
         .agg(F.max("rho").cast("long").alias("rho"))
     )
 
 
-def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, p: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
     """Cardinality estimate from an HLL register table, with the
     harmonic sum carried as an EXACT integer: Σ 2^(−rho) over all m
     registers has common denominator 2^53, so ``harmonic_num = Σ
@@ -611,13 +614,16 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     across engines, the integers are)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = registers.agg(
+    gcols = list(group_cols or [])
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_present"),
         F.sum(F.expr("CAST(shiftleft(1L, CAST(53 - rho AS INT)) AS BIGINT)"))
         .cast("long")
         .alias("_present_num"),
-    )
+    ]
+    agg = registers.groupBy(*gcols).agg(*aggs) if gcols else registers.agg(*aggs)
     return agg.select(
+        *gcols,
         F.lit(m).cast("long").alias("m"),
         (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_registers"),
         (

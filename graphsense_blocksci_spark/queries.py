@@ -6219,6 +6219,32 @@ def q199_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(mismatch).crossJoin(truth)
 
 
+def q203_groupwise_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate distinct users (distinct users per event
+    type) via the oracle-exact HLL — the group-wise form every
+    engagement dashboard runs at 100 TB, where per-group exact
+    countDistinct would Expand the fact table. Registers key by
+    (group, bucket) — at most |groups|·2^p rows after map-side max —
+    and the per-group estimate keeps the q199 discipline (exact
+    integer harmonic numerator, one floored double divide). Exact
+    per-group distinct rides along for error context (affordable at
+    fixture scale; the sketch replaces it at real scale)."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("long").alias("user_id")
+    )
+    reg = hll_registers(ev, "user_id", p=8, group_cols=["event_type"])
+    est = hll_estimate(reg, p=8, group_cols=["event_type"])
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(truth, "event_type")
+
+
 def q200_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (the Delta/Iceberg upsert verb) expressed
     as one full-outer join + CASE — the engine-level form every
@@ -6732,6 +6758,7 @@ QUERIES: dict[str, QueryFn] = {
     "q200_merge_upsert": q200_merge_upsert,
     "q201_topn_others": q201_topn_others,
     "q202_degree_histogram": q202_degree_histogram,
+    "q203_groupwise_hll": q203_groupwise_hll,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -12059,4 +12086,45 @@ SELECT CAST(length(bin(deg)) AS BIGINT) AS log2_bin,
        CAST(max(deg) AS BIGINT) AS max_deg,
        CAST(sum(deg) AS BIGINT) AS sum_deg
 FROM deg GROUP BY 1
+"""
+
+
+# q203: the q199 register/harmonic algebra, grouped by event_type.
+ORACLE_SQL["q203_groupwise_hll"] = """
+WITH h AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+reg AS (
+    SELECT event_type, hv % 256 AS bucket,
+           max(CASE WHEN hv // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(hv // 256)) END) AS rho
+    FROM h GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(sum(1::BIGINT << CAST(53 - rho AS INTEGER)) AS BIGINT)
+               AS present_num
+    FROM reg GROUP BY 1
+),
+truth AS (
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+    FROM events GROUP BY 1
+)
+SELECT agg.event_type,
+       CAST(256 AS BIGINT) AS m,
+       CAST(256 - n_present AS BIGINT) AS n_zero_registers,
+       CAST(present_num + (256 - n_present) * (1::BIGINT << 53) AS BIGINT)
+           AS harmonic_num,
+       CAST(floor(
+           (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+           * CAST(1::BIGINT << 53 AS DOUBLE)
+           / CAST(present_num + (256 - n_present) * (1::BIGINT << 53)
+                  AS DOUBLE)
+       ) AS BIGINT) AS est_floor,
+       true_distinct
+FROM agg JOIN truth ON agg.event_type = truth.event_type
 """
