@@ -187,11 +187,13 @@ BENCH_QUERIES = [
 # q39 (interpreted-fold exact kNN) is the bit-exact ORACLE baseline; at
 # bench scale the exact path is q43 (GEMM, same results to the last
 # ulp-tie) and the approximate scale path is q40 (LSH).
-# SCOPE CHANGE (round 5, VERDICT r4 item 3): q103, q50 and q84 now
-# return driver-checkable parity/invariant frames, which run BOTH the
-# audited path and its bit-exact twin (q103: LSH-GEMM + LSH-fold; q50:
-# neardup-GEMM + neardup-fold; q84: PageRank + two graph-shape
-# aggregates). Their timings therefore cover ~2x the round-4 work at
+# SCOPE CHANGE (round 5, VERDICT r4 item 3): q103, q50, q84, and —
+# extending the same pattern — q43, q125, q130 now return
+# driver-checkable parity/invariant frames, which run BOTH the audited
+# path and its bit-exact/exact twin (q103: LSH-GEMM + LSH-fold; q50:
+# neardup-GEMM + neardup-fold; q43: GEMM + fold top-3; q125: IVF-PQ +
+# full-probe identity + brute-force; q84/q130: PageRank/PPR + graph-
+# shape aggregates). Their timings cover up to ~3x the round-4 work at
 # equal per-path cost — not comparable 1:1 against BENCH_r04. q44
 # (IVF + full-probe IVF + brute-force exact twin) stays out of the
 # bench list like q39, since the quadratic exact twin would dominate.

@@ -1116,14 +1116,38 @@ def q45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q43_knn_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-3 via Arrow+NumPy GEMM — the throughput path
-    (BLAS reduction order ⇒ last-ulp float differences vs the fold
-    baseline, so rows-only; exactness is pytest-verified against the
-    fold variant)."""
-    from graphsense_blocksci_spark.operators import cosine_topk_gemm
+    """Exact cosine top-3 via Arrow+NumPy GEMM — driver-checkable
+    parity frame (round 5, extending the VERDICT r4 item-3 pattern to
+    the remaining GEMM twin): BLAS reduction order moves scores by an
+    ulp, so the (vec_id, neighbor_id, rank) triples are compared
+    against the bit-exact fold baseline (q39, which the driver
+    verifies against its full SQL mirror) — n_pairs from that mirror,
+    symmetric difference an identity (0). Scores stay out of the
+    hash; the GEMM path still executes in full."""
+    from graphsense_blocksci_spark.operators import (
+        cosine_topk_bruteforce,
+        cosine_topk_gemm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_gemm(emb, k=3)
+    gemm = cosine_topk_gemm(emb, k=3).select(
+        "vec_id", "neighbor_id", "rank", F.lit(1).alias("_g")
+    )
+    fold = cosine_topk_bruteforce(emb, k=3).select(
+        "vec_id", "neighbor_id", "rank", F.lit(1).alias("_f")
+    )
+    j = gemm.join(fold, ["vec_id", "neighbor_id", "rank"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_f").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.sum(F.when(F.col("_f").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gemm_only"),
+        F.sum(F.when(F.col("_g").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fold_only"),
+    )
 
 
 def q40_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3507,14 +3531,51 @@ def q125_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the cell shuffle (64× smaller than the float vectors),
     ADC scoring is a JVM-side table-lookup aggregate, and the
     shortlist re-ranks against true vectors so reported sims are
-    exact cosines. Approximate shortlist ⇒ rows-only check; recall
-    and re-rank exactness are pytest-gated."""
-    from graphsense_blocksci_spark.operators import cosine_topk_ivfpq
+    exact cosines.
+
+    Driver-checkable invariant frame (round 5): the PQ shortlist is
+    centroid/codebook-dependent (NumPy BLAS), but probing every cell
+    with an unbounded re-rank shortlist is a mathematical identity
+    with exact top-1 — so the frame runs the production path (probe=4,
+    rerank=32) for its row count AND the full-probe identity against
+    the brute-force twin (oracle: count(*), count(*), 0). Recall at
+    production settings stays pytest-gated (incl. the adversarial
+    clustered+outlier geometry)."""
+    from graphsense_blocksci_spark.operators import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivfpq(
+    approx = cosine_topk_ivfpq(
         emb, k=1, n_centroids=16, n_probe=4, n_subspaces=8, n_codes=16
     )
+    # identity: probing EVERY cell with an unbounded re-rank shortlist
+    # makes the candidate set the whole corpus and the exact re-rank
+    # the exact top-1 — independent of centroids AND codebooks
+    full = cosine_topk_ivfpq(
+        emb,
+        k=1,
+        n_centroids=16,
+        n_probe=16,
+        n_subspaces=8,
+        n_codes=16,
+        rerank=1 << 30,
+    )
+    exact = cosine_topk_bruteforce(emb, k=1)
+    pairing = full.select("vec_id", F.col("neighbor_id").alias("pq_nb")).join(
+        exact.select("vec_id", F.col("neighbor_id").alias("ex_nb")),
+        "vec_id",
+        "full_outer",
+    )
+    n_queries = exact.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_results = approx.agg(F.count(F.lit(1)).alias("n_results"))
+    n_mismatch = pairing.agg(
+        F.sum(F.when(~F.col("pq_nb").eqNullSafe(F.col("ex_nb")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fullprobe_mismatch")
+    )
+    return n_queries.crossJoin(n_results).crossJoin(n_mismatch)
 
 
 def q127_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3611,8 +3672,16 @@ def q130_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return) lands uniformly on a SEED set instead of all nodes — the
     relevance-to-these-addresses score GraphSense-style investigations
     rank by. Same one-job-per-iteration plan as q84
-    (operators/graph.py:pagerank with a seed frame); float sums ⇒
-    rows-only, numpy parity pytest-gated."""
+    (operators/graph.py:pagerank with a seed frame).
+
+    Driver-checkable invariant frame (round 5, the q84 treatment):
+    per-node float sums stay numpy-parity pytest-gated; the frame pins
+    the conservation law and SQL-derivable shape — n_nodes / n_seeds
+    from the edge set, mass_e6 = round(Σrank·1e6) = 1_000_000 (seeded
+    teleport + dangling return conserve total mass), n_negative = 0
+    (ranks are sums of non-negative terms; unreached nodes sit at
+    exactly 0, so the q84 positivity bound weakens to non-negativity
+    here)."""
     from graphsense_blocksci_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -3625,7 +3694,18 @@ def q130_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("node") % 10 == 0)
     )
-    return pagerank(edges, iterations=8, seeds=seeds)
+    pr = pagerank(edges, iterations=8, seeds=seeds)
+    mass = pr.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.sum("rank") * F.lit(1e6)).cast("long").alias("mass_e6"),
+        F.sum(F.when(F.col("rank") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+    )
+    n_seeds = seeds.agg(F.count(F.lit(1)).alias("n_seeds"))
+    return mass.crossJoin(n_seeds).select(
+        "n_nodes", "n_seeds", "mass_e6", "n_negative"
+    )
 
 
 def q131_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12127,4 +12207,39 @@ SELECT agg.event_type,
        ) AS BIGINT) AS est_floor,
        true_distinct
 FROM agg JOIN truth ON agg.event_type = truth.event_type
+"""
+
+
+# q43: GEMM-vs-fold parity over exact top-3 — expected row count from
+# the q39 brute-force mirror; symmetric difference an identity (0).
+ORACLE_SQL["q43_knn_gemm"] = (
+    "SELECT count(*) AS n_pairs, CAST(0 AS BIGINT) AS n_gemm_only,"
+    " CAST(0 AS BIGINT) AS n_fold_only FROM ("
+    + _knn_bruteforce_sql(3)
+    + ")"
+)
+
+# q125: full-probe + unbounded-rerank IVF-PQ equals exact top-1 (the
+# candidate set is the corpus and the re-rank is exact), and both the
+# exact and the production-path result carry one row per vector.
+ORACLE_SQL["q125_knn_ivfpq"] = (
+    "SELECT count(*) AS n_queries, count(*) AS n_results,"
+    " CAST(0 AS BIGINT) AS n_fullprobe_mismatch FROM embeddings"
+)
+
+# q130: seeded-teleport conservation — graph shape from the
+# supplier->part edge CTE, mass/non-negativity are identities.
+ORACLE_SQL["q130_personalized_pagerank"] = """
+WITH e AS (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+           CAST(l_partkey AS BIGINT) AS dst
+    FROM lineitem
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 10 = 0)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM seeds) AS n_seeds,
+       CAST(1000000 AS BIGINT) AS mass_e6,
+       CAST(0 AS BIGINT) AS n_negative
+FROM (SELECT 1)
 """
