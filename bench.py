@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "q201_topn_others",
     "q202_degree_histogram",
     "q203_groupwise_hll",
+    "q204_embedding_decontamination",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

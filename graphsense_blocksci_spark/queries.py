@@ -6299,6 +6299,113 @@ def q199_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(mismatch).crossJoin(truth)
 
 
+def qd34_peeling_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeling-chain detection over the real fixture chain — the
+    classic Bitcoin obfuscation pattern (one UTXO repeatedly "peeled":
+    each hop is a single-input tx spending the previous hop's output).
+    Hop edges = single-input tx B whose input spends an output of
+    single-input tx A; chains = connected components of the hop graph
+    (the same adaptive CC as entity clustering); reported per chain
+    with length and the tx-id span, chains of >= 3 hops only — the
+    investigator's shortlist. Oracle: recursive-CTE min-label over the
+    identical hop edges."""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+    )
+    from graphsense_blocksci_spark.operators.linkage import explode_inputs
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    single = (
+        raw_txs.filter(~F.col("coinbase"))
+        .filter(F.size("inputs") == 1)
+        .select(
+            F.col("tx_id").cast("long").alias("tx_id"),
+            F.col("inputs")[0]["spent_tx_id"].cast("long").alias("parent"),
+        )
+    )
+    parents = single.select(F.col("tx_id").alias("parent")).distinct()
+    edges = single.join(parents, "parent").select(
+        F.col("parent").alias("src"), F.col("tx_id").alias("dst")
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy(F.col("component").alias("chain_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_txs"),
+            F.min("node").cast("long").alias("first_tx"),
+            F.max("node").cast("long").alias("last_tx"),
+        )
+        .filter(F.col("n_txs") >= 3)
+    )
+
+
+def qd35_address_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address-reuse histogram over the real fixture chain — the
+    privacy-hygiene statistic (how many addresses receive 1, 2, 4+
+    times) every chain-analytics report leads with. One output
+    explode (multisig output address arrays unnest to their member
+    addresses), one per-address count, one log2-binned histogram with
+    value totals — all integers, never a per-address frame leaving
+    the aggregate."""
+    from graphsense_blocksci_spark.operators.linkage import explode_outputs
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    outs = explode_outputs(raw_txs)
+    per_addr = (
+        outs.select(F.explode("address").alias("addr"), "value")
+        .groupBy("addr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_received"),
+            F.sum("value").cast("long").alias("total_value"),
+        )
+    )
+    return per_addr.groupBy(
+        F.length(F.bin(F.col("n_received"))).cast("long").alias("log2_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_addresses"),
+        F.min("n_received").alias("min_received"),
+        F.max("n_received").alias("max_received"),
+        F.sum("total_value").cast("long").alias("sum_value"),
+    )
+
+
+def q204_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based benchmark decontamination — the third
+    decontamination modality next to n-gram overlap (q91) and the
+    Bloom prefilter (q122): corpus vectors whose cosine against ANY
+    held-out eval vector reaches the near-dup threshold are flagged
+    with their match count and best similarity. The eval set
+    (vec_id % 20 == 0) broadcasts — KBs at any corpus size — and
+    every cosine is the fixed-order fold on unit vectors, so max/count
+    per corpus vector are engine-exact. At 100 TB this is one
+    broadcast-join scan; the LSH-bucketed variant (q46 machinery)
+    takes over when the eval set itself is huge."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from graphsense_blocksci_spark.operators.similarity import unit_vector
+
+    uv = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        unit_vector(F.col("embedding")).alias("_uv"),
+    )
+    ev = uv.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("_uv").alias("_ev")
+    )
+    corpus = uv.filter(F.col("vec_id") % 20 != 0)
+    from graphsense_blocksci_spark.operators.similarity import dot
+
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id", dot(F.col("_uv"), F.col("_ev")).alias("cos_sim")
+    )
+    return (
+        scored.filter(F.col("cos_sim") >= 0.35)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max("cos_sim").alias("max_sim"),
+        )
+    )
+
+
 def q203_groupwise_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group approximate distinct users (distinct users per event
     type) via the oracle-exact HLL — the group-wise form every
@@ -6839,6 +6946,9 @@ QUERIES: dict[str, QueryFn] = {
     "q201_topn_others": q201_topn_others,
     "q202_degree_histogram": q202_degree_histogram,
     "q203_groupwise_hll": q203_groupwise_hll,
+    "q204_embedding_decontamination": q204_embedding_decontamination,
+    "qd34_peeling_chains": qd34_peeling_chains,
+    "qd35_address_reuse": qd35_address_reuse,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -12242,4 +12352,83 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
        CAST(1000000 AS BIGINT) AS mass_e6,
        CAST(0 AS BIGINT) AS n_negative
 FROM (SELECT 1)
+"""
+
+
+# qd34: hop edges between single-input txs, min-label recursive CTE
+# (q63's discipline), chains >= 3.
+ORACLE_SQL["qd34_peeling_chains"] = f"""
+WITH RECURSIVE single AS (
+    SELECT tx_id, inputs[1].spent_tx_id AS parent
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase AND len(inputs) = 1
+),
+hop AS (
+    SELECT s.parent AS src, s.tx_id AS dst
+    FROM single s JOIN (SELECT DISTINCT tx_id FROM single) p
+      ON s.parent = p.tx_id
+),
+edges AS (
+    SELECT src, dst FROM hop UNION SELECT dst, src FROM hop
+),
+walk(node, comp) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node
+),
+lbl AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT CAST(comp AS BIGINT) AS chain_id,
+       CAST(count(*) AS BIGINT) AS n_txs,
+       CAST(min(node) AS BIGINT) AS first_tx,
+       CAST(max(node) AS BIGINT) AS last_tx
+FROM lbl GROUP BY comp HAVING count(*) >= 3
+"""
+
+
+# qd35: unnest outputs then their address arrays; log2 bin via binary
+# length.
+ORACLE_SQL["qd35_address_reuse"] = f"""
+WITH outs AS (
+    SELECT unnest(outputs) AS o
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+flat AS (
+    SELECT unnest(o.address) AS addr, o."value" AS value FROM outs
+),
+per_addr AS (
+    SELECT addr, CAST(count(*) AS BIGINT) AS n_received,
+           CAST(sum(value) AS BIGINT) AS total_value
+    FROM flat GROUP BY addr
+)
+SELECT CAST(length(bin(n_received)) AS BIGINT) AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n_addresses,
+       CAST(min(n_received) AS BIGINT) AS min_received,
+       CAST(max(n_received) AS BIGINT) AS max_received,
+       CAST(sum(total_value) AS BIGINT) AS sum_value
+FROM per_addr GROUP BY 1
+"""
+
+
+# q204: the q46 normalize/fold machinery against the broadcast eval
+# slice — count and max of identically-computed doubles are exact.
+ORACLE_SQL["q204_embedding_decontamination"] = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, list_transform(e, x -> x / sqrt({_dot64('e', 'e')})) AS u
+    FROM v
+),
+ev AS (SELECT vec_id AS eval_id, u AS ue FROM n WHERE vec_id % 20 = 0),
+corpus AS (SELECT vec_id, u FROM n WHERE vec_id % 20 <> 0),
+scored AS (
+    SELECT c.vec_id, ({_dot64('c.u', 'e.ue')}) AS cos_sim
+    FROM corpus c CROSS JOIN ev e
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       max(cos_sim) AS max_sim
+FROM scored WHERE cos_sim >= 0.35
+GROUP BY vec_id
 """
