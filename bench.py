@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "qd29_tx_fees",
     "qd30_block_intervals",
     "qd31_entity_daily_balances",
+    "qd34_peeling_chains",
+    "qd35_address_reuse",
 ]
 # q160 (Louvain) entered the bench list in round 5: lazy checkpoints
 # fold each level's sub-round jobs into one Spark job (~45 s of toy-
