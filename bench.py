@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "q202_degree_histogram",
     "q203_groupwise_hll",
     "q204_embedding_decontamination",
+    "q205_confusion_metrics",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -6299,6 +6299,58 @@ def q199_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(mismatch).crossJoin(truth)
 
 
+def q205_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classification evaluation pack — confusion matrix,
+    precision/recall/F1 and Cohen's kappa for a deterministic
+    discount-threshold predictor of returned lineitems (the rule is
+    the fixture stand-in for any scored model; AUC q150 / calibration
+    q177 grade the scores, this grades the DECISIONS). TP/FP/FN/TN
+    are one integer aggregate; P/R/F1 are exact integer ppm divisions
+    (F1 = 2·TP·1e6 DIV (2·TP + FP + FN) — no float chain); kappa's
+    observed/expected agreement stays rational: kappa_ppm =
+    (po_num·n − pe_num)·1e6 DIV (n² − pe_num) with po_num = (TP+TN)·n
+    and pe_num the margin product sum — every term int64 at fixture
+    scale, one scan, one row out."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        (F.col("l_discount") > 0.05).cast("int").alias("p"),
+    )
+    cm = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y") * F.col("p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("p")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p"))).cast("long").alias("tn"),
+    )
+    return cm.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(1000000 * tp DIV (tp + fp) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(1000000 * tp DIV (tp + fn) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "CAST(2000000 * tp DIV (2 * tp + fp + fn) AS BIGINT)"
+        ).alias("f1_ppm"),
+        # kappa can be negative: integer DIV truncates toward zero in
+        # Spark but DuckDB's // floors, so the ppm scaling runs as ONE
+        # fixed-shape double expression (exact int64 inputs, floor
+        # identical in both engines)
+        F.expr(
+            "CAST(floor(1e6 *"
+            " CAST((tp + tn) * n - ((tp + fp) * (tp + fn)"
+            " + (fn + tn) * (fp + tn)) AS DOUBLE)"
+            " / CAST(n * n - ((tp + fp) * (tp + fn)"
+            " + (fn + tn) * (fp + tn)) AS DOUBLE)) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
 def qd34_peeling_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peeling-chain detection over the real fixture chain — the
     classic Bitcoin obfuscation pattern (one UTXO repeatedly "peeled":
@@ -6947,6 +6999,7 @@ QUERIES: dict[str, QueryFn] = {
     "q202_degree_histogram": q202_degree_histogram,
     "q203_groupwise_hll": q203_groupwise_hll,
     "q204_embedding_decontamination": q204_embedding_decontamination,
+    "q205_confusion_metrics": q205_confusion_metrics,
     "qd34_peeling_chains": qd34_peeling_chains,
     "qd35_address_reuse": qd35_address_reuse,
     # -- rotate into the window in a later round ------------------------
@@ -12431,4 +12484,33 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        max(cos_sim) AS max_sim
 FROM scored WHERE cos_sim >= 0.35
 GROUP BY vec_id
+"""
+
+
+# q205: confusion counts + exact ppm divisions; kappa via the same
+# fixed-shape double floor.
+ORACLE_SQL["q205_confusion_metrics"] = """
+WITH cm AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN l_returnflag = 'R' AND l_discount <= 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_discount <= 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM lineitem
+)
+SELECT n, tp, fp, fn, tn,
+       CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+       CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm,
+       CAST(2000000 * tp // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm,
+       CAST(floor(1e6 *
+           CAST((tp + tn) * n - ((tp + fp) * (tp + fn)
+                + (fn + tn) * (fp + tn)) AS DOUBLE)
+           / CAST(n * n - ((tp + fp) * (tp + fn)
+                  + (fn + tn) * (fp + tn)) AS DOUBLE)) AS BIGINT)
+           AS kappa_ppm
+FROM cm
 """
