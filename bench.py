@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "q203_groupwise_hll",
     "q204_embedding_decontamination",
     "q205_confusion_metrics",
+    "q206_decile_lift",
+    "q207_equidepth_bins",
+    "q208_pareto_curve",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

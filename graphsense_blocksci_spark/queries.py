@@ -6351,6 +6351,147 @@ def q205_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q206_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the campaign-targeting readout: orders cut
+    into 10 score bands by the EXACT percentile edges of the score
+    (integer cents; edges ride a broadcast 1-row frame back onto the
+    scan — deliberately NOT a global ntile window, which would drag
+    the whole fact table through one partition at 100 TB), each band
+    with its response rate (urgent-priority share) and cumulative lift
+    vs the base rate in exact ppm integer arithmetic (lift =
+    cum_resp·n·1e6 DIV (cum_n·total_resp)). Value ties at an edge land
+    in one band deterministically, so band sizes are near-equal, not
+    exactly equal — the price of staying distributed, and irrelevant
+    to a lift readout. Running sums window over 10 rows only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("resp"),
+    )
+    edges = o.agg(
+        F.expr(
+            "percentile(cents, array(0.9D, 0.8D, 0.7D, 0.6D, 0.5D,"
+            " 0.4D, 0.3D, 0.2D, 0.1D))"
+        ).alias("_e")
+    )
+    deciled = o.crossJoin(F.broadcast(edges)).select(
+        "resp",
+        # decile 1 = highest scores (>= p90), ... decile 10 = lowest
+        F.when(F.col("cents") >= F.col("_e")[0], 1)
+        .when(F.col("cents") >= F.col("_e")[1], 2)
+        .when(F.col("cents") >= F.col("_e")[2], 3)
+        .when(F.col("cents") >= F.col("_e")[3], 4)
+        .when(F.col("cents") >= F.col("_e")[4], 5)
+        .when(F.col("cents") >= F.col("_e")[5], 6)
+        .when(F.col("cents") >= F.col("_e")[6], 7)
+        .when(F.col("cents") >= F.col("_e")[7], 8)
+        .when(F.col("cents") >= F.col("_e")[8], 9)
+        .otherwise(10)
+        .cast("long")
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("resp").cast("long").alias("n_resp"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("n_resp").cast("long").alias("_tr"),
+    )
+    return (
+        per.withColumn("cum_n", F.sum("n").over(cw).cast("long"))
+        .withColumn("cum_resp", F.sum("n_resp").over(cw).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_resp",
+            "cum_n",
+            "cum_resp",
+            F.expr(
+                "CAST(1000000 * n_resp DIV n AS BIGINT)"
+            ).alias("resp_rate_ppm"),
+            F.expr(
+                "CAST(1000000 * cum_resp * _tn DIV (cum_n * _tr) AS BIGINT)"
+            ).alias("cum_lift_ppm"),
+        )
+    )
+
+
+def q207_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile-based bin edges) — the pair of
+    the equi-width q152: edges are the exact interpolated quartiles of
+    integer cents (the q59 bit-portable percentile contract), bins get
+    near-equal populations however skewed the distribution. Edges ride
+    a 1-row broadcast back onto the scan; per-bin count / integer
+    bounds / cents sum are one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    edges = li.agg(
+        F.expr(
+            "percentile(cents, array(0.25D, 0.5D, 0.75D))"
+        ).alias("_e")
+    ).select(
+        F.col("_e")[0].alias("q1"),
+        F.col("_e")[1].alias("q2"),
+        F.col("_e")[2].alias("q3"),
+    )
+    binned = li.crossJoin(F.broadcast(edges)).select(
+        "cents",
+        F.when(F.col("cents") <= F.col("q1"), 0)
+        .when(F.col("cents") <= F.col("q2"), 1)
+        .when(F.col("cents") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / concentration curve — what share of revenue the top-k
+    suppliers carry (the 80/20 readout): per-supplier revenue rollup,
+    ranked descending (id tie-break), running revenue share in exact
+    ppm (cum_cents·1e6 DIV total_cents) with the supplier count
+    alongside. The window runs over the supplier-sized rollup, never
+    the fact table; emitted every 10th rank plus the last row to keep
+    the curve frame bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").cast("long").alias("supp")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("supp"))
+    cw = Window.orderBy(F.desc("cents"), F.asc("supp")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("cents").cast("long").alias("_t"),
+                  F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("cum_cents", F.sum("cents").over(cw).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return ranked.filter(
+        (F.col("rk") % 10 == 0) | (F.col("rk") == F.col("_n"))
+    ).select(
+        "rk",
+        "supp",
+        "cum_cents",
+        F.col("_t").alias("total_cents"),
+        F.expr("CAST(1000000 * cum_cents DIV _t AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+    )
+
+
 def qd34_peeling_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peeling-chain detection over the real fixture chain — the
     classic Bitcoin obfuscation pattern (one UTXO repeatedly "peeled":
@@ -7000,6 +7141,9 @@ QUERIES: dict[str, QueryFn] = {
     "q203_groupwise_hll": q203_groupwise_hll,
     "q204_embedding_decontamination": q204_embedding_decontamination,
     "q205_confusion_metrics": q205_confusion_metrics,
+    "q206_decile_lift": q206_decile_lift,
+    "q207_equidepth_bins": q207_equidepth_bins,
+    "q208_pareto_curve": q208_pareto_curve,
     "qd34_peeling_chains": qd34_peeling_chains,
     "qd35_address_reuse": qd35_address_reuse,
     # -- rotate into the window in a later round ------------------------
@@ -12513,4 +12657,106 @@ SELECT n, tp, fp, fn, tn,
                   + (fn + tn) * (fp + tn)) AS DOUBLE)) AS BIGINT)
            AS kappa_ppm
 FROM cm
+"""
+
+
+# q206: same total-order ntile + running sums; lift in exact ppm.
+ORACLE_SQL["q206_decile_lift"] = """
+WITH c AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS resp
+    FROM orders
+),
+edges AS (
+    SELECT quantile_cont(cents, 0.9) AS e1, quantile_cont(cents, 0.8) AS e2,
+           quantile_cont(cents, 0.7) AS e3, quantile_cont(cents, 0.6) AS e4,
+           quantile_cont(cents, 0.5) AS e5, quantile_cont(cents, 0.4) AS e6,
+           quantile_cont(cents, 0.3) AS e7, quantile_cont(cents, 0.2) AS e8,
+           quantile_cont(cents, 0.1) AS e9
+    FROM c
+),
+deciled AS (
+    SELECT resp,
+           CASE WHEN cents >= e1 THEN 1 WHEN cents >= e2 THEN 2
+                WHEN cents >= e3 THEN 3 WHEN cents >= e4 THEN 4
+                WHEN cents >= e5 THEN 5 WHEN cents >= e6 THEN 6
+                WHEN cents >= e7 THEN 7 WHEN cents >= e8 THEN 8
+                WHEN cents >= e9 THEN 9 ELSE 10 END AS decile
+    FROM c, edges
+),
+per AS (
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(resp) AS BIGINT) AS n_resp
+    FROM deciled GROUP BY 1
+),
+cum AS (
+    SELECT decile, n, n_resp,
+           CAST(sum(n) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           CAST(sum(n_resp) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp
+    FROM per
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(n_resp) AS BIGINT) AS tr
+    FROM per
+)
+SELECT decile, n, n_resp, cum_n, cum_resp,
+       CAST(1000000 * n_resp // n AS BIGINT) AS resp_rate_ppm,
+       CAST(1000000 * cum_resp * tn // (cum_n * tr) AS BIGINT)
+           AS cum_lift_ppm
+FROM cum, tot
+"""
+
+
+# q207: quantile_cont edges (the q59 bit-portable contract) + one
+# binned aggregate.
+ORACLE_SQL["q207_equidepth_bins"] = """
+WITH c AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem
+),
+edges AS (
+    SELECT quantile_cont(cents, 0.25) AS q1,
+           quantile_cont(cents, 0.5) AS q2,
+           quantile_cont(cents, 0.75) AS q3
+    FROM c
+)
+SELECT CAST(CASE WHEN cents <= q1 THEN 0
+                 WHEN cents <= q2 THEN 1
+                 WHEN cents <= q3 THEN 2
+                 ELSE 3 END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM c, edges GROUP BY 1
+"""
+
+
+# q208: supplier rollup + running share, every 10th rank + the last.
+ORACLE_SQL["q208_pareto_curve"] = """
+WITH per AS (
+    SELECT CAST(l_suppkey AS BIGINT) AS supp,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT supp, cents,
+           CAST(row_number() OVER (ORDER BY cents DESC, supp ASC) AS BIGINT)
+               AS rk,
+           CAST(sum(cents) OVER (ORDER BY cents DESC, supp ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM per
+),
+tot AS (
+    SELECT CAST(sum(cents) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+    FROM per
+)
+SELECT rk, supp, cum_cents, t AS total_cents,
+       CAST(1000000 * cum_cents // t AS BIGINT) AS cum_share_ppm
+FROM ranked, tot
+WHERE rk % 10 = 0 OR rk = n
 """
