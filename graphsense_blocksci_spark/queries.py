@@ -7009,16 +7009,20 @@ def q197_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1-4) sit at the back.
 #
 # ROUND-6 ROTATION (do this first next round): move the remaining
-# never-driver-green entries into positions 2-50 — q109/q111/q117-q119/qd23/
-# q125/q129/q130/q132/q134-q136/q140/q142-q144/q147/q149/q151-q154/q156/
-# q158/q159/q160-q164/q166-q178 plus the round-5 additions
-# q186-q202 + qd32/qd33 (edit-distance join, MAP@10, autocorrelation,
-# Borůvka MSF, NB model, chi², group OLS, Mann-Kendall, clustering
-# coefficient, target encoding, rendezvous hashing + streaming router,
-# FK inference, Merkle diff, oracle-exact HLL + streaming twin, MERGE
-# upsert, top-N+OTHERS, degree histogram — all oracle-backed).
-# Rows-only entries (q111/q140/q144/q160/q167/q169/q170/q173) can sit
-# in-window — the driver records the weaker rows-only check for them.
+# never-driver-green entries into positions 2-50. Prioritize the
+# round-5 additions — q186-q208 + qd32-qd35 (edit-distance join,
+# MAP@10, autocorrelation, Borůvka MSF, NB model, chi², group OLS,
+# Mann-Kendall, clustering coefficient, target encoding, rendezvous
+# hashing + streaming router, FK inference, Merkle diff, oracle-exact
+# HLL batch/grouped/streaming, MERGE upsert, top-N+OTHERS, degree
+# histogram, embedding decontamination, confusion metrics, decile
+# lift, equi-depth bins, Pareto curve, peeling chains, address reuse
+# — all oracle-backed) and the newly-oracled q43/q125/q130 invariant
+# frames — then fill with the q109-q178 backlog (q109/q117-q119/qd23/
+# q129/q132/q134-q136/q142-q144/q147/q149/q151-q154/q156/q158/q159/
+# q161-q164/q166/q168/q171/q172/q174-q178). Rows-only entries
+# (q111/q140/q160/q167/q169/q170/q173) can sit in-window — the driver
+# records the weaker rows-only check for them.
 QUERIES: dict[str, QueryFn] = {
     # -- round-5 driver window (50) ------------------------------------
     "q01_pricing_summary": q01_pricing_summary,
