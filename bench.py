@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "qd31_entity_daily_balances",
     "qd34_peeling_chains",
     "qd35_address_reuse",
+    "qd36_miner_revenue",
 ]
 # q160 (Louvain) entered the bench list in round 5: lazy checkpoints
 # fold each level's sub-round jobs into one Spark job (~45 s of toy-

@@ -6492,6 +6492,49 @@ def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd36_miner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block miner revenue = coinbase output total (subsidy + the
+    fees it sweeps) decomposed against the block's independently
+    computed fee total (qd29's arithmetic), with the implied subsidy
+    as the difference — the miner-economics table, and a built-in
+    consistency audit of the chain fixture (coinbase value ≥ fees;
+    subsidy = coinbase − fees). One coinbase projection + one fee
+    aggregate + one block-keyed join; nothing scales past block
+    count."""
+    from graphsense_blocksci_spark.functions.io_aggs import io_total_value
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    coinbase = raw_txs.filter(F.col("coinbase")).select(
+        F.col("block_id").cast("long").alias("block_id"),
+        io_total_value("outputs").cast("long").alias("coinbase_value"),
+    )
+    fees = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select(
+            F.col("block_id").cast("long").alias("block_id"),
+            (io_total_value("inputs") - io_total_value("outputs"))
+            .cast("long")
+            .alias("fee"),
+        )
+        .groupBy("block_id")
+        .agg(F.sum("fee").cast("long").alias("total_fee"))
+    )
+    return (
+        coinbase.join(fees, "block_id", "left")
+        .select(
+            "block_id",
+            "coinbase_value",
+            F.coalesce("total_fee", F.lit(0)).cast("long").alias("total_fee"),
+            (
+                F.col("coinbase_value")
+                - F.coalesce("total_fee", F.lit(0))
+            )
+            .cast("long")
+            .alias("subsidy"),
+        )
+    )
+
+
 def qd34_peeling_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peeling-chain detection over the real fixture chain — the
     classic Bitcoin obfuscation pattern (one UTXO repeatedly "peeled":
@@ -7150,6 +7193,7 @@ QUERIES: dict[str, QueryFn] = {
     "q208_pareto_curve": q208_pareto_curve,
     "qd34_peeling_chains": qd34_peeling_chains,
     "qd35_address_reuse": qd35_address_reuse,
+    "qd36_miner_revenue": qd36_miner_revenue,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -12763,4 +12807,30 @@ SELECT rk, supp, cum_cents, t AS total_cents,
        CAST(1000000 * cum_cents // t AS BIGINT) AS cum_share_ppm
 FROM ranked, tot
 WHERE rk % 10 = 0 OR rk = n
+"""
+
+
+# qd36: coinbase totals vs independently-derived fee totals, joined
+# per block; subsidy is the difference.
+ORACLE_SQL["qd36_miner_revenue"] = f"""
+WITH cb AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(list_sum(list_transform(outputs, o -> o."value")) AS BIGINT)
+               AS coinbase_value
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE coinbase
+),
+fees AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(sum(list_sum(list_transform(inputs, i -> i."value"))
+                    - list_sum(list_transform(outputs, o -> o."value")))
+                AS BIGINT) AS total_fee
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+    GROUP BY 1
+)
+SELECT cb.block_id, coinbase_value,
+       CAST(COALESCE(total_fee, 0) AS BIGINT) AS total_fee,
+       CAST(coinbase_value - COALESCE(total_fee, 0) AS BIGINT) AS subsidy
+FROM cb LEFT JOIN fees ON cb.block_id = fees.block_id
 """
