@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q206_decile_lift",
     "q207_equidepth_bins",
     "q208_pareto_curve",
+    "q209_theil_sen",
+    "q210_ks_test",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -6492,6 +6492,102 @@ def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q209_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope over the daily order-count series
+    — the outlier-immune counterpart of the q192 OLS family and the
+    estimator the q193 Mann-Kendall test is usually paired with: the
+    MEDIAN of all pairwise slopes (x_j − x_i)/(day_j − day_i). Each
+    slope is ONE IEEE divide of exact integers (identical in any
+    engine), and the median is the bit-portable interpolated
+    percentile contract (q59). Aggregate-first: the pair join is a
+    broadcast self-join bounded by |days|², never corpus-sized. The
+    pair count and the slope sign counts ride along as exact
+    integers."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = daily.select(F.col("day").alias("di"), F.col("x").alias("xi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("x").alias("xj"))
+    slopes = a.join(F.broadcast(b), F.col("di") < F.col("dj")).select(
+        (
+            (F.col("xj") - F.col("xi")).cast("double")
+            / (F.col("dj") - F.col("di")).cast("double")
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("slope") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("slope") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.expr("percentile(slope, 0.5D)").alias("theil_sen_slope"),
+    )
+
+
+def q210_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distribution drift test — the
+    CDF-distance counterpart of the q151 TVD drift readout: order
+    prices split into early/late halves by date, D = max |CDF_a −
+    CDF_b| carried as the EXACT integer max |cum_a·n_b − cum_b·n_a|
+    (the n_a·n_b common-denominator trick — no float CDFs anywhere),
+    with the float D as one final divide. Values are quantized to a
+    bounded grid (1000-cent buckets — near-unique raw prices would
+    drag a row-sized frame through the single global cumulative
+    window; the grid is the standard distributed-KS compromise and
+    its resolution is the knob), so the CDF windows run over a few
+    hundred rows regardless of corpus size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000"
+            " AS BIGINT)"
+        ).alias("cents"),
+        (
+            F.col("o_orderdate")
+            < F.lit("1998-01-01").cast("timestamp")
+        ).cast("int").alias("early"),
+    )
+    per_value = o.groupBy("cents").agg(
+        F.sum("early").cast("long").alias("ca"),
+        F.sum(1 - F.col("early")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_value.select(
+        "cents",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = o.agg(
+        F.sum("early").cast("long").alias("n_a"),
+        F.sum(1 - F.col("early")).cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            ).alias("_d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_d").cast("long").alias("d_scaled"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_scaled",
+            (
+                F.col("d_scaled").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks_d"),
+        )
+    )
+
+
 def qd36_miner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block miner revenue = coinbase output total (subsidy + the
     fees it sweeps) decomposed against the block's independently
@@ -7194,6 +7290,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd34_peeling_chains": qd34_peeling_chains,
     "qd35_address_reuse": qd35_address_reuse,
     "qd36_miner_revenue": qd36_miner_revenue,
+    "q209_theil_sen": q209_theil_sen,
+    "q210_ks_test": q210_ks_test,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -12833,4 +12931,60 @@ SELECT cb.block_id, coinbase_value,
        CAST(COALESCE(total_fee, 0) AS BIGINT) AS total_fee,
        CAST(coinbase_value - COALESCE(total_fee, 0) AS BIGINT) AS subsidy
 FROM cb LEFT JOIN fees ON cb.block_id = fees.block_id
+"""
+
+
+# q209: pairwise slopes (one divide each) + the interpolated median.
+ORACLE_SQL["q209_theil_sen"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+slopes AS (
+    SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+    FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_positive,
+       CAST(sum(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative,
+       quantile_cont(slope, 0.5) AS theil_sen_slope
+FROM slopes
+"""
+
+
+# q210: quantized-grid CDFs; D as the exact integer cross-difference.
+ORACLE_SQL["q210_ks_test"] = """
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000 AS cents,
+           CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS early
+    FROM orders
+),
+per_value AS (
+    SELECT cents, CAST(sum(early) AS BIGINT) AS ca,
+           CAST(sum(1 - early) AS BIGINT) AS cb
+    FROM o GROUP BY 1
+),
+cum AS (
+    SELECT cents,
+           CAST(sum(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_a,
+           CAST(sum(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_b
+    FROM per_value
+),
+tot AS (
+    SELECT CAST(sum(early) AS BIGINT) AS n_a,
+           CAST(sum(1 - early) AS BIGINT) AS n_b
+    FROM o
+)
+SELECT n_a, n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_scaled,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
+FROM cum, tot
+GROUP BY n_a, n_b
 """
