@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "q208_pareto_curve",
     "q209_theil_sen",
     "q210_ks_test",
+    "q211_quality_keeper",
+    "q212_time_to_convert",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

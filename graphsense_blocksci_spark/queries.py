@@ -6492,6 +6492,113 @@ def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q211_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship — q71's near-dup clusters with
+    a BETTER keeper policy: instead of min-id, each cluster keeps its
+    longest document (argmax n_chars, id tie-break) — the policy real
+    curation pipelines run (keep the most complete copy, drop the
+    fragments). One cluster-keyed aggregate over the labeled corpus:
+    member count, elected keeper, its length, and the cluster's total
+    length (= how many chars dedup saves). The pair graph and CC are
+    the verified q71 machinery; the oracle re-runs the identical
+    recursive-CTE clusters + the same argmax survivorship."""
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    labeled = d.join(cc, d.doc_id == cc.node, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("canonical_id"),
+    )
+    return labeled.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        # composite integer key: larger n_chars wins, ties break to the
+        # smaller doc_id (DuckDB's arg_max takes scalars, not structs)
+        F.max_by(
+            "doc_id",
+            F.col("n_chars") * F.lit(1_000_000_000) - F.col("doc_id"),
+        )
+        .cast("long")
+        .alias("keep_id"),
+        F.max("n_chars").cast("long").alias("keep_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+def q212_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution — how long converting users take
+    from first view to purchase (the metric the q127 funnel feeds):
+    per converting user the view→click and view→purchase latencies in
+    integer seconds, summarized as counts plus exact interpolated
+    quartiles under the bit-portable percentile contract (q59). The
+    funnel stages are q127's chained conditional-min aggregations;
+    the summary is one aggregate over the converting-user frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("e"),
+        "event_type",
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("e").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("e") >= F.col("t_view"))
+            & (F.col("e") <= F.col("t_view") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("e").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("e") >= F.col("t_click"))
+            & (F.col("e") <= F.col("t_click") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("e").alias("t_purchase"))
+    )
+    conv = (
+        v.join(c, "user_id")
+        .join(p, "user_id")
+        .select(
+            (F.col("t_click") - F.col("t_view")).alias("s_click"),
+            (F.col("t_purchase") - F.col("t_view")).alias("s_purchase"),
+        )
+    )
+    agg = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.min("s_purchase").cast("long").alias("min_s"),
+        F.max("s_purchase").cast("long").alias("max_s"),
+        F.expr("percentile(s_click, array(0.25D, 0.5D, 0.75D))").alias("_cq"),
+        F.expr("percentile(s_purchase, array(0.25D, 0.5D, 0.75D))").alias(
+            "_pq"
+        ),
+    )
+    return agg.select(
+        "n_converters",
+        "min_s",
+        "max_s",
+        F.col("_cq")[0].alias("click_q1"),
+        F.col("_cq")[1].alias("click_q2"),
+        F.col("_cq")[2].alias("click_q3"),
+        F.col("_pq")[0].alias("purchase_q1"),
+        F.col("_pq")[1].alias("purchase_q2"),
+        F.col("_pq")[2].alias("purchase_q3"),
+    )
+
+
 def q209_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend slope over the daily order-count series
     — the outlier-immune counterpart of the q192 OLS family and the
@@ -7292,6 +7399,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd36_miner_revenue": qd36_miner_revenue,
     "q209_theil_sen": q209_theil_sen,
     "q210_ks_test": q210_ks_test,
+    "q211_quality_keeper": q211_quality_keeper,
+    "q212_time_to_convert": q212_time_to_convert,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -12987,4 +13096,67 @@ SELECT n_a, n_b,
            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks_d
 FROM cum, tot
 GROUP BY n_a, n_b
+"""
+
+
+# q211: q71's recursive-CTE clusters + argmax survivorship.
+ORACLE_SQL["q211_quality_keeper"] = (
+    ORACLE_SQL["q71_fuzzy_dedup"].rsplit("SELECT CAST(d.doc_id", 1)[0]
+    + """, labeled AS (
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT canonical_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(arg_max(doc_id, n_chars * 1000000000 - doc_id) AS BIGINT) AS keep_id,
+       CAST(max(n_chars) AS BIGINT) AS keep_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY canonical_id
+"""
+)
+
+
+# q212: q127's funnel stages + quantile_cont quartiles over the
+# converting users.
+ORACLE_SQL["q212_time_to_convert"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS e,
+           event_type
+    FROM events
+),
+v AS (
+    SELECT user_id, min(e) AS t_view FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT ev.user_id, min(e) AS t_click
+    FROM ev JOIN v ON ev.user_id = v.user_id
+    WHERE event_type = 'click' AND e >= t_view AND e <= t_view + 86400
+    GROUP BY ev.user_id
+),
+p AS (
+    SELECT ev.user_id, min(e) AS t_purchase
+    FROM ev JOIN c ON ev.user_id = c.user_id
+    WHERE event_type = 'purchase' AND e >= t_click AND e <= t_click + 86400
+    GROUP BY ev.user_id
+),
+conv AS (
+    SELECT c.t_click - v.t_view AS s_click,
+           p.t_purchase - v.t_view AS s_purchase
+    FROM v JOIN c ON v.user_id = c.user_id
+    JOIN p ON v.user_id = p.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       CAST(min(s_purchase) AS BIGINT) AS min_s,
+       CAST(max(s_purchase) AS BIGINT) AS max_s,
+       quantile_cont(s_click, 0.25) AS click_q1,
+       quantile_cont(s_click, 0.5) AS click_q2,
+       quantile_cont(s_click, 0.75) AS click_q3,
+       quantile_cont(s_purchase, 0.25) AS purchase_q1,
+       quantile_cont(s_purchase, 0.5) AS purchase_q2,
+       quantile_cont(s_purchase, 0.75) AS purchase_q3
+FROM conv
 """
