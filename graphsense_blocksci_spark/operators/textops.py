@@ -44,6 +44,10 @@ def spread(df: DataFrame) -> DataFrame:
     corpus has thousands of splits and this is a no-op — the guard
     checks the actual scan width, so no shuffle is added at scale.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the source's job (maxFilesPerTrigger
+        # etc.), and .rdd is illegal on a streaming frame
+        return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

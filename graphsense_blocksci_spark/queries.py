@@ -6492,6 +6492,43 @@ def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd37_streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH near-dup pair discovery under the exact
+    gate (streaming/dedup.py:lsh_pairs_stream): per-row md5-permutation
+    signatures and band keys as pure stream projections, bucket-keyed
+    applyInPandasWithState emitting each candidate pair exactly once
+    (when its later member arrives), driven availableNow over the
+    documents file stream. A single micro-batch must emit precisely
+    the batch operator's pair set, so the oracle is q36's banded SQL;
+    cross-batch union-equals-batch is pytest-pinned. This is the
+    ingest-daemon shape: flag near-dups of the EXISTING corpus as new
+    documents arrive, state bounded by bucket membership."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.dedup import lsh_pairs_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    work = tempfile.mkdtemp(prefix="gbs_slsh_")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{work}/src"
+    )
+    q = (
+        lsh_pairs_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema("id_a long, id_b long").parquet(f"{work}/out")
+    # cross-band duplicates collapse exactly like the batch distinct
+    return out.distinct()
+
+
 def q211_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup survivorship — q71's near-dup clusters with
     a BETTER keeper policy: instead of min-id, each cluster keeps its
@@ -7401,6 +7438,7 @@ QUERIES: dict[str, QueryFn] = {
     "q210_ks_test": q210_ks_test,
     "q211_quality_keeper": q211_quality_keeper,
     "q212_time_to_convert": q212_time_to_convert,
+    "qd37_streaming_lsh_pairs": qd37_streaming_lsh_pairs,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -13160,3 +13198,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_converters,
        quantile_cont(s_purchase, 0.75) AS purchase_q3
 FROM conv
 """
+
+
+# qd37: the single-batch streamed pair set must equal q36's banded
+# SQL exactly.
+ORACLE_SQL["qd37_streaming_lsh_pairs"] = ORACLE_SQL["q36_lsh_pairs"]

@@ -86,3 +86,140 @@ def curate_stream(
     return scored.filter(
         F.col("quality_ok") & F.col("lang_pred").isin(*keep_langs)
     ).select(id_col, ts_col, "n_tokens", "lang_pred")
+
+
+def lsh_pairs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """STREAMING banded MinHash-LSH candidate-pair discovery — the
+    stateful face of `operators/text_dedup.minhash_lsh_pairs`, for the
+    ingest daemon that must flag "this new document near-duplicates
+    something already ingested" AS DOCUMENTS ARRIVE instead of
+    re-running the batch join over the whole corpus.
+
+    Pipeline on the stream: the Arrow shingle pass and the md5
+    permutation MinHash run as pure PROJECTIONS (per-row
+    `array_min(transform(...))` — no streaming aggregation, so no
+    watermark requirement; the interpreted-HOF cost the batch path
+    avoids is the price of per-row signatures, and it is per-arriving-
+    document, not per-corpus). Band keys explode exactly like the
+    batch operator; rows shuffle to their (band, key) state bucket,
+    where the store keeps the bucket's member ids and each batch
+    emits ONLY the new (old, new) pairs — each qualifying pair is emitted
+    exactly once, when its later member arrives.
+
+    Parity contract: a single availableNow batch emits precisely the
+    batch operator's pair set (the qd37 gate compares against the q36
+    SQL oracle); across many micro-batches the union of emissions is
+    the same set (pytest-pinned). State per bucket is its member-id
+    list; `max_bucket` freezes a bucket once it exceeds the cap (no
+    further emission) — the streaming analog of the batch drop, since
+    already-emitted pairs cannot be retracted.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        LSH_BAND_ROWS,
+        MINHASH_COEFFS,
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+    )
+    from graphsense_blocksci_spark.operators.textops import (
+        shingle_hash_frame,
+    )
+
+    sh = shingle_hash_frame(docs, text_col, id_col)
+
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would read as a 3-ary
+        # HOF callback to Spark's arity inspection
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_sh"), _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:MINHASH_PERMS])
+    ]
+    sigs = sh.filter(F.size("_sh") > 0).select(
+        F.col(id_col).cast("long").alias("doc_id"), *sig_cols
+    )
+    n_bands = MINHASH_PERMS // LSH_BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * LSH_BAND_ROWS + r}")
+                                for r in range(LSH_BAND_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+    state_type = T.StructType(
+        [T.StructField("ids", T.ArrayType(T.LongType()))]
+    )
+    cap = max_bucket
+
+    def fn(key, pdfs, state: GroupState):
+        members = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        if cap is not None and len(members) > cap:
+            # frozen bucket: keep state, emit nothing
+            for _ in pdfs:
+                pass
+            return
+        incoming = []
+        for pdf in pdfs:
+            for x in pdf["doc_id"]:
+                xi = int(x)
+                if xi not in seen:
+                    seen.add(xi)
+                    incoming.append(xi)
+        pairs_a, pairs_b = [], []
+        for x in sorted(incoming):
+            for m in members:
+                if m != x:
+                    pairs_a.append(min(m, x))
+                    pairs_b.append(max(m, x))
+            members.append(x)
+        state.update((members,))
+        if cap is not None and len(members) > cap:
+            # crossed the cap this batch: the batch operator would have
+            # dropped the whole bucket — stop future emission
+            yield pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return
+        if pairs_a:
+            yield pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b})
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        fn,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -582,3 +582,67 @@ def test_streaming_heavy_hitters_across_batches_with_pressure(spark, tmp_path):
     assert final == want
     # batch-1 snapshot was also emitted
     assert out.filter(F.col("shard_total") == len(b1)).count() > 0
+
+
+def test_streaming_lsh_pairs_union_equals_batch(spark, tmp_path):
+    """Two micro-batches: the union of emitted pairs must equal the
+    batch LSH pair set over BOTH batches, with each pair emitted
+    exactly once (the later-member-arrival contract) — including
+    pairs that span the batch boundary (an old doc near-duplicating a
+    newly arrived one)."""
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+    from graphsense_blocksci_spark.streaming.dedup import lsh_pairs_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band plays on"
+    )
+    b1 = [(1, base), (2, base + " tonight"), (5, "completely different "
+          "text about distributed systems and parquet files everywhere")]
+    b2 = [(3, base), (4, base + " tonight"),
+          (6, "completely different text about distributed systems and "
+              "parquet files everywhere indeed")]
+    src = tmp_path / "slsh_src"
+    src.mkdir()
+    ckpt, sink = str(tmp_path / "slsh_ckpt"), str(tmp_path / "slsh_out")
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "f1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            lsh_pairs_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "f2"))
+    run_once()
+    got = (
+        spark.read.schema("id_a long, id_b long").parquet(sink).collect()
+    )
+    # exactly-once per (band-deduped) pair: distinct == raw after the
+    # cross-band distinct the batch operator also applies
+    got_pairs = sorted({(r.id_a, r.id_b) for r in got})
+    both = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want = sorted(
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(both).collect()
+    )
+    assert got_pairs == want
+    # cross-boundary pair present: doc 3 (batch 2) near-dups doc 1
+    assert (1, 3) in got_pairs
