@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q210_ks_test",
     "q211_quality_keeper",
     "q212_time_to_convert",
+    "q213_fit_apply_bins",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

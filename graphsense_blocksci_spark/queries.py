@@ -6492,6 +6492,63 @@ def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q213_fit_apply_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-on-train / apply-on-serve binning — the leakage-safe
+    feature-transform pattern: quartile edges are FIT on the early
+    period only (before 1998, the q59 bit-portable percentile
+    contract) and APPLIED to both periods, so the serve distribution
+    is read through the train lens (retraining triggers when the
+    serve shares drift). Per bin: train/serve counts and ppm shares
+    plus the signed drift — all integers, the PSI precursor without
+    its engine-unportable ln. Edges ride one broadcast row; each
+    period is one binned aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        ).cast("int").alias("is_train"),
+    )
+    edges = o.filter(F.col("is_train") == 1).agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("_e")
+    ).select(
+        F.col("_e")[0].alias("q1"),
+        F.col("_e")[1].alias("q2"),
+        F.col("_e")[2].alias("q3"),
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        "is_train",
+        F.when(F.col("cents") <= F.col("q1"), 0)
+        .when(F.col("cents") <= F.col("q2"), 1)
+        .when(F.col("cents") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("is_train").cast("long").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("long").alias("n_serve"),
+    )
+    tot = per.agg(
+        F.sum("n_train").cast("long").alias("_tt"),
+        F.sum("n_serve").cast("long").alias("_ts"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_train",
+        "n_serve",
+        F.expr("CAST(1000000 * n_train DIV _tt AS BIGINT)").alias(
+            "train_share_ppm"
+        ),
+        F.expr("CAST(1000000 * n_serve DIV _ts AS BIGINT)").alias(
+            "serve_share_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 * n_serve DIV _ts - 1000000 * n_train DIV _tt"
+            " AS BIGINT)"
+        ).alias("drift_ppm"),
+    )
+
+
 def qd37_streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MinHash-LSH near-dup pair discovery under the exact
     gate (streaming/dedup.py:lsh_pairs_stream): per-row md5-permutation
@@ -7439,6 +7496,7 @@ QUERIES: dict[str, QueryFn] = {
     "q211_quality_keeper": q211_quality_keeper,
     "q212_time_to_convert": q212_time_to_convert,
     "qd37_streaming_lsh_pairs": qd37_streaming_lsh_pairs,
+    "q213_fit_apply_bins": q213_fit_apply_bins,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -13203,3 +13261,45 @@ FROM conv
 # qd37: the single-batch streamed pair set must equal q36's banded
 # SQL exactly.
 ORACLE_SQL["qd37_streaming_lsh_pairs"] = ORACLE_SQL["q36_lsh_pairs"]
+
+
+# q213: edges fit on the train period only, applied to both; integer
+# ppm shares and drift.
+ORACLE_SQL["q213_fit_apply_bins"] = """
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS is_train
+    FROM orders
+),
+edges AS (
+    SELECT quantile_cont(cents, 0.25) AS q1,
+           quantile_cont(cents, 0.5) AS q2,
+           quantile_cont(cents, 0.75) AS q3
+    FROM o WHERE is_train = 1
+),
+binned AS (
+    SELECT is_train,
+           CAST(CASE WHEN cents <= q1 THEN 0
+                     WHEN cents <= q2 THEN 1
+                     WHEN cents <= q3 THEN 2
+                     ELSE 3 END AS BIGINT) AS bin
+    FROM o, edges
+),
+per AS (
+    SELECT bin, CAST(sum(is_train) AS BIGINT) AS n_train,
+           CAST(sum(1 - is_train) AS BIGINT) AS n_serve
+    FROM binned GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_train) AS BIGINT) AS tt,
+           CAST(sum(n_serve) AS BIGINT) AS ts
+    FROM per
+)
+SELECT bin, n_train, n_serve,
+       CAST(1000000 * n_train // tt AS BIGINT) AS train_share_ppm,
+       CAST(1000000 * n_serve // ts AS BIGINT) AS serve_share_ppm,
+       CAST(1000000 * n_serve // ts - 1000000 * n_train // tt AS BIGINT)
+           AS drift_ppm
+FROM per, tot
+"""
