@@ -6492,6 +6492,66 @@ def q208_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd38_streaming_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SimHash near-dup pairing under the exact gate
+    (streaming/dedup.py:simhash_pairs_stream): per-row 32-bit
+    signatures and their 4 pigeonhole block keys as stream
+    projections, (block, value)-keyed state emitting each candidate
+    pair once, availableNow over the documents file stream; the
+    read-back candidates are verified with the batch XOR popcount
+    (batch signatures are deterministic re-derivations) and must
+    match q159's brute-force all-pairs oracle — the streamed twin of
+    the Charikar pipeline, completing the qd37 MinHash twin."""
+    import tempfile
+
+    from graphsense_blocksci_spark.operators.text_dedup import simhash
+    from graphsense_blocksci_spark.streaming.dedup import (
+        simhash_pairs_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    work = tempfile.mkdtemp(prefix="gbs_ssim_")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{work}/src"
+    )
+    q = (
+        simhash_pairs_stream(stream, max_hamming=3)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cand = (
+        spark.read.schema("id_a long, id_b long")
+        .parquet(f"{work}/out")
+        .distinct()
+    )
+    sigs = simhash(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 def q213_fit_apply_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit-on-train / apply-on-serve binning — the leakage-safe
     feature-transform pattern: quartile edges are FIT on the early
@@ -7496,6 +7556,7 @@ QUERIES: dict[str, QueryFn] = {
     "q211_quality_keeper": q211_quality_keeper,
     "q212_time_to_convert": q212_time_to_convert,
     "qd37_streaming_lsh_pairs": qd37_streaming_lsh_pairs,
+    "qd38_streaming_simhash_pairs": qd38_streaming_simhash_pairs,
     "q213_fit_apply_bins": q213_fit_apply_bins,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
@@ -13303,3 +13364,8 @@ SELECT bin, n_train, n_serve,
            AS drift_ppm
 FROM per, tot
 """
+
+
+# qd38: the single-batch streamed candidates, popcount-verified, must
+# equal q159's brute-force all-pairs oracle.
+ORACLE_SQL["qd38_streaming_simhash_pairs"] = ORACLE_SQL["q159_simhash_join"]

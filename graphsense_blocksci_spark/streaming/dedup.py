@@ -223,3 +223,98 @@ def lsh_pairs_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def simhash_pairs_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """STREAMING SimHash candidate-pair discovery — the stateful face
+    of `operators/text_dedup.simhash_hamming_join`, same contract as
+    `lsh_pairs_stream` above (each candidate pair emitted exactly once
+    when its later member arrives): the 32-bit frequency-weighted
+    simhash and its d+1 pigeonhole block keys are pure stream
+    projections; rows shuffle to their (block, value) state bucket.
+    Emitted pairs are CANDIDATES — the consumer verifies the XOR
+    popcount against the signatures exactly as the batch operator
+    does (the qd38 gate re-derives batch signatures for the verify,
+    then must match q159's brute-force oracle)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from graphsense_blocksci_spark.operators.text_dedup import simhash
+
+    sigs = simhash(docs, text_col, id_col, bits=bits)
+    nb = max_hamming + 1
+    width = bits // nb
+    block_structs = []
+    for i in range(nb):
+        lo = i * width
+        w = bits - lo if i == nb - 1 else width
+        mask = (1 << w) - 1
+        block_structs.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    keyed = sigs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array(*block_structs)).alias("bv"),
+    ).select("doc_id", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+
+    out_type = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+    state_type = T.StructType(
+        [T.StructField("ids", T.ArrayType(T.LongType()))]
+    )
+    cap = max_bucket
+
+    def fn(key, pdfs, state: GroupState):
+        members = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        if cap is not None and len(members) > cap:
+            for _ in pdfs:
+                pass
+            return
+        incoming = []
+        for pdf in pdfs:
+            for x in pdf["doc_id"]:
+                xi = int(x)
+                if xi not in seen:
+                    seen.add(xi)
+                    incoming.append(xi)
+        pairs_a, pairs_b = [], []
+        for x in sorted(incoming):
+            for m in members:
+                if m != x:
+                    pairs_a.append(min(m, x))
+                    pairs_b.append(max(m, x))
+            members.append(x)
+        state.update((members,))
+        if cap is not None and len(members) > cap:
+            return
+        if pairs_a:
+            yield pd.DataFrame({"id_a": pairs_a, "id_b": pairs_b})
+
+    return keyed.groupBy("blk", "val").applyInPandasWithState(
+        fn,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
