@@ -6609,6 +6609,49 @@ def q213_fit_apply_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q214_rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection on the daily order-count
+    series: each day is scored against the trailing 7-day window's
+    MEDIAN and MAD (both exact small-array medians — collect the
+    odd-sized 7-element frame, sort, take the middle element; integers
+    throughout, no float quantiles), flagged by the pure integer
+    comparison |x − med| > 3·MAD. The q134 global-MAD outlier scan
+    localized in time — the monitoring shape. Windows are
+    day-count-bounded (like qd30), never row-sized; only full 7-day
+    frames score."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long").alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "day",
+        "x",
+        F.array_sort(F.collect_list("x").over(w)).alias("_fr"),
+        F.row_number().over(Window.orderBy("day")).alias("_rn"),
+    ).filter(F.col("_rn") >= 7)
+    # exact median of 7 sorted values = element 4 (1-based)
+    med = F.element_at("_fr", 4)
+    with_med = framed.select(
+        "day", "x", med.alias("med"),
+        F.array_sort(
+            F.transform("_fr", lambda v: F.abs(v - med))
+        ).alias("_dev"),
+    )
+    mad = F.element_at("_dev", 4)
+    return with_med.select(
+        "day",
+        "x",
+        "med",
+        mad.alias("mad"),
+        (F.abs(F.col("x") - F.col("med")) > 3 * mad)
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
 def qd37_streaming_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MinHash-LSH near-dup pair discovery under the exact
     gate (streaming/dedup.py:lsh_pairs_stream): per-row md5-permutation
@@ -7558,6 +7601,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd37_streaming_lsh_pairs": qd37_streaming_lsh_pairs,
     "qd38_streaming_simhash_pairs": qd38_streaming_simhash_pairs,
     "q213_fit_apply_bins": q213_fit_apply_bins,
+    "q214_rolling_mad_anomalies": q214_rolling_mad_anomalies,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -13369,3 +13413,29 @@ FROM per, tot
 # qd38: the single-batch streamed candidates, popcount-verified, must
 # equal q159's brute-force all-pairs oracle.
 ORACLE_SQL["qd38_streaming_simhash_pairs"] = ORACLE_SQL["q159_simhash_join"]
+
+
+# q214: identical trailing-frame list windows; exact element-4 medians.
+ORACLE_SQL["q214_rolling_mad_anomalies"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+framed AS (
+    SELECT day, x,
+           list_sort(list(x) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr,
+           row_number() OVER (ORDER BY day) AS rn
+    FROM daily
+),
+scored AS (
+    SELECT day, x, fr[4] AS med,
+           list_sort(list_transform(fr, v -> abs(v - fr[4])))[4] AS mad
+    FROM framed WHERE rn >= 7
+)
+SELECT day, x, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+       CAST(CASE WHEN abs(x - med) > 3 * mad THEN 1 ELSE 0 END AS INTEGER)
+           AS is_anomaly
+FROM scored
+"""
