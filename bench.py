@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q212_time_to_convert",
     "q213_fit_apply_bins",
     "q214_rolling_mad_anomalies",
+    "q215_profile_similarity",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

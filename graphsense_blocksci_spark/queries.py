@@ -6609,6 +6609,63 @@ def q213_fit_apply_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q215_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-intersection similarity between behavioral profiles:
+    every pair of event types compared by their hour-of-day
+    distributions, sim = Σ_h min(share_a(h), share_b(h)) — carried as
+    the EXACT integer Σ min(c_a·n_b, c_b·n_a) over the n_a·n_b common
+    denominator (no float shares anywhere), the same discipline as
+    the q210 KS statistic. One contingency aggregate; the pair join
+    runs over |types|²·24 rows — nothing is corpus-sized after the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    prof = cells.join(totals, "event_type")
+    a = prof.select(
+        F.col("event_type").alias("type_a"),
+        "hour",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"),
+        "hour",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "hour").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.least(
+                    F.col("ca") * F.col("nb"), F.col("cb") * F.col("na")
+                )
+            )
+            .cast("long")
+            .alias("inter_num"),
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "inter_num",
+            "n_a",
+            "n_b",
+            (
+                F.col("inter_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("similarity"),
+        )
+    )
+
+
 def q214_rolling_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window anomaly detection on the daily order-count
     series: each day is scored against the trailing 7-day window's
@@ -7602,6 +7659,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd38_streaming_simhash_pairs": qd38_streaming_simhash_pairs,
     "q213_fit_apply_bins": q213_fit_apply_bins,
     "q214_rolling_mad_anomalies": q214_rolling_mad_anomalies,
+    "q215_profile_similarity": q215_profile_similarity,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -13438,4 +13496,35 @@ SELECT day, x, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
        CAST(CASE WHEN abs(x - med) > 3 * mad THEN 1 ELSE 0 END AS INTEGER)
            AS is_anomaly
 FROM scored
+"""
+
+
+# q215: same contingency + integer min-sum over the common denominator.
+ORACLE_SQL["q215_profile_similarity"] = """
+WITH cells AS (
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+),
+prof AS (
+    SELECT cells.event_type, hour, c, n
+    FROM cells JOIN totals ON cells.event_type = totals.event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+    FROM prof a JOIN prof b
+      ON a.hour = b.hour AND a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(sum(least(ca * nb, cb * na)) AS BIGINT) AS inter_num,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(sum(least(ca * nb, cb * na)) AS DOUBLE)
+           / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))
+           AS similarity
+FROM pairs GROUP BY 1, 2
 """
