@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "qd34_peeling_chains",
     "qd35_address_reuse",
     "qd36_miner_revenue",
+    "qd39_entity_tags",
 ]
 # q160 (Louvain) entered the bench list in round 5: lazy checkpoints
 # fold each level's sub-round jobs into one Spark job (~45 s of toy-

@@ -6609,6 +6609,28 @@ def q213_fit_apply_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd39_entity_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity tag propagation — the GraphSense attribution workflow:
+    a deterministic seed rule stands in for an exchange/darknet tag
+    list (hash28(addr) % 37 == 0), and every member of a co-spend
+    entity containing at least one seeded address inherits the tag
+    (guilt-by-co-spend, the point of entity clustering). Per entity:
+    member count, seed count, tag flag — one aggregate over the
+    verified qd16 clustering; at scale the tag list is a broadcast
+    join instead of a hash rule, same plan shape."""
+    ents = qd16_cospend_entities(spark, sf_dir)
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    tagged = ents.withColumn(
+        "_seed", (hash28(F.col("addr")) % 37 == 0).cast("long")
+    )
+    return tagged.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_seed").cast("long").alias("n_seeds"),
+        F.max("_seed").cast("int").alias("is_tagged"),
+    )
+
+
 def q215_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-intersection similarity between behavioral profiles:
     every pair of event types compared by their hour-of-day
@@ -7660,6 +7682,7 @@ QUERIES: dict[str, QueryFn] = {
     "q213_fit_apply_bins": q213_fit_apply_bins,
     "q214_rolling_mad_anomalies": q214_rolling_mad_anomalies,
     "q215_profile_similarity": q215_profile_similarity,
+    "qd39_entity_tags": qd39_entity_tags,
     # -- rotate into the window in a later round ------------------------
     "q37_simhash": q37_simhash,
     "q38_jaccard_pairs": q38_jaccard_pairs,
@@ -13528,3 +13551,27 @@ SELECT type_a, type_b,
            AS similarity
 FROM pairs GROUP BY 1, 2
 """
+
+
+# qd39: qd16's clustering CTEs + the seed-hash rule, grouped per
+# entity.
+ORACLE_SQL["qd39_entity_tags"] = (
+    ORACLE_SQL["qd16_cospend_entities"].rsplit("SELECT DISTINCT n.addr", 1)[0]
+    + """, ents AS (
+    SELECT DISTINCT n.addr AS addr,
+           CAST(coalesce(cc.component, n.node) AS BIGINT) AS entity
+    FROM n LEFT JOIN cc ON n.node = cc.node
+),
+tagged AS (
+    SELECT entity,
+           CASE WHEN ('0x' || substr(md5(addr), 1, 7))::BIGINT % 37 = 0
+                THEN 1 ELSE 0 END AS seed
+    FROM ents
+)
+SELECT entity,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(seed) AS BIGINT) AS n_seeds,
+       CAST(max(seed) AS INTEGER) AS is_tagged
+FROM tagged GROUP BY entity
+"""
+)
