@@ -1385,7 +1385,15 @@ def minimum_spanning_forest(
             F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
             w.alias("w"),
         )
-        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        # null-weight edges are DROPPED (not silently kept: a null w
+        # survives min() but is skipped by min_by's ordering struct,
+        # which would silently truncate the forest for components
+        # whose only cross edges carry null weight)
+        .filter(
+            F.col("a").isNotNull()
+            & (F.col("a") != F.col("b"))
+            & F.col("w").isNotNull()
+        )
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)

@@ -569,16 +569,20 @@ def hll_registers(
     bucket with its max rho (Flajolet et al. 2007). Unlike library
     HLLs (seeded xxhash, opaque binary state), the hash is the repo's
     md5-prefix convention — a 60-bit integer split into a ``p``-bit
-    bucket and a 52-bit suffix whose leading-zero count is computed
-    EXACTLY via the binary-string length (``53 - length(bin(z))``, no
-    float log2) — so the whole register table is a pure function of
-    the data and a SQL oracle can rebuild it cell-for-cell.
+    bucket and a (60−p)-bit suffix whose leading-zero count is
+    computed EXACTLY via the binary-string length (``(61−p) −
+    length(bin(z))``, no float log2; an all-zero suffix yields the
+    conventional rho = suffix_width + 1 = 61−p) — so the whole
+    register table is a pure function of the data and a SQL oracle
+    can rebuild it cell-for-cell.
 
     Scale shape: the groupBy carries at most 2^p rows after map-side
     partial max — the classic mergeable-partials sketch (register
     tables from different partitions/windows merge by per-bucket max,
     exactly, which `hll_estimate`'s callers exploit for rollups).
     """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_registers: p must be in [4, 16], got {p}")
     m = 1 << p
     h = (
         F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
@@ -586,9 +590,10 @@ def hll_registers(
     )
     # integer shift, NOT h/m: a 60-bit value exceeds double precision
     z = F.shiftright(h, p)
+    # suffix width is 60-p bits, so rho ranges over [1, 61-p]
     rho = (
-        F.when(z == 0, F.lit(53))
-        .otherwise(F.lit(53) - F.length(F.bin(z)))
+        F.when(z == 0, F.lit(61 - p))
+        .otherwise(F.lit(61 - p) - F.length(F.bin(z)))
         .cast("long")
     )
     gcols = list(group_cols or [])
@@ -604,20 +609,27 @@ def hll_estimate(
 ) -> DataFrame:
     """Cardinality estimate from an HLL register table, with the
     harmonic sum carried as an EXACT integer: Σ 2^(−rho) over all m
-    registers has common denominator 2^53, so ``harmonic_num = Σ
-    2^(53−rho)`` (absent buckets contribute rho=0 → 2^53) is an exact
-    int64 sum — order-independent, hash-comparable — and the raw HLL
-    estimate is ONE fixed-shape double division α·m²·2^53 /
+    registers has common denominator 2^(61−p) (rho's max — an
+    all-zero suffix), so ``harmonic_num = Σ 2^(61−p−rho)`` (absent
+    buckets contribute rho=0 → 2^(61−p)) is an exact int64 sum —
+    order-independent, hash-comparable, and bounded by m·2^(61−p) =
+    2^61 so it can never overflow int64 at any valid p — and the raw
+    HLL estimate is ONE fixed-shape double division α·m²·2^(61−p) /
     harmonic_num, floored. ``n_zero_registers`` rides along so a
     consumer can apply linear-counting small-range correction (its ln
     is deliberately left OUT of this frame: ln is not ulp-portable
     across engines, the integers are)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_estimate: p must be in [4, 16], got {p}")
     m = 1 << p
+    w1 = 61 - p  # rho's max; 2^w1 is the harmonic sum's common denominator
     alpha = 0.7213 / (1.0 + 1.079 / m)
     gcols = list(group_cols or [])
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_present"),
-        F.sum(F.expr("CAST(shiftleft(1L, CAST(53 - rho AS INT)) AS BIGINT)"))
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, CAST({w1} - rho AS INT)) AS BIGINT)")
+        )
         .cast("long")
         .alias("_present_num"),
     ]
@@ -628,16 +640,16 @@ def hll_estimate(
         (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_registers"),
         (
             F.col("_present_num")
-            + (F.lit(m) - F.col("n_present")) * F.lit(1 << 53).cast("long")
+            + (F.lit(m) - F.col("n_present")) * F.lit(1 << w1).cast("long")
         )
         .cast("long")
         .alias("harmonic_num"),
         F.floor(
             F.lit(alpha * m * m)
-            * F.lit(float(1 << 53))
+            * F.lit(float(1 << w1))
             / (
                 F.col("_present_num")
-                + (F.lit(m) - F.col("n_present")) * F.lit(1 << 53).cast("long")
+                + (F.lit(m) - F.col("n_present")) * F.lit(1 << w1).cast("long")
             ).cast("double")
         )
         .cast("long")

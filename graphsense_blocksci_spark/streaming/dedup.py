@@ -108,8 +108,12 @@ def lsh_pairs_stream(
     document, not per-corpus). Band keys explode exactly like the
     batch operator; rows shuffle to their (band, key) state bucket,
     where the store keeps the bucket's member ids and each batch
-    emits ONLY the new (old, new) pairs — each qualifying pair is emitted
-    exactly once, when its later member arrives.
+    emits ONLY the new (old, new) pairs. Emission is AT MOST ONCE PER
+    SHARED BUCKET (state is per (band, key), so a pair agreeing in N
+    bands is emitted up to N times, when its later member arrives);
+    a `.distinct()` on the sink restores the batch operator's
+    cross-bucket-deduped pair set — consumers counting emissions must
+    apply it, exactly as qd37 and the pytest gate do.
 
     Parity contract: a single availableNow batch emits precisely the
     batch operator's pair set (the qd37 gate compares against the q36
@@ -235,8 +239,10 @@ def simhash_pairs_stream(
 ) -> DataFrame:
     """STREAMING SimHash candidate-pair discovery — the stateful face
     of `operators/text_dedup.simhash_hamming_join`, same contract as
-    `lsh_pairs_stream` above (each candidate pair emitted exactly once
-    when its later member arrives): the 32-bit frequency-weighted
+    `lsh_pairs_stream` above (at most once per shared (block, value)
+    bucket when the later member arrives — a pair agreeing in several
+    blocks emits once per block; `.distinct()` on the sink restores
+    the batch pair set): the 32-bit frequency-weighted
     simhash and its d+1 pigeonhole block keys are pure stream
     projections; rows shuffle to their (block, value) state bucket.
     Emitted pairs are CANDIDATES — the consumer verifies the XOR

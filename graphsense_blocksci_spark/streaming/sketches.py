@@ -294,6 +294,8 @@ def hll_stream(values: DataFrame, key_col: str, p: int = 8) -> DataFrame:
     State is ONE long per register — at most 2^p state rows total,
     regardless of stream length or cardinality.
     """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_stream: p must be in [4, 16], got {p}")
     m = 1 << p
     h = (
         F.conv(
@@ -301,9 +303,12 @@ def hll_stream(values: DataFrame, key_col: str, p: int = 8) -> DataFrame:
         ).cast("long")
     )
     z = F.shiftright(h, p)
+    # suffix width is 60-p bits, so rho ranges over [1, 61-p] — the
+    # identical window as the batch hll_registers (a p!=8 stream and
+    # batch register table stay cell-for-cell equal)
     rho = (
-        F.when(z == 0, F.lit(53))
-        .otherwise(F.lit(53) - F.length(F.bin(z)))
+        F.when(z == 0, F.lit(61 - p))
+        .otherwise(F.lit(61 - p) - F.length(F.bin(z)))
         .cast("long")
     )
     keyed = values.select((h % F.lit(m)).alias("bucket"), rho.alias("rho"))

@@ -373,3 +373,55 @@ def test_hll_deterministic_accuracy_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_hll_nondefault_p_accuracy_and_python_parity(spark):
+    """Regression for the p=8-hardcoded rho window (ADVICE r5): at any
+    p the suffix is 60-p bits wide, so rho must be (61-p) -
+    length(bin(z)) with an all-zero suffix yielding 61-p. Checks (a)
+    register-level parity against an independent pure-Python md5
+    rebuild at p=6 and p=12 (would catch the uniform 8-p offset the
+    old formula had), (b) estimate accuracy within 3 standard errors
+    at both p's, and (c) that harmonic_num cannot overflow at high p
+    (the old 2^53 constant overflowed int64 for p >= 11)."""
+    import hashlib
+
+    from graphsense_blocksci_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 4000
+    df = spark.range(n).select((F.col("id") * 11 + 5).alias("k"))
+    keys = [i * 11 + 5 for i in range(n)]
+    for p in (6, 12):
+        m = 1 << p
+        expected: dict[int, int] = {}
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            bucket, z = h % m, h >> p
+            rho = (61 - p) if z == 0 else (61 - p) - z.bit_length()
+            expected[bucket] = max(expected.get(bucket, 0), rho)
+        got = {
+            r.bucket: r.rho for r in hll_registers(df, "k", p=p).collect()
+        }
+        assert got == expected, f"register mismatch at p={p}"
+        est = hll_estimate(hll_registers(df, "k", p=p), p=p).first()
+        # est_floor is the RAW estimate by contract; apply the standard
+        # linear-counting small-range correction (E < 2.5m with zero
+        # registers present) consumer-side, as the docstring directs
+        import math
+
+        e = est.est_floor
+        if e < 2.5 * m and est.n_zero_registers > 0:
+            e = m * math.log(m / est.n_zero_registers)
+        se = 1.04 / (m ** 0.5)
+        assert abs(e - n) / n < 3 * se + 0.02, (p, e)
+        assert est.harmonic_num > 0  # no int64 overflow at any p
+    # p guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", p=3)
+    with _pytest.raises(ValueError):
+        hll_registers(df, "k", p=17)
