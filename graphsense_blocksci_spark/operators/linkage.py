@@ -198,3 +198,94 @@ def daily_balances(txs: DataFrame) -> DataFrame:
     return net.withColumn(
         "balance", F.sum("net_value").over(w).cast("long")
     )
+
+
+def address_transactions(txs: DataFrame) -> DataFrame:
+    """Per-address ORDERED transaction index — the inverted
+    address→tx list GraphSense's raw keyspace serves every address
+    drill-down from (consumers page it off the reference's exported
+    `transaction` rows, schema.cql:21-34; the transformation stage
+    materializes exactly this table so lookups never scan the chain).
+
+    One row per (addr, tx) the address participates in, with the
+    address's flows inside that tx split by direction and netted:
+
+      (addr, tx_id, block_id, n_received_outputs, received_value,
+       n_spent_inputs, spent_value, net_value, tx_seq)
+
+    ``tx_seq`` is the address's 1-based position in its own history,
+    ordered by (block_id, tx_id) — the clustering-key order the
+    Cassandra table pages by. Same identity rules as
+    `address_balances`: one '|'-joined identity per output slot,
+    no-address outputs never enter.
+
+    Scale shape: credits are one exploded-output aggregate on
+    (addr, tx); debits pay the B1 linkage shuffle once (uniform
+    (spent_tx_id, spent_index) key) and aggregate on the SPENDING
+    (addr, tx); one uniform tx_id join stamps block heights; the
+    tx_seq window partitions BY ADDRESS (a hot service address makes
+    a big — but single-address — frame; the index semantics require
+    that per-address order, exactly as the Cassandra clustering key
+    does).
+    """
+    heights = txs.select("tx_id", F.col("block_id").cast("long").alias("block_id"))
+    outs = (
+        explode_outputs(txs)
+        .filter(F.size("address") > 0)
+        .select(
+            "tx_id",
+            "output_index",
+            F.concat_ws("|", "address").alias("addr"),
+            "value",
+        )
+    )
+    credit = outs.groupBy("addr", "tx_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_received_outputs"),
+        F.sum("value").cast("long").alias("received_value"),
+    )
+    ins = explode_inputs(txs.filter(~F.col("coinbase")))
+    debit = (
+        link_inputs_to_outputs(ins, outs)
+        .filter(F.col("addr").isNotNull())
+        .groupBy("addr", "tx_id")  # tx_id = the SPENDING tx
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spent_inputs"),
+            F.sum("value").cast("long").alias("spent_value"),
+        )
+    )
+    per_tx = (
+        credit.join(debit, ["addr", "tx_id"], "full_outer")
+        .select(
+            "addr",
+            "tx_id",
+            F.coalesce("n_received_outputs", F.lit(0))
+            .cast("long")
+            .alias("n_received_outputs"),
+            F.coalesce("received_value", F.lit(0))
+            .cast("long")
+            .alias("received_value"),
+            F.coalesce("n_spent_inputs", F.lit(0))
+            .cast("long")
+            .alias("n_spent_inputs"),
+            F.coalesce("spent_value", F.lit(0))
+            .cast("long")
+            .alias("spent_value"),
+        )
+        .join(heights, "tx_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("addr").orderBy("block_id", "tx_id")
+    return per_tx.select(
+        "addr",
+        "tx_id",
+        "block_id",
+        "n_received_outputs",
+        "received_value",
+        "n_spent_inputs",
+        "spent_value",
+        (F.col("received_value") - F.col("spent_value"))
+        .cast("long")
+        .alias("net_value"),
+        F.row_number().over(w).cast("long").alias("tx_seq"),
+    )

@@ -49,7 +49,8 @@ TOPN_OUTPUT = T.StructType(
     [
         T.StructField("group", T.StringType()),
         T.StructField("who", T.StringType()),
-        T.StructField("n_items", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
         T.StructField("sum_value", T.LongType()),
         T.StructField("seq", T.LongType()),
     ]
@@ -115,34 +116,40 @@ def _topn_group(
     )
     if not len(values) and o_cnt == 0:
         return
-    top = values.nlargest(n)
-    # stable total order: value desc, item asc (ties cannot flap)
-    top = top.iloc[
-        pd.DataFrame({"v": -top.values, "i": top.index.astype(str)})
-        .sort_values(["v", "i"])
-        .index
-    ]
-    rest = values.index.difference(top.index)
+
+    # stable total order: value desc, then item asc — NUMERIC asc for
+    # all-digit item ids ((len, str) sorts digit strings numerically),
+    # matching the batch rollup's long-typed tie-break; ties cannot flap
+    def _item_key(s: str) -> tuple:
+        return (0, len(s), s) if s.isdigit() else (1, 0, s)
+
+    order = sorted(values.index, key=lambda i: (-values[i], _item_key(str(i))))
+    top_items = order[:n]
+    rest = order[n:]
     rows = {
         "group": [],
         "who": [],
-        "n_items": [],
+        "n_members": [],
+        "n_rows": [],
         "sum_value": [],
         "seq": [],
     }
-    for item in top.index:
+    for item in top_items:
         rows["group"].append(str(key[0]))
         rows["who"].append(str(item))
-        rows["n_items"].append(int(counts[item]))
+        rows["n_members"].append(1)
+        rows["n_rows"].append(int(counts[item]))
         rows["sum_value"].append(int(values[item]))
         rows["seq"].append(seq)
-    others_v = int(values[rest].sum()) + int(o_val)
-    others_n = int(counts[rest].sum()) + int(o_cnt)
-    if len(rest) or o_cnt:
+    if rest or o_cnt:
         rows["group"].append(str(key[0]))
         rows["who"].append("OTHERS")
-        rows["n_items"].append(others_n)
-        rows["sum_value"].append(others_v)
+        # capacity mode: evicted identities are gone from state, so
+        # OTHERS membership counts only the currently-folded items (a
+        # documented lower bound); exact mode has no evictions
+        rows["n_members"].append(len(rest))
+        rows["n_rows"].append(int(counts[rest].sum()) + int(o_cnt))
+        rows["sum_value"].append(int(values[rest].sum()) + int(o_val))
         rows["seq"].append(seq)
     yield pd.DataFrame(rows)
 
@@ -159,11 +166,12 @@ def topn_others_stream(
 
     ``value_col`` must be integral (cents discipline — running sums
     stay exact and order-free). Returns the snapshot stream
-    ``(group, who, n_items, sum_value, seq)``; consumers keep the max
-    ``seq`` per group. ``n_items`` counts INPUT ROWS per identity
-    (matching the batch q201's n_suppliers when rows are per-item
-    partials of one row each — pass pre-aggregated partials with a
-    ``rows`` weight otherwise).
+    ``(group, who, n_members, n_rows, sum_value, seq)``; consumers
+    keep the max ``seq`` per group. ``n_members`` counts the DISTINCT
+    identities folded into the row (1 for identity rows, the member
+    count for OTHERS — the batch q201's n_suppliers), ``n_rows`` the
+    input rows. Tie-break on equal running value is item ASC, numeric
+    for all-digit ids — the batch rollup's long-typed total order.
     """
 
     def fn(key, pdfs, state):
