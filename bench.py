@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "q213_fit_apply_bins",
     "q214_rolling_mad_anomalies",
     "q215_profile_similarity",
+    "q216_epoch_shuffle",
+    "q217_domain_mixture",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7
@@ -187,7 +189,12 @@ BENCH_QUERIES = [
     "qd35_address_reuse",
     "qd36_miner_revenue",
     "qd39_entity_tags",
+    "qd42_address_transactions",
+    "qd43_entity_transactions",
 ]
+# qd40/qd41 (streaming top-N+OTHERS / drift monitor) are gate-only
+# like qd32/qd33: per-run file-stream staging + checkpoint setup would
+# dominate; their batch twins q201/q210 carry the timing signal.
 # q160 (Louvain) entered the bench list in round 5: lazy checkpoints
 # fold each level's sub-round jobs into one Spark job (~45 s of toy-
 # scale scheduler latency dropped to <10 s at sf0.1).
@@ -263,6 +270,19 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver's BENCH artifact truncates long stdout tails; persist
+    # the complete per-query map in-repo so every timing stays
+    # auditable (VERDICT r5 item 4).
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_full write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -7727,6 +7727,98 @@ def qd43_entity_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every document gets a
+    reproducible (shard, position) for epoch-seeded global order —
+    shard = seeded 28-bit md5 hash mod n_shards, position = rank of
+    the (hash, doc_id) total order WITHIN the shard. The op every
+    large-scale trainer needs: the 'random' order is a pure function
+    of (seed, doc_id), so any worker can recompute its slice, resumes
+    are exact, and reshuffling an epoch is changing one literal.
+
+    Scale shape: one hash projection + a per-shard rank window — each
+    shard sorts only its own slice (shards are the data-parallel unit,
+    hundreds at 100 TB), never a global sort; no shuffle beyond the
+    shard exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("epoch1"),
+                                      F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    n_shards = 8
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        h.alias("h"),
+        (h % F.lit(n_shards)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+def q217_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion mixture resampling — the corpus-balancing op
+    in front of every training run: each source domain gets a target
+    share (balanced mixture here: total/|domains| each), an exact
+    integer acceptance threshold thr = floor(2^28 · min(1, target/n))
+    against the 28-bit seeded md5 of the doc id, and the per-domain
+    admitted counts. Acceptance is a pure function of (seed, doc_id),
+    so the sample is reproducible across engines and retries — no
+    rand(), no resampling drift; both engines count the identical
+    admitted set.
+
+    Scale shape: two domain-sized aggregates + one broadcast join +
+    one filter-free conditional count — a single scan of the corpus,
+    no shuffle beyond the domain rollup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("mix1"),
+                                  F.col("doc_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+    )
+    thr = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("CAST(total DIV n_domains AS BIGINT)").alias("target_n"),
+            F.least(
+                F.lit(1 << 28).cast("long"),
+                F.expr(
+                    "CAST(shiftleft(total DIV n_domains, 28) DIV n_docs"
+                    " AS BIGINT)"
+                ),
+            ).alias("thr"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source", "n_docs", "target_n", "thr")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled")
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -7811,6 +7903,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd41_streaming_drift": qd41_streaming_drift,
     "qd42_address_transactions": qd42_address_transactions,
     "qd43_entity_transactions": qd43_entity_transactions,
+    "q216_epoch_shuffle": q216_epoch_shuffle,
+    "q217_domain_mixture": q217_domain_mixture,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -13793,7 +13887,7 @@ ORACLE_SQL["qd40_streaming_topn_others"] = ORACLE_SQL["q201_topn_others"]
 # qd41: replay the identical day-window histogram + exact-integer KS.
 ORACLE_SQL["qd41_streaming_drift"] = """
 WITH c AS (
-    SELECT date_trunc('day', ts) AS window_start,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            CAST(round(value * 100) AS BIGINT) // 1000 AS cell
     FROM events
 ),
@@ -13983,3 +14077,44 @@ SELECT CAST(entity AS BIGINT) AS entity,
 FROM etx
 """
 )
+
+
+# q216: same seeded 28-bit hash, same (hash, doc_id) shard rank.
+ORACLE_SQL["q216_epoch_shuffle"] = """
+WITH k AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+    FROM documents
+)
+SELECT doc_id,
+       h % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+           AS BIGINT) AS position
+FROM k
+"""
+
+# q217: identical integer thresholds and admitted counts.
+ORACLE_SQL["q217_domain_mixture"] = """
+WITH k AS (
+    SELECT source,
+           ('0x' || substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+    FROM documents
+),
+per AS (SELECT source, count(*) AS n_docs FROM k GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS total, count(*) AS n_domains FROM per),
+thr AS (
+    SELECT source, n_docs,
+           CAST(total // n_domains AS BIGINT) AS target_n,
+           CAST(least(1 << 28,
+               ((total // n_domains) * (1 << 28)) // n_docs) AS BIGINT) AS thr
+    FROM per CROSS JOIN tot
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       t.target_n,
+       t.thr,
+       CAST(sum(CASE WHEN k.h < t.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled
+FROM k JOIN thr t USING (source)
+GROUP BY t.source, t.n_docs, t.target_n, t.thr
+"""

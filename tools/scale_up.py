@@ -46,6 +46,15 @@ FAMILIES = [
     "q139_column_profile",
     "q173_logistic_gd",
     "q105_substring_dedup",
+    # round-5 data-bound families (VERDICT r5 item 5). The exact-
+    # percentile single-agg paths (q59 contract: q207/q209/q213 ride
+    # it) are the likeliest super-linear candidates — measured here.
+    "q186_edit_distance_join",
+    "q207_equidepth_bins",
+    "q209_theil_sen",
+    "q210_ks_test",
+    "q211_quality_keeper",
+    "q213_fit_apply_bins",
 ]
 
 
@@ -60,11 +69,13 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
     o = load_table(spark, SRC, "orders")
     docs = load_table(spark, SRC, "documents")
     emb = load_table(spark, SRC, "embeddings")
+    cust = load_table(spark, SRC, "customer")
 
     li_parts = []
     o_parts = []
     d_parts = []
     e_parts = []
+    c_parts = []
     dim = len(emb.select("embedding").first()[0])
     for c in range(copies):
         li_parts.append(
@@ -109,6 +120,26 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
                 *[col for col in docs.columns if col not in ("doc_id", "text")],
             )
         )
+        # customer names get a 2-char copy prefix for c > 0: every
+        # cross-copy name pair sits at Levenshtein distance >= 2, so
+        # the threshold-1 edit-distance join scales as 10 disjoint
+        # copies (candidate structure preserved, no cross-copy blowup)
+        name_col = (
+            F.col("c_name")
+            if c == 0
+            else F.concat(F.lit(f"{c}{c}"), F.col("c_name"))
+        )
+        c_parts.append(
+            cust.select(
+                _shift("c_custkey", c),
+                name_col.alias("c_name"),
+                *[
+                    col
+                    for col in cust.columns
+                    if col not in ("c_custkey", "c_name")
+                ],
+            )
+        )
         rot = c % dim
         if rot == 0:
             vec = F.col("embedding")
@@ -140,6 +171,7 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
         ("orders", union_all(o_parts)),
         ("documents", union_all(d_parts)),
         ("embeddings", union_all(e_parts)),
+        ("customer", union_all(c_parts)),
     ):
         path = f"{out_dir}/{name}.parquet"
         frame.write.mode("overwrite").parquet(path)
