@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "q215_profile_similarity",
     "q216_epoch_shuffle",
     "q217_domain_mixture",
+    "q218_hits",
+    "q219_degree_assortativity",
+    "q220_containment_join",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7
@@ -191,6 +194,7 @@ BENCH_QUERIES = [
     "qd39_entity_tags",
     "qd42_address_transactions",
     "qd43_entity_transactions",
+    "qd44_incremental_address_index",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor) are gate-only
 # like qd32/qd33: per-run file-stream staging + checkpoint setup would

@@ -1454,3 +1454,80 @@ def minimum_spanning_forest(
         spark = edges.sparkSession
         return spark.createDataFrame([], "a long, b long, w long")
     return forest.distinct()
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999), UN-NORMALIZED so
+    every score is an EXACT int64: starting from h0 = 1, each round
+    computes a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v) — pure
+    integer sums, order-free, hash-comparable, and rebuildable by a
+    plain SQL CTE chain (one join+aggregate pair per half-round).
+    Normalization is the CONSUMER's divide (un-normalized scores have
+    the same per-iteration ratios the normalized iteration produces,
+    so rankings are identical); keep ``iterations`` small — scores
+    grow like (mean degree)^(2·iterations), and int64 overflow is the
+    price of exactness (~3 iterations on a degree-100 graph is the
+    practical ceiling; production HITS normalizes every round and
+    accepts float drift).
+
+    Plan per half-round: one edge⋈score join + one node-keyed
+    aggregate — the PageRank shuffle shape without the dangling
+    correction. Multi-edges collapse first, so fan-out is the simple
+    graph's.
+
+    Returns (node, authority, hub).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(h.select(F.col("node").alias("u"), "hub"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("hub").cast("long").alias("authority"))
+        )
+        a = (
+            nodes.join(a, "node", "left")
+            .select(
+                "node",
+                F.coalesce("authority", F.lit(0)).cast("long").alias(
+                    "authority"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h = (
+            e.join(a.select(F.col("node").alias("v"), "authority"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("authority").cast("long").alias("hub"))
+        )
+        h = (
+            nodes.join(h, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return nodes.join(a, "node").join(h, "node").select(
+        "node", "authority", "hub"
+    )

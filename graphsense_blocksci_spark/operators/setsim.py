@@ -231,3 +231,102 @@ def tf_cosine_join(
             / F.sqrt((F.col("q_a") * F.col("q_b")).cast("double"))
         ).alias("cosine"),
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_pct: int = 80,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact CONTAINMENT (asymmetric Jaccard) self-join: all DIRECTED
+    pairs (a, b), a != b, with |A ∩ B| / |A| >= threshold_pct/100 —
+    the doc-in-doc / quote-detection primitive exact Jaccard misses
+    (a short doc fully quoted inside a long one has tiny Jaccard but
+    containment 1.0).
+
+    Prefix filtering is ASYMMETRIC, which is the whole trick: the
+    containment bound constrains only the contained side (o >=
+    ceil(t·|A|)), so A contributes its L = n − ceil(t·n) + 1 rarest
+    tokens (df ASC, token ASC order — same lossless argument as
+    `jaccard_join`) while B must be present with its FULL posting
+    list (containment imposes no floor relative to |B|). Candidates =
+    A-prefix ⋈ B-postings on the token; verify is the integer
+    predicate 100·inter >= t·n_a. No false negatives.
+
+    ``max_df`` (optional) drops tokens with document frequency >
+    max_df from CANDIDATE GENERATION only — the stopword-pruning
+    knob for the quadratic head at scale (same contract as
+    `tf_cosine_join`); it sacrifices completeness only for pairs
+    whose every shared token is df-capped, and stays None under the
+    oracle.
+
+    Returns (id_a, id_b, inter, n_a, n_b, containment) with
+    containment = inter/n_a as the one final double.
+    """
+    d = _doc_tokens(docs, id_col, tokens_col).localCheckpoint(eager=False)
+    occ = d.select("id", "n", F.explode("toks").alias("t"))
+    df_counts = occ.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_counts = df_counts.filter(F.col("df") <= max_df)
+    ranked = (
+        occ.join(df_counts, "t")
+        .groupBy("id", "n")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "t"))).alias("ordered")
+        )
+    )
+    lpref = (
+        F.col("n")
+        - F.ceil((F.lit(threshold_pct) * F.col("n")) / 100).cast("int")
+        + 1
+    )
+    prefixes = ranked.select(
+        "id", F.explode(F.slice(F.col("ordered.t"), 1, lpref)).alias("t")
+    )
+    postings = (
+        occ.join(df_counts.select("t"), "t") if max_df is not None else occ
+    ).select(F.col("id").alias("id_b"), "t")
+    cand = (
+        prefixes.alias("a")
+        .join(postings, "t")
+        .filter(F.col("a.id") != F.col("id_b"))
+        .select(F.col("a.id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    sets = d.select("id", "toks", "n")
+    return (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+        )
+        .filter(
+            F.lit(100) * F.col("inter")
+            >= F.lit(threshold_pct) * F.col("n_a")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("inter").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment"),
+        )
+    )

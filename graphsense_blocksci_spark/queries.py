@@ -7727,6 +7727,238 @@ def qd43_entity_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q218_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed co-supplier chain
+    graph (operators/graph.py:hits) — 2 un-normalized iterations, so
+    every score is an EXACT int64 (integer sums only, order-free,
+    hash-comparable; rankings identical to the normalized iteration,
+    normalization is the consumer's divide). Completes the centrality
+    family: PageRank (q84), PPR (q130), harmonic (q148), betweenness
+    (q169). Oracle: the literal CTE chain — one join+aggregate per
+    half-round."""
+    from graphsense_blocksci_spark.operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _supplier_chain_edges(li)
+    return hits(edges, iterations=2).select(
+        F.col("node").cast("long").alias("node"),
+        "authority",
+        "hub",
+    )
+
+
+def q219_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the q194 co-supplier
+    graph: the Pearson correlation of end-point degrees over the
+    SYMMETRIZED edge list, carried as the exact integer sufficient
+    statistics (m2 = directed-pair count, Σd, Σd·d', Σd²) with the
+    float r as ONE final expression — the one-scan answer to "do
+    hubs attach to hubs?" that decides whether degree-based
+    partitioning will skew. One self-join + one degree aggregate +
+    one broadcast-degree join; no iteration."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    b = a.select("k", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pairs = (
+        sym.join(deg.select(F.col("node").alias("u"),
+                            F.col("deg").alias("dx")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("deg").alias("dy")), "v")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sx2"),
+    )
+    return agg.select(
+        "m2",
+        "sx",
+        "sxy",
+        "sx2",
+        (
+            (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / (F.col("m2") * F.col("sx2") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("assortativity"),
+    )
+
+
+def q220_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment (asymmetric Jaccard) self-join
+    (operators/setsim.py:containment_join) over 3-gram shingle
+    hashes: every DIRECTED pair with |A∩B|/|A| >= 0.8 — the
+    doc-in-doc / quote-detection primitive symmetric Jaccard (q155)
+    misses (a short doc fully quoted inside a long one has tiny
+    Jaccard but containment 1.0). Asymmetric prefix filter: only the
+    contained side prunes to its rarest tokens, the container side
+    indexes in full — no false negatives; brute-force all-pairs
+    oracle."""
+    from graphsense_blocksci_spark.operators.setsim import containment_join
+    from graphsense_blocksci_spark.operators.textops import (
+        shingle_hash_frame,
+    )
+
+    docs = shingle_hash_frame(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("_sh").alias("gs"),
+    )
+    return containment_join(docs, "doc_id", "gs", threshold_pct=80)
+
+
+def qd44_incremental_address_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL maintenance of the qd42 address→transactions index
+    — the way the transformation stage actually runs in production
+    (nobody recomputes the inverted index from genesis per batch):
+    the chain splits at a height cutoff into a BASE snapshot (the
+    already-materialized index) and a DELTA of new blocks; delta
+    flows are derived from delta txs only (credits from delta
+    outputs; debits from delta inputs resolved against the FULL
+    output set, since new inputs spend old outputs); then ONLY the
+    touched addresses (those with any delta row — a semi join) are
+    re-sequenced, untouched addresses keep their materialized rows
+    and tx_seq verbatim.
+
+    Scale shape: per batch the work is delta-sized + the touched
+    addresses' histories — the linkage shuffle is delta inputs vs the
+    output index (uniform key), the semi join is touched-address-
+    sized, and the re-rank window runs only over touched addresses.
+    The oracle is the FULL recompute (qd42's SQL): cell-exact
+    equality IS the proof that incremental maintenance loses
+    nothing."""
+    from graphsense_blocksci_spark.operators.linkage import (
+        address_transactions,
+        explode_inputs,
+        explode_outputs,
+        link_inputs_to_outputs,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    cutoff = 60  # ~2/3 of the fixture chain in the base snapshot
+    base = raw_txs.filter(F.col("block_id") <= cutoff)
+    delta = raw_txs.filter(F.col("block_id") > cutoff)
+
+    # the materialized snapshot (in production: read back from the
+    # sink; lineage-pinned so the audit sees one base pass)
+    old = address_transactions(base).localCheckpoint(eager=False)
+
+    # delta flows: credits from delta outputs; debits from delta
+    # inputs resolved against ALL outputs (old spends cross the cut)
+    all_outs = (
+        explode_outputs(raw_txs)
+        .filter(F.size("address") > 0)
+        .select(
+            "tx_id",
+            "output_index",
+            F.concat_ws("|", "address").alias("addr"),
+            "value",
+        )
+    )
+    credit = (
+        explode_outputs(delta)
+        .filter(F.size("address") > 0)
+        .select("tx_id", F.concat_ws("|", "address").alias("addr"), "value")
+        .groupBy("addr", "tx_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_received_outputs"),
+            F.sum("value").cast("long").alias("received_value"),
+        )
+    )
+    debit = (
+        link_inputs_to_outputs(
+            explode_inputs(delta.filter(~F.col("coinbase"))), all_outs
+        )
+        .filter(F.col("addr").isNotNull())
+        .groupBy("addr", "tx_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spent_inputs"),
+            F.sum("value").cast("long").alias("spent_value"),
+        )
+    )
+    heights = raw_txs.select(
+        "tx_id", F.col("block_id").cast("long").alias("block_id")
+    )
+    delta_rows = (
+        credit.join(debit, ["addr", "tx_id"], "full_outer")
+        .select(
+            "addr",
+            "tx_id",
+            F.coalesce("n_received_outputs", F.lit(0))
+            .cast("long")
+            .alias("n_received_outputs"),
+            F.coalesce("received_value", F.lit(0))
+            .cast("long")
+            .alias("received_value"),
+            F.coalesce("n_spent_inputs", F.lit(0))
+            .cast("long")
+            .alias("n_spent_inputs"),
+            F.coalesce("spent_value", F.lit(0))
+            .cast("long")
+            .alias("spent_value"),
+        )
+        .join(heights, "tx_id")
+        .select(
+            "addr",
+            "tx_id",
+            "block_id",
+            "n_received_outputs",
+            "received_value",
+            "n_spent_inputs",
+            "spent_value",
+            (F.col("received_value") - F.col("spent_value"))
+            .cast("long")
+            .alias("net_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    touched = delta_rows.select("addr").distinct()
+    untouched_rows = old.join(touched, "addr", "left_anti")
+    resequenced = (
+        old.drop("tx_seq")
+        .join(F.broadcast(touched), "addr", "semi")
+        .unionByName(delta_rows)
+    )
+    w = Window.partitionBy("addr").orderBy("block_id", "tx_id")
+    resequenced = resequenced.withColumn(
+        "tx_seq", F.row_number().over(w).cast("long")
+    )
+    return untouched_rows.unionByName(resequenced).select(
+        "addr",
+        F.col("tx_id").cast("long").alias("tx_id"),
+        "block_id",
+        "n_received_outputs",
+        "received_value",
+        "n_spent_inputs",
+        "spent_value",
+        "net_value",
+        "tx_seq",
+    )
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -7905,6 +8137,10 @@ QUERIES: dict[str, QueryFn] = {
     "qd43_entity_transactions": qd43_entity_transactions,
     "q216_epoch_shuffle": q216_epoch_shuffle,
     "q217_domain_mixture": q217_domain_mixture,
+    "qd44_incremental_address_index": qd44_incremental_address_index,
+    "q218_hits": q218_hits,
+    "q219_degree_assortativity": q219_degree_assortativity,
+    "q220_containment_join": q220_containment_join,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -14117,4 +14353,144 @@ SELECT t.source,
            AS n_sampled
 FROM k JOIN thr t USING (source)
 GROUP BY t.source, t.n_docs, t.target_n, t.thr
+"""
+
+
+# qd44: incremental maintenance must equal the FULL recompute — the
+# oracle IS qd42's full-index SQL.
+ORACLE_SQL["qd44_incremental_address_index"] = ORACLE_SQL[
+    "qd42_address_transactions"
+]
+
+
+# q218: literal HITS CTE chain — one join+aggregate per half-round,
+# h0 = 1, over the q84 chain-edge derivation.
+ORACLE_SQL["q218_hits"] = """
+WITH g0 AS (
+    SELECT DISTINCT l_orderkey AS g, l_suppkey AS node
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-03-01'
+),
+chain AS (
+    SELECT g, node AS src,
+           lead(node) OVER (PARTITION BY g ORDER BY node) AS dst
+    FROM g0
+),
+e AS (SELECT DISTINCT src, dst FROM chain WHERE dst IS NOT NULL),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1 AS (SELECT dst AS node, count(*) AS a FROM e GROUP BY 1),
+a1f AS (
+    SELECT n.node, coalesce(a1.a, 0) AS a
+    FROM nodes n LEFT JOIN a1 ON n.node = a1.node
+),
+h1 AS (
+    SELECT e.src AS node, sum(a1f.a) AS h
+    FROM e JOIN a1f ON e.dst = a1f.node GROUP BY 1
+),
+h1f AS (
+    SELECT n.node, coalesce(h1.h, 0) AS h
+    FROM nodes n LEFT JOIN h1 ON n.node = h1.node
+),
+a2 AS (
+    SELECT e.dst AS node, sum(h1f.h) AS a
+    FROM e JOIN h1f ON e.src = h1f.node GROUP BY 1
+),
+a2f AS (
+    SELECT n.node, coalesce(a2.a, 0) AS a
+    FROM nodes n LEFT JOIN a2 ON n.node = a2.node
+),
+h2 AS (
+    SELECT e.src AS node, sum(a2f.a) AS h
+    FROM e JOIN a2f ON e.dst = a2f.node GROUP BY 1
+),
+h2f AS (
+    SELECT n.node, coalesce(h2.h, 0) AS h
+    FROM nodes n LEFT JOIN h2 ON n.node = h2.node
+)
+SELECT CAST(a2f.node AS BIGINT) AS node,
+       CAST(a2f.a AS BIGINT) AS authority,
+       CAST(h2f.h AS BIGINT) AS hub
+FROM a2f JOIN h2f ON a2f.node = h2f.node
+"""
+
+# q219: exact integer sufficient statistics over the symmetrized
+# co-supplier edges; r is one final double expression.
+ORACLE_SQL["q219_degree_assortativity"] = """
+WITH m AS (
+    SELECT DISTINCT l_orderkey AS k, CAST(l_suppkey AS BIGINT) AS s
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-06-01'
+),
+edges AS (
+    SELECT DISTINCT a.s AS u, b.s AS v
+    FROM m a JOIN m b ON a.k = b.k AND a.s < b.s
+),
+deg AS (
+    SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM edges
+        UNION ALL
+        SELECT v AS node FROM edges
+    ) GROUP BY node
+),
+sym AS (
+    SELECT u, v FROM edges
+    UNION ALL
+    SELECT v AS u, u AS v FROM edges
+),
+p AS (
+    SELECT du.deg AS dx, dv.deg AS dy
+    FROM sym
+    JOIN deg du ON sym.u = du.node
+    JOIN deg dv ON sym.v = dv.node
+)
+SELECT CAST(count(*) AS BIGINT) AS m2,
+       CAST(sum(dx) AS BIGINT) AS sx,
+       CAST(sum(dx * dy) AS BIGINT) AS sxy,
+       CAST(sum(dx * dx) AS BIGINT) AS sx2,
+       CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dx) AS DOUBLE)
+           / CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx) AS DOUBLE)
+           AS assortativity
+FROM p
+"""
+
+# q220: brute-force DIRECTED all-pairs containment over the identical
+# hashed shingle sets (q155's CTE prefix, a != b instead of a < b).
+ORACLE_SQL["q220_containment_join"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS toks
+    FROM norm
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END AS gs
+    FROM tok
+),
+hashed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)) AS hs
+    FROM grams
+),
+d AS (
+    SELECT CAST(doc_id AS BIGINT) AS id, hs AS gs, len(hs) AS n
+    FROM hashed WHERE len(hs) > 0
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM d a JOIN d b ON a.id <> b.id
+)
+SELECT id_a, id_b, inter, n_a, n_b,
+       CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+FROM pairs
+WHERE 100 * inter >= 80 * n_a
 """

@@ -115,9 +115,9 @@ def test_topn_stream_capacity_keeps_true_heavy_items(spark, tmp_path):
 
 def test_topn_stream_numeric_tiebreak(spark, tmp_path):
     """Equal running values tie-break by NUMERIC item id ascending
-    (the batch rollup's long-typed order), not string order — item 9
-    must lose to item 10's... no: 9 < 10 numerically, '9' > '10' as
-    strings; the numeric order must win."""
+    (the batch rollup's long-typed order), not string order: 9 < 10
+    numerically but '9' > '10' as strings — the numeric order must
+    pick {9, 10} over {10, 11} and over the string order."""
     rows = [("g", 9, 100), ("g", 10, 100), ("g", 11, 100)]
     got = _stream_topn(spark, tmp_path, rows, n=2, capacity=None)
     assert sorted(got[got.who != "OTHERS"].who) == ["10", "9"]
@@ -247,3 +247,70 @@ def test_address_transactions_index(spark):
     assert got[("B", 1)].net_value == 60 and got[("B", 1)].tx_seq == 1
     assert got[("B", 2)].net_value == 40 and got[("B", 2)].tx_seq == 2
     assert len(got) == 5
+
+
+def test_hits_hand_graph(spark):
+    """Hand graph: 1->3, 2->3, 3->4. h0=1 everywhere.
+    a1: 3 gets 2 (from 1,2), 4 gets 1.   h1: 1,2 get a1(3)=2; 3 gets a1(4)=1.
+    a2: 3 gets h1(1)+h1(2)=4, 4 gets h1(3)=1. h2: 1,2 get 4; 3 gets 1."""
+    from graphsense_blocksci_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: (r.authority, r.hub) for r in hits(e, iterations=2).collect()}
+    assert got == {1: (0, 4), 2: (0, 4), 3: (4, 1), 4: (1, 0)}
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: hub (deg k) attaches
+    only to leaves (deg 1) -> r = -1."""
+    import graphsense_blocksci_spark.queries as Q
+
+    # build directly from the sufficient-statistic formula on a star
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "u long, v long"
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    p = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("dx")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dy")), "v")
+    )
+    r = p.agg(
+        (
+            (F.count(F.lit(1)) * F.sum(F.col("dx") * F.col("dy"))
+             - F.sum("dx") * F.sum("dx")).cast("double")
+            / (F.count(F.lit(1)) * F.sum(F.col("dx") * F.col("dx"))
+               - F.sum("dx") * F.sum("dx")).cast("double")
+        ).alias("r")
+    ).first().r
+    assert r == pytest.approx(-1.0)
+
+
+def test_containment_join_asymmetric(spark):
+    """Doc B contains all of doc A's shingles (plus many more): the
+    (A,B) direction qualifies at 0.8, the (B,A) direction does not,
+    and symmetric Jaccard would reject both."""
+    from graphsense_blocksci_spark.operators.setsim import containment_join
+
+    a_set = list(range(10))
+    b_set = list(range(50))  # superset of a
+    c_set = list(range(100, 140))  # disjoint
+    docs = spark.createDataFrame(
+        [(1, a_set), (2, b_set), (3, c_set)],
+        "doc_id long, gs array<long>",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.containment)
+        for r in containment_join(docs, "doc_id", "gs", threshold_pct=80).collect()
+    }
+    assert got == {(1, 2): (10, 1.0)}
+    # jaccard(A,B) = 10/50 = 0.2 — the symmetric join would reject
