@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "qd42_address_transactions",
     "qd43_entity_transactions",
     "qd44_incremental_address_index",
+    "qd45_balance_gini",
+    "qd46_nakamoto_coefficient",
+    "qd47_coin_days_destroyed",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor) are gate-only
 # like qd32/qd33: per-run file-stream staging + checkpoint setup would

@@ -118,3 +118,49 @@ def skyline_2d(
 
     local = survivors(base, "_bk")
     return survivors(local).drop("_bk")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """DISTRIBUTED dense global row_number over a total order — the
+    scale-safe replacement for ``row_number().over(Window.orderBy(...))``,
+    whose empty partitionBy funnels the whole frame through ONE task.
+
+    Two passes, all DataFrame ops: (1) range-partition on the order
+    key (sampled boundaries; since the key is a TOTAL order, no tie
+    can straddle a boundary ambiguously) and rank within each
+    partition; (2) count rows per partition, prefix-sum the counts on
+    the tiny partition-count frame, and add each partition's offset.
+    The result is exactly the single-task global row_number — rank
+    depends only on the total order, not on where the sampled
+    boundaries fell — but the sort runs partition-parallel.
+
+    ``order_cols`` must be a deterministic TOTAL order (include a
+    tiebreak id column), else ranks within ties are partition-
+    dependent.
+    """
+    cols = list(order_cols)
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("_pid").orderBy(*cols)
+    local = ranged.withColumn("_lrk", F.row_number().over(wl))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    wo = (
+        Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrk", "_off")
+    )

@@ -7959,6 +7959,185 @@ def qd44_incremental_address_index(
     )
 
 
+def qd45_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wealth-concentration Gini coefficient over positive address
+    balances on the fixture chain — the BlockSci-paper-style
+    concentration readout. The classic rank formula carried as EXACT
+    integers: with balances sorted ascending and ranked 1..n
+    (ties broken by address — within a tie the rank SUM is
+    permutation-invariant, so the statistic is order-free),
+    G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx); numerator and denominator
+    ride as int64, the float G is one final divide. The global rank
+    is the DISTRIBUTED two-pass range-partitioned rank
+    (operators/windows.py:global_rank) — a bare
+    row_number().over(orderBy) would funnel every address through one
+    task; here the sort runs partition-parallel and only the
+    partition-count offsets frame is serial."""
+    from graphsense_blocksci_spark.operators.linkage import address_balances
+    from graphsense_blocksci_spark.operators.windows import global_rank
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    b = (
+        address_balances(raw_txs)
+        .filter(F.col("balance") > 0)
+        .select("addr", F.col("balance").cast("long").alias("x"))
+    )
+    ranked = global_rank(b, ["x", "addr"], rank_col="rk").select("x", "rk")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.col("rk") * F.col("x")).cast("long").alias("sum_rx"),
+    )
+    return agg.select(
+        "n",
+        "sum_x",
+        (F.lit(2) * F.col("sum_rx") - (F.col("n") + 1) * F.col("sum_x"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.col("n") * F.col("sum_x")).cast("long").alias("gini_den"),
+        (
+            (F.lit(2) * F.col("sum_rx") - (F.col("n") + 1) * F.col("sum_x"))
+            .cast("double")
+            / (F.col("n") * F.col("sum_x")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def qd46_nakamoto_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nakamoto coefficient of the co-spend entity balances: the
+    minimum number of entities whose combined positive balance
+    exceeds HALF the total — the standard decentralization readout,
+    computed on qd16's entities (addresses never co-spent stay their
+    own entity via the shared 28-bit hash). Exact integers end to
+    end: the cutover test is 2·cumsum > total on a descending
+    (balance, entity) order over the entity-sized rollup. The
+    cumulative sum is DISTRIBUTED two-pass (range-partition on the
+    total order, local running sums, tiny per-partition offset
+    frame) — the global_rank trick applied to sums, so no
+    single-task window even with billions of entities."""
+    from graphsense_blocksci_spark.operators.linkage import address_balances
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    bal = address_balances(raw_txs).select(
+        "addr", F.col("balance").cast("long").alias("balance")
+    )
+    ents = qd16_cospend_entities(spark, sf_dir)
+    ebal = (
+        bal.join(F.broadcast(ents), "addr", "left")
+        .select(
+            F.coalesce(F.col("entity"), hash28(F.col("addr"))).alias("entity"),
+            "balance",
+        )
+        .groupBy("entity")
+        .agg(F.sum("balance").cast("long").alias("bal"))
+        .filter(F.col("bal") > 0)
+    )
+    ranged = ebal.withColumn("_neg", -F.col("bal")).repartitionByRange(
+        32, "_neg", "entity"
+    ).withColumn("_pid", F.spark_partition_id())
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy("_neg", "entity")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_lcum", F.sum("bal").over(wl))
+    psums = local.groupBy("_pid").agg(F.sum("bal").alias("_psum"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "_pid", F.coalesce(F.sum("_psum").over(wo), F.lit(0)).alias("_off")
+    )
+    cum = (
+        local.join(F.broadcast(offs), "_pid")
+        .select(
+            "entity",
+            "bal",
+            (F.col("_lcum") + F.col("_off")).cast("long").alias("cum"),
+        )
+    )
+    tot = ebal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("bal").cast("long").alias("total_balance"),
+    )
+    # cum is increasing in rank, so the qualifying entities are a rank
+    # suffix: nakamoto = n − |{2·cum > total}| + 1
+    n_over = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("cum") > F.col("total_balance"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_over"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(n_over))
+        .select(
+            "n_entities",
+            "total_balance",
+            (F.col("n_entities") - F.col("_n_over") + 1)
+            .cast("long")
+            .alias("nakamoto"),
+        )
+    )
+
+
+def qd47_coin_days_destroyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coin-days destroyed per day — THE BlockSci-heritage velocity
+    metric (old coins moving signal long-holder activity): every
+    spent output contributes value × holding time, resolved through
+    the B1 linkage (spending tx's timestamp − creating tx's
+    timestamp). The value·seconds sum rides as an exact int64 per
+    day; CDD in coin-days is its single final DIV 86400 (sum-then-
+    divide, so the integer is order-free). One linkage shuffle + one
+    day rollup."""
+    from graphsense_blocksci_spark.operators.linkage import (
+        explode_inputs,
+        explode_outputs,
+        link_inputs_to_outputs,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    times = raw_txs.select(
+        "tx_id", F.col("timestamp").cast("long").alias("ts")
+    )
+    outs = (
+        explode_outputs(raw_txs)
+        .select("tx_id", "output_index", "value")
+        .join(times, "tx_id")
+        .select(
+            "tx_id",
+            "output_index",
+            "value",
+            F.col("ts").alias("created_ts"),
+        )
+    )
+    ins = (
+        explode_inputs(raw_txs.filter(~F.col("coinbase")))
+        .join(times, "tx_id")
+        .select(
+            "tx_id",
+            "spent_tx_id",
+            "spent_index",
+            F.col("ts").alias("spend_ts"),
+        )
+    )
+    linked = link_inputs_to_outputs(ins, outs).filter(
+        F.col("created_ts").isNotNull()
+    )
+    return (
+        linked.select(
+            F.floor(F.col("spend_ts") / 86400).cast("long").alias("day"),
+            (
+                F.col("value")
+                * (F.col("spend_ts") - F.col("created_ts"))
+            ).cast("long").alias("vs"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spends"),
+            F.sum("vs").cast("long").alias("value_seconds"),
+            F.expr("CAST(sum(vs) DIV 86400 AS BIGINT)").alias("coin_days"),
+        )
+    )
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8070,9 +8249,14 @@ def q217_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-7 ROTATION (do this first next round): move the remaining
 # never-driver-green backlog (the section below the window) into
-# positions 2-50 — q111/q135/q136/q140/q142-q178 wave plus the q37-q97
-# long tail. Rows-only entries can sit in-window (driver records the
-# weaker rows-only check).
+# positions 2-50 — the round-6 additions FIRST (qd40-qd47 streaming
+# top-N/drift twins + address/entity transaction indexes + incremental
+# index + Gini/Nakamoto/coin-days-destroyed, q216-q220 epoch shuffle /
+# domain mixture / HITS / assortativity / containment join — all
+# oracle-backed and strict-gate green this round), then the
+# q111/q135/q136/q140/q142-q178 wave plus the q37-q97 long tail.
+# Rows-only entries can sit in-window (driver records the weaker
+# rows-only check).
 QUERIES: dict[str, QueryFn] = {
     # -- round-6 driver window (50) ------------------------------------
     # q01 first (entry() smoke), then the never-driver-green round-5
@@ -8141,6 +8325,9 @@ QUERIES: dict[str, QueryFn] = {
     "q218_hits": q218_hits,
     "q219_degree_assortativity": q219_degree_assortativity,
     "q220_containment_join": q220_containment_join,
+    "qd45_balance_gini": qd45_balance_gini,
+    "qd46_nakamoto_coefficient": qd46_nakamoto_coefficient,
+    "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -14493,4 +14680,169 @@ SELECT id_a, id_b, inter, n_a, n_b,
        CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
 FROM pairs
 WHERE 100 * inter >= 80 * n_a
+"""
+
+
+# qd45: qd15's ledger CTEs + the exact-integer rank-formula Gini.
+ORACLE_SQL["qd45_balance_gini"] = f"""
+WITH outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM outs WHERE u.alen > 0
+),
+credit AS (
+    SELECT addr, sum(oval) AS rv FROM o2 GROUP BY 1
+),
+ins AS (
+    SELECT unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+debit AS (
+    SELECT o2.addr, sum(o2.oval) AS sv
+    FROM ins JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
+    GROUP BY 1
+),
+bal AS (
+    SELECT c.addr, c.rv - coalesce(d.sv, 0) AS x
+    FROM credit c LEFT JOIN debit d ON c.addr = d.addr
+    WHERE c.rv - coalesce(d.sv, 0) > 0
+),
+rk AS (
+    SELECT x, row_number() OVER (ORDER BY x, addr) AS r FROM bal
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(r * x) AS BIGINT) AS sum_rx
+    FROM rk
+)
+SELECT n, sum_x,
+       CAST(2 * sum_rx - (n + 1) * sum_x AS BIGINT) AS gini_num,
+       CAST(n * sum_x AS BIGINT) AS gini_den,
+       CAST(2 * sum_rx - (n + 1) * sum_x AS DOUBLE)
+           / CAST(n * sum_x AS DOUBLE) AS gini
+FROM s
+"""
+
+# qd46: qd16's clustering CTEs (qd39-style prefix split) + the qd15
+# ledger + the rank-suffix cutover count.
+ORACLE_SQL["qd46_nakamoto_coefficient"] = (
+    ORACLE_SQL["qd16_cospend_entities"].rsplit("SELECT DISTINCT n.addr", 1)[0]
+    + """, ents AS (
+    SELECT DISTINCT n.addr AS addr,
+           CAST(coalesce(cc.component, n.node) AS BIGINT) AS entity
+    FROM n LEFT JOIN cc ON n.node = cc.node
+),
+outs3 AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value})) AS u
+    FROM read_parquet('"""
+    + _FIXTURE_DIR
+    + """/raw_txs.parquet')
+),
+o3 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM outs3 WHERE u.alen > 0
+),
+credit3 AS (SELECT addr, sum(oval) AS rv FROM o3 GROUP BY 1),
+ins3 AS (
+    SELECT unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index})) AS u
+    FROM read_parquet('"""
+    + _FIXTURE_DIR
+    + """/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+debit3 AS (
+    SELECT o3.addr, sum(o3.oval) AS sv
+    FROM ins3 JOIN o3 ON ins3.u.stx = o3.otx AND ins3.u.sidx = o3.oi
+    GROUP BY 1
+),
+bal3 AS (
+    SELECT c.addr, c.rv - coalesce(d.sv, 0) AS balance
+    FROM credit3 c LEFT JOIN debit3 d ON c.addr = d.addr
+),
+ebal AS (
+    SELECT coalesce(e.entity,
+               ('0x' || substr(md5(b.addr), 1, 7))::BIGINT) AS entity,
+           sum(b.balance) AS bal
+    FROM bal3 b LEFT JOIN ents e ON b.addr = e.addr
+    GROUP BY 1
+    HAVING sum(b.balance) > 0
+),
+cum AS (
+    SELECT entity, bal,
+           sum(bal) OVER (ORDER BY bal DESC, entity ASC
+               ROWS UNBOUNDED PRECEDING) AS c
+    FROM ebal
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(bal) AS BIGINT) AS total_balance
+    FROM ebal
+),
+novr AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_over
+    FROM cum CROSS JOIN tot WHERE 2 * c > total_balance
+)
+SELECT t.n_entities, t.total_balance,
+       CAST(t.n_entities - v.n_over + 1 AS BIGINT) AS nakamoto
+FROM tot t CROSS JOIN novr v
+"""
+)
+
+# qd47: linkage with creating/spending timestamps; exact value-seconds
+# sum, CDD as one final integer division.
+ORACLE_SQL["qd47_coin_days_destroyed"] = f"""
+WITH t AS (
+    SELECT tx_id, CAST("timestamp" AS BIGINT) AS ts
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1, oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.oval AS oval FROM outs
+),
+ins AS (
+    SELECT tx_id AS stx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+linked AS (
+    SELECT ins.stx_id, o2.oval,
+           tc.ts AS cts, tsp.ts AS sts
+    FROM ins
+    JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
+    JOIN t tc ON o2.otx = tc.tx_id
+    JOIN t tsp ON ins.stx_id = tsp.tx_id
+)
+SELECT CAST(sts // 86400 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_spends,
+       CAST(sum(oval * (sts - cts)) AS BIGINT) AS value_seconds,
+       CAST(sum(oval * (sts - cts)) // 86400 AS BIGINT) AS coin_days
+FROM linked
+GROUP BY 1
 """

@@ -314,3 +314,26 @@ def test_containment_join_asymmetric(spark):
     }
     assert got == {(1, 2): (10, 1.0)}
     # jaccard(A,B) = 10/50 = 0.2 — the symmetric join would reject
+
+
+def test_global_rank_matches_single_task_window(spark):
+    """The distributed two-pass rank must equal the single-task
+    row_number().over(orderBy) exactly, including across range
+    boundaries and ties (total order includes the id tiebreak)."""
+    from graphsense_blocksci_spark.operators.windows import global_rank
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("x"),  # heavy ties
+    )
+    got = {
+        r.id: r.rank
+        for r in global_rank(df, ["x", "id"], num_partitions=7).collect()
+    }
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("x", "id"))
+        ).collect()
+    }
+    assert got == want
