@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "q218_hits",
     "q219_degree_assortativity",
     "q220_containment_join",
+    "q221_duplicate_sentences",
+    "q222_pii_prevalence",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -7828,6 +7828,108 @@ def q220_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, "doc_id", "gs", threshold_pct=80)
 
 
+def q221_duplicate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-sentence detection — the C4-style
+    boilerplate scan (navigation chrome, cookie banners, license
+    blurbs repeat VERBATIM across pages; per-sentence dedup is how
+    the cleaning pipelines strip them). Sentences split on [.!?],
+    trimmed, length-filtered (>= 20 chars), hashed to the repo's
+    28-bit md5 key; a sentence appearing in >= 2 DISTINCT documents
+    is boilerplate-suspect. Emits every such sentence hash with its
+    document count and total occurrence count — the removal pass's
+    worklist, deterministic on both engines. The synthetic corpus has
+    no natural cross-doc repeats, so the q114 dirty-augmentation
+    convention injects them: every third document carries the shared
+    license blurb, and a per-(doc_id%5) cookie banner recurs across
+    its residue class — the known-answer both engines construct
+    identically.
+
+    Scale shape: one explode + two aggregates, all keyed by the
+    uniform sentence hash; nothing pairwise anywhere (the naive
+    formulation would be a sentence-level self-join)."""
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    ". this content is licensed for personal"
+                    " noncommercial use only."
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(". accept cookies to continue reading banner "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" of this site."),
+        ).alias("text"),
+    )
+    sents = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col("text"), r"[.!?]")).alias("s"),
+    ).select("doc_id", F.trim(F.col("s")).alias("s"))
+    keyed = sents.filter(F.length("s") >= 20).select(
+        "doc_id", hash28(F.col("s")).alias("sh")
+    )
+    return (
+        keyed.groupBy("sh")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q222_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII prevalence profile per source domain — the measurement pass
+    that decides WHERE the q114 redaction budget goes: per source,
+    document counts, per-category match totals (URL → EMAIL → IP →
+    longnum, counted under q114's staged discipline so sentinels
+    never re-match), and how many documents carry each category.
+    Rides the q114 deterministic dirty-augmentation convention (the
+    raw fixture text is PII-free, so the doc_id-derived suffix is the
+    portable signal both engines construct identically)."""
+    from graphsense_blocksci_spark.operators.redaction import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com visit https://host"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" acct "),
+            (F.lit(100000000) + F.col("doc_id") * 917).cast("string"),
+        ).alias("text"),
+    )
+    counted = redact_pii(dirty, "text")
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_urls").cast("long").alias("total_urls"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_ips").cast("long").alias("total_ips"),
+        F.sum("n_longnums").cast("long").alias("total_longnums"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_email"),
+        F.sum(F.when(F.col("n_longnums") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_longnum"),
+    )
+
+
 def qd44_incremental_address_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8328,6 +8430,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd45_balance_gini": qd45_balance_gini,
     "qd46_nakamoto_coefficient": qd46_nakamoto_coefficient,
     "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
+    "q221_duplicate_sentences": q221_duplicate_sentences,
+    "q222_pii_prevalence": q222_pii_prevalence,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -14845,4 +14949,95 @@ SELECT CAST(sts // 86400 AS BIGINT) AS day,
        CAST(sum(oval * (sts - cts)) // 86400 AS BIGINT) AS coin_days
 FROM linked
 GROUP BY 1
+"""
+
+
+# q221: identical split/trim/length/hash pipeline in DuckDB.
+ORACLE_SQL["q221_duplicate_sentences"] = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN
+                  '. this content is licensed for personal'
+                  || ' noncommercial use only.'
+              ELSE '' END
+           || '. accept cookies to continue reading banner '
+           || CAST(doc_id % 5 AS VARCHAR) || ' of this site.' AS text
+    FROM documents
+),
+sents AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           trim(s) AS s
+    FROM aug,
+         unnest(regexp_split_to_array(text, '[.!?]')) AS u(s)
+),
+keyed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(s), 1, 7))::BIGINT AS sh
+    FROM sents WHERE len(s) >= 20
+)
+SELECT sh,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM keyed
+GROUP BY sh
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+# q222: q114's dirty augmentation + staged counting, per source.
+ORACLE_SQL["q222_pii_prevalence"] = r"""
+WITH dirty AS (
+    SELECT source,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com visit https://host' || CAST(doc_id AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR)
+           || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           || ' acct ' || CAST(100000000 + doc_id * 917 AS VARCHAR) AS s
+    FROM documents
+),
+s1 AS (
+    SELECT source,
+           len(regexp_extract_all(s, 'https?://[^\s]+')) AS n_urls,
+           regexp_replace(s, 'https?://[^\s]+', '<URL>', 'g') AS s
+    FROM dirty
+),
+s2 AS (
+    SELECT source, n_urls,
+           len(regexp_extract_all(
+               s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+           regexp_replace(
+               s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS s
+    FROM s1
+),
+s3 AS (
+    SELECT source, n_urls, n_emails,
+           len(regexp_extract_all(
+               s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS n_ips,
+           regexp_replace(
+               s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g') AS s
+    FROM s2
+),
+s4 AS (
+    SELECT source, n_urls, n_emails, n_ips,
+           len(regexp_extract_all(s, '[0-9]{9,}')) AS n_longnums
+    FROM s3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_urls) AS BIGINT) AS total_urls,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_ips) AS BIGINT) AS total_ips,
+       CAST(sum(n_longnums) AS BIGINT) AS total_longnums,
+       CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_email,
+       CAST(sum(CASE WHEN n_longnums > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_longnum
+FROM s4
+GROUP BY source
 """
