@@ -201,7 +201,8 @@ BENCH_QUERIES = [
     "qd46_nakamoto_coefficient",
     "qd47_coin_days_destroyed",
 ]
-# qd40/qd41 (streaming top-N+OTHERS / drift monitor) are gate-only
+# qd40/qd41 (streaming top-N+OTHERS / drift monitor) and qd48 (index
+# daemon) are gate-only
 # like qd32/qd33: per-run file-stream staging + checkpoint setup would
 # dominate; their batch twins q201/q210 carry the timing signal.
 # q160 (Louvain) entered the bench list in round 5: lazy checkpoints

@@ -8240,6 +8240,71 @@ def qd47_coin_days_destroyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd48_streaming_index_daemon(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING face of qd44: the address→transactions index
+    maintained by a foreachBatch daemon
+    (streaming/index_daemon.py) over the chain staged as THREE
+    block-range files (maxFilesPerTrigger=1 → three incremental
+    merges: cold-start build, then two delta folds — cross-batch
+    spends resolve against the accumulated output sink). The final
+    index sink must equal the FULL recompute cell-for-cell, so the
+    oracle is qd42's SQL — three merges must be invisible next to
+    one batch pass. Files are staged in ascending block order
+    (spends never precede the outputs they consume), matching the
+    chain follower's arrival order."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.index_daemon import (
+        INDEX_SCHEMA,
+        run_index_daemon,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    work = tempfile.mkdtemp(prefix="gbs_idxd_")
+    cuts = [(None, 30), (30, 60), (60, None)]
+    for i, (lo, hi) in enumerate(cuts):
+        part = raw_txs
+        if lo is not None:
+            part = part.filter(F.col("block_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("block_id") <= hi)
+        # sequential writes => ascending modification times, so the
+        # file source replays them in chain order
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{work}/src/part{i}"
+        )
+    import shutil
+
+    src = f"{work}/stream_src"
+    import os
+    import time as _time
+
+    os.makedirs(src, exist_ok=True)
+    base = int(_time.time())
+    for i in range(len(cuts)):
+        pdir = f"{work}/src/part{i}"
+        for fn in sorted(os.listdir(pdir)):
+            if fn.endswith(".parquet"):
+                dst = f"{src}/part{i}.parquet"
+                shutil.copy(f"{pdir}/{fn}", dst)
+                # the file source orders micro-batches by modification
+                # time; explicit +60s steps pin chain order (copies
+                # landing in the same mtime tick would otherwise
+                # replay blocks out of order — spends before outputs)
+                os.utime(dst, (base + 60 * i, base + 60 * i))
+    index_dir = run_index_daemon(
+        spark,
+        src,
+        work,
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in raw_txs.schema
+        ),
+    )
+    return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8432,6 +8497,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
     "q221_duplicate_sentences": q221_duplicate_sentences,
     "q222_pii_prevalence": q222_pii_prevalence,
+    "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15041,3 +15107,10 @@ SELECT source,
 FROM s4
 GROUP BY source
 """
+
+
+# qd48: three streaming incremental merges must equal the full batch
+# recompute — the oracle IS qd42's full-index SQL (same as qd44).
+ORACLE_SQL["qd48_streaming_index_daemon"] = ORACLE_SQL[
+    "qd42_address_transactions"
+]

@@ -1,0 +1,188 @@
+"""Streaming incremental maintenance of the address→transactions
+index — the GraphSense transformation daemon as a Structured
+Streaming `foreachBatch` loop.
+
+Production shape: the chain follower drops new block files in a
+directory; the stream picks them up per micro-batch and each batch
+applies the qd44 incremental merge — delta flows from the batch's
+transactions, inputs resolved against the ACCUMULATED output table,
+only touched addresses re-sequenced, untouched index rows carried
+verbatim. Two sinks:
+
+- ``outputs/``  — append-only exploded output table (the UTXO-side
+  lookup the linkage join needs; append per batch, never rewritten).
+- ``index/``    — the maintained address_transactions index,
+  atomically replaced per batch (eager localCheckpoint first — a
+  parquet overwrite invalidates readers of the OLD files, so the
+  merged frame must be materialized off the sink before the rewrite;
+  the production sink would be a MERGE-capable table format and skip
+  the rewrite entirely).
+
+Effectively-once: a replayed batch re-appends outputs (the linkage
+dedups nothing, but duplicate outputs only arise on non-atomic
+retries — production uses the A21 idempotent sink machinery) and the
+index merge is idempotent given the same accumulated outputs.
+
+Scale shape per batch: delta-sized flows + one linkage shuffle
+against the output table (uniform (spent_tx_id, spent_index) key,
+partition-prunable by tx range at real scale) + touched-address
+re-sequencing only. The full-history recompute never runs — that is
+the point; the ORACLE is that full recompute, and equality after the
+final batch proves the daemon loses nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphsense_blocksci_spark.operators.linkage import (
+    explode_inputs,
+    explode_outputs,
+    link_inputs_to_outputs,
+)
+
+INDEX_SCHEMA = (
+    "addr string, tx_id long, block_id long, n_received_outputs long,"
+    " received_value long, n_spent_inputs long, spent_value long,"
+    " net_value long, tx_seq long"
+)
+OUTPUTS_SCHEMA = "tx_id long, output_index int, addr string, value long"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:  # noqa: BLE001 — cold start: sink not written yet
+        return spark.createDataFrame([], schema)
+
+
+def merge_batch(
+    spark: SparkSession,
+    batch_txs: DataFrame,
+    outputs_dir: str,
+    index_dir: str,
+) -> None:
+    """Fold one micro-batch of transactions into the two sinks."""
+    batch_txs = batch_txs.localCheckpoint(eager=True)
+
+    new_outs = (
+        explode_outputs(batch_txs)
+        .filter(F.size("address") > 0)
+        .select(
+            F.col("tx_id").cast("long").alias("tx_id"),
+            F.col("output_index").cast("int").alias("output_index"),
+            F.concat_ws("|", "address").alias("addr"),
+            F.col("value").cast("long").alias("value"),
+        )
+    )
+    new_outs.write.mode("append").parquet(outputs_dir)
+
+    # accumulated outputs now include this batch — inputs may spend
+    # outputs created earlier in the SAME batch
+    all_outs = _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA).select(
+        "tx_id", "output_index", "addr", "value"
+    )
+
+    credit = (
+        explode_outputs(batch_txs)
+        .filter(F.size("address") > 0)
+        .select("tx_id", F.concat_ws("|", "address").alias("addr"), "value")
+        .groupBy("addr", "tx_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_received_outputs"),
+            F.sum("value").cast("long").alias("received_value"),
+        )
+    )
+    debit = (
+        link_inputs_to_outputs(
+            explode_inputs(batch_txs.filter(~F.col("coinbase"))), all_outs
+        )
+        .filter(F.col("addr").isNotNull())
+        .groupBy("addr", "tx_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spent_inputs"),
+            F.sum("value").cast("long").alias("spent_value"),
+        )
+    )
+    heights = batch_txs.select(
+        "tx_id", F.col("block_id").cast("long").alias("block_id")
+    )
+    delta = (
+        credit.join(debit, ["addr", "tx_id"], "full_outer")
+        .select(
+            "addr",
+            "tx_id",
+            F.coalesce("n_received_outputs", F.lit(0))
+            .cast("long")
+            .alias("n_received_outputs"),
+            F.coalesce("received_value", F.lit(0))
+            .cast("long")
+            .alias("received_value"),
+            F.coalesce("n_spent_inputs", F.lit(0))
+            .cast("long")
+            .alias("n_spent_inputs"),
+            F.coalesce("spent_value", F.lit(0))
+            .cast("long")
+            .alias("spent_value"),
+        )
+        .join(heights, "tx_id")
+        .select(
+            "addr",
+            "tx_id",
+            "block_id",
+            "n_received_outputs",
+            "received_value",
+            "n_spent_inputs",
+            "spent_value",
+            (F.col("received_value") - F.col("spent_value"))
+            .cast("long")
+            .alias("net_value"),
+        )
+    )
+
+    old = _read_or_empty(spark, index_dir, INDEX_SCHEMA)
+    touched = delta.select("addr").distinct()
+    untouched = old.join(touched, "addr", "left_anti")
+    reseq = (
+        old.drop("tx_seq")
+        .join(F.broadcast(touched), "addr", "semi")
+        .unionByName(delta)
+    )
+    w = Window.partitionBy("addr").orderBy("block_id", "tx_id")
+    merged = untouched.unionByName(
+        reseq.withColumn("tx_seq", F.row_number().over(w).cast("long"))
+    )
+    # materialize OFF the sink before overwriting it (parquet overwrite
+    # invalidates the old files any lazy reader still references)
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(index_dir)
+
+
+def run_index_daemon(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    tx_schema: str,
+) -> str:
+    """Drive the daemon availableNow over a staged block-file
+    directory; returns the index sink path. One file per micro-batch
+    (maxFilesPerTrigger=1), so a 3-file staging exercises 3
+    incremental merges."""
+    outputs_dir = f"{work_dir}/outputs"
+    index_dir = f"{work_dir}/index"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch(spark, batch_df, outputs_dir, index_dir)
+
+    q = (
+        spark.readStream.schema(tx_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{work_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return index_dir
