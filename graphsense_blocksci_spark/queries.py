@@ -8305,6 +8305,76 @@ def qd48_streaming_index_daemon(
     return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
 
 
+def qd49_reorg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG RECOVERY in the streaming index daemon — the failure
+    mode the reference only shields against (B7 safety lag) and the
+    transformation stage must actually survive: after the daemon has
+    indexed the full chain, a competing tip arrives for blocks ≥ 76
+    (the original tip minus its 'leaf' transactions — non-coinbase
+    txs whose outputs nothing ever spends, so the replacement chain
+    stays linkage-closed). The daemon must roll the orphaned blocks
+    out of both sinks, re-pack the tx_seq of every address that lost
+    rows, and fold the replacement in. Oracle: the full qd42
+    recompute over the POST-REORG chain (blocks ≤ 75 plus the
+    surviving replacement txs) — cell-exact equality proves rollback
+    loses nothing and leaves nothing orphaned behind."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from graphsense_blocksci_spark.streaming.index_daemon import (
+        INDEX_SCHEMA,
+        run_index_daemon,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    # leaves of the tip: non-coinbase txs in blocks >= 76 whose
+    # outputs are never spent anywhere — dropping them keeps every
+    # remaining input resolvable
+    spent_txs = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select(F.explode("inputs").alias("inp"))
+        .select(F.col("inp.spent_tx_id").alias("tx_id"))
+        .distinct()
+    )
+    leaves = (
+        raw_txs.filter((F.col("block_id") >= 76) & ~F.col("coinbase"))
+        .join(spent_txs, "tx_id", "left_anti")
+        .select("tx_id")
+    )
+    replacement = raw_txs.filter(F.col("block_id") >= 76).join(
+        F.broadcast(leaves), "tx_id", "left_anti"
+    )
+
+    work = tempfile.mkdtemp(prefix="gbs_reorg_")
+    stages = [
+        raw_txs.filter(F.col("block_id") <= 60),
+        raw_txs.filter(F.col("block_id") > 60),
+        replacement,
+    ]
+    src = f"{work}/stream_src"
+    os.makedirs(src, exist_ok=True)
+    base = int(_time.time())
+    for i, part in enumerate(stages):
+        pdir = f"{work}/src/part{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        for fn in sorted(os.listdir(pdir)):
+            if fn.endswith(".parquet"):
+                dst = f"{src}/part{i}.parquet"
+                shutil.copy(f"{pdir}/{fn}", dst)
+                os.utime(dst, (base + 60 * i, base + 60 * i))
+    index_dir = run_index_daemon(
+        spark,
+        src,
+        work,
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in raw_txs.schema
+        ),
+    )
+    return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8498,6 +8568,7 @@ QUERIES: dict[str, QueryFn] = {
     "q221_duplicate_sentences": q221_duplicate_sentences,
     "q222_pii_prevalence": q222_pii_prevalence,
     "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
+    "qd49_reorg_recovery": qd49_reorg_recovery,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15114,3 +15185,79 @@ GROUP BY source
 ORACLE_SQL["qd48_streaming_index_daemon"] = ORACLE_SQL[
     "qd42_address_transactions"
 ]
+
+
+# qd49: the qd42 full recompute over the POST-REORG chain (blocks
+# <= 75 plus the surviving replacement txs — coinbases and any tip tx
+# whose outputs someone spends survive; unspent non-coinbase tip
+# leaves were dropped by the competing chain).
+ORACLE_SQL["qd49_reorg_recovery"] = f"""
+WITH raw AS (
+    SELECT * FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+spent AS (
+    SELECT DISTINCT u.stx AS tx_id FROM (
+        SELECT unnest(list_transform(range(1, len(inputs) + 1),
+                   i -> {{stx: inputs[i].spent_tx_id}})) AS u
+        FROM raw WHERE NOT coinbase
+    )
+),
+chain AS (
+    SELECT * FROM raw
+    WHERE block_id <= 75
+       OR coinbase
+       OR tx_id IN (SELECT tx_id FROM spent)
+),
+outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1,
+                      alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM chain
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, u.addr AS addr, u.oval AS oval
+    FROM outs WHERE u.alen > 0
+),
+credit AS (
+    SELECT addr, otx AS tx_id, count(*) AS nro, sum(oval) AS rv
+    FROM o2 GROUP BY 1, 2
+),
+ins AS (
+    SELECT tx_id AS stx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM chain
+    WHERE NOT coinbase
+),
+debit AS (
+    SELECT o2.addr, ins.stx_id AS tx_id, count(*) AS nsi, sum(o2.oval) AS sv
+    FROM ins JOIN o2 ON ins.u.stx = o2.otx AND ins.u.sidx = o2.oi
+    GROUP BY 1, 2
+),
+per AS (
+    SELECT coalesce(c.addr, d.addr) AS addr,
+           coalesce(c.tx_id, d.tx_id) AS tx_id,
+           coalesce(c.nro, 0) AS nro, coalesce(c.rv, 0) AS rv,
+           coalesce(d.nsi, 0) AS nsi, coalesce(d.sv, 0) AS sv
+    FROM credit c FULL OUTER JOIN debit d
+      ON c.addr = d.addr AND c.tx_id = d.tx_id
+),
+h AS (
+    SELECT tx_id, CAST(block_id AS BIGINT) AS block_id FROM chain
+)
+SELECT p.addr,
+       CAST(p.tx_id AS BIGINT) AS tx_id,
+       h.block_id,
+       CAST(p.nro AS BIGINT) AS n_received_outputs,
+       CAST(p.rv AS BIGINT) AS received_value,
+       CAST(p.nsi AS BIGINT) AS n_spent_inputs,
+       CAST(p.sv AS BIGINT) AS spent_value,
+       CAST(p.rv - p.sv AS BIGINT) AS net_value,
+       CAST(row_number() OVER (PARTITION BY p.addr
+           ORDER BY h.block_id, p.tx_id) AS BIGINT) AS tx_seq
+FROM per p JOIN h ON p.tx_id = h.tx_id
+"""

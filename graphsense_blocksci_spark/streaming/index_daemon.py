@@ -9,8 +9,9 @@ transactions, inputs resolved against the ACCUMULATED output table,
 only touched addresses re-sequenced, untouched index rows carried
 verbatim. Two sinks:
 
-- ``outputs/``  — append-only exploded output table (the UTXO-side
-  lookup the linkage join needs; append per batch, never rewritten).
+- ``outputs/``  — exploded output table (the UTXO-side lookup the
+  linkage join needs; append per batch, rewritten only on reorg
+  rollback — see `merge_batch`).
 - ``index/``    — the maintained address_transactions index,
   atomically replaced per batch (eager localCheckpoint first — a
   parquet overwrite invalidates readers of the OLD files, so the
@@ -47,7 +48,9 @@ INDEX_SCHEMA = (
     " received_value long, n_spent_inputs long, spent_value long,"
     " net_value long, tx_seq long"
 )
-OUTPUTS_SCHEMA = "tx_id long, output_index int, addr string, value long"
+OUTPUTS_SCHEMA = (
+    "tx_id long, output_index int, addr string, value long, block_id long"
+)
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -63,9 +66,50 @@ def merge_batch(
     outputs_dir: str,
     index_dir: str,
 ) -> None:
-    """Fold one micro-batch of transactions into the two sinks."""
+    """Fold one micro-batch of transactions into the two sinks.
+
+    REORG HANDLING: a batch whose minimum block height is ≤ the
+    index's current tip is a competing-chain announcement — every
+    block at or above that fork height is ORPHANED. Orphaned rows
+    are rolled back from both sinks before the batch folds in:
+    orphaned index rows are dropped and their addresses join the
+    touched set (their tx_seq must re-pack), orphaned outputs leave
+    the lookup table (a surviving block's tx can never spend a
+    later — hence orphaned — block's output, so the rollback cannot
+    strand a resolved spend). The reference only SHIELDS against
+    reorgs with the B7 safety-lag filter; recovery is what the
+    transformation daemon actually needs. At real scale the outputs
+    sink is partitioned by block range and the rollback is a dynamic
+    partition overwrite (A21 machinery) instead of this rewrite.
+    """
     batch_txs = batch_txs.localCheckpoint(eager=True)
 
+    old = _read_or_empty(spark, index_dir, INDEX_SCHEMA)
+    tip_row = old.agg(F.max("block_id").alias("tip")).first()
+    tip = tip_row["tip"] if tip_row is not None else None
+    fork_row = batch_txs.agg(F.min("block_id").alias("lo")).first()
+    fork = fork_row["lo"] if fork_row is not None else None
+    reorg = tip is not None and fork is not None and fork <= tip
+
+    dropped_addrs = None
+    if reorg:
+        # roll orphaned blocks out of both sinks
+        dropped_addrs = (
+            old.filter(F.col("block_id") >= fork).select("addr").distinct()
+        )
+        old = old.filter(F.col("block_id") < fork)
+        kept_outs = (
+            _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA)
+            .filter(F.col("block_id") < fork)
+            .localCheckpoint(eager=True)
+        )
+        kept_outs.write.mode("overwrite").parquet(outputs_dir)
+        dropped_addrs = dropped_addrs.localCheckpoint(eager=True)
+        old = old.localCheckpoint(eager=True)
+
+    heights_all = batch_txs.select(
+        "tx_id", F.col("block_id").cast("long").alias("block_id")
+    )
     new_outs = (
         explode_outputs(batch_txs)
         .filter(F.size("address") > 0)
@@ -75,6 +119,8 @@ def merge_batch(
             F.concat_ws("|", "address").alias("addr"),
             F.col("value").cast("long").alias("value"),
         )
+        .join(heights_all, "tx_id")
+        .select("tx_id", "output_index", "addr", "value", "block_id")
     )
     new_outs.write.mode("append").parquet(outputs_dir)
 
@@ -105,9 +151,6 @@ def merge_batch(
             F.sum("value").cast("long").alias("spent_value"),
         )
     )
-    heights = batch_txs.select(
-        "tx_id", F.col("block_id").cast("long").alias("block_id")
-    )
     delta = (
         credit.join(debit, ["addr", "tx_id"], "full_outer")
         .select(
@@ -126,7 +169,7 @@ def merge_batch(
             .cast("long")
             .alias("spent_value"),
         )
-        .join(heights, "tx_id")
+        .join(heights_all, "tx_id")
         .select(
             "addr",
             "tx_id",
@@ -141,8 +184,11 @@ def merge_batch(
         )
     )
 
-    old = _read_or_empty(spark, index_dir, INDEX_SCHEMA)
     touched = delta.select("addr").distinct()
+    if dropped_addrs is not None:
+        # addresses that LOST rows to the rollback must re-pack their
+        # tx_seq even if the replacement batch never mentions them
+        touched = touched.union(dropped_addrs).distinct()
     untouched = old.join(touched, "addr", "left_anti")
     reseq = (
         old.drop("tx_seq")
