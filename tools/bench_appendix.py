@@ -44,6 +44,8 @@ STAGING_BOUND = {
     "qd38_streaming_simhash_pairs": "streaming staging; twin q159",
     "qd40_streaming_topn_others": "streaming staging; twin q201",
     "qd41_streaming_drift": "streaming staging; twin q210",
+    "qd48_streaming_index_daemon": "streaming staging; twin qd44",
+    "qd49_reorg_recovery": "streaming staging; twin qd44",
     "q39_knn_bruteforce": "quadratic exact oracle twin of q43",
     "q44_knn_ivf": "includes quadratic exact twin; scale path is q125",
 }
