@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "qd45_balance_gini",
     "qd46_nakamoto_coefficient",
     "qd47_coin_days_destroyed",
+    "qd50_address_relations",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor) and qd48 (index
 # daemon) are gate-only

@@ -8375,6 +8375,73 @@ def qd49_reorg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
 
 
+def qd50_address_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADDRESS-level money-flow edge table — GraphSense's
+    address_{incoming,outgoing}_relations, the finest-grained graph
+    the transformation stage materializes (qd19 is its entity-level
+    rollup). One row per (sending address → receiving address) with
+    tx count and PROPORTIONALLY ATTRIBUTED value: within a tx, input
+    address a sends output address b exactly
+    ``out_b · in_a DIV total_in`` (exact integer floor — the
+    deterministic engine-portable attribution; the sub-satoshi
+    remainder is the floor's, never redistributed). Per-address slot
+    values aggregate BEFORE pairing, so the per-tx pair fan-out is
+    |distinct in-addrs| × |distinct out-addrs| — the real relations
+    blow-up coinjoins cause; production caps it with the B5 coinjoin
+    filter upstream, and the pair join itself is tx-keyed (AQE skew
+    handling covers hot txs)."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    ins = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("inp"))
+        .filter(F.size("inp.address") > 0)
+        .select(
+            "tx_id",
+            F.concat_ws("|", "inp.address").alias("src_addr"),
+            F.col("inp.value").cast("long").alias("in_val"),
+        )
+        .groupBy("tx_id", "src_addr")
+        .agg(F.sum("in_val").cast("long").alias("in_val"))
+    )
+    tot = ins.groupBy("tx_id").agg(
+        F.sum("in_val").cast("long").alias("total_in")
+    )
+    outs = (
+        raw_txs.select("tx_id", F.explode("outputs").alias("out"))
+        .filter(F.size("out.address") > 0)
+        .select(
+            "tx_id",
+            F.concat_ws("|", "out.address").alias("dst_addr"),
+            F.col("out.value").cast("long").alias("out_val"),
+        )
+        .groupBy("tx_id", "dst_addr")
+        .agg(F.sum("out_val").cast("long").alias("out_val"))
+    )
+    pairs = (
+        ins.join(tot, "tx_id")
+        .join(outs, "tx_id")
+        .select(
+            "tx_id",
+            "src_addr",
+            "dst_addr",
+            # widen through DECIMAL(38,0): out_val * in_val can reach
+            # ~2.5e19 (two 50-BTC satoshi values), past int64; the
+            # quotient is <= out_val and fits back in a long
+            F.expr(
+                "CAST(CAST(out_val AS DECIMAL(38,0)) * in_val"
+                " DIV total_in AS BIGINT)"
+            ).alias("flow"),
+        )
+    )
+    return (
+        pairs.groupBy("src_addr", "dst_addr")
+        .agg(
+            F.count_distinct("tx_id").cast("long").alias("n_txs"),
+            F.sum("flow").cast("long").alias("total_flow"),
+        )
+    )
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8569,6 +8636,7 @@ QUERIES: dict[str, QueryFn] = {
     "q222_pii_prevalence": q222_pii_prevalence,
     "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
     "qd49_reorg_recovery": qd49_reorg_recovery,
+    "qd50_address_relations": qd50_address_relations,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15260,4 +15328,51 @@ SELECT p.addr,
        CAST(row_number() OVER (PARTITION BY p.addr
            ORDER BY h.block_id, p.tx_id) AS BIGINT) AS tx_seq
 FROM per p JOIN h ON p.tx_id = h.tx_id
+"""
+
+
+# qd50: identical proportional attribution (HUGEINT-widened product,
+# floor division) in DuckDB.
+ORACLE_SQL["qd50_address_relations"] = f"""
+WITH ins0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|'),
+                      ival: inputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ins AS (
+    SELECT tx_id, u.addr AS src_addr, sum(u.ival) AS in_val
+    FROM ins0 WHERE u.alen > 0 GROUP BY 1, 2
+),
+tot AS (
+    SELECT tx_id, sum(in_val) AS total_in FROM ins GROUP BY 1
+),
+outs0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id, u.addr AS dst_addr, sum(u.oval) AS out_val
+    FROM outs0 WHERE u.alen > 0 GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.tx_id, i.src_addr, o.dst_addr,
+           CAST((o.out_val::HUGEINT * i.in_val) // t.total_in AS BIGINT)
+               AS flow
+    FROM ins i
+    JOIN tot t ON i.tx_id = t.tx_id
+    JOIN outs o ON i.tx_id = o.tx_id
+)
+SELECT src_addr, dst_addr,
+       CAST(count(DISTINCT tx_id) AS BIGINT) AS n_txs,
+       CAST(sum(flow) AS BIGINT) AS total_flow
+FROM pairs
+GROUP BY 1, 2
 """
