@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "q220_containment_join",
     "q221_duplicate_sentences",
     "q222_pii_prevalence",
+    "q223_scc",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -1531,3 +1531,121 @@ def hits(
     return nodes.join(a, "node").join(h, "node").select(
         "node", "authority", "hub"
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the
+    classic `connected_components` (above) cannot see direction, and
+    money-flow / transition graphs are directed.
+
+    Algorithm: forward-backward min-label peeling (the distributed
+    FW-BW/coloring family): per peel round, propagate the minimum
+    reachable node id to fixpoint along FORWARD edges (f) and along
+    BACKWARD edges (b) — each propagation step is one edge⋈label
+    join + one node-keyed min aggregate, O(diameter) steps — then
+    every node with f(v) = b(v) = m belongs to the SCC of m exactly
+    (m is reachable from v and reaches v). Labeled SCCs peel off;
+    surviving nodes and their induced edges repeat. Each round labels
+    at least the SCC of the globally minimal surviving node, so the
+    round count is bounded by the longest chain of SCCs the peel
+    exposes (tiny in practice — most graphs shed almost everything in
+    the first round, exactly like FW-BW's giant-SCC behaviour).
+
+    Labels are the SCC's minimum member id (deterministic across
+    engines and partitionings). Fixpoint detection collects one
+    (count, checksum) pair per step — edges never reach the driver.
+
+    Returns (node, component). Scale shape: every step is a
+    node-keyed shuffle on the label frame; the peel shrinks the
+    active graph monotonically, and lineage is cut per step (lazy
+    localCheckpoint — the probe materializes it)."""
+    e_all = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e_all.select(F.col("u").alias("node"))
+        .union(e_all.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    result = spark.createDataFrame([], "node long, component long")
+    active_nodes = nodes
+    active_edges = e_all
+    for _ in range(max_rounds):
+        if active_nodes.limit(1).count() == 0:
+            break
+
+        def _minreach(edges_dir: DataFrame) -> DataFrame:
+            lab = active_nodes.select(
+                "node", F.col("node").alias("m")
+            ).localCheckpoint(eager=False)
+            prev = None
+            for _step in range(max_rounds):
+                nxt = (
+                    edges_dir.join(
+                        lab.select(F.col("node").alias("v"), "m"), "v"
+                    )
+                    .groupBy(F.col("u").alias("node"))
+                    .agg(F.min("m").alias("m2"))
+                )
+                lab2 = (
+                    lab.join(nxt, "node", "left")
+                    .select(
+                        "node",
+                        F.least(
+                            "m", F.coalesce("m2", F.col("m"))
+                        ).alias("m"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                chk = lab2.agg(
+                    F.sum(F.xxhash64("node", "m").cast("decimal(38,0)"))
+                ).first()[0]
+                if prev is not None and chk == prev:
+                    return lab2
+                prev = chk
+                lab = lab2
+            return lab
+
+        f = _minreach(active_edges)  # min id reachable FORWARD from v
+        b = _minreach(
+            active_edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        labeled = (
+            f.select("node", F.col("m").alias("f"))
+            .join(b.select("node", F.col("m").alias("b")), "node")
+            .filter(F.col("f") == F.col("b"))
+            .select("node", F.col("f").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        result = result.unionByName(labeled)
+        done = labeled.select("node")
+        active_nodes = active_nodes.join(
+            done, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        active_edges = (
+            active_edges.join(
+                done.select(F.col("node").alias("u")), "u", "left_anti"
+            )
+            .join(done.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components: {max_rounds} peel rounds exceeded"
+        )
+    return result

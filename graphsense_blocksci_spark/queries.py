@@ -8442,6 +8442,53 @@ def qd50_address_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED clickstream
+    transition graph (q164's edges, event types as 28-bit hashed
+    nodes) — the directed classic `connected_components` cannot see:
+    a funnel edge A→B without B→A must NOT merge A and B, while
+    behavioral loops (browse⇄cart⇄checkout cycles) must. Uses
+    operators/graph.py:strongly_connected_components (forward/
+    backward min-label peeling — each phase one edge⋈label join +
+    node-keyed min to fixpoint, SCCs labeled atomically per round).
+    Oracle: recursive-CTE reachability closure + mutual-minimum
+    labels over the identical edge set."""
+    from graphsense_blocksci_spark.operators.graph import (
+        strongly_connected_components,
+    )
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("u"),
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    cyclic = (
+        ev.withColumn("prev_et", F.lag("et").over(w))
+        .filter(F.col("prev_et").isNotNull())
+        .select(
+            hash28(F.col("prev_et")).alias("src"),
+            hash28(F.col("et")).alias("dst"),
+        )
+        .distinct()
+    )
+    # the raw transition graph is fully mutually reachable (one giant
+    # SCC); the deterministic one-way "archive" sinks make the result
+    # direction-discriminating — each sink must stay its own singleton
+    # SCC even though the undirected CC would swallow it
+    sinks = (
+        ev.select("et")
+        .distinct()
+        .select(
+            hash28(F.col("et")).alias("src"),
+            hash28(F.concat(F.col("et"), F.lit("_archive"))).alias("dst"),
+        )
+    )
+    return strongly_connected_components(cyclic.unionByName(sinks))
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8637,6 +8684,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
     "qd49_reorg_recovery": qd49_reorg_recovery,
     "qd50_address_relations": qd50_address_relations,
+    "q223_scc": q223_scc,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15375,4 +15423,43 @@ SELECT src_addr, dst_addr,
        CAST(sum(flow) AS BIGINT) AS total_flow
 FROM pairs
 GROUP BY 1, 2
+"""
+
+
+# q223: recursive reachability closure + mutual-minimum SCC labels
+# over the identical hashed transition edges.
+ORACLE_SQL["q223_scc"] = r"""
+WITH RECURSIVE seq AS (
+    SELECT user_id,
+           event_type AS et,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+e AS (
+    SELECT DISTINCT
+           ('0x' || substr(md5(et), 1, 7))::BIGINT AS u,
+           ('0x' || substr(md5(nxt), 1, 7))::BIGINT AS v
+    FROM seq WHERE nxt IS NOT NULL
+    UNION
+    SELECT DISTINCT
+           ('0x' || substr(md5(event_type), 1, 7))::BIGINT AS u,
+           ('0x' || substr(md5(event_type || '_archive'), 1, 7))::BIGINT AS v
+    FROM events
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach AS (
+    SELECT u AS a, v AS b FROM e
+    UNION
+    SELECT r.a, e.v AS b FROM reach r JOIN e ON r.b = e.u
+),
+mutual AS (
+    SELECT r1.a AS node, r1.b AS m
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.node,
+       CAST(least(n.node, coalesce(min(m.m), n.node)) AS BIGINT)
+           AS component
+FROM nodes n LEFT JOIN mutual m ON n.node = m.node
+GROUP BY n.node
 """

@@ -337,3 +337,22 @@ def test_global_rank_matches_single_task_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_scc_direction_sensitivity(spark):
+    """Two 2-cycles bridged one-way plus a dangling tail: SCC must
+    keep {1,2} and {3,4} separate (the bridge 2->3 has no return)
+    and leave 5 a singleton; undirected CC would merge everything."""
+    from graphsense_blocksci_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
