@@ -101,6 +101,7 @@ def merge_batch(
         kept_outs = (
             _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA)
             .filter(F.col("block_id") < fork)
+            .distinct()  # reorg rewrite doubles as replay-dup compaction
             .localCheckpoint(eager=True)
         )
         kept_outs.write.mode("overwrite").parquet(outputs_dir)
@@ -125,9 +126,16 @@ def merge_batch(
     new_outs.write.mode("append").parquet(outputs_dir)
 
     # accumulated outputs now include this batch — inputs may spend
-    # outputs created earlier in the SAME batch
-    all_outs = _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA).select(
-        "tx_id", "output_index", "addr", "value"
+    # outputs created earlier in the SAME batch. The distinct() makes
+    # every read REPLAY-SAFE: a batch re-run after a crash between the
+    # outputs append and the index write re-appends identical rows,
+    # and without the dedup each input would match twice and double
+    # its spent_value (effectively-once by idempotent read, the A21
+    # discipline; the rows are exact duplicates so distinct is exact)
+    all_outs = (
+        _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA)
+        .select("tx_id", "output_index", "addr", "value")
+        .distinct()
     )
 
     credit = (

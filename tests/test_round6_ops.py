@@ -356,3 +356,55 @@ def test_scc_direction_sensitivity(spark):
         for r in strongly_connected_components(e).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
+def test_index_daemon_batch_replay_idempotent(spark, tmp_path):
+    """A batch replayed after a crash between the outputs append and
+    the index write must leave the index EXACTLY as a single run
+    would — the distinct() on the outputs read absorbs the duplicate
+    append (effectively-once by idempotent read)."""
+    from graphsense_blocksci_spark.operators.linkage import (
+        address_transactions,
+    )
+    from graphsense_blocksci_spark.streaming.index_daemon import (
+        INDEX_SCHEMA,
+        merge_batch,
+    )
+
+    txs = spark.createDataFrame(
+        [
+            (0, 0, True, [], [(["A"], 100, 0)]),
+            (
+                1,
+                1,
+                False,
+                [(["A"], 100, 0, 0, 0)],
+                [(["B"], 60, 0), (["A"], 40, 0)],
+            ),
+        ],
+        "tx_id long, block_id int, coinbase boolean,"
+        " inputs array<struct<address:array<string>,value:long,"
+        "address_type:int,spent_tx_id:long,spent_index:long>>,"
+        " outputs array<struct<address:array<string>,value:long,"
+        "address_type:int>>",
+    )
+    out_dir = str(tmp_path / "outputs")
+    idx_dir = str(tmp_path / "index")
+    merge_batch(spark, txs, out_dir, idx_dir)
+    once = sorted(
+        map(
+            tuple,
+            spark.read.schema(INDEX_SCHEMA).parquet(idx_dir).collect(),
+        )
+    )
+    # crash-replay: the SAME batch folds again (outputs re-append)
+    merge_batch(spark, txs, out_dir, idx_dir)
+    twice = sorted(
+        map(
+            tuple,
+            spark.read.schema(INDEX_SCHEMA).parquet(idx_dir).collect(),
+        )
+    )
+    want = sorted(map(tuple, address_transactions(txs).collect()))
+    assert once == want
+    assert twice == want
