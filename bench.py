@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "q221_duplicate_sentences",
     "q222_pii_prevalence",
     "q223_scc",
+    "q224_orc_roundtrip",
+    "q225_sql_interface",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

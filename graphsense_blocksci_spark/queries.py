@@ -8489,6 +8489,55 @@ def q223_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(cyclic.unionByName(sinks))
 
 
+def q224_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the remaining built-in columnar format next
+    to Parquet/CSV/JSON (q29) and binaryFile (qd23): the per-flag
+    revenue rollup writes to ORC (zlib, dictionary-encoded) and
+    reads back; the returned frame must be byte-identical to the
+    plan that never touched disk, which is exactly what the oracle
+    (the same rollup in SQL) checks. Format coverage, pushdown and
+    schema round-trip in one query."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="gbs_orc_") + "/rollup.orc"
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "l_returnflag", "l_linestatus", "n_rows", "sum_cents"
+    )
+
+
+def q225_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string surface: every other query declares its plan
+    through the DataFrame API; this one registers temp views and runs
+    ANSI SQL through spark.sql() verbatim — Catalyst sees the
+    identical logical plan either way (one parser in front of the
+    same optimizer), which the oracle proves by running the SAME
+    text on DuckDB. A reference user who writes SQL, not Python,
+    switches with zero translation."""
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS total_cents
+        FROM sqlv_customer c
+        JOIN sqlv_nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN sqlv_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        """
+    )
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8685,6 +8734,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd49_reorg_recovery": qd49_reorg_recovery,
     "qd50_address_relations": qd50_address_relations,
     "q223_scc": q223_scc,
+    "q224_orc_roundtrip": q224_orc_roundtrip,
+    "q225_sql_interface": q225_sql_interface,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15462,4 +15513,28 @@ SELECT n.node,
            AS component
 FROM nodes n LEFT JOIN mutual m ON n.node = m.node
 GROUP BY n.node
+"""
+
+
+# q224: the rollup that round-tripped through ORC.
+ORACLE_SQL["q224_orc_roundtrip"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# q225: the literal SQL text, DuckDB dialect-identical.
+ORACLE_SQL["q225_sql_interface"] = """
+SELECT n.n_name AS nation,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY n.n_name
 """
