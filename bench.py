@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "q223_scc",
     "q224_orc_roundtrip",
     "q225_sql_interface",
+    "q226_tokenizer_fertility",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -8538,6 +8538,114 @@ def q225_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd51_streaming_duplicate_sentences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING boilerplate discovery — q221's stateful twin
+    (streaming/boilerplate.py): the q114-convention boilerplate-
+    augmented documents staged as a file stream, each sentence hash
+    folding its (distinct-doc set, occurrence count) into the state
+    store; availableNow single-batch, so the final snapshot filtered
+    to n_docs >= 2 IS the batch scan and q221's SQL oracle gates it
+    cell-exact (cap unsaturated at this scale)."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.boilerplate import (
+        duplicate_sentences_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    ". this content is licensed for personal"
+                    " noncommercial use only."
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(". accept cookies to continue reading banner "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" of this site."),
+        ).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_bp_")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{work}/src"
+    )
+    q = (
+        duplicate_sentences_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.schema(
+        "sh long, n_docs long, n_occurrences long, seq long"
+    ).parquet(f"{work}/out")
+    latest = snap.withColumn(
+        "_mx", F.max("seq").over(Window.partitionBy("sh"))
+    ).filter(F.col("seq") == F.col("_mx"))
+    return latest.filter(F.col("n_docs") >= 2).select(
+        "sh", "n_docs", "n_occurrences"
+    )
+
+
+def q226_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens emitted per word and
+    unknown-fallback rate by language, the multilingual data-quality
+    readout that decides whether a vocabulary shortchanges a language
+    (high fertility = fragmenting, high unk = not covered). Rides the
+    REAL greedy BPE segmentation (q106's operator, one Arrow
+    projection) aggregated per `lang`; ratios as exact integer ppm
+    (1e6·Σtokens DIV Σwords), hash-portable. Oracle: q106's
+    recursive-walk CTEs rolled up per language."""
+    from graphsense_blocksci_spark.operators.text_analysis import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs)
+    langs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return (
+        enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_unk").cast("long").alias("total_unk"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            "total_unk",
+            F.when(
+                F.col("total_words") > 0,
+                F.expr(
+                    "CAST(1000000 * total_tokens DIV total_words AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("fertility_ppm"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.expr(
+                    "CAST(1000000 * total_unk DIV total_tokens AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("unk_ppm"),
+        )
+    )
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8649,14 +8757,16 @@ def q217_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-7 ROTATION (do this first next round): move the remaining
 # never-driver-green backlog (the section below the window) into
-# positions 2-50 — the round-6 additions FIRST (qd40-qd47 streaming
-# top-N/drift twins + address/entity transaction indexes + incremental
-# index + Gini/Nakamoto/coin-days-destroyed, q216-q220 epoch shuffle /
-# domain mixture / HITS / assortativity / containment join — all
-# oracle-backed and strict-gate green this round), then the
-# q111/q135/q136/q140/q142-q178 wave plus the q37-q97 long tail.
-# Rows-only entries can sit in-window (driver records the weaker
-# rows-only check).
+# positions 2-50 — the round-6 additions FIRST (qd40-qd50: streaming
+# top-N/drift twins, address/entity transaction indexes, incremental
+# index + streaming daemon + reorg recovery, Gini/Nakamoto/
+# coin-days-destroyed, address relations; q216-q225: epoch shuffle,
+# domain mixture, HITS, assortativity, containment join, duplicate
+# sentences, PII prevalence, SCC, ORC round-trip, SQL interface —
+# all oracle-backed and strict-gate green this round, 265/265
+# closing pass), then the q111/q135/q136/q140/q142-q178 wave plus
+# the q37-q97 long tail. Rows-only entries can sit in-window (driver
+# records the weaker rows-only check).
 QUERIES: dict[str, QueryFn] = {
     # -- round-6 driver window (50) ------------------------------------
     # q01 first (entry() smoke), then the never-driver-green round-5
@@ -8736,6 +8846,8 @@ QUERIES: dict[str, QueryFn] = {
     "q223_scc": q223_scc,
     "q224_orc_roundtrip": q224_orc_roundtrip,
     "q225_sql_interface": q225_sql_interface,
+    "qd51_streaming_duplicate_sentences": qd51_streaming_duplicate_sentences,
+    "q226_tokenizer_fertility": q226_tokenizer_fertility,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15538,3 +15650,36 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY n.n_name
 """
+
+
+# qd51: the stream's final snapshot must equal the batch scan.
+ORACLE_SQL["qd51_streaming_duplicate_sentences"] = ORACLE_SQL[
+    "q221_duplicate_sentences"
+]
+
+
+# q226: q106's recursive segmentation CTEs rolled up per language.
+ORACLE_SQL["q226_tokenizer_fertility"] = (
+    ORACLE_SQL["q106_bpe_encode"].rsplit("SELECT d.doc_id", 1)[0]
+    + """, perdoc AS (
+    SELECT d.doc_id, d.lang,
+           COALESCE(per.n_words, 0) AS n_words,
+           COALESCE(per.n_bpe_tokens, 0) AS n_tok,
+           COALESCE(per.n_unk, 0) AS n_unk
+    FROM documents d LEFT JOIN per USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_unk) AS BIGINT) AS total_unk,
+       CAST(CASE WHEN sum(n_words) > 0
+            THEN (1000000 * sum(n_tok)) // sum(n_words)
+            ELSE 0 END AS BIGINT) AS fertility_ppm,
+       CAST(CASE WHEN sum(n_tok) > 0
+            THEN (1000000 * sum(n_unk)) // sum(n_tok)
+            ELSE 0 END AS BIGINT) AS unk_ppm
+FROM perdoc
+GROUP BY lang
+"""
+)

@@ -1,6 +1,10 @@
 """Streaming incremental maintenance of the address→transactions
 index — the GraphSense transformation daemon as a Structured
-Streaming `foreachBatch` loop.
+Streaming `foreachBatch` loop (the reference runs the raw-keyspace
+half of this as the `blocksci_export.py --continue --previous-day`
+loop, docker/ingest.sh:2-8; consumers then derive address pages from
+the exported `transaction` rows, scripts/schema.cql:21-34 — this
+module materializes and MAINTAINS that derived index engine-side).
 
 Production shape: the chain follower drops new block files in a
 directory; the stream picks them up per micro-batch and each batch
