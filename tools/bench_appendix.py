@@ -46,6 +46,7 @@ STAGING_BOUND = {
     "qd41_streaming_drift": "streaming staging; twin q210",
     "qd48_streaming_index_daemon": "streaming staging; twin qd44",
     "qd49_reorg_recovery": "streaming staging; twin qd44",
+    "qd51_streaming_duplicate_sentences": "streaming staging; twin q221",
     "q39_knn_bruteforce": "quadratic exact oracle twin of q43",
     "q44_knn_ivf": "includes quadratic exact twin; scale path is q125",
 }
