@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "q224_orc_roundtrip",
     "q225_sql_interface",
     "q226_tokenizer_fertility",
+    "q227_cross_source_overlap",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -8646,6 +8646,64 @@ def q226_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q227_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the corpus-mixing
+    diagnostic run before blending sources into a training mix: per
+    source pair, the Jaccard overlap of their UNIONED word-trigram
+    shingle sets (the repo's 28-bit hashed shingles, q155's
+    convention). High overlap means the sources duplicate each other
+    and the mixture double-counts. Source-level sets build with one
+    distinct aggregate; the pair counts ride the INVERTED INDEX
+    (shingle → sources, pairs per shingle, one count aggregate) —
+    never a quadratic set cross join, and |sources| is tiny so the
+    pair space is trivially bounded."""
+    from graphsense_blocksci_spark.operators.textops import (
+        shingle_hash_frame,
+    )
+
+    raw = load_table(spark, sf_dir, "documents")
+    hashed = shingle_hash_frame(raw).join(
+        raw.select("doc_id", "source"), "doc_id"
+    )
+    src_sh = (
+        hashed.select("source", F.explode("_sh").alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = src_sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = src_sh.select(F.col("source").alias("src_a"), "sh")
+    b = src_sh.select(F.col("source").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n").alias("n_a"))), "src_a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n").alias("n_b"))), "src_b"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q216_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
     reproducible (shard, position) for epoch-seeded global order —
@@ -8760,11 +8818,12 @@ def q217_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positions 2-50 — the round-6 additions FIRST (qd40-qd50: streaming
 # top-N/drift twins, address/entity transaction indexes, incremental
 # index + streaming daemon + reorg recovery, Gini/Nakamoto/
-# coin-days-destroyed, address relations; q216-q225: epoch shuffle,
-# domain mixture, HITS, assortativity, containment join, duplicate
-# sentences, PII prevalence, SCC, ORC round-trip, SQL interface —
-# all oracle-backed and strict-gate green this round, 265/265
-# closing pass), then the q111/q135/q136/q140/q142-q178 wave plus
+# coin-days-destroyed, address relations; qd51 streaming boilerplate
+# monitor; q216-q226: epoch shuffle, domain mixture, HITS,
+# assortativity, containment join, duplicate sentences, PII
+# prevalence, SCC, ORC round-trip, SQL interface, tokenizer
+# fertility — all oracle-backed and strict-gate green this round,
+# 265/265 closing pass), then the q111/q135/q136/q140/q142-q178 wave plus
 # the q37-q97 long tail. Rows-only entries can sit in-window (driver
 # records the weaker rows-only check).
 QUERIES: dict[str, QueryFn] = {
@@ -8848,6 +8907,7 @@ QUERIES: dict[str, QueryFn] = {
     "q225_sql_interface": q225_sql_interface,
     "qd51_streaming_duplicate_sentences": qd51_streaming_duplicate_sentences,
     "q226_tokenizer_fertility": q226_tokenizer_fertility,
+    "q227_cross_source_overlap": q227_cross_source_overlap,
     # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
     # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
@@ -15683,3 +15743,48 @@ FROM perdoc
 GROUP BY lang
 """
 )
+
+
+# q227: source-level unioned shingle sets, brute-force pairwise
+# intersection (q155's hashing convention).
+ORACLE_SQL["q227_cross_source_overlap"] = r"""
+WITH norm AS (
+    SELECT doc_id, source,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, source,
+           list_filter(string_split(s, ' '), x -> x <> '') AS toks
+    FROM norm
+),
+grams AS (
+    SELECT doc_id, source,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END AS gs
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+    FROM grams, unnest(gs) AS u(g)
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(p.inter AS DOUBLE)
+           / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.src_a = sa.source
+JOIN sizes sb ON p.src_b = sb.source
+"""
