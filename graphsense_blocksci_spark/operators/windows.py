@@ -148,7 +148,12 @@ def global_rank(
         "_pid", F.spark_partition_id()
     )
     wl = Window.partitionBy("_pid").orderBy(*cols)
-    local = ranged.withColumn("_lrk", F.row_number().over(wl))
+    # pin: `local` feeds BOTH the per-partition counts and the final
+    # offset join — unpinned, the input subplan (and its range
+    # exchange) would execute twice
+    local = ranged.withColumn(
+        "_lrk", F.row_number().over(wl)
+    ).localCheckpoint(eager=False)
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     wo = (
         Window.orderBy("_pid").rowsBetween(

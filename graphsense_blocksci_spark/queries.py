@@ -8134,6 +8134,9 @@ def qd46_nakamoto_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("entity")
         .agg(F.sum("balance").cast("long").alias("bal"))
         .filter(F.col("bal") > 0)
+        # pin: ebal feeds the ranged cumsum AND the totals aggregate —
+        # unpinned, the whole clustering+ledger subplan runs twice
+        .localCheckpoint(eager=False)
     )
     ranged = ebal.withColumn("_neg", -F.col("bal")).repartitionByRange(
         32, "_neg", "entity"
@@ -8143,7 +8146,10 @@ def qd46_nakamoto_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_neg", "entity")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_lcum", F.sum("bal").over(wl))
+    # pin: local feeds both the per-partition sums and the offset join
+    local = ranged.withColumn(
+        "_lcum", F.sum("bal").over(wl)
+    ).localCheckpoint(eager=False)
     psums = local.groupBy("_pid").agg(F.sum("bal").alias("_psum"))
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = psums.select(

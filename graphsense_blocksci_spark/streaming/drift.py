@@ -105,6 +105,9 @@ def ks_against_reference(
             F.coalesce("cnt", F.lit(0)).cast("long").alias("w_cnt"),
             F.coalesce("ref_cnt", F.lit(0)).cast("long").alias("r_cnt"),
         )
+        # pin: per_w feeds both the cumulative window and the totals
+        # aggregate — unpinned, the grid construction runs twice
+        .localCheckpoint(eager=False)
     )
     cum_w = (
         Window.partitionBy("window_start")

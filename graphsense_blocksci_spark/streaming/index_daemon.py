@@ -194,6 +194,9 @@ def merge_batch(
             .cast("long")
             .alias("net_value"),
         )
+        # pin: delta feeds the touched set AND the re-sequencing union
+        # — unpinned, the batch linkage shuffle would execute twice
+        .localCheckpoint(eager=False)
     )
 
     touched = delta.select("addr").distinct()
