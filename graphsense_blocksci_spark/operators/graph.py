@@ -1482,6 +1482,18 @@ def hits(
 
     Returns (node, authority, hub).
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits: iterations must be >= 1, got {iterations}"
+        )
+    if iterations > 16:
+        # scores grow like (mean degree)^(2·iterations); int64 is the
+        # documented exactness ceiling, so refuse ranges that can only
+        # end in silent overflow.
+        raise ValueError(
+            "hits: iterations > 16 would overflow the exact-int64"
+            f" contract, got {iterations}"
+        )
     e = (
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -1617,7 +1629,15 @@ def strongly_connected_components(
                     return lab2
                 prev = chk
                 lab = lab2
-            return lab
+            # Mirrors the outer peel loop's else-raise: an
+            # under-propagated min label would silently split one SCC
+            # (f(v)=b(v)=v for nodes whose SCC min sits > max_rounds
+            # hops away), so exhaustion here is an error, never a
+            # fallback.
+            raise RuntimeError(
+                "strongly_connected_components: min-label propagation did"
+                f" not converge within {max_rounds} steps"
+            )
 
         f = _minreach(active_edges)  # min id reachable FORWARD from v
         b = _minreach(

@@ -75,10 +75,22 @@ def ks_against_reference(
     Scale shape: both inputs are grid-sized (≤ windows × cells rows);
     the reference is broadcast; the cumulative window partitions by
     window_start over at most |grid| rows each.
+
+    PRECONDITION: ``reference_hist`` must carry positive total mass.
+    An empty (or all-zero) reference makes every window's KS distance
+    undefined — without the guard that surfaced as ks_d = NaN with
+    d_scaled = 0, which reads as "no drift" instead of "no reference".
     """
     ref = reference_hist.select(
         F.col("cell").alias("cell"), F.col("cnt").alias("ref_cnt")
     )
+    n_ref_val = ref.agg(F.sum("ref_cnt").cast("long")).first()[0]
+    if n_ref_val is None or n_ref_val <= 0:
+        raise ValueError(
+            "ks_against_reference: reference_hist has no mass"
+            f" (total cnt = {n_ref_val}); a KS distance against an"
+            " empty reference is undefined"
+        )
     n_ref = ref.agg(F.sum("ref_cnt").cast("long").alias("n_ref"))
     # The CDF grid must be (every window) × (every cell either side
     # ever saw): a ref cell ABSENT from one window still steps that

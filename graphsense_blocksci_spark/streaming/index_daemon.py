@@ -38,6 +38,7 @@ final batch proves the daemon loses nothing.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -58,10 +59,25 @@ OUTPUTS_SCHEMA = (
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a sink, treating ONLY a missing path as cold start.
+
+    Any other read failure (transient FS error, corrupt footer, perm
+    denied) must propagate: merge_batch rewrites the index with
+    mode('overwrite'), so silently substituting an empty frame would
+    replace the accumulated index with just the current batch's rows —
+    permanent history loss instead of a failed-and-retried batch.
+    """
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:  # noqa: BLE001 — cold start: sink not written yet
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        cls = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else exc.getErrorClass()
+        )
+        if cls == "PATH_NOT_FOUND":
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def merge_batch(
