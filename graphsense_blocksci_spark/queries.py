@@ -8810,38 +8810,82 @@ def q217_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q01 stays first (entry() smoke query); the rest of the window rotates per
 # round so every family eventually gets a driver-green row.
 #
-# ROUND-6 WINDOW (this round): the round-5 additions that have never had a
-# driver-green row — q186-q215 (edit-distance join, MAP@10, autocorrelation,
-# Boruvka MSF, NB model, chi2, group OLS, Mann-Kendall, clustering
-# coefficient, target encoding, rendezvous hashing, FK inference, Merkle
-# diff, oracle-exact HLL batch/grouped, MERGE upsert, top-N+OTHERS, degree
-# histogram, embedding decontamination, confusion metrics, decile lift,
-# equi-depth bins, Pareto curve, Theil-Sen, KS test, quality keeper,
-# time-to-convert, fit/apply bins, rolling MAD, profile similarity),
-# qd32-qd39 (streaming router/HLL/LSH/SimHash twins + entity-chain depth),
-# the newly-oracled q43/q125/q130 invariant frames, and 8 oracled backlog
-# entries. Previously driver-green entries (rounds 1-5) sit at the back.
+# ROUND-7 WINDOW (this round): the round-6 additions that have never had a
+# driver-green row — qd40-qd51 (streaming top-N/drift twins, address/entity
+# transaction indexes, incremental address index, Gini/Nakamoto/
+# coin-days-destroyed, streaming index daemon, reorg recovery, address
+# relations, streaming duplicate-sentence monitor) and q216-q227 (epoch
+# shuffle, domain mixture, HITS, assortativity, containment join, duplicate
+# sentences, PII prevalence, SCC, ORC round-trip, SQL interface, tokenizer
+# fertility, cross-source overlap) — all oracled — plus 25 oracled entries
+# from the q135-q176 wave. Previously driver-green entries (rounds 1-6)
+# sit at the back.
 #
-# ROUND-7 ROTATION (do this first next round): move the remaining
+# ROUND-8 ROTATION (do this first next round): move the remaining
 # never-driver-green backlog (the section below the window) into
-# positions 2-50 — the round-6 additions FIRST (qd40-qd50: streaming
-# top-N/drift twins, address/entity transaction indexes, incremental
-# index + streaming daemon + reorg recovery, Gini/Nakamoto/
-# coin-days-destroyed, address relations; qd51 streaming boilerplate
-# monitor; q216-q226: epoch shuffle, domain mixture, HITS,
-# assortativity, containment join, duplicate sentences, PII
-# prevalence, SCC, ORC round-trip, SQL interface, tokenizer
-# fertility — all oracle-backed and strict-gate green this round,
-# 265/265 closing pass), then the q111/q135/q136/q140/q142-q178 wave plus
-# the q37-q97 long tail. Rows-only entries can sit in-window (driver
-# records the weaker rows-only check).
+# positions 2-50 — any round-7 additions FIRST, then q177/q178 (the last
+# oracled wave entries), then the rows-only set (q111/q140/q160/q167/
+# q169/q170/q173 — driver records the weaker rows-only check), then the
+# q37-q97 long tail.
 QUERIES: dict[str, QueryFn] = {
-    # -- round-6 driver window (50) ------------------------------------
-    # q01 first (entry() smoke), then the never-driver-green round-5
-    # additions per the registered rotation plan: q186-q215, qd32-qd39,
-    # the newly-oracled q43/q125/q130 invariant frames, and 8 oracled
-    # backlog entries (q109/q117/q118/q119/qd23/q129/q132/q134).
+    # -- round-7 driver window (50) ------------------------------------
+    # q01 first (entry() smoke), then the never-driver-green round-6
+    # additions per the registered rotation plan (qd40-qd51, q216-q227,
+    # all oracled), then 25 oracled entries from the q135-q176 wave.
     "q01_pricing_summary": q01_pricing_summary,
+    "qd40_streaming_topn_others": qd40_streaming_topn_others,
+    "qd41_streaming_drift": qd41_streaming_drift,
+    "qd42_address_transactions": qd42_address_transactions,
+    "qd43_entity_transactions": qd43_entity_transactions,
+    "q216_epoch_shuffle": q216_epoch_shuffle,
+    "q217_domain_mixture": q217_domain_mixture,
+    "qd44_incremental_address_index": qd44_incremental_address_index,
+    "q218_hits": q218_hits,
+    "q219_degree_assortativity": q219_degree_assortativity,
+    "q220_containment_join": q220_containment_join,
+    "qd45_balance_gini": qd45_balance_gini,
+    "qd46_nakamoto_coefficient": qd46_nakamoto_coefficient,
+    "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
+    "q221_duplicate_sentences": q221_duplicate_sentences,
+    "q222_pii_prevalence": q222_pii_prevalence,
+    "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
+    "qd49_reorg_recovery": qd49_reorg_recovery,
+    "qd50_address_relations": qd50_address_relations,
+    "q223_scc": q223_scc,
+    "q224_orc_roundtrip": q224_orc_roundtrip,
+    "q225_sql_interface": q225_sql_interface,
+    "qd51_streaming_duplicate_sentences": qd51_streaming_duplicate_sentences,
+    "q226_tokenizer_fertility": q226_tokenizer_fertility,
+    "q227_cross_source_overlap": q227_cross_source_overlap,
+    "q135_ewma_smoothing": q135_ewma_smoothing,
+    "q136_zorder_key": q136_zorder_key,
+    "q142_systematic_sample": q142_systematic_sample,
+    "q143_scene_changes": q143_scene_changes,
+    "q144_random_walks": q144_random_walks,
+    "q147_negative_sampling": q147_negative_sampling,
+    "q149_weighted_reservoir": q149_weighted_reservoir,
+    "q151_corpus_drift": q151_corpus_drift,
+    "q152_equiwidth_bins": q152_equiwidth_bins,
+    "q153_zscore_normalize": q153_zscore_normalize,
+    "q154_kfold_assign": q154_kfold_assign,
+    "q156_tf_cosine_join": q156_tf_cosine_join,
+    "q158_two_hop": q158_two_hop,
+    "q159_simhash_join": q159_simhash_join,
+    "q161_attribution": q161_attribution,
+    "q162_rank_fusion": q162_rank_fusion,
+    "q163_count_min": q163_count_min,
+    "q164_event_transitions": q164_event_transitions,
+    "q166_gram_matrix": q166_gram_matrix,
+    "q168_path_counts": q168_path_counts,
+    "q171_feature_hash": q171_feature_hash,
+    "q172_skew_report": q172_skew_report,
+    "q174_seasonal_profile": q174_seasonal_profile,
+    "q175_data_quality": q175_data_quality,
+    "q176_minhash_estimate": q176_minhash_estimate,
+    # -- round-8 rotation candidates (never driver-green, oracled) ------
+    # q177/q178 close the oracled long tail; then the rows-only set
+    # (q111/q140/q160/q167/q169/q170/q173) may sit in-window (driver
+    # records the weaker rows-only check); then q37-q97 backlog.
     "q186_edit_distance_join": q186_edit_distance_join,
     "q187_map_at_10": q187_map_at_10,
     "q188_autocorrelation": q188_autocorrelation,
@@ -8891,66 +8935,13 @@ QUERIES: dict[str, QueryFn] = {
     "q129_skyline": q129_skyline,
     "q132_record_linkage": q132_record_linkage,
     "q134_mad_outliers": q134_mad_outliers,
-    # -- round-7 rotation candidates (never driver-green) ---------------
-    # round-6 additions first
-    "qd40_streaming_topn_others": qd40_streaming_topn_others,
-    "qd41_streaming_drift": qd41_streaming_drift,
-    "qd42_address_transactions": qd42_address_transactions,
-    "qd43_entity_transactions": qd43_entity_transactions,
-    "q216_epoch_shuffle": q216_epoch_shuffle,
-    "q217_domain_mixture": q217_domain_mixture,
-    "qd44_incremental_address_index": qd44_incremental_address_index,
-    "q218_hits": q218_hits,
-    "q219_degree_assortativity": q219_degree_assortativity,
-    "q220_containment_join": q220_containment_join,
-    "qd45_balance_gini": qd45_balance_gini,
-    "qd46_nakamoto_coefficient": qd46_nakamoto_coefficient,
-    "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
-    "q221_duplicate_sentences": q221_duplicate_sentences,
-    "q222_pii_prevalence": q222_pii_prevalence,
-    "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
-    "qd49_reorg_recovery": qd49_reorg_recovery,
-    "qd50_address_relations": qd50_address_relations,
-    "q223_scc": q223_scc,
-    "q224_orc_roundtrip": q224_orc_roundtrip,
-    "q225_sql_interface": q225_sql_interface,
-    "qd51_streaming_duplicate_sentences": qd51_streaming_duplicate_sentences,
-    "q226_tokenizer_fertility": q226_tokenizer_fertility,
-    "q227_cross_source_overlap": q227_cross_source_overlap,
-    # Rows-only entries (q111/q140/q160/q167/q169/q170/q173) may sit
-    # in-window in later rounds; the driver records rows-only for them.
     "q111_kmeans_lloyd": q111_kmeans_lloyd,
-    "q135_ewma_smoothing": q135_ewma_smoothing,
-    "q136_zorder_key": q136_zorder_key,
     "q140_bpe_train": q140_bpe_train,
-    "q142_systematic_sample": q142_systematic_sample,
-    "q143_scene_changes": q143_scene_changes,
-    "q144_random_walks": q144_random_walks,
-    "q147_negative_sampling": q147_negative_sampling,
-    "q149_weighted_reservoir": q149_weighted_reservoir,
-    "q151_corpus_drift": q151_corpus_drift,
-    "q152_equiwidth_bins": q152_equiwidth_bins,
-    "q153_zscore_normalize": q153_zscore_normalize,
-    "q154_kfold_assign": q154_kfold_assign,
-    "q156_tf_cosine_join": q156_tf_cosine_join,
-    "q158_two_hop": q158_two_hop,
-    "q159_simhash_join": q159_simhash_join,
     "q160_louvain": q160_louvain,
-    "q161_attribution": q161_attribution,
-    "q162_rank_fusion": q162_rank_fusion,
-    "q163_count_min": q163_count_min,
-    "q164_event_transitions": q164_event_transitions,
-    "q166_gram_matrix": q166_gram_matrix,
     "q167_ridge_fit": q167_ridge_fit,
-    "q168_path_counts": q168_path_counts,
     "q169_betweenness": q169_betweenness,
     "q170_pca_eigenvalues": q170_pca_eigenvalues,
-    "q171_feature_hash": q171_feature_hash,
-    "q172_skew_report": q172_skew_report,
     "q173_logistic_gd": q173_logistic_gd,
-    "q174_seasonal_profile": q174_seasonal_profile,
-    "q175_data_quality": q175_data_quality,
-    "q176_minhash_estimate": q176_minhash_estimate,
     "q177_calibration_curve": q177_calibration_curve,
     "q178_cms_join_size": q178_cms_join_size,
     "q37_simhash": q37_simhash,
@@ -8981,7 +8972,6 @@ QUERIES: dict[str, QueryFn] = {
     "q41_media_features": q41_media_features,
     "q42_frame_sample": q42_frame_sample,
     "q56_resize_thumbs": q56_resize_thumbs,
-    # -- driver-green rounds 1-5 (CORRECTNESS_r01-r05) -------------------
     "q120_triangle_count": q120_triangle_count,
     "q121_heavy_hitters": q121_heavy_hitters,
     "q126_hdr_quantiles": q126_hdr_quantiles,
