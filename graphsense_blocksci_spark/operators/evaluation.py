@@ -438,3 +438,236 @@ def logistic_gd(
     return wdf.select(
         F.posexplode("w").alias("idx", "weight")
     ).select(F.col("idx").cast("long").alias("idx"), "weight")
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact precision-recall curve of an integer score against a
+    boolean label: one row per distinct score threshold t (descending)
+    with the confusion counts of the classifier "predict positive iff
+    score >= t" and the two derived ratios. The PR curve is emitted
+    (rather than a scalar PR-AUC) because every interpolation rule for
+    the scalar sums rationals with unrelated denominators — the curve
+    rows stay exact integers plus two one-divide floats, so the frame
+    is hash-comparable across engines.
+
+    Same scale shape as roc_auc: the corpus collapses to one row per
+    distinct score FIRST (map-side-combined groupBy), so the ordered
+    cumulative window runs over at most |score domain| rows, never
+    corpus size.
+
+    Returns (score, tp, fp, fn, precision, recall) per threshold.
+    """
+    per_score = (
+        df.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+        )
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        F.col("s").alias("score"),
+        F.sum("pos").over(w).cast("long").alias("tp"),
+        (F.sum("n").over(w) - F.sum("pos").over(w)).cast("long").alias("fp"),
+    )
+    totals = per_score.agg(F.sum("pos").cast("long").alias("r_total"))
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "score",
+        "tp",
+        "fp",
+        (F.col("r_total") - F.col("tp")).cast("long").alias("fn"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        (F.col("tp").cast("double") / F.col("r_total").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+def _midrank2(df: DataFrame, group_col: str, col: str, out: str) -> DataFrame:
+    """Per-group midrank×2 of `col` (ties share the average rank; ×2
+    keeps it integral). Collapses to one row per (group, value) first,
+    so the ordered window is bounded by the per-group value domain."""
+    per_v = df.groupBy(group_col, col).agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_v.select(
+        group_col,
+        col,
+        (
+            2 * F.coalesce(F.sum("_n").over(w), F.lit(0)) + F.col("_n") + 1
+        ).alias(out),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Group-wise Spearman rank correlation with tie midranks, exact
+    to the final divide: both variables are replaced by their
+    per-group midranks×2 (integers), and rho is Pearson's formula on
+    those — every Σ an int64, the float rho one div/sqrt chain at the
+    end. int64 holds the rank-product sums up to ~1e6 rows per group
+    (Σ x² ≤ n·(2n)²); beyond that swap the three sums to decimal(38,0)
+    — same plan shape.
+
+    Scale shape: two bounded-domain midrank windows (see _midrank2),
+    two broadcast-joinable rank maps joined back, one map-side-combined
+    per-group aggregate. Returns (group, n, rho).
+    """
+    pairs = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    rx = _midrank2(pairs, "g", "x", "rx2")
+    ry = _midrank2(pairs, "g", "y", "ry2")
+    ranked = pairs.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    agg = ranked.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+    )
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    denx = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    deny = agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]
+    return agg.select(
+        group_col,
+        "n",
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / F.sqrt(denx.cast("double") * deny.cast("double")),
+        ).alias("rho"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Group-wise Kendall tau-b by exact pair counting: concordant,
+    discordant, and tie counts ride as int64 and tau-b is one final
+    float chain. The pair space is a WITHIN-GROUP self-join — O(n²)
+    per group, which is the exact algorithm's cost; callers cap the
+    group size (sample or stratify first) exactly as they would for
+    any exact quadratic statistic. The join co-partitions both sides
+    on the group key, so each group's quadratic work is one task,
+    groups fan out across the cluster.
+
+    Returns (group, n, concordant, discordant, tau_b).
+    """
+    pairs = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("g").orderBy("x", "y")
+    a = pairs.withColumn("i", F.row_number().over(w))
+    b = a.select("g", F.col("x").alias("x2"), F.col("y").alias("y2"),
+                 F.col("i").alias("j"))
+    pp = a.join(b, "g").filter(F.col("i") < F.col("j"))
+    sgn = (
+        F.signum((F.col("x") - F.col("x2")) * (F.col("y") - F.col("y2")))
+    )
+    agg = pp.groupBy(F.col("g").alias(group_col)).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(
+            F.when((F.col("x") == F.col("x2")) & (F.col("y") != F.col("y2")), 1)
+            .otherwise(0)
+        ).cast("long").alias("tx"),
+        F.sum(
+            F.when((F.col("y") == F.col("y2")) & (F.col("x") != F.col("x2")), 1)
+            .otherwise(0)
+        ).cast("long").alias("ty"),
+    )
+    n = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = agg.join(n, group_col)
+    den = (
+        (j["conc"] + j["disc"] + j["tx"]).cast("double")
+        * (j["conc"] + j["disc"] + j["ty"]).cast("double")
+    )
+    return j.select(
+        group_col,
+        "n",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.when(
+            den > 0,
+            (j["conc"] - j["disc"]).cast("double") / F.sqrt(den),
+        ).alias("tau_b"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two boolean raters, exact to the final
+    divide: the 2×2 confusion counts are one map-side-combined
+    aggregate; po and pe share the denominator n² so kappa reduces to
+    (n·agree − Σ marginal products) / (n² − Σ marginal products) — an
+    integer/integer divide. Returns one row
+    (n, both_true, both_false, only_a, only_b, kappa_num, kappa_den,
+    kappa)."""
+    c = df.select(
+        F.col(rater_a).cast("boolean").alias("a"),
+        F.col(rater_b).cast("boolean").alias("b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("tt"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("ff"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("ta"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("tb"),
+    )
+    # marginals: a_pos = tt+ta, b_pos = tt+tb, a_neg = ff+tb, b_neg = ff+ta
+    pe_num = (c["tt"] + c["ta"]) * (c["tt"] + c["tb"]) + (
+        c["ff"] + c["tb"]
+    ) * (c["ff"] + c["ta"])
+    agree = c["tt"] + c["ff"]
+    return c.select(
+        "n",
+        F.col("tt").alias("both_true"),
+        F.col("ff").alias("both_false"),
+        F.col("ta").alias("only_a"),
+        F.col("tb").alias("only_b"),
+        (c["n"] * agree - pe_num).cast("long").alias("kappa_num"),
+        (c["n"] * c["n"] - pe_num).cast("long").alias("kappa_den"),
+        (
+            (c["n"] * agree - pe_num).cast("double")
+            / (c["n"] * c["n"] - pe_num).cast("double")
+        ).alias("kappa"),
+    )

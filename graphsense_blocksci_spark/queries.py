@@ -8805,6 +8805,153 @@ def q217_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# -- round-7 additions: evaluation statistics + relational reshaping ---
+
+
+def q228_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve for the q150 classifier frame
+    (operators/evaluation.py:pr_curve): one row per distinct score
+    threshold with integer confusion counts and the two one-divide
+    ratios. Emitting the curve (not a scalar PR-AUC) keeps the frame
+    hash-exact: every interpolation rule for the scalar sums rationals
+    with unrelated denominators. Same bounded-domain shape as q150 —
+    the corpus collapses to <=997 score rows before the only ordered
+    window."""
+    from graphsense_blocksci_spark.operators.evaluation import pr_curve
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars").cast("long") % 997).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return pr_curve(docs, "score", "label")
+
+
+def q229_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT (wide->long reshape): the four lineitem
+    money measures melt into (measure, cents) rows — Spark's native
+    DataFrame.unpivot, which Catalyst expands to a zero-shuffle
+    Generate — then one map-side-combined aggregate per
+    (returnflag, measure). The reshape multiplies rows 4x but never
+    shuffles; the aggregate output is <=12 rows. Cents as int64 keep
+    every statistic exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents("l_quantity").alias("qty_cents"),
+        _cents("l_extendedprice").alias("price_cents"),
+        _cents("l_discount").alias("discount_cents"),
+        _cents("l_tax").alias("tax_cents"),
+    )
+    unp = li.unpivot(
+        ["l_returnflag"],
+        ["qty_cents", "price_cents", "discount_cents", "tax_cents"],
+        "measure",
+        "cents",
+    )
+    return unp.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+def q230_spearman_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's
+    account balance and their order count
+    (operators/evaluation.py:spearman_rho) — the monotone-association
+    readout feature pipelines use where Pearson is distorted by heavy
+    tails. Tie midranks ride x2 as integers; rho is one div/sqrt chain
+    on six int64 sums, so the frame is hash-exact. Customers with no
+    orders count as y=0 (left join), which is where the rank-tie
+    handling actually matters."""
+    from graphsense_blocksci_spark.operators.evaluation import spearman_rho
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        _cents("c_acctbal").alias("bal_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    base = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "nation",
+        "bal_cents",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+    return spearman_rho(base, "nation", "bal_cents", "n_orders")
+
+
+# NDCG@10 gain table: W[r] = int(1e12 / log2(r+1)) for rank r=1..10,
+# and its prefix sums (the IDCG of r all-relevant top ranks). Embedded
+# as literals so the Spark plan and the DuckDB oracle share the exact
+# integers — no runtime float log anywhere.
+_NDCG_W = [
+    1000000000000, 630929753571, 500000000000, 430676558073,
+    386852807234, 356207187108, 333333333333, 315464876785,
+    301029995663, 289064826317,
+]
+_NDCG_IDCG = [
+    1000000000000, 1630929753571, 2130929753571, 2561606311644,
+    2948459118878, 3304666305986, 3637999639319, 3953464516104,
+    4254494511767, 4543559338084,
+]
+
+
+def q231_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the q107 BM25 ranking as fixed-point integers: the
+    discount weights 1/log2(rank+1) are pre-scaled to the _NDCG_W
+    int64 table (shared literal-for-literal with the oracle), DCG is
+    an integer SUM of table lookups, IDCG an element_at into the
+    prefix-sum table at min(R,10), and the float ndcg is ONE divide.
+    Completes the ranking-eval suite (AUC q150, calibration q177,
+    MRR q185, MAP q187). Same shape as q187: the ranking is the one
+    heavy subplan (pinned — it feeds both the DCG terms and the query
+    spine); everything downstream is queries x 10 rows."""
+    from graphsense_blocksci_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = (
+        bm25_topk(docs, k=10)
+        .select("query_id", F.col("doc_id").cast("long").alias("doc_id"), "rank")
+        .localCheckpoint(eager=False)
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    iarr = F.array(*[F.lit(w) for w in _NDCG_IDCG])
+    dcg = (
+        ranked.filter(F.col("doc_id") % 6 == F.col("query_id"))
+        .select("query_id", F.element_at(warr, F.col("rank").cast("int")).alias("_w"))
+        .groupBy("query_id")
+        .agg(F.sum("_w").cast("long").alias("dcg_fp"))
+    )
+    corpus_rel = docs.select(
+        (F.col("doc_id") % 6).cast("long").alias("query_id")
+    ).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel_corpus")
+    )
+    r = F.coalesce("n_rel_corpus", F.lit(0))
+    idcg = F.when(
+        r > 0, F.element_at(iarr, F.least(r, F.lit(10)).cast("int"))
+    ).otherwise(F.lit(0))
+    return (
+        ranked.select("query_id").distinct()
+        .join(dcg, "query_id", "left")
+        .join(corpus_rel, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_fp", F.lit(0)).cast("long").alias("dcg_fp"),
+            idcg.cast("long").alias("idcg_fp"),
+            F.when(
+                idcg > 0,
+                F.coalesce("dcg_fp", F.lit(0)).cast("double")
+                / idcg.cast("double"),
+            ).otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -8883,9 +9030,13 @@ QUERIES: dict[str, QueryFn] = {
     "q175_data_quality": q175_data_quality,
     "q176_minhash_estimate": q176_minhash_estimate,
     # -- round-8 rotation candidates (never driver-green, oracled) ------
-    # q177/q178 close the oracled long tail; then the rows-only set
-    # (q111/q140/q160/q167/q169/q170/q173) may sit in-window (driver
-    # records the weaker rows-only check); then q37-q97 backlog.
+    # round-7 additions first, then q177/q178 (the last oracled wave
+    # entries), then the rows-only set (q111/q140/q160/q167/q169/q170/
+    # q173 — driver records the weaker rows-only check), then q37-q97.
+    "q228_pr_curve": q228_pr_curve,
+    "q229_unpivot_measures": q229_unpivot_measures,
+    "q230_spearman_by_nation": q230_spearman_by_nation,
+    "q231_ndcg_at_10": q231_ndcg_at_10,
     "q186_edit_distance_join": q186_edit_distance_join,
     "q187_map_at_10": q187_map_at_10,
     "q188_autocorrelation": q188_autocorrelation,
@@ -15787,3 +15938,154 @@ FROM pairs p
 JOIN sizes sa ON p.src_a = sa.source
 JOIN sizes sb ON p.src_b = sb.source
 """
+
+ORACLE_SQL["q228_pr_curve"] = """
+WITH d AS (
+    SELECT CAST(n_chars % 997 AS BIGINT) AS s, (lang = 'en') AS y
+    FROM documents
+),
+per AS (
+    SELECT s, count(*) AS n,
+           sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+    FROM d GROUP BY 1
+),
+cum AS (
+    SELECT s AS score,
+           CAST(sum(pos) OVER w AS BIGINT) AS tp,
+           CAST(sum(n) OVER w - sum(pos) OVER w AS BIGINT) AS fp
+    FROM per
+    WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+),
+tot AS (SELECT CAST(sum(pos) AS BIGINT) AS r_total FROM per)
+SELECT score, tp, fp,
+       CAST(t.r_total - tp AS BIGINT) AS fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+       CAST(tp AS DOUBLE) / CAST(t.r_total AS DOUBLE) AS recall
+FROM cum, tot t
+"""
+
+ORACLE_SQL["q229_unpivot_measures"] = """
+WITH w AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(round(l_discount * 100) AS BIGINT) AS discount_cents,
+           CAST(round(l_tax * 100) AS BIGINT) AS tax_cents
+    FROM lineitem
+),
+long AS (
+    SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS cents FROM w
+    UNION ALL
+    SELECT l_returnflag, 'price_cents', price_cents FROM w
+    UNION ALL
+    SELECT l_returnflag, 'discount_cents', discount_cents FROM w
+    UNION ALL
+    SELECT l_returnflag, 'tax_cents', tax_cents FROM w
+)
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM long GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q230_spearman_by_nation"] = """
+WITH base AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS g,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+           CAST(coalesce(o.cnt, 0) AS BIGINT) AS y
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+    ) o ON c_custkey = o.o_custkey
+),
+perx AS (SELECT g, x, count(*) AS n FROM base GROUP BY 1, 2),
+rx AS (
+    SELECT g, x,
+           2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + n + 1 AS rx2
+    FROM perx
+),
+pery AS (SELECT g, y, count(*) AS n FROM base GROUP BY 1, 2),
+ry AS (
+    SELECT g, y,
+           2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + n + 1 AS ry2
+    FROM pery
+),
+joined AS (
+    SELECT b.g, rx.rx2, ry.ry2
+    FROM base b
+    JOIN rx ON b.g = rx.g AND b.x = rx.x
+    JOIN ry ON b.g = ry.g AND b.y = ry.y
+),
+agg AS (
+    SELECT g,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rx2) AS BIGINT) AS sx,
+           CAST(sum(ry2) AS BIGINT) AS sy,
+           CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+           CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+           CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+    FROM joined GROUP BY 1
+)
+SELECT g AS nation, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS rho
+FROM agg
+"""
+
+ORACLE_SQL["q231_ndcg_at_10"] = (
+    "WITH ranked AS (\n"
+    + ORACLE_SQL["q107_bm25_topk"]
+    + """),
+wt AS (
+    SELECT * FROM (VALUES
+        (1, 1000000000000), (2, 630929753571), (3, 500000000000),
+        (4, 430676558073), (5, 386852807234), (6, 356207187108),
+        (7, 333333333333), (8, 315464876785), (9, 301029995663),
+        (10, 289064826317)
+    ) AS t(r, w)
+),
+idcg_tab AS (
+    SELECT * FROM (VALUES
+        (1, 1000000000000), (2, 1630929753571), (3, 2130929753571),
+        (4, 2561606311644), (5, 2948459118878), (6, 3304666305986),
+        (7, 3637999639319), (8, 3953464516104), (9, 4254494511767),
+        (10, 4543559338084)
+    ) AS t(r, s)
+),
+dcg AS (
+    SELECT query_id, CAST(sum(w.w) AS BIGINT) AS dcg_fp
+    FROM ranked JOIN wt w ON ranked.rank = w.r
+    WHERE doc_id % 6 = query_id
+    GROUP BY 1
+),
+corpus AS (
+    SELECT CAST(doc_id % 6 AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_rel_corpus
+    FROM documents GROUP BY 1
+),
+qs AS (SELECT DISTINCT query_id FROM ranked)
+SELECT q.query_id,
+       CAST(coalesce(d.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+       CAST(CASE WHEN coalesce(c.n_rel_corpus, 0) > 0
+                 THEN (SELECT s FROM idcg_tab
+                       WHERE r = least(c.n_rel_corpus, 10))
+                 ELSE 0 END AS BIGINT) AS idcg_fp,
+       CASE WHEN coalesce(c.n_rel_corpus, 0) > 0
+            THEN CAST(coalesce(d.dcg_fp, 0) AS DOUBLE)
+                 / CAST((SELECT s FROM idcg_tab
+                         WHERE r = least(c.n_rel_corpus, 10)) AS DOUBLE)
+            ELSE 0.0 END AS ndcg
+FROM qs q
+LEFT JOIN dcg d ON q.query_id = d.query_id
+LEFT JOIN corpus c ON q.query_id = c.query_id
+"""
+)
