@@ -666,8 +666,11 @@ def cohens_kappa(
         F.col("tb").alias("only_b"),
         (c["n"] * agree - pe_num).cast("long").alias("kappa_num"),
         (c["n"] * c["n"] - pe_num).cast("long").alias("kappa_den"),
-        (
+        # den = 0 iff a rater is constant (pe = 1): kappa is undefined
+        # there — NULL, not an ANSI divide-by-zero failure
+        F.when(
+            c["n"] * c["n"] - pe_num > 0,
             (c["n"] * agree - pe_num).cast("double")
-            / (c["n"] * c["n"] - pe_num).cast("double")
+            / (c["n"] * c["n"] - pe_num).cast("double"),
         ).alias("kappa"),
     )
