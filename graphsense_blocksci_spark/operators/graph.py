@@ -1669,3 +1669,76 @@ def strongly_connected_components(
             f"strongly_connected_components: {max_rounds} peel rounds exceeded"
         )
     return result
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    src: str = "child",
+    dst: str = "parent",
+    max_doublings: int = 20,
+) -> DataFrame:
+    """Transitive closure of a DAG's child→parent edges by iterative
+    path doubling: round i holds every (u, v, dist) with a path of
+    length ≤ 2^i, so the loop converges in ⌈log2(longest path)⌉
+    self-joins — 20 doublings covers paths of a million hops. This is
+    the distributed answer to SQL's WITH RECURSIVE (which walks one
+    hop per round): each round is ONE co-partitioned self-join on the
+    frontier, and the frontier is checkpoint-pinned so lineage never
+    stacks.
+
+    REQUIRES a DAG (a cycle would double forever); raises RuntimeError
+    if the closure hasn't stabilized within ``max_doublings``, same
+    loud-failure contract as connected_components. On a tree, (u, v)
+    pairs are unique and ``dist`` is the exact hop count; on a general
+    DAG the minimum distance is kept.
+
+    Returns (node, ancestor, dist), all LONG.
+    """
+    p = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select("u", "v", F.lit(1).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    prev = p.count()
+    if prev == 0:
+        return p.select(
+            F.col("u").alias("node"),
+            F.col("v").alias("ancestor"),
+            "dist",
+        )
+    for _ in range(max_doublings):
+        hop = p.select(
+            F.col("u").alias("m"),
+            F.col("v").alias("w"),
+            F.col("dist").alias("d2"),
+        )
+        doubled = (
+            p.join(hop, p["v"] == hop["m"])
+            .select("u", F.col("w").alias("v"),
+                    (F.col("dist") + F.col("d2")).alias("dist"))
+        )
+        p = (
+            p.unionByName(doubled)
+            .groupBy("u", "v")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        cur = p.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            "ancestor_closure: closure did not stabilize within"
+            f" {max_doublings} doublings — cyclic input or pathological"
+            " depth"
+        )
+    return p.select(
+        F.col("u").alias("node"), F.col("v").alias("ancestor"), "dist"
+    )

@@ -9096,6 +9096,143 @@ def q235_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau(base, "nation", "bal_cents", "n_orders")
 
 
+
+
+def q236_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over a derived supplier hierarchy
+    (operators/graph.py:ancestor_closure) — the recursive-CTE
+    workload (org charts, category trees, ownership chains) answered
+    Spark-side by iterative path DOUBLING: log2(depth) co-partitioned
+    self-joins instead of SQL recursion's one-hop-per-round walk. The
+    hierarchy is the binary tree suppkey -> suppkey DIV 2, so depth
+    grows as log2(|suppliers|) and the closure carries exact hop
+    distances. Oracle: DuckDB WITH RECURSIVE over the same edges."""
+    from graphsense_blocksci_spark.operators.graph import ancestor_closure
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("child")
+    ).filter(F.col("child") > 1)
+    edges = s.select(
+        "child", F.expr("child DIV 2").cast("long").alias("parent")
+    )
+    return ancestor_closure(edges)
+
+
+def q237_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token diversity via the unbiased Simpson index —
+    the no-logarithm diversity readout (Shannon entropy needs a float
+    ln whose last ulp differs across libm builds; Simpson is pure
+    integer arithmetic): lambda = sum c_i(c_i-1) / (N(N-1)), inverse
+    Simpson = its reciprocal. One token-count aggregate, one
+    vocabulary-sized per-source reduce, exact int64 until the final
+    divides."""
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("sum_cc1"),
+    )
+    lam = F.col("sum_cc1").cast("double") / (
+        F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1).cast("double")
+    )
+    return agg.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        "sum_cc1",
+        lam.alias("simpson"),
+        (F.lit(1.0) / lam).alias("inv_simpson"),
+    )
+
+
+def q238_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the incremental-dedup readout
+    "how much of this doc is new vs everything before it": with docs
+    ordered by doc_id, a trigram shingle is NOVEL in the first doc_id
+    that contains it, and a doc's novelty is its novel-shingle share.
+    First occurrence is one min(doc_id) aggregate over the exploded
+    shingle index (q155's 28-bit hashed shingles) joined back — no
+    ordered scan, no window over the corpus; both sides of the join
+    are shingle-partitioned."""
+    from graphsense_blocksci_spark.operators.textops import (
+        shingle_hash_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_hash_frame(docs)
+        .select("doc_id", F.explode("_sh").alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_sh",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_sh").cast("double")).alias(
+            "novelty"
+        ),
+    )
+
+
+def q239_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower) of line price weighted by
+    quantity, per return flag — the robust-center statistic quality
+    filters use where a plain median ignores row mass. The corpus
+    collapses to one row per (flag, price) FIRST, so the ordered
+    cumulative window runs over the per-group price domain, never the
+    row count; the pick is the smallest value whose cumulative weight
+    x2 reaches the total (exact integers, no interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _cents("l_extendedprice").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    per_v = li.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("qty").cast("long").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = per_v.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("long").alias("wmedian_cents"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -9185,6 +9322,10 @@ QUERIES: dict[str, QueryFn] = {
     "q233_cusum_revenue": q233_cusum_revenue,
     "q234_cohens_kappa": q234_cohens_kappa,
     "q235_kendall_tau": q235_kendall_tau,
+    "q236_ancestor_closure": q236_ancestor_closure,
+    "q237_simpson_diversity": q237_simpson_diversity,
+    "q238_ngram_novelty": q238_ngram_novelty,
+    "q239_weighted_median": q239_weighted_median,
     "q186_edit_distance_join": q186_edit_distance_join,
     "q187_map_at_10": q187_map_at_10,
     "q188_autocorrelation": q188_autocorrelation,
@@ -16359,4 +16500,111 @@ SELECT a.g AS nation, n.n,
                         * CAST(a.conc + a.disc + a.ty AS DOUBLE))
        END AS tau_b
 FROM agg a JOIN n ON a.g = n.g
+"""
+
+ORACLE_SQL["q236_ancestor_closure"] = """
+WITH RECURSIVE e AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS child,
+           CAST(s_suppkey // 2 AS BIGINT) AS parent
+    FROM supplier WHERE s_suppkey > 1
+),
+anc AS (
+    SELECT child AS node, parent AS ancestor, CAST(1 AS BIGINT) AS dist
+    FROM e
+    UNION
+    SELECT a.node, e.parent, a.dist + 1
+    FROM anc a JOIN e ON a.ancestor = e.child
+)
+SELECT node, ancestor, CAST(dist AS BIGINT) AS dist FROM anc
+"""
+
+ORACLE_SQL["q237_simpson_diversity"] = r"""
+WITH norm AS (
+    SELECT source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+t AS (
+    SELECT source,
+           unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token
+    FROM norm
+),
+counts AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS c
+    FROM t GROUP BY 1, 2
+),
+agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(c * (c - 1)) AS BIGINT) AS sum_cc1
+    FROM counts GROUP BY 1
+)
+SELECT source, vocab, n_tokens, sum_cc1,
+       CAST(sum_cc1 AS DOUBLE)
+           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+           AS simpson,
+       1.0 / (CAST(sum_cc1 AS DOUBLE)
+              / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)))
+           AS inv_simpson
+FROM agg
+"""
+
+ORACLE_SQL["q238_ngram_novelty"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           list_filter(string_split(s, ' '), x -> x <> '') AS toks
+    FROM norm
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END AS gs
+    FROM tok
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+    FROM grams, unnest(gs) AS u(g)
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_sh,
+       CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+FROM sh JOIN first f ON sh.h = f.h
+GROUP BY 1
+"""
+
+ORACLE_SQL["q239_weighted_median"] = """
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+per_v AS (
+    SELECT l_returnflag, price_cents, CAST(sum(qty) AS BIGINT) AS w
+    FROM li GROUP BY 1, 2
+),
+c AS (
+    SELECT l_returnflag, price_cents,
+           sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM per_v
+)
+SELECT l_returnflag,
+       CAST(min(price_cents) AS BIGINT) AS wmedian_cents,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cw >= tw
+GROUP BY 1
 """
