@@ -9233,6 +9233,189 @@ def q239_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def qd52_change_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockSci-style change-output detection on 2-output spends —
+    the three classic heuristics (BlockSci paper sec. 4; the library's
+    blocksci.heuristics.change module) voted per transaction, pure
+    nested-array arithmetic so the whole frame is one projection:
+
+    - power_of_ten: the PAYMENT tends to be a round amount, so if
+      exactly one output value is NOT a multiple of 1000 satoshi,
+      that one is the change.
+    - address_type: if all inputs share one address type and exactly
+      one output matches it, the wallet's change goes back to its own
+      type — that output is the change.
+    - optimal_change: change below the smallest input — a rational
+      wallet wouldn't have added that input if the other output were
+      the change.
+
+    Each column is the change output INDEX (0/1) or NULL when the
+    heuristic doesn't fire. Zero joins, zero shuffles: per-row lambda
+    arithmetic over the nested arrays, exactly the shape that scales
+    to 100 TB of transactions."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    t = raw_txs.filter(
+        (~F.col("coinbase")) & (F.size("outputs") == 2)
+    ).select(
+        F.col("tx_id").cast("long").alias("tx_id"),
+        F.col("outputs")[0]["value"].alias("v0"),
+        F.col("outputs")[1]["value"].alias("v1"),
+        F.col("outputs")[0]["address_type"].cast("long").alias("t0"),
+        F.col("outputs")[1]["address_type"].cast("long").alias("t1"),
+        F.array_distinct(
+            F.transform("inputs", lambda x: x["address_type"].cast("long"))
+        ).alias("in_types"),
+        F.array_min(
+            F.transform("inputs", lambda x: x["value"])
+        ).alias("min_in"),
+    )
+    r0 = F.col("v0") % 1000 == 0
+    r1 = F.col("v1") % 1000 == 0
+    h_power = (
+        F.when(r0 & ~r1, F.lit(1)).when(r1 & ~r0, F.lit(0))
+    ).cast("long")
+    it = F.when(F.size("in_types") == 1, F.element_at("in_types", 1))
+    h_type = (
+        F.when((F.col("t0") == it) & (F.col("t1") != it), F.lit(0))
+        .when((F.col("t1") == it) & (F.col("t0") != it), F.lit(1))
+    ).cast("long")
+    h_opt = (
+        F.when(
+            (F.col("v0") < F.col("min_in")) & (F.col("v1") >= F.col("min_in")),
+            F.lit(0),
+        ).when(
+            (F.col("v1") < F.col("min_in")) & (F.col("v0") >= F.col("min_in")),
+            F.lit(1),
+        )
+    ).cast("long")
+    return t.select(
+        "tx_id",
+        h_power.alias("h_power_of_ten"),
+        h_type.alias("h_address_type"),
+        h_opt.alias("h_optimal_change"),
+    )
+
+
+def qd53_fee_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block exact fee percentiles (median and p90, lower pick) —
+    the fee-market dashboard readout on top of qd29's per-tx fee.
+    Same bounded-window discipline as q239: fees collapse to one row
+    per (block, fee) before the cumulative window, so the ordered
+    scan is the per-block fee DOMAIN; the percentile is the smallest
+    fee whose cumulative count crosses the integer-scaled threshold —
+    no interpolation, no float rank."""
+    from graphsense_blocksci_spark.functions.io_aggs import io_total_value
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    fees = raw_txs.filter(~F.col("coinbase")).select(
+        F.col("block_id").cast("long").alias("block_id"),
+        (io_total_value("inputs") - io_total_value("outputs"))
+        .cast("long")
+        .alias("fee"),
+    )
+    per_v = fees.groupBy("block_id", "fee").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("block_id")
+        .orderBy("fee")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("block_id")
+    c = per_v.select(
+        "block_id",
+        "fee",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    ).localCheckpoint(eager=False)
+    med = (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("block_id")
+        .agg(F.min("fee").cast("long").alias("fee_med"))
+    )
+    p90 = (
+        c.filter(10 * F.col("cw") >= 9 * F.col("tw"))
+        .groupBy("block_id")
+        .agg(F.min("fee").cast("long").alias("fee_p90"))
+    )
+    base = fees.groupBy("block_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_txs"),
+        F.min("fee").cast("long").alias("fee_min"),
+        F.max("fee").cast("long").alias("fee_max"),
+    )
+    return base.join(med, "block_id").join(p90, "block_id")
+
+
+def qd54_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING changepoint monitor: daily event-revenue totals
+    maintained by one watermarked window aggregation on the stream
+    (state = days in flight, pure built-ins), then q233's CUSUM
+    rewrite — S_i = C_i − min prefix, the recursion as two ordered
+    windows — over the sink's day-level rows. Append mode emits a day
+    once the watermark (max event time − 1 day) passes its end, so
+    the trailing in-flight days are withheld — the oracle replays the
+    same cutoff, then identical daily totals and CUSUM arithmetic in
+    SQL. The sequential statistic runs on the DAY series (tiny),
+    never the event stream."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_cusum_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = spark.readStream.schema("ts timestamp, cents long").parquet(
+        f"{work}/src"
+    )
+    q = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.sum("cents").alias("x"))
+        .select(F.col("win.start").alias("day"), F.col("x").cast("long").alias("x"))
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = spark.read.schema("day timestamp, x long").parquet(f"{work}/out")
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s_total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "x",
+        "n_days",
+        F.sum(F.col("x") * F.col("n_days") - F.col("s_total"))
+        .over(w)
+        .cast("long")
+        .alias("c_scaled"),
+    )
+    return c.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("x").alias("revenue_cents"),
+        (
+            F.col("c_scaled")
+            - F.min(F.least(F.col("c_scaled"), F.lit(0))).over(w)
+        )
+        .cast("long")
+        .alias("cusum_scaled"),
+        (
+            (
+                F.col("c_scaled")
+                - F.min(F.least(F.col("c_scaled"), F.lit(0))).over(w)
+            ).cast("double")
+            / F.col("n_days").cast("double")
+        ).alias("cusum_cents"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -9326,6 +9509,9 @@ QUERIES: dict[str, QueryFn] = {
     "q237_simpson_diversity": q237_simpson_diversity,
     "q238_ngram_novelty": q238_ngram_novelty,
     "q239_weighted_median": q239_weighted_median,
+    "qd52_change_heuristics": qd52_change_heuristics,
+    "qd53_fee_percentiles": qd53_fee_percentiles,
+    "qd54_streaming_changepoint": qd54_streaming_changepoint,
     "q186_edit_distance_join": q186_edit_distance_join,
     "q187_map_at_10": q187_map_at_10,
     "q188_autocorrelation": q188_autocorrelation,
@@ -16607,4 +16793,107 @@ SELECT l_returnflag,
        CAST(max(tw) AS BIGINT) AS total_weight
 FROM c WHERE 2 * cw >= tw
 GROUP BY 1
+"""
+
+ORACLE_SQL["qd52_change_heuristics"] = f"""
+WITH t AS (
+    SELECT CAST(tx_id AS BIGINT) AS tx_id,
+           outputs[1].value AS v0,
+           outputs[2].value AS v1,
+           CAST(outputs[1].address_type AS BIGINT) AS t0,
+           CAST(outputs[2].address_type AS BIGINT) AS t1,
+           list_distinct(list_transform(inputs,
+               x -> CAST(x.address_type AS BIGINT))) AS in_types,
+           list_min(list_transform(inputs, x -> x.value)) AS min_in
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase AND len(outputs) = 2
+)
+SELECT tx_id,
+       CAST(CASE WHEN v0 % 1000 = 0 AND v1 % 1000 <> 0 THEN 1
+                 WHEN v1 % 1000 = 0 AND v0 % 1000 <> 0 THEN 0
+            END AS BIGINT) AS h_power_of_ten,
+       CAST(CASE WHEN len(in_types) = 1 AND t0 = in_types[1]
+                      AND t1 <> in_types[1] THEN 0
+                 WHEN len(in_types) = 1 AND t1 = in_types[1]
+                      AND t0 <> in_types[1] THEN 1
+            END AS BIGINT) AS h_address_type,
+       CAST(CASE WHEN v0 < min_in AND v1 >= min_in THEN 0
+                 WHEN v1 < min_in AND v0 >= min_in THEN 1
+            END AS BIGINT) AS h_optimal_change
+FROM t
+"""
+
+ORACLE_SQL["qd53_fee_percentiles"] = f"""
+WITH fees AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(coalesce(list_sum(list_transform(inputs, x -> x.value)), 0)
+                - coalesce(list_sum(list_transform(outputs, x -> x.value)), 0)
+                AS BIGINT) AS fee
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+per_v AS (
+    SELECT block_id, fee, CAST(count(*) AS BIGINT) AS w
+    FROM fees GROUP BY 1, 2
+),
+c AS (
+    SELECT block_id, fee,
+           sum(w) OVER (PARTITION BY block_id ORDER BY fee
+                        ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(w) OVER (PARTITION BY block_id) AS tw
+    FROM per_v
+),
+med AS (
+    SELECT block_id, CAST(min(fee) AS BIGINT) AS fee_med
+    FROM c WHERE 2 * cw >= tw GROUP BY 1
+),
+p90 AS (
+    SELECT block_id, CAST(min(fee) AS BIGINT) AS fee_p90
+    FROM c WHERE 10 * cw >= 9 * tw GROUP BY 1
+),
+base AS (
+    SELECT block_id,
+           CAST(count(*) AS BIGINT) AS n_txs,
+           CAST(min(fee) AS BIGINT) AS fee_min,
+           CAST(max(fee) AS BIGINT) AS fee_max
+    FROM fees GROUP BY 1
+)
+SELECT base.block_id, n_txs, fee_min, fee_max, fee_med, fee_p90
+FROM base JOIN med ON base.block_id = med.block_id
+JOIN p90 ON base.block_id = p90.block_id
+"""
+
+ORACLE_SQL["qd54_streaming_changepoint"] = """
+-- append mode emits a day once the watermark (max event time - 1 day)
+-- passes its END; the trailing in-flight days are withheld, exactly
+-- as the streaming sink is (same contract as qd41)
+WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS wm_ts FROM events),
+daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events CROSS JOIN wm
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm_ts
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS s_total
+    FROM daily
+),
+c AS (
+    SELECT day, x, n_days,
+           CAST(sum(x * n_days - s_total)
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS c_scaled
+    FROM daily, tot
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       x AS revenue_cents,
+       CAST(c_scaled - min(least(c_scaled, 0))
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cusum_scaled,
+       CAST(c_scaled - min(least(c_scaled, 0))
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(n_days AS DOUBLE) AS cusum_cents
+FROM c
 """
