@@ -1677,20 +1677,22 @@ def ancestor_closure(
     dst: str = "parent",
     max_doublings: int = 20,
 ) -> DataFrame:
-    """Transitive closure of a DAG's child→parent edges by iterative
-    path doubling: round i holds every (u, v, dist) with a path of
-    length ≤ 2^i, so the loop converges in ⌈log2(longest path)⌉
-    self-joins — 20 doublings covers paths of a million hops. This is
-    the distributed answer to SQL's WITH RECURSIVE (which walks one
-    hop per round): each round is ONE co-partitioned self-join on the
-    frontier, and the frontier is checkpoint-pinned so lineage never
-    stacks.
+    """Transitive closure with exact min-hop distances by iterative
+    path doubling: after round i the frame holds every (u, v) whose
+    shortest path is ≤ 2^i hops, with that exact distance (shortest
+    paths decompose into shortest halves, so the min() merge keeps
+    every round exact). The loop converges in ⌈log2(diameter)⌉
+    self-joins — 20 doublings covers a million hops. This is the
+    distributed answer to SQL's WITH RECURSIVE (which walks one hop
+    per round): each round is ONE co-partitioned self-join, and the
+    frame is checkpoint-pinned so lineage never stacks.
 
-    REQUIRES a DAG (a cycle would double forever); raises RuntimeError
-    if the closure hasn't stabilized within ``max_doublings``, same
-    loud-failure contract as connected_components. On a tree, (u, v)
-    pairs are unique and ``dist`` is the exact hop count; on a general
-    DAG the minimum distance is kept.
+    Works on any digraph — cycles just close into all-pairs
+    reachability within the cycle (count stabilization is a sound
+    fixpoint test: a pair's distance is already exact the first round
+    it appears). Raises RuntimeError if the closure hasn't stabilized
+    within ``max_doublings`` (pathological diameter), same
+    loud-failure contract as connected_components.
 
     Returns (node, ancestor, dist), all LONG.
     """
