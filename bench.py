@@ -187,6 +187,19 @@ BENCH_QUERIES = [
     "q225_sql_interface",
     "q226_tokenizer_fertility",
     "q227_cross_source_overlap",
+    # round-7 additions
+    "q228_pr_curve",
+    "q229_unpivot_measures",
+    "q230_spearman_by_nation",
+    "q231_ndcg_at_10",
+    "q232_resource_allocation",
+    "q233_cusum_revenue",
+    "q234_cohens_kappa",
+    "q235_kendall_tau",
+    "q236_ancestor_closure",
+    "q237_simpson_diversity",
+    "q238_ngram_novelty",
+    "q239_weighted_median",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7
@@ -206,9 +219,11 @@ BENCH_QUERIES = [
     "qd46_nakamoto_coefficient",
     "qd47_coin_days_destroyed",
     "qd50_address_relations",
+    "qd52_change_heuristics",
+    "qd53_fee_percentiles",
 ]
-# qd40/qd41 (streaming top-N+OTHERS / drift monitor) and qd48 (index
-# daemon) are gate-only
+# qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
+# daemon) and qd54 (streaming changepoint) are gate-only
 # like qd32/qd33: per-run file-stream staging + checkpoint setup would
 # dominate; their batch twins q201/q210 carry the timing signal.
 # q160 (Louvain) entered the bench list in round 5: lazy checkpoints

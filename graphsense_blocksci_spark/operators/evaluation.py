@@ -471,6 +471,9 @@ def pr_curve(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
         )
+        # pinned: feeds both the cumulative branch and the totals row —
+        # unpinned, the corpus scan + groupBy would execute twice
+        .localCheckpoint(eager=False)
     )
     w = Window.orderBy(F.col("s").desc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -537,7 +540,9 @@ def spearman_rho(
         F.col(group_col).alias("g"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+        # pinned: feeds both midrank maps AND the join back — three
+        # executions of the upstream plan without it
+    ).localCheckpoint(eager=False)
     rx = _midrank2(pairs, "g", "x", "rx2")
     ry = _midrank2(pairs, "g", "y", "ry2")
     ranked = pairs.join(rx, ["g", "x"]).join(ry, ["g", "y"])
@@ -586,7 +591,11 @@ def kendall_tau(
         F.col(y_col).cast("long").alias("y"),
     )
     w = Window.partitionBy("g").orderBy("x", "y")
-    a = pairs.withColumn("i", F.row_number().over(w))
+    # pinned: the indexed frame is both sides of the self-join and the
+    # group-size aggregate — three executions unpinned
+    a = pairs.withColumn("i", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     b = a.select("g", F.col("x").alias("x2"), F.col("y").alias("y2"),
                  F.col("i").alias("j"))
     pp = a.join(b, "g").filter(F.col("i") < F.col("j"))
@@ -605,7 +614,9 @@ def kendall_tau(
             .otherwise(0)
         ).cast("long").alias("ty"),
     )
-    n = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = a.groupBy(F.col("g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
     j = agg.join(n, group_col)
     den = (
         (j["conc"] + j["disc"] + j["tx"]).cast("double")

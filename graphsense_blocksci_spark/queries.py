@@ -8968,11 +8968,14 @@ def q232_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", F.col("l_partkey").cast("long").alias("p"))
         .distinct()
+        # pinned: feeds the degree aggregate AND the pair sides
+        .localCheckpoint(eager=False)
     )
     deg = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    sides = li.join(deg, "l_orderkey")
+    # pinned: both sides of the within-order self-join
+    sides = li.join(deg, "l_orderkey").localCheckpoint(eager=False)
     b = sides.select(
         "l_orderkey", F.col("p").alias("p2"), F.col("deg").alias("deg2")
     )
@@ -9011,6 +9014,9 @@ def q233_cusum_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("day"))
         .agg(F.sum(_cents("o_totalprice")).cast("long").alias("x"))
+        # pinned: feeds the 1-row totals AND the cumulative window —
+        # unpinned, the orders scan + aggregate executes twice
+        .localCheckpoint(eager=False)
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
