@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "q237_simpson_diversity",
     "q238_ngram_novelty",
     "q239_weighted_median",
+    "q240_tfidf_keywords",
+    "q241_burstiness",
+    "q242_hhi_concentration",
+    "q243_benford_deviation",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -9422,6 +9422,166 @@ def qd54_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q240_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 tokens per doc by
+    the rational score tf·N/df, ranked WITHOUT floats — the window
+    orders by the integer proxy tf·1e6 DIV df (ties broken by token),
+    so any engine picks identical keywords. Completes the corpus
+    retrieval family (vocab q82, df q83, BM25 q107): this is the
+    document-side summarization step indexing pipelines run. One
+    token-count aggregate, one broadcast-joined df map, one per-doc
+    top-k window (WindowGroupLimit prunes to 3 per doc before any
+    sort spills)."""
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_map = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = tf.join(df_map, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.expr("CAST(tf * 1000000 DIV df AS BIGINT)").alias("score_fp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            "tf",
+            "df",
+            "score_fp",
+        )
+    )
+
+
+def q241_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event burstiness as the Fano factor of daily counts
+    (variance-to-mean ratio, the overdispersion diagnostic): with
+    daily counts c_1..c_d over the user's ACTIVE days, F =
+    (d·Σc² − (Σc)²) / (d·Σc) — integer numerator and denominator, one
+    float divide, on the biased (population) variance so the formula
+    stays a pure integer identity. Two map-side-combined aggregates
+    (events → user-days → user); no window, no join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.to_date("ts").alias("day"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    return agg.select(
+        "user_id",
+        "d",
+        F.col("sc").alias("n_events"),
+        (F.col("d") * F.col("scc") - F.col("sc") * F.col("sc"))
+        .cast("long")
+        .alias("fano_num"),
+        (F.col("d") * F.col("sc")).cast("long").alias("fano_den"),
+        (
+            (F.col("d") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+                "double"
+            )
+            / (F.col("d") * F.col("sc")).cast("double")
+        ).alias("fano"),
+    )
+
+
+def q242_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration Herfindahl-Hirschman index per nation:
+    each customer's revenue share squared, summed — exactly
+    Σ r_i² / (Σ r_i)² with both sums int64 over revenue cents, so the
+    index is one integer-ratio divide (same no-float-sum discipline as
+    q237's Simpson). Flags nations where order revenue concentrates in
+    few customers. One orders aggregate, one broadcast nation join,
+    one per-nation reduce."""
+    o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("r")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    per_cust = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "nation", "r"
+    )
+    agg = per_cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").cast("long").alias("sum_r"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_r2"),
+    )
+    return agg.select(
+        "nation",
+        "n_customers",
+        "sum_r",
+        "sum_r2",
+        (
+            F.col("sum_r2").cast("double")
+            / (F.col("sum_r").cast("double") * F.col("sum_r").cast("double"))
+        ).alias("hhi"),
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), d = 1..9, pre-scaled
+# to parts-per-million literals shared with the oracle (no runtime log)
+_BENFORD_PPM = [
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+]
+
+
+def q243_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/data-
+    quality screen: per leading digit, the observed count against the
+    Benford expectation log10(1+1/d), with the expectation pre-scaled
+    to the _BENFORD_PPM integer literals (shared with the oracle — no
+    runtime log) and the observed share as the exact integer
+    obs·1e6 DIV n. One digit projection (leading digit of the cents
+    integer via string head — exact, no float log10), one 9-key
+    aggregate, one broadcast total."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(_cents("o_totalprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    per_d = o.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = per_d.agg(F.sum("n_obs").cast("long").alias("n"))
+    earr = F.array(*[F.lit(p) for p in _BENFORD_PPM])
+    return per_d.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        "n",
+        F.expr("CAST(n_obs * 1000000 DIV n AS BIGINT)").alias("obs_ppm"),
+        F.element_at(earr, F.col("digit").cast("int")).cast("long").alias(
+            "benford_ppm"
+        ),
+        (
+            F.expr("CAST(n_obs * 1000000 DIV n AS BIGINT)")
+            - F.element_at(earr, F.col("digit").cast("int"))
+        ).cast("long").alias("dev_ppm"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -9515,6 +9675,10 @@ QUERIES: dict[str, QueryFn] = {
     "q237_simpson_diversity": q237_simpson_diversity,
     "q238_ngram_novelty": q238_ngram_novelty,
     "q239_weighted_median": q239_weighted_median,
+    "q240_tfidf_keywords": q240_tfidf_keywords,
+    "q241_burstiness": q241_burstiness,
+    "q242_hhi_concentration": q242_hhi_concentration,
+    "q243_benford_deviation": q243_benford_deviation,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -16902,4 +17066,104 @@ SELECT CAST(day AS TIMESTAMP) AS day,
             OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
            / CAST(n_days AS DOUBLE) AS cusum_cents
 FROM c
+"""
+
+ORACLE_SQL["q240_tfidf_keywords"] = r"""
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS token
+    FROM norm
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM t GROUP BY 1, 2
+),
+dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dfm.df,
+           CAST(tf.tf * 1000000 // dfm.df AS BIGINT) AS score_fp
+    FROM tf JOIN dfm ON tf.token = dfm.token
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_fp DESC, token) AS rank
+    FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank AS BIGINT) AS rank,
+       token, tf, df, score_fp
+FROM ranked WHERE rank <= 3
+"""
+
+ORACLE_SQL["q241_burstiness"] = """
+WITH daily AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+agg AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS d,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(c * c) AS BIGINT) AS scc
+    FROM daily GROUP BY 1
+)
+SELECT user_id, d, sc AS n_events,
+       CAST(d * scc - sc * sc AS BIGINT) AS fano_num,
+       CAST(d * sc AS BIGINT) AS fano_den,
+       CAST(d * scc - sc * sc AS DOUBLE) / CAST(d * sc AS DOUBLE) AS fano
+FROM agg
+"""
+
+ORACLE_SQL["q242_hhi_concentration"] = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+    FROM orders GROUP BY 1
+),
+per_cust AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, o.r
+    FROM o JOIN customer ON o.o_custkey = c_custkey
+),
+agg AS (
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(r * r) AS BIGINT) AS sum_r2
+    FROM per_cust GROUP BY 1
+)
+SELECT nation, n_customers, sum_r, sum_r2,
+       CAST(sum_r2 AS DOUBLE)
+           / (CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE)) AS hhi
+FROM agg
+"""
+
+ORACLE_SQL["q243_benford_deviation"] = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders
+),
+per_d AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM per_d),
+exp_tab AS (
+    SELECT * FROM (VALUES
+        (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    ) AS t(digit, benford_ppm)
+)
+SELECT p.digit, p.n_obs, t.n,
+       CAST(p.n_obs * 1000000 // t.n AS BIGINT) AS obs_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(p.n_obs * 1000000 // t.n - e.benford_ppm AS BIGINT) AS dev_ppm
+FROM per_d p CROSS JOIN tot t
+JOIN exp_tab e ON p.digit = e.digit
 """
