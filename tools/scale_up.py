@@ -55,6 +55,12 @@ FAMILIES = [
     "q210_ks_test",
     "q211_quality_keeper",
     "q213_fit_apply_bins",
+    # round-7 data-bound families: the within-order pair self-join
+    # (bounded per key but pair-count-linear), the corpus-wide shingle
+    # first-occurrence join, and the tf-idf doc-frequency join.
+    "q232_resource_allocation",
+    "q238_ngram_novelty",
+    "q240_tfidf_keywords",
 ]
 
 
