@@ -204,6 +204,11 @@ BENCH_QUERIES = [
     "q241_burstiness",
     "q242_hhi_concentration",
     "q243_benford_deviation",
+    "q244_group_mode",
+    "q245_lorenz_curve",
+    "q246_rfm_segmentation",
+    "q247_life_table",
+    "q248_readability",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

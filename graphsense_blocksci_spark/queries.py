@@ -9582,6 +9582,216 @@ def q243_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q244_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tiebreak (smallest
+    value wins) — SQL's mode() leaves ties unspecified, so cross-
+    engine results need the explicit count-then-rank construction:
+    one map-side-combined (group, value) count, one per-group top-1
+    window ordered by (count desc, value). WindowGroupLimit prunes to
+    one row per group before any sort spills. The op every
+    categorical-imputation pass needs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+
+
+def q245_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue in deciles — the distribution
+    readout that pairs with qd45's Gini scalar: customers ranked by
+    revenue, bucketed by the integer rank arithmetic
+    ceil(rank·10 / n) (cross-engine deterministic where NTILE's
+    remainder placement is implementation lore), each decile's exact
+    revenue share as int64 cents over the broadcast total. The global
+    rank is the two-pass range-partitioned global_rank — no corpus-
+    wide single-partition window."""
+    from graphsense_blocksci_spark.operators.windows import global_rank
+
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("r"))
+    )
+    ranked = global_rank(r, ["r", "o_custkey"], rank_col="rk")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("total_r"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST((rk * 10 + n - 1) DIV n AS BIGINT)").alias("decile"),
+            "r",
+            "n",
+            "total_r",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("r").cast("long").alias("decile_cents"),
+            F.first("total_r").alias("total_cents"),
+        )
+    )
+    return dec.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (
+            F.col("decile_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("rev_share"),
+    )
+
+
+def q246_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile codes, the classic marketing feature triple — with every
+    quartile assigned by the integer rank arithmetic
+    ceil(rank·4 / n) over a deterministic total order (metric, then
+    custkey), never NTILE (whose tie placement is engine lore). Three
+    global_rank passes over the customer aggregate (small — one row
+    per customer), one final code concat. Returns the segment code
+    counts, the frame a campaign targeting join would consume."""
+    from graphsense_blocksci_spark.operators.windows import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .cast("long")
+        .alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("money"),
+    ).localCheckpoint(eager=False)
+    n_f = per_cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def quartile(metric: str, qname: str) -> DataFrame:
+        ranked = global_rank(
+            per_cust.select("ck", metric), [metric, "ck"], rank_col="rk"
+        )
+        return ranked.crossJoin(F.broadcast(n_f)).select(
+            "ck",
+            F.expr("CAST((rk * 4 + n - 1) DIV n AS BIGINT)").alias(qname),
+        )
+
+    rfm = (
+        quartile("last_ts", "r_q")
+        .join(quartile("freq", "f_q"), "ck")
+        .join(quartile("money", "m_q"), "ck")
+    )
+    return (
+        rfm.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+def q247_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete life table for customer re-order gaps — the survival-
+    analysis input (at-risk / events per gap bucket) emitted EXACTLY:
+    the Kaplan-Meier product itself is an order-dependent float chain,
+    but the life table it consumes is pure integers. An observation is
+    each customer's gap between consecutive orders (events) or from
+    the last order to the corpus horizon (censored). Bucket = gap in
+    30-day months. at_risk(b) = observations with bucket >= b — a
+    reversed cumulative sum over the BOUNDED bucket domain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").cast("long").alias("ts")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts")
+    nxt = o.select(
+        "o_custkey",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    horizon = o.agg(F.max("ts").cast("long").alias("h"))
+    obs = nxt.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("next_ts").isNotNull(), F.col("next_ts") - F.col("ts")
+        )
+        .otherwise(F.col("h") - F.col("ts"))
+        .alias("gap_s"),
+        F.col("next_ts").isNotNull().alias("event"),
+    )
+    per_b = obs.select(
+        F.expr("CAST(gap_s DIV 2592000 AS BIGINT)").alias("bucket"),
+        "event",
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.when(F.col("event"), 1).otherwise(0))
+        .cast("long")
+        .alias("events"),
+    )
+    wrev = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_b.select(
+        "bucket",
+        F.sum("n_obs").over(wrev).cast("long").alias("at_risk"),
+        "events",
+        (F.col("n_obs") - F.col("events")).cast("long").alias("censored"),
+    )
+
+
+def q248_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability profile from pure integer counts — the
+    Flesch-style proxy without its float coefficients: words (token
+    count), sentences (terminal punctuation runs, min 1), and long
+    words (>= 7 chars, the syllable stand-in) summed exactly per
+    source; the two ratios are one divide each. Regex counts only —
+    no UDF, no tokenizer state."""
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens("text")).cast("long").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[.!?]+"),
+                    lambda s: F.trim(s) != "",
+                )
+            )
+        ).cast("long").alias("sentences"),
+        F.size(
+            F.filter(tokens("text"), lambda t: F.length(t) >= 7)
+        ).cast("long").alias("long_words"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("long_words").cast("long").alias("long_words"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "long_words",
+        (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        .alias("words_per_sentence"),
+        (F.col("long_words").cast("double") / F.col("words").cast("double"))
+        .alias("long_word_ratio"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -9679,6 +9889,11 @@ QUERIES: dict[str, QueryFn] = {
     "q241_burstiness": q241_burstiness,
     "q242_hhi_concentration": q242_hhi_concentration,
     "q243_benford_deviation": q243_benford_deviation,
+    "q244_group_mode": q244_group_mode,
+    "q245_lorenz_curve": q245_lorenz_curve,
+    "q246_rfm_segmentation": q246_rfm_segmentation,
+    "q247_life_table": q247_life_table,
+    "q248_readability": q248_readability,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -17166,4 +17381,135 @@ SELECT p.digit, p.n_obs, t.n,
        CAST(p.n_obs * 1000000 // t.n - e.benford_ppm AS BIGINT) AS dev_ppm
 FROM per_d p CROSS JOIN tot t
 JOIN exp_tab e ON p.digit = e.digit
+"""
+
+ORACLE_SQL["q244_group_mode"] = """
+WITH counts AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY c DESC, event_type) AS rn
+    FROM counts
+)
+SELECT user_id, event_type AS mode_event, c AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+ORACLE_SQL["q245_lorenz_curve"] = """
+WITH r AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS rk FROM r
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS total_r
+    FROM r
+)
+SELECT CAST((rk * 10 + n - 1) // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(ranked.r) AS BIGINT) AS decile_cents,
+       CAST(sum(ranked.r) AS DOUBLE) / CAST(any_value(total_r) AS DOUBLE)
+           AS rev_share
+FROM ranked CROSS JOIN tot
+GROUP BY 1
+"""
+
+ORACLE_SQL["q246_rfm_segmentation"] = """
+WITH per_cust AS (
+    SELECT o_custkey AS ck,
+           max(o_orderdate) AS last_d,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS money
+    FROM orders GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+rq AS (
+    SELECT ck, CAST((row_number() OVER (ORDER BY last_d, ck) * 4 + n.n - 1)
+                    // n.n AS BIGINT) AS r_q
+    FROM per_cust CROSS JOIN n
+),
+fq AS (
+    SELECT ck, CAST((row_number() OVER (ORDER BY freq, ck) * 4 + n.n - 1)
+                    // n.n AS BIGINT) AS f_q
+    FROM per_cust CROSS JOIN n
+),
+mq AS (
+    SELECT ck, CAST((row_number() OVER (ORDER BY money, ck) * 4 + n.n - 1)
+                    // n.n AS BIGINT) AS m_q
+    FROM per_cust CROSS JOIN n
+)
+SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
+FROM rq JOIN fq USING (ck) JOIN mq USING (ck)
+GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["q247_life_table"] = """
+WITH o AS (
+    -- BIGINT, not DOUBLE: DuckDB's // is floor division only for
+    -- integers (on doubles it is plain division)
+    SELECT o_custkey,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ts
+    FROM orders
+),
+nxt AS (
+    SELECT o_custkey, ts,
+           lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts) AS next_ts
+    FROM o
+),
+h AS (SELECT max(ts) AS h FROM o),
+obs AS (
+    SELECT CASE WHEN next_ts IS NOT NULL THEN next_ts - ts
+                ELSE h.h - ts END AS gap_s,
+           (next_ts IS NOT NULL) AS event
+    FROM nxt CROSS JOIN h
+),
+per_b AS (
+    SELECT CAST(gap_s // 2592000 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS events
+    FROM obs GROUP BY 1
+)
+SELECT bucket,
+       CAST(sum(n_obs) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS at_risk,
+       events,
+       CAST(n_obs - events AS BIGINT) AS censored
+FROM per_b
+"""
+
+ORACLE_SQL["q248_readability"] = r"""
+WITH norm AS (
+    SELECT source, text,
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+per_doc AS (
+    SELECT source,
+           CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+                AS BIGINT) AS words,
+           CAST(greatest(1, len(list_filter(
+                string_split_regex(text, '[.!?]+'),
+                x -> trim(x) <> ''))) AS BIGINT) AS sentences,
+           CAST(len(list_filter(string_split(s, ' '),
+                x -> x <> '' AND length(x) >= 7)) AS BIGINT) AS long_words
+    FROM norm
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(sentences) AS BIGINT) AS sentences,
+       CAST(sum(long_words) AS BIGINT) AS long_words,
+       CAST(sum(words) AS DOUBLE) / CAST(sum(sentences) AS DOUBLE)
+           AS words_per_sentence,
+       CAST(sum(long_words) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+           AS long_word_ratio
+FROM per_doc
+GROUP BY 1
 """
