@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     "q246_rfm_segmentation",
     "q247_life_table",
     "q248_readability",
+    "q249_market_basket",
+    "q250_cumulative_distinct",
+    "q251_pivot_report",
+    "q252_log2_quantile_sketch",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -9792,6 +9792,177 @@ def q248_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q249_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-affinity market basket: support / confidence / lift for
+    every brand pair co-ordered in the same order, in exact ppm
+    integers (the q190 no-float discipline). Pair generation is the
+    scale-critical choice: one hash aggregate collects each order's
+    distinct brand set (collect_set dedups in-state; bounded by order
+    size, ~7), and the sorted in-array combination explode emits its
+    C(k,2) pairs map-side — no order-keyed self-join, so the only
+    shuffles are the two hash aggregates on (orderkey) and (brand_a,
+    brand_b). The basket frame is pinned (lazy localCheckpoint) and
+    feeds pairs, singles (explode) and the order count; singles and
+    the count ride back as broadcasts. lift_ppm multiplies three
+    counts before the DIV; at extreme corpus scale swap the BIGINT for
+    DECIMAL(38,0) — at any realistic brand cardinality the counts fit.
+    Min pair support 5 bounds the emitted rule set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", F.col("p_brand").alias("b")
+    )
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    singles = (
+        baskets.select(F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("b").alias("brand_a"), F.col("c").alias("c_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("b").alias("brand_b"), F.col("c").alias("c_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n_orders",
+            F.expr("CAST(1000000 * c_ab DIV n_orders AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(1000000 * c_ab DIV c_a AS BIGINT)").alias("conf_ppm"),
+            F.expr(
+                "CAST((1000000 * c_ab * n_orders) DIV (c_a * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def q250_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-cumulative distinct customers — the audience-growth
+    curve computed WITHOUT a running COUNT(DISTINCT) scan: each
+    customer contributes exactly one first-order row (one customer-
+    keyed aggregate), days aggregate those firsts, and the running sum
+    is a window over the DAY-grain frame — calendar-bounded rows
+    (thousands), not data-bounded, so the single-partition window is
+    safe at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d"))
+    daily = first.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_customers")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("long").alias("cum_customers"),
+    )
+
+
+def q251_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT surface: revenue cents by nation x order
+    priority reshaped wide via DataFrame.pivot with the value list
+    pinned (an unpinned pivot triggers an extra distinct-values job
+    and non-deterministic column order). One shuffle to the (nation,
+    priority) grain; the pivot itself is a projection."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderpriority", pri)
+        .agg(F.sum("cents"))
+    )
+    return wide.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+            for p, a in zip(pri, ["urgent", "high", "medium", "not_specified", "low"])
+        ],
+    )
+
+
+def q252_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantile estimation from a power-of-2 histogram,
+    fully exact-integer: bucket = floor(log2(cents)) computed as
+    length(bin(x)) - 1 (no libm, so Spark and the oracle agree bit-for-
+    bit), one hash aggregate to <= 64 bucket rows, then each requested
+    quantile reads the first bucket whose cumulative count crosses
+    ceil(q*n/100). The histogram is trivially mergeable — the same
+    frame a streaming twin maintains per micro-batch. Answer error is
+    bounded by the bucket width (factor 2; tighter gamma just means
+    more buckets)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("cents")
+    )
+    hist = (
+        o.select((F.length(F.bin(F.col("cents"))) - 1).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(w).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(F.max("cum").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("quantile_pct")
+    )
+    hit = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.col("cum") >= F.expr("CAST((quantile_pct * n + 99) DIV 100 AS BIGINT)"),
+        )
+        .groupBy("quantile_pct")
+        .agg(
+            F.min("bucket").cast("long").alias("bucket"),
+            F.first("n").alias("n"),
+        )
+    )
+    return hit.select(
+        "quantile_pct",
+        "bucket",
+        F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) AS BIGINT)").alias("lo"),
+        F.expr(
+            "CAST(shiftleft(1L, CAST(bucket AS INT) + 1) - 1 AS BIGINT)"
+        ).alias("hi"),
+        "n",
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -9894,6 +10065,10 @@ QUERIES: dict[str, QueryFn] = {
     "q246_rfm_segmentation": q246_rfm_segmentation,
     "q247_life_table": q247_life_table,
     "q248_readability": q248_readability,
+    "q249_market_basket": q249_market_basket,
+    "q250_cumulative_distinct": q250_cumulative_distinct,
+    "q251_pivot_report": q251_pivot_report,
+    "q252_log2_quantile_sketch": q252_log2_quantile_sketch,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -17512,4 +17687,103 @@ SELECT source,
            AS long_word_ratio
 FROM per_doc
 GROUP BY 1
+"""
+
+ORACLE_SQL["q249_market_basket"] = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand AS b
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+),
+pairs AS (
+    SELECT a.b AS brand_a, o.b AS brand_b,
+           CAST(count(*) AS BIGINT) AS c_ab
+    FROM ob a JOIN ob o ON a.l_orderkey = o.l_orderkey AND a.b < o.b
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+),
+singles AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1
+)
+SELECT brand_a, brand_b, c_ab,
+       sa.c AS c_a, sb.c AS c_b, n_orders,
+       CAST(1000000 * c_ab // n_orders AS BIGINT) AS support_ppm,
+       CAST(1000000 * c_ab // sa.c AS BIGINT) AS conf_ppm,
+       CAST((1000000 * c_ab * n_orders) // (sa.c * sb.c) AS BIGINT)
+           AS lift_ppm
+FROM pairs
+JOIN singles sa ON sa.b = brand_a
+JOIN singles sb ON sb.b = brand_b
+CROSS JOIN n
+"""
+
+ORACLE_SQL["q250_cumulative_distinct"] = """
+WITH first_o AS (
+    SELECT o_custkey, min(o_orderdate) AS d FROM orders GROUP BY 1
+),
+daily AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS new_customers
+    FROM first_o GROUP BY 1
+)
+SELECT d, new_customers,
+       CAST(sum(new_customers) OVER (ORDER BY d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+FROM daily
+"""
+
+ORACLE_SQL["q251_pivot_report"] = """
+SELECT n_name,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+           AS urgent,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '2-HIGH'), 0) AS BIGINT)
+           AS high,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '3-MEDIUM'), 0) AS BIGINT)
+           AS medium,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 0) AS BIGINT)
+           AS not_specified,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderpriority = '5-LOW'), 0) AS BIGINT)
+           AS low
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+ORACLE_SQL["q252_log2_quantile_sketch"] = """
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+hist AS (
+    SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM cents GROUP BY 1
+),
+cum AS (
+    SELECT bucket, cnt,
+           CAST(sum(cnt) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM hist
+),
+tot AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+qs AS (SELECT * FROM (VALUES (50), (90), (99)) t(quantile_pct)),
+hit AS (
+    SELECT quantile_pct,
+           CAST(min(bucket) AS BIGINT) AS bucket,
+           CAST(any_value(n) AS BIGINT) AS n
+    FROM qs CROSS JOIN tot
+    JOIN cum ON cum >= CAST((quantile_pct * n + 99) // 100 AS BIGINT)
+    GROUP BY 1
+)
+SELECT quantile_pct, bucket,
+       CAST(1::BIGINT << CAST(bucket AS INT) AS BIGINT) AS lo,
+       CAST((1::BIGINT << (CAST(bucket AS INT) + 1)) - 1 AS BIGINT) AS hi,
+       n
+FROM hit
 """
