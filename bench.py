@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "q250_cumulative_distinct",
     "q251_pivot_report",
     "q252_log2_quantile_sketch",
+    "q253_bitmap_retention",
+    "q254_seasonal_decomposition",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -9963,6 +9963,157 @@ def q252_log2_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q253_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day user retention via bitmap indexes — the roaring-
+    bitmap pattern in pure relational form: each (day, 60-user word)
+    row carries a bit_or-packed activity mask (60-bit words, not 64,
+    because the oracle engine guards 1<<63 as overflow), so the self-
+    join that intersects consecutive days moves |days| x |users|/60
+    rows instead of raw (user, day) pairs — a 60x shuffle compression
+    — and retention is popcount(a AND b) summed per day. bit_or makes
+    the build idempotent (duplicate events cannot set a bit twice).
+    The bitmap frame is pinned and feeds DAU, the shifted self-join,
+    and nothing else; retention_ppm is exact-integer DIV."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("long").alias("u")
+    )
+    bm = (
+        ev.select(
+            "day",
+            F.expr("CAST(u DIV 60 AS BIGINT)").alias("word"),
+            F.expr("shiftleft(1L, CAST(u % 60 AS INT))").alias("mask"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .localCheckpoint(eager=False)
+    )
+    dau = bm.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("dau")
+    )
+    nxt = bm.select(
+        F.date_sub("day", 1).alias("day"),
+        "word",
+        F.col("bits").alias("bits_next"),
+    )
+    ret = (
+        bm.join(nxt, ["day", "word"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("bits").bitwiseAND(F.col("bits_next"))))
+            .cast("long")
+            .alias("retained_next")
+        )
+    )
+    return (
+        dau.join(ret, "day", "left")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            F.coalesce("retained_next", F.lit(0)).cast("long").alias(
+                "retained_next"
+            ),
+        )
+        .withColumn(
+            "retention_ppm",
+            F.expr("CAST(1000000 * retained_next DIV dau AS BIGINT)"),
+        )
+    )
+
+
+def q254_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue into trend /
+    weekly-seasonal / remainder (the STL shape without loess): trend
+    is the centered 7-row moving average in exact integer DIV (sums
+    are non-negative, so truncation agrees across engines), the
+    seasonal term is the per-weekday mean of the detrended series
+    (one double divide of exact integer sums), and the remainder is
+    what's left. Weekday is epoch-day % 7 — pure integer arithmetic,
+    no locale-dependent dayofweek. Everything runs at the calendar-
+    bounded day grain, pinned once; the 7-row window and the
+    7-row seasonal broadcast are both domain-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    based = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("c7"),
+        (F.datediff("day", F.lit("1970-01-01")) % 7).cast("long").alias(
+            "weekday"
+        ),
+    ).select(
+        "day",
+        "cents",
+        "weekday",
+        F.expr("CAST(s7 DIV c7 AS BIGINT)").alias("trend"),
+    ).localCheckpoint(eager=False)
+    seasonal = based.groupBy("weekday").agg(
+        (
+            F.sum(F.col("cents") - F.col("trend")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_mean")
+    )
+    return based.join(F.broadcast(seasonal), "weekday").select(
+        F.col("day").cast("timestamp").alias("day"),
+        "cents",
+        "weekday",
+        "trend",
+        "seasonal_mean",
+        (
+            (F.col("cents") - F.col("trend")).cast("double")
+            - F.col("seasonal_mean")
+        ).alias("remainder"),
+    )
+
+
+def qd55_streaming_log2_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING twin of the q252 power-of-2 histogram under the exact
+    gate: order totals staged as TWO source files and consumed one
+    file per trigger (maxFilesPerTrigger=1), so the merge across
+    micro-batch boundaries is genuinely exercised — each bucket's
+    running count folds in the applyInPandasWithState store
+    (streaming/sketches.py:log2_hist_stream, <= 64 longs of state)
+    and emits a snapshot per batch; counts are monotone, so the max
+    snapshot per bucket is the final histogram, which must equal the
+    batch q252 hist cell-for-cell."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.sketches import log2_hist_stream
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    work = tempfile.mkdtemp(prefix="gbs_sl2h_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("cents").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    o.filter(F.col("o_orderkey") % 2 == 1).select("cents").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema("cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/src")
+    )
+    q = (
+        log2_hist_stream(stream, "cents")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.schema("bucket long, cnt long").parquet(f"{work}/out")
+    return snaps.groupBy("bucket").agg(F.max("cnt").cast("long").alias("cnt"))
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -10069,6 +10220,9 @@ QUERIES: dict[str, QueryFn] = {
     "q250_cumulative_distinct": q250_cumulative_distinct,
     "q251_pivot_report": q251_pivot_report,
     "q252_log2_quantile_sketch": q252_log2_quantile_sketch,
+    "q253_bitmap_retention": q253_bitmap_retention,
+    "q254_seasonal_decomposition": q254_seasonal_decomposition,
+    "qd55_streaming_log2_histogram": qd55_streaming_log2_histogram,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -17786,4 +17940,65 @@ SELECT quantile_pct, bucket,
        CAST((1::BIGINT << (CAST(bucket AS INT) + 1)) - 1 AS BIGINT) AS hi,
        n
 FROM hit
+"""
+
+ORACLE_SQL["q253_bitmap_retention"] = """
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(user_id AS BIGINT) AS u FROM events
+),
+bm AS (
+    SELECT day, u // 60 AS word,
+           bit_or(1::BIGINT << CAST(u % 60 AS INT)) AS bits
+    FROM ev GROUP BY 1, 2
+),
+dau AS (
+    SELECT day, CAST(sum(bit_count(bits)) AS BIGINT) AS dau
+    FROM bm GROUP BY 1
+),
+ret AS (
+    SELECT a.day,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS retained_next
+    FROM bm a JOIN bm b ON b.day = a.day + 1 AND b.word = a.word
+    GROUP BY 1
+)
+SELECT CAST(day AS TIMESTAMP) AS day, dau,
+       CAST(coalesce(retained_next, 0) AS BIGINT) AS retained_next,
+       CAST(1000000 * coalesce(retained_next, 0) // dau AS BIGINT)
+           AS retention_ppm
+FROM dau LEFT JOIN ret USING (day)
+"""
+
+ORACLE_SQL["q254_seasonal_decomposition"] = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+based AS (
+    SELECT day, cents,
+           CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS weekday,
+           CAST(sum(cents) OVER (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) //
+                count(*) OVER (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend
+    FROM daily
+),
+seasonal AS (
+    SELECT weekday,
+           CAST(sum(cents - trend) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS seasonal_mean
+    FROM based GROUP BY 1
+)
+SELECT CAST(day AS TIMESTAMP) AS day, cents, weekday, trend, seasonal_mean,
+       CAST(cents - trend AS DOUBLE) - seasonal_mean AS remainder
+FROM based JOIN seasonal USING (weekday)
+"""
+
+ORACLE_SQL["qd55_streaming_log2_histogram"] = """
+SELECT CAST(length(bin(CAST(round(o_totalprice * 100) AS BIGINT))) - 1
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM orders
+GROUP BY 1
 """

@@ -319,3 +319,52 @@ def hll_stream(values: DataFrame, key_col: str, p: int = 8) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LOG2_HIST_OUTPUT = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+LOG2_HIST_STATE = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def _log2_hist_group(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    running = int(state.get[0]) if state.exists else 0
+    for pdf in pdfs:
+        running += int(len(pdf))
+    state.update((running,))
+    yield pd.DataFrame({"bucket": [key[0]], "cnt": [running]})
+
+
+def log2_hist_stream(values: DataFrame, value_col: str) -> DataFrame:
+    """STREAMING power-of-2 histogram: the stateful face of the q252
+    log2 quantile sketch. The bucket (floor(log2(v)) via
+    length(bin(v)) - 1, the libm-free integer form) is computed
+    JVM-side; rows shuffle to their bucket's state key and fold in
+    with a plain running count — addition is the order-insensitive
+    merge that makes histograms the simplest mergeable sketch, so
+    micro-batch boundaries cannot move a cell. After each batch a
+    bucket emits its refreshed (bucket, cnt) snapshot; the latest
+    (= max, counts are monotone) snapshot per bucket is the batch
+    histogram, which the q252 quantile readout consumes unchanged.
+
+    State is ONE long per bucket — at most 64 state rows total,
+    regardless of stream length or value distribution.
+    """
+    keyed = values.select(
+        (F.length(F.bin(F.col(value_col).cast("long"))) - 1)
+        .cast("long")
+        .alias("bucket")
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _log2_hist_group,
+        outputStructType=LOG2_HIST_OUTPUT,
+        stateStructType=LOG2_HIST_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -252,3 +252,88 @@ def test_cohens_kappa_degenerate_null(spark):
     )
     r2 = cohens_kappa(df2, "a", "b").collect()[0]
     assert r2["kappa_den"] == 50 and r2["kappa"] == 0.0
+
+
+# -- streaming log2 histogram vs pandas value_counts ----------------
+
+
+def test_log2_hist_stream_multibatch(spark, tmp_path):
+    """Three source files consumed one per trigger: the state-store
+    merge across micro-batch boundaries must reproduce the exact
+    batch histogram (floor(log2) buckets, full counts)."""
+    import random
+
+    from graphsense_blocksci_spark.streaming.sketches import log2_hist_stream
+
+    rng = random.Random(11)
+    vals = [rng.randint(1, 1 << 40) for _ in range(3000)]
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.createDataFrame(
+            [(v,) for v in vals[i * 1000 : (i + 1) * 1000]], "cents long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        log2_hist_stream(stream, "cents")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.schema("bucket long, cnt long").parquet(
+        str(tmp_path / "out")
+    )
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in snaps.groupBy("bucket").agg(F.max("cnt").alias("cnt")).collect()
+    }
+    want: dict[int, int] = {}
+    for v in vals:
+        want[v.bit_length() - 1] = want.get(v.bit_length() - 1, 0) + 1
+    assert got == want
+
+
+def test_bitmap_word_packing_exact(spark):
+    """bit_or-packed 60-bit activity words intersect to the exact
+    set-intersection cardinality for random day/user activity."""
+    import random
+
+    rng = random.Random(23)
+    days = {
+        d: {rng.randint(0, 500) for _ in range(rng.randint(5, 80))}
+        for d in range(4)
+    }
+    rows = [(d, u) for d, us in days.items() for u in us for _ in range(2)]
+    df = spark.createDataFrame(rows, "day long, u long")
+    bm = (
+        df.select(
+            "day",
+            F.expr("CAST(u DIV 60 AS BIGINT)").alias("word"),
+            F.expr("shiftleft(1L, CAST(u % 60 AS INT))").alias("mask"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    nxt = bm.select(
+        (F.col("day") - 1).alias("day"), "word", F.col("bits").alias("bn")
+    )
+    got = {
+        r["day"]: r["ret"]
+        for r in bm.join(nxt, ["day", "word"])
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("bits").bitwiseAND(F.col("bn"))))
+            .cast("long")
+            .alias("ret")
+        )
+        .collect()
+    }
+    for d in range(3):
+        want = len(days[d] & days[d + 1])
+        assert got.get(d, 0) == want, f"day {d}"
