@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "q252_log2_quantile_sketch",
     "q253_bitmap_retention",
     "q254_seasonal_decomposition",
+    "q255_runtime_filter_join",
+    "q256_max_drawdown",
+    "q257_functional_deps",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7
@@ -236,6 +239,7 @@ BENCH_QUERIES = [
     "qd50_address_relations",
     "qd52_change_heuristics",
     "qd53_fee_percentiles",
+    "qd56_hodl_waves",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

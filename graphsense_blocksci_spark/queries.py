@@ -10114,6 +10114,176 @@ def qd55_streaming_log2_histogram(
     return snaps.groupBy("bucket").agg(F.max("cnt").cast("long").alias("cnt"))
 
 
+def q255_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime-filter (sideways information passing) for a
+    selective dim-side semi join — the optimization engines apply as
+    'Bloom join' / dynamic filtering: the high-value order keys build
+    a distributed Bloom bitmap (bit_or words, driver sees <= n_bits/64
+    longs), the bitmap rides a broadcast 1-row frame, and lineitem is
+    pruned JVM-side BEFORE the shuffle; the exact semi join of the
+    survivors removes Bloom false positives, so the result is bit-
+    identical to the plain semi join the oracle runs. At 100 TB the
+    prune keeps ~selectivity of the fact table out of the exchange —
+    the Bloom costs one scan of the (small) filtered dim side."""
+    from graphsense_blocksci_spark.operators.sketches import (
+        bloom_member,
+        build_bloom_words,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    hv = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").cast("long").alias("ok"))
+        .localCheckpoint(eager=False)
+    )
+    n_bits = 1 << 17
+    sparse = build_bloom_words(hv, "ok", n_bits)
+    words = [sparse.get(i, 0) for i in range(n_bits // 64)]
+    bloom_df = spark.createDataFrame([(words,)], "bloom_words array<bigint>")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("ok"),
+        F.to_date("l_shipdate").alias("ship"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    pruned = (
+        li.crossJoin(F.broadcast(bloom_df))
+        .filter(bloom_member(F.col("ok"), F.col("bloom_words"), n_bits))
+        .drop("bloom_words")
+    )
+    exact = pruned.join(hv, "ok", "left_semi")
+    return (
+        exact.groupBy(F.date_trunc("month", "ship").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def q256_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown over the daily revenue series — the
+    risk-readout window pattern: peak = running max, drawdown =
+    peak - today, severity in exact ppm of the peak. All windows run
+    at the calendar-bounded day grain (one ordered pass), all
+    arithmetic integer."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents("o_totalprice")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "cents",
+        F.max("cents").over(w).cast("long").alias("peak"),
+    ).select(
+        "day",
+        "cents",
+        "peak",
+        (F.col("peak") - F.col("cents")).cast("long").alias("drawdown"),
+        F.expr("CAST(1000000 * (peak - cents) DIV peak AS BIGINT)").alias(
+            "drawdown_ppm"
+        ),
+    )
+
+
+def q257_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a fixed candidate set —
+    the data-profiling pass that tells a schema designer which
+    'obvious' keys actually determine which attributes: for each
+    lhs -> rhs candidate, one hash aggregate on lhs counts groups
+    carrying more than one distinct rhs. Each candidate is a single
+    shuffle on its lhs; the verdict frame is candidates-sized."""
+    part = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+
+    def fd(df: DataFrame, lhs: str, rhs: str, table: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).cast("long").alias("n_rhs")
+        )
+        return g.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            (F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)) == 0).alias(
+                "fd_holds"
+            ),
+        )
+    cands = [
+        fd(part, "p_partkey", "p_brand", "part"),
+        fd(part, "p_name", "p_brand", "part"),
+        fd(part, "p_type", "p_size", "part"),
+        fd(part, "p_brand", "p_type", "part"),
+        fd(o, "o_orderkey", "o_custkey", "orders"),
+        fd(o, "o_custkey", "o_orderpriority", "orders"),
+    ]
+    out = cands[0]
+    for c in cands[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def qd56_hodl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HODL waves: the age distribution of the unspent coin supply at
+    the chain tip — the long-holder structure readout that pairs with
+    qd47's coin-days-destroyed flow metric. The UTXO set is the qd28
+    anti-join on the uniform spent-tx key; each unspent output's age
+    is tip_ts - creation_ts (creation time joined from its tx),
+    banded in 30-day integer DIV buckets; per band the exact value
+    sum and its double share of total unspent supply. One linkage-
+    shaped anti-join + one band rollup; the tip rides as a broadcast
+    1-row aggregate."""
+    from graphsense_blocksci_spark.operators.linkage import (
+        explode_inputs,
+        explode_outputs,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    times = raw_txs.select(
+        "tx_id", F.col("timestamp").cast("long").alias("ts")
+    )
+    outs = (
+        explode_outputs(raw_txs)
+        .select("tx_id", "output_index", "value")
+        .join(times, "tx_id")
+        .withColumnRenamed("ts", "created_ts")
+    )
+    ins = explode_inputs(raw_txs.filter(~F.col("coinbase"))).select(
+        F.col("spent_tx_id").alias("tx_id"),
+        F.col("spent_index").alias("output_index"),
+    )
+    utxo = outs.join(ins, ["tx_id", "output_index"], "left_anti")
+    tip = times.agg(F.max("ts").cast("long").alias("tip_ts"))
+    banded = (
+        utxo.crossJoin(F.broadcast(tip))
+        .select(
+            F.expr(
+                "CAST((tip_ts - created_ts) DIV 2592000 AS BIGINT)"
+            ).alias("age_band"),
+            "value",
+        )
+        .groupBy("age_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_utxos"),
+            F.sum("value").cast("long").alias("band_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = banded.agg(F.sum("band_value").cast("long").alias("total_value"))
+    return banded.crossJoin(F.broadcast(total)).select(
+        "age_band",
+        "n_utxos",
+        "band_value",
+        (
+            F.col("band_value").cast("double")
+            / F.col("total_value").cast("double")
+        ).alias("supply_share"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -10223,6 +10393,10 @@ QUERIES: dict[str, QueryFn] = {
     "q253_bitmap_retention": q253_bitmap_retention,
     "q254_seasonal_decomposition": q254_seasonal_decomposition,
     "qd55_streaming_log2_histogram": qd55_streaming_log2_histogram,
+    "q255_runtime_filter_join": q255_runtime_filter_join,
+    "q256_max_drawdown": q256_max_drawdown,
+    "q257_functional_deps": q257_functional_deps,
+    "qd56_hodl_waves": qd56_hodl_waves,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -18001,4 +18175,124 @@ SELECT CAST(length(bin(CAST(round(o_totalprice * 100) AS BIGINT))) - 1
        CAST(count(*) AS BIGINT) AS cnt
 FROM orders
 GROUP BY 1
+"""
+
+ORACLE_SQL["q255_runtime_filter_join"] = """
+WITH hv AS (
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+)
+SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS TIMESTAMP)
+           AS month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem SEMI JOIN hv ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+ORACLE_SQL["q256_max_drawdown"] = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+p AS (
+    SELECT day, cents,
+           CAST(max(cents) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+    FROM daily
+)
+SELECT CAST(day AS TIMESTAMP) AS day, cents, peak,
+       CAST(peak - cents AS BIGINT) AS drawdown,
+       CAST(1000000 * (peak - cents) // peak AS BIGINT) AS drawdown_ppm
+FROM p
+"""
+
+ORACLE_SQL["q257_functional_deps"] = """
+WITH c1 AS (SELECT p_partkey AS lhs_v, count(DISTINCT p_brand) AS n
+            FROM part GROUP BY 1),
+c2 AS (SELECT p_name AS lhs_v, count(DISTINCT p_brand) AS n
+       FROM part GROUP BY 1),
+c3 AS (SELECT p_type AS lhs_v, count(DISTINCT p_size) AS n
+       FROM part GROUP BY 1),
+c4 AS (SELECT p_brand AS lhs_v, count(DISTINCT p_type) AS n
+       FROM part GROUP BY 1),
+c5 AS (SELECT o_orderkey AS lhs_v, count(DISTINCT o_custkey) AS n
+       FROM orders GROUP BY 1),
+c6 AS (SELECT o_custkey AS lhs_v, count(DISTINCT o_orderpriority) AS n
+       FROM orders GROUP BY 1)
+SELECT 'part' AS table_name, 'p_partkey' AS lhs, 'p_brand' AS rhs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+FROM c1
+UNION ALL
+SELECT 'part', 'p_name', 'p_brand', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+FROM c2
+UNION ALL
+SELECT 'part', 'p_type', 'p_size', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+FROM c3
+UNION ALL
+SELECT 'part', 'p_brand', 'p_type', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+FROM c4
+UNION ALL
+SELECT 'orders', 'o_orderkey', 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+FROM c5
+UNION ALL
+SELECT 'orders', 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+FROM c6
+"""
+
+ORACLE_SQL["qd56_hodl_waves"] = f"""
+WITH t AS (
+    SELECT tx_id, CAST(timestamp AS BIGINT) AS ts
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id AS otx,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {{oi: i - 1, oval: outputs[i].value}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+o2 AS (
+    SELECT otx, CAST(u.oi AS BIGINT) AS oi, CAST(u.oval AS BIGINT) AS oval,
+           t.ts AS created_ts
+    FROM outs JOIN t ON outs.otx = t.tx_id
+),
+ins AS (
+    SELECT unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {{stx: inputs[i].spent_tx_id,
+                      sidx: inputs[i].spent_index}})) AS u
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+utxo AS (
+    SELECT o2.* FROM o2
+    ANTI JOIN ins ON o2.otx = ins.u.stx AND o2.oi = ins.u.sidx
+),
+tip AS (SELECT max(ts) AS tip_ts FROM t),
+banded AS (
+    SELECT CAST((tip_ts - created_ts) // 2592000 AS BIGINT) AS age_band,
+           CAST(count(*) AS BIGINT) AS n_utxos,
+           CAST(sum(oval) AS BIGINT) AS band_value
+    FROM utxo CROSS JOIN tip
+    GROUP BY 1
+),
+tot AS (SELECT CAST(sum(band_value) AS BIGINT) AS total_value FROM banded)
+SELECT age_band, n_utxos, band_value,
+       CAST(band_value AS DOUBLE) / CAST(total_value AS DOUBLE)
+           AS supply_share
+FROM banded CROSS JOIN tot
 """
