@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "q255_runtime_filter_join",
     "q256_max_drawdown",
     "q257_functional_deps",
+    "q258_split_scoring",
+    "q259_quantile_normalization",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

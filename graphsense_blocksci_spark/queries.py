@@ -10284,6 +10284,155 @@ def qd56_hodl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q258_split_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split scoring: weighted Gini impurity of the
+    return-flag label for candidate l_quantity thresholds, in exact
+    basis points. Each row fans out to the (threshold, branch) grid
+    (4 thresholds — a bounded map-side explode), one hash aggregate
+    counts (threshold, branch, class), and the impurity algebra stays
+    integer: branch term = 10000*(n_b^2 - sum c^2) DIV n_b DIV n,
+    summed over branches (basis points, not ppm, so n_b^2 * 10^4
+    stays far inside int64 at any realistic fact-table size). The
+    output is candidates-sized; the consumer picks the min row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"), "l_returnflag"
+    )
+    fanned = li.select(
+        F.explode(
+            F.array(F.lit(10), F.lit(20), F.lit(30), F.lit(40))
+        ).alias("threshold"),
+        "qty",
+        "l_returnflag",
+    ).select(
+        F.col("threshold").cast("long").alias("threshold"),
+        (F.col("qty") <= F.col("threshold")).alias("is_left"),
+        "l_returnflag",
+    )
+    cls = fanned.groupBy("threshold", "is_left", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    branch = cls.groupBy("threshold", "is_left").agg(
+        F.sum("c").cast("long").alias("n_b"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    tot = branch.groupBy("threshold").agg(F.sum("n_b").cast("long").alias("n"))
+    terms = branch.join(tot, "threshold").select(
+        "threshold",
+        "is_left",
+        "n_b",
+        F.expr(
+            "CAST(10000 * (n_b * n_b - sumsq) DIV n_b DIV n AS BIGINT)"
+        ).alias("term_bp"),
+    )
+    return (
+        terms.groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("is_left"), F.col("n_b")).otherwise(0))
+            .cast("long")
+            .alias("n_left"),
+            F.sum(F.when(~F.col("is_left"), F.col("n_b")).otherwise(0))
+            .cast("long")
+            .alias("n_right"),
+            F.sum("term_bp").cast("long").alias("weighted_gini_bp"),
+        )
+    )
+
+
+def q259_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups — the batch-effect
+    correction that forces every group's value distribution onto the
+    pooled one: each order's within-priority rank maps to the global
+    rank index ceil(rk*N/n_g), and the normalized value is the pooled
+    value at that index. The global rank is the two-pass range-
+    partitioned global_rank (no single-task window); within-group
+    ranks are ordinary partitioned windows; the remap is one equi-
+    join on the global rank index. Ties break on order key, so both
+    engines walk the identical total order."""
+    from graphsense_blocksci_spark.operators.windows import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+    )
+    g = global_rank(o, ["cents", "ok"], rank_col="grank").localCheckpoint(
+        eager=False
+    )
+    n_tot = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wg = Window.partitionBy("o_orderpriority").orderBy("cents", "ok")
+    ranked = g.select(
+        "ok",
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wg).cast("long").alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .cast("long")
+        .alias("n_g"),
+    )
+    idx = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "ok",
+        "o_orderpriority",
+        "cents",
+        F.expr("CAST((rk * n + n_g - 1) DIV n_g AS BIGINT)").alias("gidx"),
+    )
+    lut = g.select(F.col("grank").alias("gidx"), F.col("cents").alias("norm_cents"))
+    return idx.join(lut, "gidx").select(
+        "ok", "o_orderpriority", "cents", "norm_cents"
+    )
+
+
+def qd57_streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the q253 activity-bitmap build: events staged
+    as TWO files consumed one per trigger, each (epoch-day, 60-user
+    word) cell OR-folding in the state store (streaming/sketches.py:
+    bitmap_or_stream) — OR is idempotent and commutative, so the
+    cross-batch fold must reproduce the batch bitmap exactly; DAU is
+    popcount summed per day over the final snapshots (bit_or across
+    snapshots absorbs the per-batch emissions)."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.sketches import bitmap_or_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("eday"),
+        F.col("user_id").cast("long").alias("u"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_sbm_")
+    ev.filter(F.col("eid") % 2 == 0).select("eday", "u").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    ev.filter(F.col("eid") % 2 == 1).select("eday", "u").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema("eday long, u long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/src")
+    )
+    q = (
+        bitmap_or_stream(stream, "eday", "u")
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.schema("day long, word long, bits long").parquet(
+        f"{work}/out"
+    )
+    final = snaps.groupBy("day", "word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    return final.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("dau")
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -10397,6 +10546,9 @@ QUERIES: dict[str, QueryFn] = {
     "q256_max_drawdown": q256_max_drawdown,
     "q257_functional_deps": q257_functional_deps,
     "qd56_hodl_waves": qd56_hodl_waves,
+    "q258_split_scoring": q258_split_scoring,
+    "q259_quantile_normalization": q259_quantile_normalization,
+    "qd57_streaming_bitmap_dau": qd57_streaming_bitmap_dau,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -18295,4 +18447,87 @@ SELECT age_band, n_utxos, band_value,
        CAST(band_value AS DOUBLE) / CAST(total_value AS DOUBLE)
            AS supply_share
 FROM banded CROSS JOIN tot
+"""
+
+ORACLE_SQL["q258_split_scoring"] = """
+WITH fanned AS (
+    SELECT t.threshold,
+           CAST(l_quantity AS BIGINT) <= t.threshold AS is_left,
+           l_returnflag
+    FROM lineitem
+    CROSS JOIN (SELECT CAST(unnest([10, 20, 30, 40]) AS BIGINT)
+                AS threshold) t
+),
+cls AS (
+    SELECT threshold, is_left, l_returnflag,
+           CAST(count(*) AS BIGINT) AS c
+    FROM fanned GROUP BY 1, 2, 3
+),
+branch AS (
+    SELECT threshold, is_left,
+           CAST(sum(c) AS BIGINT) AS n_b,
+           CAST(sum(c * c) AS BIGINT) AS sumsq
+    FROM cls GROUP BY 1, 2
+),
+tot AS (
+    SELECT threshold, CAST(sum(n_b) AS BIGINT) AS n FROM branch GROUP BY 1
+),
+terms AS (
+    SELECT b.threshold, b.is_left, b.n_b,
+           CAST(10000 * (b.n_b * b.n_b - b.sumsq) // b.n_b // t.n
+                AS BIGINT) AS term_bp
+    FROM branch b JOIN tot t ON b.threshold = t.threshold
+)
+SELECT threshold,
+       CAST(sum(CASE WHEN is_left THEN n_b ELSE 0 END) AS BIGINT)
+           AS n_left,
+       CAST(sum(CASE WHEN NOT is_left THEN n_b ELSE 0 END) AS BIGINT)
+           AS n_right,
+       CAST(sum(term_bp) AS BIGINT) AS weighted_gini_bp
+FROM terms GROUP BY 1
+"""
+
+ORACLE_SQL["q259_quantile_normalization"] = """
+WITH o AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS ok, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+g AS (
+    SELECT ok, o_orderpriority, cents,
+           CAST(row_number() OVER (ORDER BY cents, ok) AS BIGINT) AS grank
+    FROM o
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+ranked AS (
+    SELECT ok, o_orderpriority, cents,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY cents, ok) AS BIGINT) AS rk,
+           CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n_g
+    FROM o
+),
+idx AS (
+    SELECT ok, o_orderpriority, cents,
+           CAST((rk * n + n_g - 1) // n_g AS BIGINT) AS gidx
+    FROM ranked CROSS JOIN n_tot
+)
+SELECT idx.ok, idx.o_orderpriority, idx.cents,
+       g.cents AS norm_cents
+FROM idx JOIN g ON idx.gidx = g.grank
+"""
+
+ORACLE_SQL["qd57_streaming_bitmap_dau"] = """
+WITH ev AS (
+    SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(user_id AS BIGINT) AS u
+    FROM events
+),
+bm AS (
+    SELECT day, u // 60 AS word,
+           bit_or(1::BIGINT << CAST(u % 60 AS INT)) AS bits
+    FROM ev GROUP BY 1, 2
+)
+SELECT day, CAST(sum(bit_count(bits)) AS BIGINT) AS dau
+FROM bm GROUP BY 1
 """

@@ -368,3 +368,55 @@ def log2_hist_stream(values: DataFrame, value_col: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BITMAP_OUTPUT = T.StructType(
+    [
+        T.StructField("day", T.LongType()),
+        T.StructField("word", T.LongType()),
+        T.StructField("bits", T.LongType()),
+    ]
+)
+
+BITMAP_STATE = T.StructType([T.StructField("bits", T.LongType())])
+
+
+def _bitmap_group(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    bits = int(state.get[0]) if state.exists else 0
+    for pdf in pdfs:
+        for m in pdf["mask"]:
+            bits |= int(m)
+    state.update((bits,))
+    yield pd.DataFrame(
+        {"day": [key[0]], "word": [key[1]], "bits": [bits]}
+    )
+
+
+def bitmap_or_stream(values: DataFrame, day_col: str, user_col: str) -> DataFrame:
+    """STREAMING activity bitmaps: the stateful face of the q253
+    bitmap-retention build. Each (epoch-day, 60-user word) state cell
+    holds one OR-folded long (60-bit payload — the same cross-engine
+    shift-safe width as the batch twin); masks are computed JVM-side
+    and fold with bitwise OR — idempotent and commutative, so
+    duplicate events, replayed batches and micro-batch boundaries
+    cannot change a cell. Snapshots emit per batch; OR-ing a key's
+    snapshots (or taking the last) reproduces the batch bitmap
+    exactly.
+
+    State is ONE long per (day, word) — bounded by days x users/60,
+    not by the event stream.
+    """
+    keyed = values.select(
+        F.col(day_col).cast("long").alias("day"),
+        F.expr(f"CAST({user_col} DIV 60 AS BIGINT)").alias("word"),
+        F.expr(f"shiftleft(1L, CAST({user_col} % 60 AS INT))").alias("mask"),
+    )
+    return keyed.groupBy("day", "word").applyInPandasWithState(
+        _bitmap_group,
+        outputStructType=BITMAP_OUTPUT,
+        stateStructType=BITMAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -337,3 +337,51 @@ def test_bitmap_word_packing_exact(spark):
     for d in range(3):
         want = len(days[d] & days[d + 1])
         assert got.get(d, 0) == want, f"day {d}"
+
+
+def test_bitmap_or_stream_multibatch(spark, tmp_path):
+    """OR-folded bitmap state across three micro-batches must equal
+    the batch per-day distinct-user counts exactly (OR idempotence:
+    duplicate users across batches cannot inflate DAU)."""
+    import random
+
+    from graphsense_blocksci_spark.streaming.sketches import bitmap_or_stream
+
+    rng = random.Random(31)
+    rows = [
+        (rng.randint(0, 3), rng.randint(0, 400)) for _ in range(900)
+    ]
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 300 : (i + 1) * 300], "eday long, u long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("eday long, u long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        bitmap_or_stream(stream, "eday", "u")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.schema("day long, word long, bits long").parquet(
+        str(tmp_path / "out")
+    )
+    got = {
+        r["day"]: r["dau"]
+        for r in snaps.groupBy("day", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("dau"))
+        .collect()
+    }
+    want: dict[int, set[int]] = {}
+    for d, u in rows:
+        want.setdefault(d, set()).add(u)
+    assert got == {d: len(us) for d, us in want.items()}
