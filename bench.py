@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "q257_functional_deps",
     "q258_split_scoring",
     "q259_quantile_normalization",
+    "q260_linear_interpolation",
+    "q261_pps_sample",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7
@@ -242,6 +244,7 @@ BENCH_QUERIES = [
     "qd52_change_heuristics",
     "qd53_fee_percentiles",
     "qd56_hodl_waves",
+    "qd58_tagged_netflow",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
