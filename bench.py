@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "q259_quantile_normalization",
     "q260_linear_interpolation",
     "q261_pps_sample",
+    "q262_kaplan_meier",
+    "q263_k_anonymity",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -10627,6 +10627,108 @@ def qd58_tagged_netflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q262_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival over the q247 life table,
+    kept exact-integer: S(t) in ppm via the recurrence
+    s_i = s_{i-1} * (n_i - d_i) DIV n_i — the float cumulative
+    product (exp-sum-ln) is libm- and order-dependent, the scaled
+    integer recurrence is neither. The life table is DOMAIN-bounded
+    (gap DIV 30 days — tens of rows regardless of corpus size), so
+    the sequential fold runs driver-side over that bounded frame (the
+    documented bounded-probe pattern; a 1000-bucket cap guards the
+    contract), while everything data-sized — the gap derivation and
+    the bucket aggregate — stays distributed. Oracle: recursive CTE
+    with the identical recurrence."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("ts"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts")
+    nxt = o.select(
+        "o_custkey", "ts", F.lead("ts").over(w).alias("next_ts")
+    )
+    h = o.agg(F.max("ts").alias("h"))
+    obs = nxt.crossJoin(F.broadcast(h)).select(
+        F.when(
+            F.col("next_ts").isNotNull(), F.col("next_ts") - F.col("ts")
+        )
+        .otherwise(F.col("h") - F.col("ts"))
+        .alias("gap_s"),
+        F.col("next_ts").isNotNull().alias("event"),
+    )
+    per_b = (
+        obs.select(
+            F.expr("CAST(gap_s DIV 2592000 AS BIGINT)").alias("bucket"),
+            "event",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.when(F.col("event"), 1).otherwise(0))
+            .cast("long")
+            .alias("events"),
+        )
+    )
+    wb = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lt = per_b.select(
+        "bucket",
+        F.sum("n_obs").over(wb).cast("long").alias("at_risk"),
+        "events",
+    )
+    rows = sorted(
+        ((r["bucket"], r["at_risk"], r["events"]) for r in lt.collect())
+    )
+    if len(rows) > 1000:
+        raise RuntimeError(
+            f"kaplan_meier: {len(rows)} life-table buckets exceed the "
+            "bounded-fold cap; widen the bucket (2592000s) instead"
+        )
+    s = 1_000_000
+    out = []
+    for bucket, at_risk, events in rows:
+        s = s * (at_risk - events) // at_risk
+        out.append((bucket, at_risk, events, s))
+    return spark.createDataFrame(
+        out, "bucket long, at_risk long, events long, survival_ppm long"
+    )
+
+
+def q263_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer quasi-identifier tuple
+    (nation, market segment, account-balance kilobucket) — the
+    privacy profiling pass that pairs with the q114 PII redaction:
+    one hash aggregate to QI-group sizes, then for each k threshold
+    the count of under-k groups and the rows they expose. The
+    threshold fan-out runs over the GROUP frame (already tiny), never
+    the raw table."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000 AS BIGINT)"
+        ).alias("bal_kb"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    fanned = qi.select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k"),
+        "sz",
+    )
+    return (
+        fanned.groupBy(F.col("k").cast("long").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_groups"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -10746,6 +10848,8 @@ QUERIES: dict[str, QueryFn] = {
     "q260_linear_interpolation": q260_linear_interpolation,
     "q261_pps_sample": q261_pps_sample,
     "qd58_tagged_netflow": qd58_tagged_netflow,
+    "q262_kaplan_meier": q262_kaplan_meier,
+    "q263_k_anonymity": q263_k_anonymity,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -18864,3 +18968,69 @@ SELECT day, src_tagged, dst_tagged,
 FROM labeled GROUP BY 1, 2, 3
 """
 )
+
+ORACLE_SQL["q262_kaplan_meier"] = """
+WITH RECURSIVE o AS (
+    SELECT o_custkey,
+           CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ts
+    FROM orders
+),
+nxt AS (
+    SELECT o_custkey, ts,
+           lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts) AS next_ts
+    FROM o
+),
+h AS (SELECT max(ts) AS h FROM o),
+obs AS (
+    SELECT CASE WHEN next_ts IS NOT NULL THEN next_ts - ts
+                ELSE h.h - ts END AS gap_s,
+           (next_ts IS NOT NULL) AS event
+    FROM nxt CROSS JOIN h
+),
+per_b AS (
+    SELECT CAST(gap_s // 2592000 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS events
+    FROM obs GROUP BY 1
+),
+lt AS (
+    SELECT bucket,
+           CAST(sum(n_obs) OVER (ORDER BY bucket DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+           events,
+           row_number() OVER (ORDER BY bucket) AS rn
+    FROM per_b
+),
+km AS (
+    SELECT rn, bucket, at_risk, events,
+           CAST(1000000 * (at_risk - events) // at_risk AS BIGINT) AS s
+    FROM lt WHERE rn = 1
+    UNION ALL
+    SELECT l.rn, l.bucket, l.at_risk, l.events,
+           CAST(km.s * (l.at_risk - l.events) // l.at_risk AS BIGINT)
+    FROM km JOIN lt l ON l.rn = km.rn + 1
+)
+SELECT bucket, at_risk, events, s AS survival_ppm FROM km
+"""
+
+ORACLE_SQL["q263_k_anonymity"] = """
+WITH qi AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           c_mktsegment,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS BIGINT)
+               AS bal_kb,
+           CAST(count(*) AS BIGINT) AS sz
+    FROM customer GROUP BY 1, 2, 3
+),
+fanned AS (
+    SELECT CAST(t.k AS BIGINT) AS k, sz
+    FROM qi CROSS JOIN (SELECT unnest([2, 5, 10]) AS k) t
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_groups,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+           AS rows_at_risk
+FROM fanned GROUP BY 1
+"""
