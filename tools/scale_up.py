@@ -61,6 +61,13 @@ FAMILIES = [
     "q232_resource_allocation",
     "q238_ngram_novelty",
     "q240_tfidf_keywords",
+    # round-7 late-wave data-bound families: the basket combination
+    # explode + pair aggregate, the bitmap word self-join, the global-
+    # rank remap join, and the two-phase prefix-sum PPS walk.
+    "q249_market_basket",
+    "q253_bitmap_retention",
+    "q259_quantile_normalization",
+    "q261_pps_sample",
 ]
 
 
@@ -76,12 +83,16 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
     docs = load_table(spark, SRC, "documents")
     emb = load_table(spark, SRC, "embeddings")
     cust = load_table(spark, SRC, "customer")
+    ev = load_table(spark, SRC, "events")
+    part = load_table(spark, SRC, "part")
 
     li_parts = []
     o_parts = []
     d_parts = []
     e_parts = []
     c_parts = []
+    ev_parts = []
+    p_parts = []
     dim = len(emb.select("embedding").first()[0])
     for c in range(copies):
         li_parts.append(
@@ -146,6 +157,29 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
                 ],
             )
         )
+        # events: user and event ids shift per copy (days unchanged),
+        # so activity bitmaps grow by x copies in WORDS while each
+        # copy's per-day density is preserved — the linear-growth
+        # shape the bitmap-retention family should see.
+        ev_parts.append(
+            ev.select(
+                _shift("event_id", c),
+                _shift("user_id", c),
+                *[
+                    col
+                    for col in ev.columns
+                    if col not in ("event_id", "user_id")
+                ],
+            )
+        )
+        # part: keys shift, brands stay — each copy contributes the
+        # same basket-pair structure, so pair counts scale linearly.
+        p_parts.append(
+            part.select(
+                _shift("p_partkey", c),
+                *[col for col in part.columns if col != "p_partkey"],
+            )
+        )
         rot = c % dim
         if rot == 0:
             vec = F.col("embedding")
@@ -178,6 +212,8 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
         ("documents", union_all(d_parts)),
         ("embeddings", union_all(e_parts)),
         ("customer", union_all(c_parts)),
+        ("events", union_all(ev_parts)),
+        ("part", union_all(p_parts)),
     ):
         path = f"{out_dir}/{name}.parquet"
         frame.write.mode("overwrite").parquet(path)
