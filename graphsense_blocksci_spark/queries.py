@@ -5852,7 +5852,7 @@ def q188_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q174 seasonal profile. All sums are INTEGER via the n²-scaling
     trick: with S = Σx and n days, (n·x_t − S) is an integer, so the
     lag-k numerator Σ(n·x_t − S)(n·x_{t+k} − S) over day pairs (t,
-    t+k both present) and the denominator Σ(n·x_t − S)² are exact
+    t+k both present) and the denominator Σ(x_t − ⌊S/n⌋)² are exact
     int64 sums (order-independent) and the float ACF is one divide.
     One tiny daily aggregate, one broadcast self-join on day+lag —
     nothing here grows past |days| rows regardless of corpus size."""
@@ -5866,8 +5866,16 @@ def q188_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
     )
+    # centering on the FLOOR mean (x - s DIV n), not the n-scaled
+    # deviation n*x - s: the scaled form squares to ~(n*x)^2, which
+    # outgrows int64 once daily volume reaches ~1e9 rows; the floor-
+    # mean deviation stays fluctuation-sized, so its square sums are
+    # overflow-safe at any corpus the day grain can see
     d = daily.crossJoin(F.broadcast(stats)).select(
-        "day", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n", "s"
+        "day",
+        (F.col("x") - F.expr("CAST(s DIV n AS BIGINT)")).alias("c"),
+        "n",
+        "s",
     )
     lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
     left = d.crossJoin(F.broadcast(lags)).select(
@@ -9508,36 +9516,42 @@ def q241_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q242_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-concentration Herfindahl-Hirschman index per nation:
-    each customer's revenue share squared, summed — exactly
-    Σ r_i² / (Σ r_i)² with both sums int64 over revenue cents, so the
-    index is one integer-ratio divide (same no-float-sum discipline as
-    q237's Simpson). Flags nations where order revenue concentrates in
-    few customers. One orders aggregate, one broadcast nation join,
-    one per-nation reduce."""
+    """Market-concentration Herfindahl-Hirschman index per nation in
+    integer ppm points: each customer's revenue share floors to ppm
+    against the nation total, and HHI = Σ s_ppm² DIV 10^6. The ppm
+    formulation is the OVERFLOW-SAFE one — Σ s² ≤ (max s)·(Σ s) ≤
+    10¹² no matter how many customers or cents the corpus holds,
+    where the raw Σ r_i² int64 sum overflowed at sf0.1 (caught by the
+    timing appendix — the exact scale-bug class the ppm discipline
+    exists to prevent). Two nation-keyed aggregates with the totals
+    broadcast back; still no float sums anywhere."""
     o = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.sum(_cents("o_totalprice")).cast("long").alias("r")
     )
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
     )
-    per_cust = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        "nation", "r"
+    per_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("nation", "r")
+        .localCheckpoint(eager=False)
     )
-    agg = per_cust.groupBy("nation").agg(
+    tot = per_cust.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("r").cast("long").alias("sum_r"),
-        F.sum(F.col("r") * F.col("r")).cast("long").alias("sum_r2"),
     )
-    return agg.select(
+    shares = per_cust.join(F.broadcast(tot), "nation").select(
         "nation",
         "n_customers",
         "sum_r",
-        "sum_r2",
-        (
-            F.col("sum_r2").cast("double")
-            / (F.col("sum_r").cast("double") * F.col("sum_r").cast("double"))
-        ).alias("hhi"),
+        F.expr("CAST(1000000 * r DIV sum_r AS BIGINT)").alias("s_ppm"),
+    )
+    return shares.groupBy("nation").agg(
+        F.first("n_customers").alias("n_customers"),
+        F.first("sum_r").alias("sum_r"),
+        F.expr("CAST(sum(s_ppm * s_ppm) DIV 1000000 AS BIGINT)").alias(
+            "hhi_ppm"
+        ),
     )
 
 
@@ -10290,10 +10304,12 @@ def q258_split_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     basis points. Each row fans out to the (threshold, branch) grid
     (4 thresholds — a bounded map-side explode), one hash aggregate
     counts (threshold, branch, class), and the impurity algebra stays
-    integer: branch term = 10000*(n_b^2 - sum c^2) DIV n_b DIV n,
-    summed over branches (basis points, not ppm, so n_b^2 * 10^4
-    stays far inside int64 at any realistic fact-table size). The
-    output is candidates-sized; the consumer picks the min row."""
+    integer via ppm class shares: p_ppm = 10^6*c DIV n_b, branch
+    gini_bp = 10^4 - sum(p_ppm^2) DIV 10^8 — the share form is the
+    OVERFLOW-SAFE one (sum p^2 <= 10^12 regardless of row counts,
+    where n_b^2 arithmetic dies at ~1e9-row branches), the same
+    discipline as the q242 HHI. Weighted term = n_b*gini_bp DIV n.
+    The output is candidates-sized; the consumer picks the min row."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("qty"), "l_returnflag"
     )
@@ -10312,17 +10328,28 @@ def q258_split_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     branch = cls.groupBy("threshold", "is_left").agg(
-        F.sum("c").cast("long").alias("n_b"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
-    )
-    tot = branch.groupBy("threshold").agg(F.sum("n_b").cast("long").alias("n"))
-    terms = branch.join(tot, "threshold").select(
+        F.sum("c").cast("long").alias("n_b")
+    ).localCheckpoint(eager=False)
+    shares = cls.join(branch, ["threshold", "is_left"]).select(
         "threshold",
         "is_left",
         "n_b",
+        F.expr("CAST(1000000 * c DIV n_b AS BIGINT)").alias("p_ppm"),
+    )
+    gini_b = shares.groupBy("threshold", "is_left").agg(
+        F.first("n_b").alias("n_b"),
         F.expr(
-            "CAST(10000 * (n_b * n_b - sumsq) DIV n_b DIV n AS BIGINT)"
-        ).alias("term_bp"),
+            "CAST(10000 - sum(p_ppm * p_ppm) DIV 100000000 AS BIGINT)"
+        ).alias("gini_bp"),
+    )
+    tot = gini_b.groupBy("threshold").agg(
+        F.sum("n_b").cast("long").alias("n")
+    )
+    terms = gini_b.join(tot, "threshold").select(
+        "threshold",
+        "is_left",
+        "n_b",
+        F.expr("CAST(n_b * gini_bp DIV n AS BIGINT)").alias("term_bp"),
     )
     return (
         terms.groupBy("threshold")
@@ -15763,7 +15790,7 @@ stats AS (
     FROM daily
 ),
 d AS (
-    SELECT day, n * x - s AS c FROM daily, stats
+    SELECT day, x - s // n AS c FROM daily, stats
 ),
 lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
 pairs AS (
@@ -18311,17 +18338,22 @@ per_cust AS (
     SELECT CAST(c_nationkey AS BIGINT) AS nation, o.r
     FROM o JOIN customer ON o.o_custkey = c_custkey
 ),
-agg AS (
+tot AS (
     SELECT nation,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(r) AS BIGINT) AS sum_r,
-           CAST(sum(r * r) AS BIGINT) AS sum_r2
+           CAST(sum(r) AS BIGINT) AS sum_r
     FROM per_cust GROUP BY 1
+),
+shares AS (
+    SELECT p.nation, t.n_customers, t.sum_r,
+           CAST(1000000 * p.r // t.sum_r AS BIGINT) AS s_ppm
+    FROM per_cust p JOIN tot t ON p.nation = t.nation
 )
-SELECT nation, n_customers, sum_r, sum_r2,
-       CAST(sum_r2 AS DOUBLE)
-           / (CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE)) AS hhi
-FROM agg
+SELECT nation,
+       CAST(any_value(n_customers) AS BIGINT) AS n_customers,
+       CAST(any_value(sum_r) AS BIGINT) AS sum_r,
+       CAST(sum(s_ppm * s_ppm) // 1000000 AS BIGINT) AS hhi_ppm
+FROM shares GROUP BY 1
 """
 
 ORACLE_SQL["q243_benford_deviation"] = """
@@ -18774,19 +18806,29 @@ cls AS (
     FROM fanned GROUP BY 1, 2, 3
 ),
 branch AS (
-    SELECT threshold, is_left,
-           CAST(sum(c) AS BIGINT) AS n_b,
-           CAST(sum(c * c) AS BIGINT) AS sumsq
+    SELECT threshold, is_left, CAST(sum(c) AS BIGINT) AS n_b
     FROM cls GROUP BY 1, 2
 ),
+shares AS (
+    SELECT cls.threshold, cls.is_left, b.n_b,
+           CAST(1000000 * cls.c // b.n_b AS BIGINT) AS p_ppm
+    FROM cls JOIN branch b
+      ON cls.threshold = b.threshold AND cls.is_left = b.is_left
+),
+gini_b AS (
+    SELECT threshold, is_left,
+           CAST(any_value(n_b) AS BIGINT) AS n_b,
+           CAST(10000 - sum(p_ppm * p_ppm) // 100000000 AS BIGINT)
+               AS gini_bp
+    FROM shares GROUP BY 1, 2
+),
 tot AS (
-    SELECT threshold, CAST(sum(n_b) AS BIGINT) AS n FROM branch GROUP BY 1
+    SELECT threshold, CAST(sum(n_b) AS BIGINT) AS n FROM gini_b GROUP BY 1
 ),
 terms AS (
-    SELECT b.threshold, b.is_left, b.n_b,
-           CAST(10000 * (b.n_b * b.n_b - b.sumsq) // b.n_b // t.n
-                AS BIGINT) AS term_bp
-    FROM branch b JOIN tot t ON b.threshold = t.threshold
+    SELECT g.threshold, g.is_left, g.n_b,
+           CAST(g.n_b * g.gini_bp // t.n AS BIGINT) AS term_bp
+    FROM gini_b g JOIN tot t ON g.threshold = t.threshold
 )
 SELECT threshold,
        CAST(sum(CASE WHEN is_left THEN n_b ELSE 0 END) AS BIGINT)
