@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     "q261_pps_sample",
     "q262_kaplan_meier",
     "q263_k_anonymity",
+    "q264_ordered_string_agg",
+    "q265_mixing_manifest",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

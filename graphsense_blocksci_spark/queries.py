@@ -10756,6 +10756,95 @@ def q263_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q264_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation — the LISTAGG /
+    string_agg surface: per region, its nation names concatenated in
+    collation-free byte order. Spark composes it as
+    array_join(sort_array(collect_list(...))) — collect_list order is
+    partition-dependent, so the EXPLICIT sort is what makes the
+    result reproducible (and hash-comparable); the oracle's
+    string_agg(... ORDER BY) declares the same order. Dimension-sized
+    aggregate."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(
+            F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations_csv"),
+        )
+    )
+
+
+def q265_mixing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture manifest — the composition readout over the
+    round-7 sampling stack: per source, token mass drives an integer
+    PPS allocation of a 500-doc selection budget (a_s = 500·tok_s DIV
+    tok_total, the q261 arithmetic at source grain), the selection
+    itself is the deterministic md5-order top-a_s within each source
+    (retries and engines agree), and the manifest reports docs/tokens
+    before and after plus the 256-token bin count the q98 packer
+    would emit (ceil division). One token-count projection, one
+    source aggregate, one per-source rank window over the selection
+    order."""
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok_s"),
+    )
+    tot = per_src.agg(F.sum("tok_s").cast("long").alias("tok_total"))
+    alloc = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_s",
+        F.expr("CAST(500 * tok_s DIV tok_total AS BIGINT)").alias("a_s"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "doc_id", "n_tokens", F.row_number().over(w).alias("rk")
+    )
+    picked = (
+        ranked.join(F.broadcast(alloc.select("source", "a_s")), "source")
+        .filter(F.col("rk") <= F.col("a_s"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tok_selected"),
+        )
+    )
+    return (
+        alloc.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "tok_s",
+            "a_s",
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias(
+                "n_selected"
+            ),
+            F.coalesce("tok_selected", F.lit(0)).cast("long").alias(
+                "tok_selected"
+            ),
+            F.expr(
+                "CAST((coalesce(tok_selected, 0) + 255) DIV 256 AS BIGINT)"
+            ).alias("n_bins"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -10886,6 +10975,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd58_tagged_netflow": qd58_tagged_netflow,
     "q262_kaplan_meier": q262_kaplan_meier,
     "q263_k_anonymity": q263_k_anonymity,
+    "q264_ordered_string_agg": q264_ordered_string_agg,
+    "q265_mixing_manifest": q265_mixing_manifest,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -19084,4 +19175,52 @@ SELECT k,
        CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
            AS rows_at_risk
 FROM fanned GROUP BY 1
+"""
+
+ORACLE_SQL["q264_ordered_string_agg"] = """
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+ORACLE_SQL["q265_mixing_manifest"] = r"""
+WITH docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(len(list_filter(string_split(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_s
+    FROM docs GROUP BY 1
+),
+tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS tok_total FROM per_src),
+alloc AS (
+    SELECT source, n_docs, tok_s,
+           CAST(500 * tok_s // tok_total AS BIGINT) AS a_s
+    FROM per_src CROSS JOIN tot
+),
+ranked AS (
+    SELECT source, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM docs
+),
+picked AS (
+    SELECT r.source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(r.n_tokens) AS BIGINT) AS tok_selected
+    FROM ranked r JOIN alloc a ON r.source = a.source
+    WHERE r.rk <= a.a_s
+    GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.tok_s, a.a_s,
+       CAST(coalesce(p.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(coalesce(p.tok_selected, 0) AS BIGINT) AS tok_selected,
+       CAST((coalesce(p.tok_selected, 0) + 255) // 256 AS BIGINT) AS n_bins
+FROM alloc a LEFT JOIN picked p ON a.source = p.source
 """
