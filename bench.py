@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "q263_k_anonymity",
     "q264_ordered_string_agg",
     "q265_mixing_manifest",
+    "q266_referential_integrity",
+    "q267_seasonal_anomalies",
+    "q268_rollup_share",
     # entity-ledger family over the fixture chain (fixtures are
     # pre-staged once in warmup, so these time the analytic, not the
     # one-off fixture write) — VERDICT r4 item 7

@@ -10845,6 +10845,131 @@ def q265_mixing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q266_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the conformance pass that pairs
+    with q197's FK INFERENCE: for each declared relationship, the
+    child row count, orphan count (left_anti against the parent key
+    set) and orphan ppm. Each relationship is one anti-join on its
+    key — at scale the parent side is the smaller key projection and
+    broadcasts where it fits; the verdict frame is relationship-
+    sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+
+    def audit(child: DataFrame, ck: str, parent: DataFrame, pk: str,
+              rel: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias(ck)).distinct()
+        n = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orphans = child.join(keys, ck, "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        return n.crossJoin(orphans).select(
+            F.lit(rel).alias("relationship"),
+            "n_child",
+            "n_orphans",
+            F.expr("CAST(1000000 * n_orphans DIV n_child AS BIGINT)").alias(
+                "orphan_ppm"
+            ),
+        )
+
+    rels = [
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        audit(li, "l_partkey", p, "p_partkey", "lineitem->part"),
+        audit(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        audit(c, "c_nationkey", nat, "n_nationkey", "customer->nation"),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q267_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly flags — the composition the q254
+    decomposition exists for: a day is anomalous when its remainder
+    (revenue net of trend and weekly seasonal) exceeds 4x the median
+    absolute remainder. The MAD threshold uses the exact `percentile`
+    contract on the DOMAIN-bounded day frame and rides back as a
+    broadcast 1-row aggregate; remainders compare as |r|*10 >= 40*mad
+    in scaled integers (remainder is double but its integer-cents
+    core cents-trend is exact, so the comparison is done on
+    |cents - trend - round(seasonal)| — fully integer)."""
+    base = q254_seasonal_decomposition(spark, sf_dir).select(
+        "day",
+        "cents",
+        "trend",
+        F.expr(
+            "CAST(abs(cents - trend - CAST(round(seasonal_mean) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("abs_rem"),
+    ).localCheckpoint(eager=False)
+    mad = base.agg(
+        F.expr("CAST(floor(percentile(abs_rem, 0.5D)) AS BIGINT)").alias("mad")
+    )
+    return base.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "cents",
+        "trend",
+        "abs_rem",
+        "mad",
+        (F.col("abs_rem") >= 4 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+def q268_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent reporting over the region → nation hierarchy:
+    each nation's revenue as ppm of its region, each region's as ppm
+    of the grand total — the drill-down share readout built on ONE
+    ROLLUP pass (region, nation) instead of three scans; parent
+    totals join back from the rollup's own coarser rows. Exact
+    integer ppm everywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    cube = joined.rollup("r_name", "n_name").agg(
+        F.sum("cents").cast("long").alias("cents")
+    ).localCheckpoint(eager=False)
+    grand = cube.filter(
+        F.col("r_name").isNull() & F.col("n_name").isNull()
+    ).select(F.col("cents").alias("grand_cents"))
+    regions = cube.filter(
+        F.col("r_name").isNotNull() & F.col("n_name").isNull()
+    ).select("r_name", F.col("cents").alias("region_cents"))
+    nations = cube.filter(F.col("n_name").isNotNull()).select(
+        "r_name", "n_name", "cents"
+    )
+    return (
+        nations.join(F.broadcast(regions), "r_name")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "r_name",
+            "n_name",
+            "cents",
+            "region_cents",
+            "grand_cents",
+            F.expr("CAST(1000000 * cents DIV region_cents AS BIGINT)").alias(
+                "share_of_region_ppm"
+            ),
+            F.expr(
+                "CAST(1000000 * region_cents DIV grand_cents AS BIGINT)"
+            ).alias("region_share_ppm"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -10977,6 +11102,9 @@ QUERIES: dict[str, QueryFn] = {
     "q263_k_anonymity": q263_k_anonymity,
     "q264_ordered_string_agg": q264_ordered_string_agg,
     "q265_mixing_manifest": q265_mixing_manifest,
+    "q266_referential_integrity": q266_referential_integrity,
+    "q267_seasonal_anomalies": q267_seasonal_anomalies,
+    "q268_rollup_share": q268_rollup_share,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -19223,4 +19351,108 @@ SELECT a.source, a.n_docs, a.tok_s, a.a_s,
        CAST(coalesce(p.tok_selected, 0) AS BIGINT) AS tok_selected,
        CAST((coalesce(p.tok_selected, 0) + 255) // 256 AS BIGINT) AS n_bins
 FROM alloc a LEFT JOIN picked p ON a.source = p.source
+"""
+
+ORACLE_SQL["q266_referential_integrity"] = """
+WITH r1 AS (
+    SELECT 'lineitem->orders' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l_orderkey = o_orderkey
+),
+r2 AS (
+    SELECT 'lineitem->part',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE p_partkey IS NULL) AS BIGINT)
+    FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      ON l_partkey = p_partkey
+),
+r3 AS (
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o_custkey = c_custkey
+),
+r4 AS (
+    SELECT 'customer->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE n_nationkey IS NULL) AS BIGINT)
+    FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      ON c_nationkey = n_nationkey
+),
+u AS (
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+)
+SELECT relationship, n_child, n_orphans,
+       CAST(1000000 * n_orphans // n_child AS BIGINT) AS orphan_ppm
+FROM u
+"""
+
+ORACLE_SQL["q267_seasonal_anomalies"] = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+based AS (
+    SELECT day, cents,
+           CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS weekday,
+           CAST(sum(cents) OVER (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) //
+                count(*) OVER (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend
+    FROM daily
+),
+seasonal AS (
+    SELECT weekday,
+           CAST(sum(cents - trend) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS seasonal_mean
+    FROM based GROUP BY 1
+),
+rem AS (
+    SELECT CAST(b.day AS TIMESTAMP) AS day, b.cents, b.trend,
+           CAST(abs(b.cents - b.trend
+                - CAST(round(s.seasonal_mean) AS BIGINT)) AS BIGINT)
+               AS abs_rem
+    FROM based b JOIN seasonal s ON b.weekday = s.weekday
+),
+m AS (
+    SELECT CAST(floor(quantile_cont(abs_rem, 0.5)) AS BIGINT) AS mad FROM rem
+)
+SELECT day, cents, trend, abs_rem, mad,
+       abs_rem >= 4 * mad AS is_anomaly
+FROM rem CROSS JOIN m
+"""
+
+ORACLE_SQL["q268_rollup_share"] = """
+WITH j AS (
+    SELECT r_name, n_name,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+),
+nations AS (
+    SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS cents
+    FROM j GROUP BY 1, 2
+),
+regions AS (
+    SELECT r_name, CAST(sum(cents) AS BIGINT) AS region_cents
+    FROM nations GROUP BY 1
+),
+grand AS (
+    SELECT CAST(sum(region_cents) AS BIGINT) AS grand_cents FROM regions
+)
+SELECT n.r_name, n.n_name, n.cents, r.region_cents, g.grand_cents,
+       CAST(1000000 * n.cents // r.region_cents AS BIGINT)
+           AS share_of_region_ppm,
+       CAST(1000000 * r.region_cents // g.grand_cents AS BIGINT)
+           AS region_share_ppm
+FROM nations n JOIN regions r ON n.r_name = r.r_name CROSS JOIN grand g
 """
