@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "qd53_fee_percentiles",
     "qd56_hodl_waves",
     "qd58_tagged_netflow",
+    "qd59_multi_chain_summary",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -10970,6 +10970,57 @@ def q268_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd59_multi_chain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-keyspace (multi-currency) operation — the reference runs
+    one keyspace per chain (conf/btc.cfg, bch.cfg, ltc.cfg, zec.cfg;
+    create_keyspace.py:55-70 bootstraps each) and analysts union
+    across them. Here the second chain derives deterministically from
+    the fixture (ltc: block cadence 4x faster, values 4x smaller —
+    the parameter differences the per-chain configs encode; the LTC
+    tx-version patch is dispositioned in SURVEY §2), each chain
+    keeps its own frame, and the cross-chain readout is one
+    unionByName + per-chain aggregate — the plan shape a real
+    multi-keyspace deployment produces, with chain as the partition
+    column so per-chain scans prune."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    base = raw_txs.select(
+        "tx_id",
+        "block_id",
+        F.col("timestamp").cast("long").alias("ts"),
+        F.expr(
+            "CAST(aggregate(outputs, 0L, (a, o) -> a + o.value) AS BIGINT)"
+        ).alias("out_value"),
+        "coinbase",
+    )
+    chains = []
+    for chain, t_div, v_div in (("btc", 1, 1), ("ltc", 4, 4)):
+        chains.append(
+            base.select(
+                F.lit(chain).alias("chain"),
+                "tx_id",
+                "block_id",
+                F.expr(f"CAST(ts DIV {t_div} AS BIGINT)").alias("ts"),
+                F.expr(f"CAST(out_value DIV {v_div} AS BIGINT)").alias(
+                    "out_value"
+                ),
+                "coinbase",
+            )
+        )
+    multi = chains[0].unionByName(chains[1])
+    return (
+        multi.groupBy("chain")
+        .agg(
+            F.countDistinct("block_id").cast("long").alias("n_blocks"),
+            F.count(F.lit(1)).cast("long").alias("n_txs"),
+            F.sum("out_value").cast("long").alias("total_out_value"),
+            F.sum(F.when(F.col("coinbase"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_coinbase"),
+            (F.max("ts") - F.min("ts")).cast("long").alias("span_s"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11105,6 +11156,7 @@ QUERIES: dict[str, QueryFn] = {
     "q266_referential_integrity": q266_referential_integrity,
     "q267_seasonal_anomalies": q267_seasonal_anomalies,
     "q268_rollup_share": q268_rollup_share,
+    "qd59_multi_chain_summary": qd59_multi_chain_summary,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -19455,4 +19507,31 @@ SELECT n.r_name, n.n_name, n.cents, r.region_cents, g.grand_cents,
        CAST(1000000 * r.region_cents // g.grand_cents AS BIGINT)
            AS region_share_ppm
 FROM nations n JOIN regions r ON n.r_name = r.r_name CROSS JOIN grand g
+"""
+
+ORACLE_SQL["qd59_multi_chain_summary"] = f"""
+WITH base AS (
+    SELECT tx_id, block_id, CAST(timestamp AS BIGINT) AS ts,
+           CAST(coalesce(list_sum(list_transform(outputs, o -> o.value)), 0)
+                AS BIGINT) AS out_value,
+           coinbase
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+chains AS (
+    SELECT c.chain, tx_id, block_id,
+           CAST(ts // c.t_div AS BIGINT) AS ts,
+           CAST(out_value // c.v_div AS BIGINT) AS out_value,
+           coinbase
+    FROM base
+    CROSS JOIN (SELECT * FROM (VALUES ('btc', 1, 1), ('ltc', 4, 4))
+                t(chain, t_div, v_div)) c
+)
+SELECT chain,
+       CAST(count(DISTINCT block_id) AS BIGINT) AS n_blocks,
+       CAST(count(*) AS BIGINT) AS n_txs,
+       CAST(sum(out_value) AS BIGINT) AS total_out_value,
+       CAST(sum(CASE WHEN coinbase THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_coinbase,
+       CAST(max(ts) - min(ts) AS BIGINT) AS span_s
+FROM chains GROUP BY 1
 """
