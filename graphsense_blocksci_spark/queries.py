@@ -11039,17 +11039,19 @@ def qd59_multi_chain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-8 ROTATION (do this first next round): move the remaining
 # never-driver-green backlog (the section below the window) into
-# positions 2-50 — the round-7 additions FIRST (q228-q263 and
-# qd52-qd58: PR curve, UNPIVOT, Spearman, NDCG, RA link prediction,
+# positions 2-50 — the round-7 additions FIRST (q228-q268 and
+# qd52-qd59: PR curve, UNPIVOT, Spearman, NDCG, RA link prediction,
 # CUSUM, kappa, Kendall tau, path-doubling closure, Simpson, n-gram
 # novelty, weighted median, TF-IDF keywords, burstiness, HHI, Benford,
 # group mode, Lorenz, RFM, life table, readability, market basket,
 # cumulative distinct, PIVOT, log2 sketch, bitmap retention, seasonal
 # decomposition, runtime-filter join, drawdown, FD discovery, split
 # scoring, quantile normalization, linear interpolation, PPS sample,
-# Kaplan-Meier, k-anonymity, change heuristics, fee percentiles,
-# streaming changepoint/log2-histogram/bitmap-DAU, HODL waves, tagged
-# netflow), then q177/q178 (the last oracled wave entries), then the
+# Kaplan-Meier, k-anonymity, string_agg, mixing manifest, referential
+# integrity, seasonal anomalies, rollup shares, change heuristics,
+# fee percentiles, streaming changepoint/log2-histogram/bitmap-DAU,
+# HODL waves, tagged netflow, multi-chain summary), then q177/q178
+# (the last oracled wave entries), then the
 # rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
 # the weaker rows-only check), then the q37-q97 long tail.
 QUERIES: dict[str, QueryFn] = {
