@@ -11021,6 +11021,234 @@ def qd59_multi_chain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q269_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change log — the
+    warehouse-side twin of A22's last-write-wins upsert (reference
+    sink semantics at scripts/blocksci_export.py:113-149 keep only
+    the last write; SCD2 keeps the full validity history instead).
+    Per user, the event stream collapses into attribute VERSIONS (a
+    new version only when event_type actually changes), each carrying
+    its validity interval [valid_from, valid_to) and an is_current
+    flag. One user-keyed window pass detects changes; a second
+    numbers the survivors and chains valid_to = next valid_from. At
+    scale both windows reuse the same (user_id) shuffle and the
+    change filter drops the dominant no-change mass before the
+    second pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return changed.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q270_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user reaches
+    step k only with a step-k event STRICTLY AFTER their step-(k-1)
+    entry time — the min-per-type shortcut would overcount
+    out-of-order users. Three user-keyed conditional-min aggregates
+    chain the entry times (each intermediate pinned because it feeds
+    both the next stage and its own count); the four stage counts
+    ride as broadcast 1-row aggregates stacked into the report, so
+    there is no driver action anywhere. Exact integer ppm conversion
+    per stage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n0 = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n0")
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    wide = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+    )
+    return wide.select(
+        F.expr(
+            "stack(4,"
+            " CAST(0 AS BIGINT), 'all_users', n0, n0,"
+            " CAST(1 AS BIGINT), 'view', n1, n0,"
+            " CAST(2 AS BIGINT), 'click', n2, n1,"
+            " CAST(3 AS BIGINT), 'purchase', n3, n2)"
+            " AS (step, step_name, n_users, n_prev)"
+        )
+    ).select(
+        "step",
+        "step_name",
+        "n_users",
+        "n_prev",
+        F.expr(
+            "CASE WHEN n_prev = 0 THEN NULL"
+            " ELSE CAST(1000000 * n_users DIV n_prev AS BIGINT) END"
+        ).alias("conversion_ppm"),
+    )
+
+
+def q271_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency — the overlap analytic Spark
+    has no operator for: each lineitem is OPEN from its order date
+    through its ship date (inclusive); the peak number of
+    simultaneously open lines per year falls out of a +1/−1 delta
+    stream, a day-level pre-aggregate, and ONE prefix-sum window.
+    The global-order window is safe at any scale because the
+    pre-aggregate bounds it to the day domain (~2.5k rows for the
+    7-year span), never the lineitem count; the peak-day readback
+    joins against the year-level maxima as a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_day")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_day")
+    )
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "open_day", F.date_add("ship_day", 1).alias("close_day")
+    )
+    deltas = (
+        iv.select(F.col("open_day").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(F.col("close_day").alias("day"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    conc = deltas.select(
+        "day", F.sum("delta").over(w).cast("long").alias("open_lines")
+    ).localCheckpoint(eager=False)
+    peaks = conc.groupBy(F.year("day").cast("long").alias("year")).agg(
+        F.max("open_lines").alias("peak_open")
+    )
+    return (
+        conc.select(
+            F.year("day").cast("long").alias("year"), "day", "open_lines"
+        )
+        .join(F.broadcast(peaks), "year")
+        .filter(F.col("open_lines") == F.col("peak_open"))
+        .groupBy("year", "peak_open")
+        .agg(F.min("day").cast("timestamp").alias("peak_day"))
+    )
+
+
+def q272_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user. The island key is day_number − row_number (constant within
+    a consecutive run) — one user-keyed window plus two aggregates,
+    no self-join, no recursion. Equal-length streaks resolve to the
+    earliest start for determinism. At scale everything shuffles
+    once on user_id; the distinct day projection bounds the window
+    input to (users × active days)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start_day"),
+    ).localCheckpoint(eager=False)
+    best = streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+    )
+    first_best = (
+        streaks.join(
+            best.select("user_id", F.col("longest_streak").alias("len")),
+            ["user_id", "len"],
+        )
+        .groupBy("user_id")
+        .agg(F.min("start_day").cast("timestamp").alias("streak_start"))
+    )
+    return best.join(first_best, "user_id")
+
+
+def q273_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: the op-log variant of q200's MERGE
+    and A22's last-write-wins upsert. Each lineitem row is an op on
+    its order key (seq = line number); a deterministic md5 coin marks
+    ~1/7 of ops as deletes. The survivor per key is row_number()=1
+    over (seq DESC) — one key-keyed window, no driver state — and
+    the report aggregates the applied table by final op. At scale
+    this is the standard log-compaction shuffle on the uniform
+    order key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+        _cents("l_extendedprice").alias("payload_cents"),
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat("
+            "CAST(l_orderkey AS STRING), ':',"
+            " CAST(l_linenumber AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+            " % 7 = 0 THEN 'D' ELSE 'U' END"
+        ).alias("op"),
+    )
+    # (key, seq) is NOT unique in the synthetic data — the order
+    # must total-order every output-relevant column so the survivor's
+    # VALUES are deterministic even when whole rows tie.
+    w = Window.partitionBy("key").orderBy(
+        F.col("seq").desc(), F.col("payload_cents").desc(), F.col("op").desc()
+    )
+    last = li.select(
+        "key",
+        "seq",
+        "payload_cents",
+        "op",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return last.groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("payload_cents").cast("long").alias("sum_payload_cents"),
+        F.sum("key").cast("long").alias("sum_keys"),
+        F.max("seq").cast("long").alias("max_seq"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11159,6 +11387,11 @@ QUERIES: dict[str, QueryFn] = {
     "q267_seasonal_anomalies": q267_seasonal_anomalies,
     "q268_rollup_share": q268_rollup_share,
     "qd59_multi_chain_summary": qd59_multi_chain_summary,
+    "q269_scd2_dimension": q269_scd2_dimension,
+    "q270_funnel_conversion": q270_funnel_conversion,
+    "q271_max_concurrency": q271_max_concurrency,
+    "q272_activity_streaks": q272_activity_streaks,
+    "q273_cdc_apply": q273_cdc_apply,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -19536,4 +19769,143 @@ SELECT chain,
            AS n_coinbase,
        CAST(max(ts) - min(ts) AS BIGINT) AS span_s
 FROM chains GROUP BY 1
+"""
+
+ORACLE_SQL["q269_scd2_dimension"] = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+changed AS (
+    SELECT * FROM ordered
+    WHERE prev_type IS NULL OR prev_type != event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["q270_funnel_conversion"] = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+counts AS (
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS n0,
+           (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+),
+stacked AS (
+    SELECT CAST(0 AS BIGINT) AS step, 'all_users' AS step_name,
+           n0 AS n_users, n0 AS n_prev FROM counts
+    UNION ALL SELECT 1, 'view', n1, n0 FROM counts
+    UNION ALL SELECT 2, 'click', n2, n1 FROM counts
+    UNION ALL SELECT 3, 'purchase', n3, n2 FROM counts
+)
+SELECT step, step_name, n_users, n_prev,
+       CASE WHEN n_prev = 0 THEN NULL
+            ELSE CAST(1000000 * n_users // n_prev AS BIGINT)
+       END AS conversion_ppm
+FROM stacked
+"""
+
+ORACLE_SQL["q271_max_concurrency"] = """
+WITH iv AS (
+    SELECT CAST(o_orderdate AS DATE) AS open_day,
+           CAST(l_shipdate AS DATE) + 1 AS close_day
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deltas AS (
+    SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT open_day AS day, 1 AS d FROM iv
+        UNION ALL SELECT close_day, -1 FROM iv
+    ) GROUP BY 1
+),
+conc AS (
+    SELECT day,
+           CAST(sum(delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_lines
+    FROM deltas
+),
+peaks AS (
+    SELECT CAST(year(day) AS BIGINT) AS year,
+           max(open_lines) AS peak_open
+    FROM conc GROUP BY 1
+)
+SELECT p.year, p.peak_open,
+       CAST(min(c.day) AS TIMESTAMP) AS peak_day
+FROM conc c JOIN peaks p
+  ON CAST(year(c.day) AS BIGINT) = p.year AND c.open_lines = p.peak_open
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q272_activity_streaks"] = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+    SELECT user_id, day,
+           CAST(day - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+           min(day) AS start_day
+    FROM isl GROUP BY 1, 2
+),
+best AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY 1
+)
+SELECT b.user_id, b.n_streaks, b.n_active_days, b.longest_streak,
+       CAST(min(s.start_day) AS TIMESTAMP) AS streak_start
+FROM best b JOIN streaks s
+  ON b.user_id = s.user_id AND s.len = b.longest_streak
+GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE_SQL["q273_cdc_apply"] = """
+WITH ops AS (
+    SELECT l_orderkey AS key,
+           CAST(l_linenumber AS BIGINT) AS seq,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS payload_cents,
+           CASE WHEN ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                || ':' || CAST(l_linenumber AS VARCHAR)), 1, 7))::BIGINT
+                % 7 = 0
+                THEN 'D' ELSE 'U' END AS op
+    FROM lineitem
+),
+last AS (
+    SELECT *, row_number() OVER (PARTITION BY key
+        ORDER BY seq DESC, payload_cents DESC, op DESC) AS rn
+    FROM ops
+)
+SELECT op, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(payload_cents) AS BIGINT) AS sum_payload_cents,
+       CAST(sum(key) AS BIGINT) AS sum_keys,
+       CAST(max(seq) AS BIGINT) AS max_seq
+FROM last WHERE rn = 1 GROUP BY 1
 """

@@ -1,0 +1,109 @@
+"""Structural-invariant tests for the SCD2/funnel/sweep-line/streak/
+CDC wave: properties that must hold regardless of data, checked on
+sf0.001 against the Spark implementations directly."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_versions_chain(spark):
+    """Versions are contiguous per user, intervals chain exactly
+    (valid_to == next valid_from), exactly one current row per user,
+    and consecutive versions never repeat the same attribute value."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q269_scd2_dimension"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], user
+            assert a["event_type"] != b["event_type"], user
+
+
+def test_funnel_monotone(spark):
+    """Stage populations can only shrink: n0 >= n1 >= n2 >= n3, and
+    every conversion_ppm is in [0, 1e6]."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = {
+        r["step"]: r
+        for r in QUERIES["q270_funnel_conversion"](spark, SF).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    ns = [rows[k]["n_users"] for k in (0, 1, 2, 3)]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows.values():
+        assert 0 <= r["conversion_ppm"] <= 1_000_000
+
+
+def test_max_concurrency_bounds(spark):
+    """The yearly peak is positive, never exceeds the total number of
+    lineitems, and the peak day falls inside its year."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    n_li = load_table(spark, SF, "lineitem").count()
+    rows = QUERIES["q271_max_concurrency"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["peak_open"] <= n_li
+        assert r["peak_day"].year == r["year"]
+
+
+def test_streaks_python_reference(spark):
+    """Longest streak per user equals a pure-Python islands replay
+    over the same distinct (user, day) set."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    days = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in days:
+        by_user.setdefault(r["user_id"], []).append(r["day"])
+    expect = {}
+    for user, ds in by_user.items():
+        ds.sort()
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            best = max(best, cur)
+        expect[user] = (len(ds), best)
+    got = QUERIES["q272_activity_streaks"](spark, SF).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n_days, longest = expect[r["user_id"]]
+        assert r["n_active_days"] == n_days
+        assert r["longest_streak"] == longest
+        assert r["n_streaks"] >= 1
+
+
+def test_cdc_apply_partition(spark):
+    """The applied table partitions the key space: n_keys summed over
+    final ops equals the number of distinct order keys."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    n_keys = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["q273_cdc_apply"](spark, SF).collect()
+    assert {r["op"] for r in rows} <= {"U", "D"}
+    assert sum(r["n_keys"] for r in rows) == n_keys
