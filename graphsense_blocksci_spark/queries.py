@@ -11249,6 +11249,193 @@ def q273_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q274_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand index between two document clusterings (language
+    vs 64-char length bucket) by exact pair counting: ONE contingency
+    aggregate feeds the cell/row/column comb2 sums; the ARI closed
+    form evaluates on broadcast 1-row frames in DECIMAL(38,0) so the
+    pair-count products cannot overflow int64 at any corpus size
+    (DuckDB mirrors with HUGEINT). Output is exact integer ppm
+    (truncation toward zero matches across engines, negatives
+    included). No pair materialization anywhere — the contingency
+    table is (|A| x |B|)-bounded."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.expr("CAST(n_chars DIV 64 AS BIGINT)").alias("bucket")
+    )
+    cont = docs.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=False)
+    i_pairs = cont.agg(
+        F.sum(F.expr("cnt * (cnt - 1) DIV 2")).cast("long").alias("i_pairs")
+    )
+    sa = (
+        cont.groupBy("lang")
+        .agg(F.sum("cnt").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).cast("long").alias("sa"))
+    )
+    sb = (
+        cont.groupBy("bucket")
+        .agg(F.sum("cnt").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) DIV 2")).cast("long").alias("sb"))
+    )
+    n = cont.agg(F.sum("cnt").cast("long").alias("n_items"))
+    wide = (
+        n.crossJoin(F.broadcast(i_pairs))
+        .crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+    )
+    return wide.select(
+        "n_items",
+        F.expr("CAST(n_items * (n_items - 1) DIV 2 AS BIGINT)").alias(
+            "n_pairs"
+        ),
+        "i_pairs",
+        "sa",
+        "sb",
+        F.expr(
+            "CASE WHEN CAST(n_items * (n_items - 1) DIV 2 AS DECIMAL(38,0))"
+            " * (sa + sb) - 2 * CAST(sa AS DECIMAL(38,0)) * sb = 0"
+            " THEN NULL ELSE CAST("
+            " (2000000 * (CAST(i_pairs AS DECIMAL(38,0))"
+            "   * (n_items * (n_items - 1) DIV 2)"
+            "   - CAST(sa AS DECIMAL(38,0)) * sb))"
+            " DIV (CAST(n_items * (n_items - 1) DIV 2 AS DECIMAL(38,0))"
+            "   * (sa + sb) - 2 * CAST(sa AS DECIMAL(38,0)) * sb)"
+            " AS BIGINT) END"
+        ).alias("ari_ppm"),
+    )
+
+
+def q275_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage scoring (the Fellegi-Sunter shape):
+    candidate customer pairs come ONLY from (nation, segment) blocks
+    — never an all-pairs cross join — and each pair scores the sum of
+    fixed integer log-likelihood agreement weights over two compared
+    fields (a $1000 balance bucket and a mod-97 synthetic identifier).
+    Top-100 by (score DESC, key_a, key_b) is a TakeOrdered, not a
+    global sort. At 100 TB the block self-join is the standard
+    bounded-block pattern; a skewed block would take the q28 salting
+    treatment."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000"
+            " AS BIGINT)"
+        ).alias("bal_bucket"),
+        F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("synth_id"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("bal_bucket").alias("bal_a"),
+        F.col("synth_id").alias("syn_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("bal_bucket").alias("bal_b"),
+        F.col("synth_id").alias("syn_b"),
+    )
+    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    scored = pairs.select(
+        "key_a",
+        "key_b",
+        (F.col("bal_a") == F.col("bal_b")).alias("agree_bal"),
+        (F.col("syn_a") == F.col("syn_b")).alias("agree_syn"),
+        (
+            F.when(F.col("bal_a") == F.col("bal_b"), F.lit(24)).otherwise(
+                F.lit(-8)
+            )
+            + F.when(F.col("syn_a") == F.col("syn_b"), F.lit(18)).otherwise(
+                F.lit(-6)
+            )
+        ).cast("long").alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), "key_a", "key_b"
+    ).limit(100)
+
+
+def q276_vwap_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC + volume-weighted average price bars per event type:
+    open/close via first_value/last_value over the full (day, symbol)
+    frame ordered by the unique (ts, event_id) key, high/low/volume/
+    VWAP from the same grouped pass. VWAP is exact integer cents
+    (sum(price*vol) DIV sum(vol)). One shuffle on (day, symbol) serves
+    both the window and the aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("CAST(event_id % 7 + 1 AS BIGINT)").alias("vol"),
+    )
+    w = (
+        Window.partitionBy("day", "symbol")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    enriched = ev.select(
+        "day",
+        "symbol",
+        "cents",
+        "vol",
+        F.first("cents").over(w).alias("open_c"),
+        F.last("cents").over(w).alias("close_c"),
+    )
+    return enriched.groupBy(
+        F.col("day").cast("timestamp").alias("day"), "symbol"
+    ).agg(
+        F.max("open_c").cast("long").alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max("close_c").cast("long").alias("close_cents"),
+        F.sum("vol").cast("long").alias("volume"),
+        F.expr(
+            "CAST(sum(cents * vol) DIV sum(vol) AS BIGINT)"
+        ).alias("vwap_cents"),
+    )
+
+
+def q277_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over positional posting lists — the retrieval
+    primitive BM25 (q107) cannot answer: find every document where
+    'hash' is IMMEDIATELY followed by 'join'. Tokens posexplode once
+    with 1-based positions; the two term filters prune the posting
+    join inputs to the query terms before the (doc, pos+1) equi-join,
+    so the cost is posting-list-sized, never corpus-sized. Counts
+    include overlapping occurrences by construction."""
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens("text").alias("toks"),
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok"
+    )
+    t1 = tok.filter(F.col("tok") == "hash").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = tok.filter(F.col("tok") == "join").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    m = t1.join(t2, "doc_id").filter(F.col("p2") == F.col("p1") + 1)
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p1").cast("long").alias("first_pos"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11392,6 +11579,10 @@ QUERIES: dict[str, QueryFn] = {
     "q271_max_concurrency": q271_max_concurrency,
     "q272_activity_streaks": q272_activity_streaks,
     "q273_cdc_apply": q273_cdc_apply,
+    "q274_adjusted_rand": q274_adjusted_rand,
+    "q275_record_linkage": q275_record_linkage,
+    "q276_vwap_ohlc": q276_vwap_ohlc,
+    "q277_phrase_search": q277_phrase_search,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -19908,4 +20099,110 @@ SELECT op, CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(key) AS BIGINT) AS sum_keys,
        CAST(max(seq) AS BIGINT) AS max_seq
 FROM last WHERE rn = 1 GROUP BY 1
+"""
+
+ORACLE_SQL["q274_adjusted_rand"] = """
+WITH cont AS (
+    SELECT lang, CAST(n_chars // 64 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY 1, 2
+),
+sums AS (
+    SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM cont) AS n_items,
+           (SELECT CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) FROM cont)
+               AS i_pairs,
+           (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM (
+                SELECT sum(cnt) AS c FROM cont GROUP BY lang)) AS sa,
+           (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) FROM (
+                SELECT sum(cnt) AS c FROM cont GROUP BY bucket)) AS sb
+)
+SELECT n_items,
+       CAST(n_items * (n_items - 1) // 2 AS BIGINT) AS n_pairs,
+       i_pairs, sa, sb,
+       CASE WHEN CAST(n_items * (n_items - 1) // 2 AS HUGEINT) * (sa + sb)
+                 - 2 * CAST(sa AS HUGEINT) * sb = 0
+            THEN NULL
+            ELSE CAST(
+                (2000000 * (CAST(i_pairs AS HUGEINT)
+                    * (n_items * (n_items - 1) // 2)
+                    - CAST(sa AS HUGEINT) * sb))
+                // (CAST(n_items * (n_items - 1) // 2 AS HUGEINT)
+                    * (sa + sb) - 2 * CAST(sa AS HUGEINT) * sb)
+                AS BIGINT)
+       END AS ari_ppm
+FROM sums
+"""
+
+ORACLE_SQL["q275_record_linkage"] = """
+WITH c AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS BIGINT)
+               AS bal_bucket,
+           CAST(c_custkey % 97 AS BIGINT) AS synth_id
+    FROM customer
+),
+pairs AS (
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.bal_bucket = b.bal_bucket AS agree_bal,
+           a.synth_id = b.synth_id AS agree_syn
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+),
+scored AS (
+    SELECT key_a, key_b, agree_bal, agree_syn,
+           CAST((CASE WHEN agree_bal THEN 24 ELSE -8 END)
+              + (CASE WHEN agree_syn THEN 18 ELSE -6 END) AS BIGINT)
+               AS score
+    FROM pairs
+)
+SELECT * FROM scored ORDER BY score DESC, key_a, key_b LIMIT 100
+"""
+
+ORACLE_SQL["q276_vwap_ohlc"] = """
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, event_type AS symbol, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(event_id % 7 + 1 AS BIGINT) AS vol
+    FROM events
+),
+enriched AS (
+    SELECT day, symbol, cents, vol,
+           first_value(cents) OVER w AS open_c,
+           last_value(cents) OVER w AS close_c
+    FROM ev
+    WINDOW w AS (PARTITION BY day, symbol ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(day AS TIMESTAMP) AS day, symbol,
+       CAST(max(open_c) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(close_c) AS BIGINT) AS close_cents,
+       CAST(sum(vol) AS BIGINT) AS volume,
+       CAST(sum(cents * vol) // sum(vol) AS BIGINT) AS vwap_cents
+FROM enriched GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q277_phrase_search"] = r"""
+WITH docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           list_filter(string_split(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x != '') AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) -> {'tok': x, 'pos': i})) AS u
+    FROM docs
+)
+SELECT t1.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(t1.u.pos) AS BIGINT) AS first_pos
+FROM tok t1 JOIN tok t2
+  ON t1.doc_id = t2.doc_id AND t2.u.pos = t1.u.pos + 1
+WHERE t1.u.tok = 'hash' AND t2.u.tok = 'join'
+GROUP BY 1
 """

