@@ -11436,6 +11436,81 @@ def q277_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd60_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the q276 OHLC/VWAP bars: events staged as
+    TWO files consumed one per trigger (split by event-id parity, so
+    each micro-batch interleaves event time and exercises the
+    order-independent merge), each (day, symbol) bar folding in the
+    state store (streaming/bars.py) with arg-min/arg-max opens/closes
+    and summed volume. The freshest cumulative snapshot per bar
+    (max_by on the strictly-growing n_seen) must equal the batch bar
+    EXACTLY — the oracle is the same SQL as q276."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.bars import ohlc_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.col("event_type").alias("symbol"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("CAST(event_id % 7 + 1 AS BIGINT)").alias("vol"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_sohlc_")
+    cols = ["day", "symbol", "ts_micros", "event_id", "cents", "vol"]
+    ev.filter(F.col("event_id") % 2 == 0).select(*cols).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{work}/src")
+    ev.filter(F.col("event_id") % 2 == 1).select(*cols).coalesce(
+        1
+    ).write.mode("append").parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema(
+            "day long, symbol string, ts_micros long, event_id long,"
+            " cents long, vol long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/src")
+    )
+    q = (
+        ohlc_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.schema(
+        "day long, symbol string, n_seen long, open_c long, high_c long,"
+        " low_c long, close_c long, vol long, pv long"
+    ).parquet(f"{work}/out")
+    final = snaps.groupBy("day", "symbol").agg(
+        F.expr("max_by(open_c, n_seen)").alias("open_cents"),
+        F.expr("max_by(high_c, n_seen)").alias("high_cents"),
+        F.expr("max_by(low_c, n_seen)").alias("low_cents"),
+        F.expr("max_by(close_c, n_seen)").alias("close_cents"),
+        F.expr("max_by(vol, n_seen)").alias("volume"),
+        F.expr("max_by(pv, n_seen)").alias("pv"),
+    )
+    return final.select(
+        F.expr(
+            "CAST(date_add(DATE '1970-01-01', CAST(day AS INT))"
+            " AS TIMESTAMP)"
+        ).alias("day"),
+        "symbol",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "volume",
+        F.expr("CAST(pv DIV volume AS BIGINT)").alias("vwap_cents"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11583,6 +11658,7 @@ QUERIES: dict[str, QueryFn] = {
     "q275_record_linkage": q275_record_linkage,
     "q276_vwap_ohlc": q276_vwap_ohlc,
     "q277_phrase_search": q277_phrase_search,
+    "qd60_streaming_ohlc": qd60_streaming_ohlc,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -20206,3 +20282,6 @@ FROM tok t1 JOIN tok t2
 WHERE t1.u.tok = 'hash' AND t2.u.tok = 'join'
 GROUP BY 1
 """
+
+# The streaming twin must converge to the batch bars exactly.
+ORACLE_SQL["qd60_streaming_ohlc"] = ORACLE_SQL["q276_vwap_ohlc"]

@@ -205,3 +205,26 @@ def test_phrase_search_python_reference(spark):
         for r in QUERIES["q277_phrase_search"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_streaming_ohlc_equals_batch(spark):
+    """The qd60 streaming fold must reproduce the q276 batch bars
+    cell-exactly (order-independent state merge across two
+    event-id-parity micro-batches)."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    batch = {
+        (r["day"], r["symbol"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["volume"], r["vwap_cents"],
+        )
+        for r in QUERIES["q276_vwap_ohlc"](spark, SF).collect()
+    }
+    stream = {
+        (r["day"], r["symbol"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["volume"], r["vwap_cents"],
+        )
+        for r in QUERIES["qd60_streaming_ohlc"](spark, SF).collect()
+    }
+    assert stream == batch
