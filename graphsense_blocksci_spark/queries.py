@@ -11511,6 +11511,123 @@ def qd60_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q278_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — the revenue companion to
+    q128's retention counts: customers cohort by FIRST order month,
+    every later order lands at an integer month age (12*year+month
+    index arithmetic, no float months_between), and each (cohort,
+    age) cell reports active customers, period revenue, and the
+    running cumulative LTV via a cohort-partitioned prefix window.
+    Two shuffles (first-order aggregate, triangle aggregate); the
+    window runs over the bounded cohort x age grid."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("midx"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort_midx"))
+    tri = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_midx",
+            (F.col("midx") - F.col("cohort_midx")).alias("age_months"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_midx")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tri.select(
+        F.expr(
+            "CAST(make_date(CAST(cohort_midx DIV 12 AS INT),"
+            " CAST(cohort_midx % 12 + 1 AS INT), 1) AS TIMESTAMP)"
+        ).alias("cohort_month"),
+        "age_months",
+        "n_active",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+def q279_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining one order up from q164's bigram
+    transitions: per-user event-type TRIGRAMS from two stacked leads
+    over the unique (ts, event_id) order — an offset window, never a
+    positional self-join — then a global count and a deterministic
+    top-10 TakeOrdered on (count DESC, trigram)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.orderBy(F.col("n").desc(), "t1", "t2", "t3").limit(10)
+
+
+def q280_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation — the staleness
+    fill q260's linear interpolation deliberately is not: the daily
+    revenue series per nation densifies onto the shared order-day
+    spine (distinct days x 25 nations, a broadcast cross join of two
+    bounded key sets), missing cells fill with the latest preceding
+    observation (last(ignorenulls) prefix window), and every row
+    reports its staleness age in days. NULL before the first
+    observation stays NULL — LOCF never invents data."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    ).localCheckpoint(eager=False)
+    spine = (
+        daily.select("day")
+        .distinct()
+        .crossJoin(F.broadcast(nat.select("n_name")))
+    )
+    dense = spine.join(daily, ["n_name", "day"], "left")
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "n_name",
+        F.col("day").cast("timestamp").alias("day"),
+        "cents",
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.datediff(
+            "day",
+            F.last(
+                F.when(F.col("cents").isNotNull(), F.col("day")), True
+            ).over(w),
+        ).cast("long").alias("staleness_days"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11659,6 +11776,9 @@ QUERIES: dict[str, QueryFn] = {
     "q276_vwap_ohlc": q276_vwap_ohlc,
     "q277_phrase_search": q277_phrase_search,
     "qd60_streaming_ohlc": qd60_streaming_ohlc,
+    "q278_cohort_ltv": q278_cohort_ltv,
+    "q279_event_trigrams": q279_event_trigrams,
+    "q280_locf_imputation": q280_locf_imputation,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -20285,3 +20405,77 @@ GROUP BY 1
 
 # The streaming twin must converge to the batch bars exactly.
 ORACLE_SQL["qd60_streaming_ohlc"] = ORACLE_SQL["q276_vwap_ohlc"]
+
+ORACLE_SQL["q278_cohort_ltv"] = """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS midx,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+first AS (
+    SELECT o_custkey, min(midx) AS cohort_midx FROM o GROUP BY 1
+),
+tri AS (
+    SELECT f.cohort_midx,
+           CAST(o.midx - f.cohort_midx AS BIGINT) AS age_months,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(sum(o.cents) AS BIGINT) AS cents
+    FROM o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+)
+SELECT CAST(make_date(CAST(cohort_midx // 12 AS INT),
+            CAST(cohort_midx % 12 + 1 AS INT), 1) AS TIMESTAMP)
+           AS cohort_month,
+       age_months, n_active, cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort_midx ORDER BY age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+FROM tri
+"""
+
+ORACLE_SQL["q279_event_trigrams"] = """
+WITH tri AS (
+    SELECT event_type AS t1,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+SELECT * FROM counts ORDER BY n DESC, t1, t2, t3 LIMIT 10
+"""
+
+ORACLE_SQL["q280_locf_imputation"] = """
+WITH daily AS (
+    SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT n.n_name, d.day
+    FROM (SELECT DISTINCT day FROM daily) d
+    CROSS JOIN (SELECT n_name FROM nation) n
+),
+dense AS (
+    SELECT s.n_name, s.day, daily.cents
+    FROM spine s LEFT JOIN daily
+      ON s.n_name = daily.n_name AND s.day = daily.day
+)
+SELECT n_name, CAST(day AS TIMESTAMP) AS day, cents,
+       last_value(cents IGNORE NULLS) OVER w AS filled_cents,
+       CAST(day - last_value(CASE WHEN cents IS NOT NULL THEN day END
+            IGNORE NULLS) OVER w AS BIGINT) AS staleness_days
+FROM dense
+WINDOW w AS (PARTITION BY n_name ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

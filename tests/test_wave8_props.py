@@ -228,3 +228,81 @@ def test_streaming_ohlc_equals_batch(spark):
         for r in QUERIES["qd60_streaming_ohlc"](spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_cohort_ltv_invariants(spark):
+    """Cumulative LTV is non-decreasing in age within a cohort, every
+    cell's n_active is at most the cohort's age-0 population, and
+    age-0 exists for every cohort."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q278_cohort_ltv"](spark, SF).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    assert by_cohort
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r["age_months"])
+        assert cells[0]["age_months"] == 0
+        base = cells[0]["n_active"]
+        run = 0
+        for c in cells:
+            assert c["n_active"] <= base
+            run += c["cents"]
+            assert c["cum_cents"] == run
+
+
+def test_event_trigrams_python_reference(spark):
+    """Top-10 trigram counts equal a pure-Python sequence replay."""
+    from collections import Counter
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts: Counter = Counter()
+    for s in seqs.values():
+        s.sort()
+        types = [t for _, _, t in s]
+        for a, b, c in zip(types, types[1:], types[2:]):
+            counts[(a, b, c)] += 1
+    expect = sorted(
+        ((n, k) for k, n in counts.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    got = [
+        (r["n"], (r["t1"], r["t2"], r["t3"]))
+        for r in QUERIES["q279_event_trigrams"](spark, SF).collect()
+    ]
+    assert got == expect
+
+
+def test_locf_python_reference(spark):
+    """Filled values equal a pure-Python carry-forward replay and
+    staleness is 0 exactly on observed days."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q280_locf_imputation"](spark, SF).collect()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append(r)
+    for cells in by_nation.values():
+        cells.sort(key=lambda r: r["day"])
+        carry = None
+        carry_day = None
+        for c in cells:
+            if c["cents"] is not None:
+                carry, carry_day = c["cents"], c["day"]
+                assert c["staleness_days"] == 0
+            assert c["filled_cents"] == carry
+            if carry is None:
+                assert c["staleness_days"] is None
+            else:
+                assert c["staleness_days"] == (c["day"] - carry_day).days
