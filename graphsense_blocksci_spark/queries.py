@@ -11628,6 +11628,91 @@ def q280_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd61_fifo_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO taint allocation — the positional taint semantics BlockSci
+    ships alongside the haircut variant (qd13 covers reachability;
+    this computes the per-output tainted VALUE): within a spending tx,
+    inputs and outputs lay out on one cumulative value axis in
+    position order, and each output inherits exactly the tainted
+    input-interval mass that overlaps its own interval (fee = the
+    axis tail past the last output, absorbing leftover taint). Seeds
+    are the coinbase outputs of the first 10 blocks, fully tainted.
+    One posexplode each side, two per-tx prefix windows, and a per-tx
+    interval-overlap join bounded by the tx's own in x out degree —
+    never a global pairing. Exact satoshi integers throughout."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    seeds = (
+        raw_txs.filter(F.col("coinbase") & (F.col("block_id") < 10))
+        .select(F.col("tx_id").alias("seed_tx"))
+    )
+    spend = raw_txs.filter(~F.col("coinbase"))
+    w_in = Window.partitionBy("tx_id").orderBy("in_pos")
+    ins = (
+        spend.select("tx_id", F.posexplode("inputs").alias("in_pos", "i"))
+        .select(
+            "tx_id",
+            "in_pos",
+            F.col("i.value").cast("long").alias("in_val"),
+            F.col("i.spent_tx_id").alias("spent_tx_id"),
+        )
+        .select(
+            "tx_id",
+            "in_pos",
+            "spent_tx_id",
+            F.sum("in_val").over(
+                w_in.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("in_end"),
+            (
+                F.sum("in_val").over(
+                    w_in.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - F.col("in_val")
+            ).alias("in_start"),
+        )
+    )
+    tainted_ins = ins.join(
+        F.broadcast(seeds), ins.spent_tx_id == seeds.seed_tx
+    ).select("tx_id", "in_start", "in_end")
+    w_out = Window.partitionBy("tx_id").orderBy("out_pos")
+    outs = (
+        spend.select("tx_id", F.posexplode("outputs").alias("out_pos", "o"))
+        .select(
+            "tx_id",
+            F.col("out_pos").cast("long").alias("out_pos"),
+            F.col("o.value").cast("long").alias("value"),
+        )
+        .select(
+            "tx_id",
+            "out_pos",
+            "value",
+            F.sum("value").over(
+                w_out.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("out_end"),
+            (
+                F.sum("value").over(
+                    w_out.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - F.col("value")
+            ).alias("out_start"),
+        )
+    )
+    alloc = outs.join(tainted_ins, "tx_id").select(
+        "tx_id",
+        "out_pos",
+        "value",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least("in_end", "out_end")
+            - F.greatest("in_start", "out_start"),
+        ).alias("overlap"),
+    )
+    return (
+        alloc.groupBy("tx_id", F.col("out_pos").alias("output_index"), "value")
+        .agg(F.sum("overlap").cast("long").alias("tainted_value"))
+        .filter(F.col("tainted_value") > 0)
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11779,6 +11864,7 @@ QUERIES: dict[str, QueryFn] = {
     "q278_cohort_ltv": q278_cohort_ltv,
     "q279_event_trigrams": q279_event_trigrams,
     "q280_locf_imputation": q280_locf_imputation,
+    "qd61_fifo_taint": qd61_fifo_taint,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -20478,4 +20564,58 @@ SELECT n_name, CAST(day AS TIMESTAMP) AS day, cents,
 FROM dense
 WINDOW w AS (PARTITION BY n_name ORDER BY day
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["qd61_fifo_taint"] = f"""
+WITH seeds AS (
+    SELECT tx_id AS seed_tx
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE coinbase AND block_id < 10
+),
+spend AS (
+    SELECT tx_id, inputs, outputs
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ins0 AS (
+    SELECT tx_id,
+           unnest(list_transform(inputs, (x, i) ->
+               {{'pos': i, 'val': x.value, 'spent': x.spent_tx_id}})) AS u
+    FROM spend
+),
+ins AS (
+    SELECT tx_id, u.spent AS spent_tx_id,
+           CAST(sum(u.val) OVER w AS BIGINT) AS in_end,
+           CAST(sum(u.val) OVER w - u.val AS BIGINT) AS in_start
+    FROM ins0
+    WINDOW w AS (PARTITION BY tx_id ORDER BY u.pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tainted AS (
+    SELECT i.tx_id, i.in_start, i.in_end
+    FROM ins i JOIN seeds s ON i.spent_tx_id = s.seed_tx
+),
+outs0 AS (
+    SELECT tx_id,
+           unnest(list_transform(outputs, (x, i) ->
+               {{'pos': i, 'val': x.value}})) AS u
+    FROM spend
+),
+outs AS (
+    SELECT tx_id, CAST(u.pos - 1 AS BIGINT) AS output_index,
+           CAST(u.val AS BIGINT) AS value,
+           CAST(sum(u.val) OVER w AS BIGINT) AS out_end,
+           CAST(sum(u.val) OVER w - u.val AS BIGINT) AS out_start
+    FROM outs0
+    WINDOW w AS (PARTITION BY tx_id ORDER BY u.pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o.tx_id, o.output_index, o.value,
+       CAST(sum(greatest(0, least(t.in_end, o.out_end)
+            - greatest(t.in_start, o.out_start))) AS BIGINT)
+           AS tainted_value
+FROM outs o JOIN tainted t ON o.tx_id = t.tx_id
+GROUP BY 1, 2, 3
+HAVING sum(greatest(0, least(t.in_end, o.out_end)
+       - greatest(t.in_start, o.out_start))) > 0
 """

@@ -306,3 +306,56 @@ def test_locf_python_reference(spark):
                 assert c["staleness_days"] is None
             else:
                 assert c["staleness_days"] == (c["day"] - carry_day).days
+
+
+def test_fifo_taint_python_replay(spark):
+    """The FIFO allocation equals a pure-Python interval replay over
+    the fixture chain, and taint is conserved per tx: allocated
+    output taint + fee-absorbed taint == tainted input mass."""
+    import duckdb
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.queries import _FIXTURE_DIR as FIXTURE_DIR
+
+    con = duckdb.connect()
+    txs = con.execute(
+        f"SELECT tx_id, block_id, coinbase, inputs, outputs"
+        f" FROM read_parquet('{FIXTURE_DIR}/raw_txs.parquet')"
+    ).fetchall()
+    seeds = {t[0] for t in txs if t[2] and t[1] < 10}
+    expect = {}
+    for tx_id, _, coinbase, ins, outs in txs:
+        if coinbase:
+            continue
+        pos = 0
+        tainted_iv = []
+        taint_in = 0
+        for i in ins:
+            if i["spent_tx_id"] in seeds:
+                tainted_iv.append((pos, pos + i["value"]))
+                taint_in += i["value"]
+            pos += i["value"]
+        if not tainted_iv:
+            continue
+        opos = 0
+        allocated = 0
+        for oi, o in enumerate(outs):
+            s, e = opos, opos + o["value"]
+            t = sum(
+                max(0, min(ie, e) - max(is_, s)) for is_, ie in tainted_iv
+            )
+            if t > 0:
+                expect[(tx_id, oi)] = (o["value"], t)
+                allocated += t
+            opos = e
+        fee_absorbed = sum(
+            max(0, ie - max(is_, opos)) for is_, ie in tainted_iv
+        )
+        assert allocated + fee_absorbed == taint_in, tx_id
+    got = {
+        (r["tx_id"], r["output_index"]): (r["value"], r["tainted_value"])
+        for r in QUERIES["qd61_fifo_taint"](spark, "unused").collect()
+    }
+    assert got == expect
+    for (tx, oi), (value, taint) in got.items():
+        assert 0 < taint <= value
