@@ -359,3 +359,69 @@ def test_fifo_taint_python_replay(spark):
     assert got == expect
     for (tx, oi), (value, taint) in got.items():
         assert 0 < taint <= value
+
+
+def test_skyline_brute_force(spark):
+    """The skyline equals the O(n^2) dominance definition."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    pts = [
+        (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+        for r in load_table(spark, SF, "part").collect()
+    ]
+    expect = {
+        (k, p, s)
+        for (k, p, s) in pts
+        if not any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for (_, p2, s2) in pts
+        )
+    }
+    got = {
+        (r["p_partkey"], r["price_cents"], r["size"])
+        for r in QUERIES["q281_skyline"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_rolling_distinct_python_reference(spark):
+    """DAU and trailing-7-day WAU equal a pure-Python set replay, and
+    DAU <= WAU always."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    act = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in act:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    got = QUERIES["q282_rolling_distinct_users"](spark, SF).collect()
+    assert len(got) == len(by_day)
+    for r in got:
+        day = r["day"].date()
+        dau = len(by_day[day])
+        wau_set: set = set()
+        for d, users in by_day.items():
+            if 0 <= (day - d).days <= 6:
+                wau_set |= users
+        assert r["dau"] == dau
+        assert r["wau"] == len(wau_set)
+        assert r["dau"] <= r["wau"]
+        assert r["stickiness_ppm"] == 1_000_000 * dau // len(wau_set)
+
+
+def test_reciprocity_bounds(spark):
+    """0 <= n_reciprocal <= n_edges and the ppm is consistent."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["qd62_graph_reciprocity"](spark, "unused").collect()[0]
+    assert 0 <= r["n_reciprocal"] <= r["n_edges"]
+    assert r["reciprocity_ppm"] == (
+        1_000_000 * r["n_reciprocal"] // r["n_edges"]
+    )
