@@ -11833,6 +11833,154 @@ def qd62_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q283_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded tolerance join — duplicate-payment detection: order
+    pairs of the SAME customer whose totals differ by <= $1000
+    and whose dates are <= 90 days apart. The equi-joinable band key
+    is the tolerance-width ($1000) amount bucket; the probe side fans out to its three
+    neighbor buckets (b-1, b, b+1) so every within-tolerance pair
+    meets on EXACTLY one (custkey, bucket) key — never an all-pairs
+    or theta join — and the exact |diff| predicates verify after.
+    The same banding carries to any absolute-tolerance join at 100 TB
+    (bucket width = tolerance)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("okey"),
+        _cents("o_totalprice").alias("cents"),
+        F.to_date("o_orderdate").alias("day"),
+    )
+    probe = o.select(
+        "o_custkey",
+        F.col("okey").alias("key_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("day").alias("day_a"),
+        F.explode(
+            F.array(
+                F.expr("cents DIV 100000 - 1"),
+                F.expr("cents DIV 100000"),
+                F.expr("cents DIV 100000 + 1"),
+            )
+        ).alias("bucket"),
+    )
+    build = o.select(
+        "o_custkey",
+        F.col("okey").alias("key_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("day").alias("day_b"),
+        F.expr("cents DIV 100000").alias("bucket"),
+    )
+    return (
+        probe.join(build, ["o_custkey", "bucket"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("cents_a") - F.col("cents_b")) <= 100000)
+            & (F.abs(F.datediff("day_a", "day_b")) <= 90)
+        )
+        .select(
+            "o_custkey",
+            "key_a",
+            "key_b",
+            "cents_a",
+            "cents_b",
+            F.datediff("day_b", "day_a").cast("long").alias("day_gap"),
+        )
+    )
+
+
+def q284_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert distribution — the latency readout on
+    q270's stage chain: per transition (view->click, click->purchase)
+    the population size and exact min / median / max lag in
+    microseconds (integer micros, the exact `percentile` contract on
+    a population-bounded frame; swap to approx_percentile at raw-event
+    grain). The two stage frames are pinned once and re-used by both
+    transitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        "event_type",
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tsu") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t2"), F.min("t1").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("tsu") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tsu").alias("t3"), F.min("t2").alias("t2"))
+    )
+    lag12 = s2.select(
+        F.lit("view->click").alias("transition"),
+        (F.col("t2") - F.col("t1")).alias("lag_micros"),
+    )
+    lag23 = s3.select(
+        F.lit("click->purchase").alias("transition"),
+        (F.col("t3") - F.col("t2")).alias("lag_micros"),
+    )
+    return (
+        lag12.unionByName(lag23)
+        .groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("lag_micros").cast("long").alias("min_micros"),
+            F.expr(
+                "CAST(floor(percentile(lag_micros, 0.5D)) AS BIGINT)"
+            ).alias("p50_micros"),
+            F.max("lag_micros").cast("long").alias("max_micros"),
+        )
+    )
+
+
+def qd63_tx_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction motif census — the shape taxonomy chain forensics
+    reads first (sweeps, consolidations, fan-outs, coinjoin-shaped):
+    each non-coinbase tx classifies on its (n_in, n_out) degree pair
+    — a pure projection, no shuffle until the motif-sized aggregate.
+    Complements qd52's per-output change heuristics with the tx-level
+    census (BlockSci exposes the same degree accessors;
+    reference export carries the counts at
+    scripts/blocksci_export.py tx rows)."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    shaped = raw_txs.filter(~F.col("coinbase")).select(
+        F.size("inputs").cast("long").alias("n_in"),
+        F.size("outputs").cast("long").alias("n_out"),
+        F.expr(
+            "CAST(aggregate(transform(outputs, o -> o.value),"
+            " 0L, (a, x) -> a + x) AS BIGINT)"
+        ).alias("out_value"),
+    )
+    motif = shaped.select(
+        F.expr(
+            "CASE WHEN n_in = 1 AND n_out = 1 THEN 'sweep'"
+            " WHEN n_in >= 3 AND n_out >= 3 THEN 'coinjoin_shaped'"
+            " WHEN n_in >= 3 THEN 'consolidation'"
+            " WHEN n_out >= 3 THEN 'fan_out'"
+            " ELSE 'simple_payment' END"
+        ).alias("motif"),
+        "n_in",
+        "n_out",
+        "out_value",
+    )
+    return motif.groupBy("motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n_txs"),
+        F.sum("out_value").cast("long").alias("total_out_value"),
+        F.max("n_in").cast("long").alias("max_in"),
+        F.max("n_out").cast("long").alias("max_out"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -11988,6 +12136,9 @@ QUERIES: dict[str, QueryFn] = {
     "q281_skyline": q281_skyline,
     "q282_rolling_distinct_users": q282_rolling_distinct_users,
     "qd62_graph_reciprocity": qd62_graph_reciprocity,
+    "q283_tolerance_join": q283_tolerance_join,
+    "q284_conversion_lag": q284_conversion_lag,
+    "qd63_tx_motif_census": qd63_tx_motif_census,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -20855,4 +21006,78 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_edges,
         WHERE EXISTS (SELECT 1 FROM rel s
             WHERE s.src_addr = r.dst_addr AND s.dst_addr = r.src_addr))
         // (SELECT count(*) FROM rel) AS BIGINT) AS reciprocity_ppm
+"""
+
+ORACLE_SQL["q283_tolerance_join"] = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey AS okey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS day
+    FROM orders
+)
+SELECT a.o_custkey, a.okey AS key_a, b.okey AS key_b,
+       a.cents AS cents_a, b.cents AS cents_b,
+       CAST(b.day - a.day AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.okey < b.okey
+ AND abs(a.cents - b.cents) <= 100000
+ AND abs(a.day - b.day) <= 90
+"""
+
+ORACLE_SQL["q284_conversion_lag"] = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+),
+s1 AS (
+    SELECT user_id, min(tsu) AS t1 FROM ev
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.tsu) AS t2, min(s1.t1) AS t1
+    FROM ev e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.tsu > s1.t1 GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.tsu) AS t3, min(s2.t2) AS t2
+    FROM ev e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.tsu > s2.t2 GROUP BY 1
+),
+lags AS (
+    SELECT 'view->click' AS transition, t2 - t1 AS lag_micros FROM s2
+    UNION ALL
+    SELECT 'click->purchase', t3 - t2 FROM s3
+)
+SELECT transition,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(lag_micros) AS BIGINT) AS min_micros,
+       CAST(floor(quantile_cont(lag_micros, 0.5)) AS BIGINT) AS p50_micros,
+       CAST(max(lag_micros) AS BIGINT) AS max_micros
+FROM lags GROUP BY 1
+"""
+
+ORACLE_SQL["qd63_tx_motif_census"] = f"""
+WITH shaped AS (
+    SELECT CAST(len(inputs) AS BIGINT) AS n_in,
+           CAST(len(outputs) AS BIGINT) AS n_out,
+           CAST(coalesce(list_sum(list_transform(outputs, o -> o.value)), 0)
+                AS BIGINT) AS out_value
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+motif AS (
+    SELECT CASE WHEN n_in = 1 AND n_out = 1 THEN 'sweep'
+                WHEN n_in >= 3 AND n_out >= 3 THEN 'coinjoin_shaped'
+                WHEN n_in >= 3 THEN 'consolidation'
+                WHEN n_out >= 3 THEN 'fan_out'
+                ELSE 'simple_payment' END AS motif,
+           n_in, n_out, out_value
+    FROM shaped
+)
+SELECT motif,
+       CAST(count(*) AS BIGINT) AS n_txs,
+       CAST(sum(out_value) AS BIGINT) AS total_out_value,
+       CAST(max(n_in) AS BIGINT) AS max_in,
+       CAST(max(n_out) AS BIGINT) AS max_out
+FROM motif GROUP BY 1
 """

@@ -425,3 +425,70 @@ def test_reciprocity_bounds(spark):
     assert r["reciprocity_ppm"] == (
         1_000_000 * r["n_reciprocal"] // r["n_edges"]
     )
+
+
+def test_tolerance_join_brute_force(spark):
+    """The banded join equals the O(n^2)-per-customer brute-force
+    pair set (banding loses nothing at bucket width == tolerance)."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders").collect()
+    by_cust: dict = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderkey"], round(r["o_totalprice"] * 100),
+             r["o_orderdate"].date())
+        )
+    expect = set()
+    for rows in by_cust.values():
+        for i, (k1, c1, d1) in enumerate(rows):
+            for k2, c2, d2 in rows[i + 1:]:
+                if abs(c1 - c2) <= 100_000 and abs((d1 - d2).days) <= 90:
+                    a, b = sorted([(k1, c1, d1), (k2, c2, d2)])
+                    expect.add((a[0], b[0]))
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in QUERIES["q283_tolerance_join"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_conversion_lag_positive(spark):
+    """Lags are strictly positive and min <= p50 <= max; populations
+    match the funnel stage counts."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    funnel = {
+        r["step_name"]: r["n_users"]
+        for r in QUERIES["q270_funnel_conversion"](spark, SF).collect()
+    }
+    rows = {
+        r["transition"]: r
+        for r in QUERIES["q284_conversion_lag"](spark, SF).collect()
+    }
+    assert rows["view->click"]["n_users"] == funnel["click"]
+    assert rows["click->purchase"]["n_users"] == funnel["purchase"]
+    for r in rows.values():
+        assert 0 < r["min_micros"] <= r["p50_micros"] <= r["max_micros"]
+
+
+def test_motif_census_partition(spark):
+    """Motif counts partition the non-coinbase tx set and respect the
+    degree definitions."""
+    import duckdb
+
+    from graphsense_blocksci_spark.queries import QUERIES, _FIXTURE_DIR
+
+    n_spend = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')"
+        " WHERE NOT coinbase"
+    ).fetchone()[0]
+    rows = QUERIES["qd63_tx_motif_census"](spark, "unused").collect()
+    assert sum(r["n_txs"] for r in rows) == n_spend
+    by = {r["motif"]: r for r in rows}
+    if "sweep" in by:
+        assert by["sweep"]["max_in"] == 1 and by["sweep"]["max_out"] == 1
+    if "coinjoin_shaped" in by:
+        assert by["coinjoin_shaped"]["max_in"] >= 3
+        assert by["coinjoin_shaped"]["max_out"] >= 3
