@@ -12010,7 +12010,12 @@ def qd63_tx_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan-Meier, k-anonymity, string_agg, mixing manifest, referential
 # integrity, seasonal anomalies, rollup shares, change heuristics,
 # fee percentiles, streaming changepoint/log2-histogram/bitmap-DAU,
-# HODL waves, tagged netflow, multi-chain summary), then q177/q178
+# HODL waves, tagged netflow, multi-chain summary, and the q269-q284 /
+# qd60-qd63 wave: SCD2 build, funnel + conversion lag, sweep-line
+# concurrency, streaks, CDC apply, adjusted Rand, record linkage,
+# OHLC/VWAP + streaming twin, phrase search, cohort LTV, trigrams,
+# LOCF, FIFO taint, skyline, rolling-distinct DAU/WAU, reciprocity,
+# tolerance join, tx motif census), then q177/q178
 # (the last oracled wave entries), then the
 # rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
 # the weaker rows-only check), then the q37-q97 long tail.
