@@ -11981,6 +11981,79 @@ def qd63_tx_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q285_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-QA meta-evaluation: precision/recall of the banded
+    MinHash-LSH candidate generator (q36) against the COMPLETE exact
+    ground truth at Jaccard >= 0.2. The truth set is generated by a
+    shingle inverted-index join — complete for any threshold > 0
+    because overlapping pairs must share a shingle — never a cross
+    join; both pair sets pin once and the three counts ride as
+    broadcast 1-row aggregates. This is the recall audit a dedup
+    config change (bands x rows) gets reviewed with before a 100 TB
+    run."""
+    from graphsense_blocksci_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        shingle_hash_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = (
+        shingle_hash_frame(docs)
+        .withColumnRenamed("_sh", "sh")
+        .localCheckpoint(eager=False)
+    )
+    post = sets_.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        post.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(
+            post.select(F.col("doc_id").alias("id_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = (
+        cand.join(
+            sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    lsh = minhash_lsh_pairs(docs).localCheckpoint(eager=False)
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    tp = (
+        lsh.join(truth, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_lsh",
+            "tp",
+            F.expr("CAST(1000000 * tp DIV n_lsh AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST(1000000 * tp DIV n_truth AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12144,6 +12217,7 @@ QUERIES: dict[str, QueryFn] = {
     "q283_tolerance_join": q283_tolerance_join,
     "q284_conversion_lag": q284_conversion_lag,
     "qd63_tx_motif_census": qd63_tx_motif_census,
+    "q285_lsh_quality_eval": q285_lsh_quality_eval,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21086,3 +21160,45 @@ SELECT motif,
        CAST(max(n_out) AS BIGINT) AS max_out
 FROM motif GROUP BY 1
 """
+
+ORACLE_SQL["q285_lsh_quality_eval"] = (
+    "WITH "
+    + _SIGS_CTE
+    + f""",
+bands AS (
+{_bands_sql()}
+),
+lsh AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+),
+post AS (
+    SELECT doc_id, unnest(hs) AS shingle FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM post a JOIN post b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE)
+          >= 0.2
+),
+m AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh l
+            JOIN truth t ON l.id_a = t.id_a AND l.id_b = t.id_b) AS tp
+)
+SELECT n_truth, n_lsh, tp,
+       CAST(1000000 * tp // n_lsh AS BIGINT) AS precision_ppm,
+       CAST(1000000 * tp // n_truth AS BIGINT) AS recall_ppm
+FROM m
+"""
+)

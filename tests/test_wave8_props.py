@@ -492,3 +492,14 @@ def test_motif_census_partition(spark):
     if "coinjoin_shaped" in by:
         assert by["coinjoin_shaped"]["max_in"] >= 3
         assert by["coinjoin_shaped"]["max_out"] >= 3
+
+
+def test_lsh_quality_eval_invariants(spark):
+    """tp is bounded by both pair sets and the ppm metrics are
+    consistent with the counts."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["q285_lsh_quality_eval"](spark, SF).collect()[0]
+    assert 0 <= r["tp"] <= min(r["n_lsh"], r["n_truth"])
+    assert r["precision_ppm"] == 1_000_000 * r["tp"] // r["n_lsh"]
+    assert r["recall_ppm"] == 1_000_000 * r["tp"] // r["n_truth"]
