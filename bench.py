@@ -253,6 +253,27 @@ BENCH_QUERIES = [
     "qd56_hodl_waves",
     "qd58_tagged_netflow",
     "qd59_multi_chain_summary",
+    # round-7 continuation wave (this session)
+    "q269_scd2_dimension",
+    "q270_funnel_conversion",
+    "q271_max_concurrency",
+    "q272_activity_streaks",
+    "q273_cdc_apply",
+    "q274_adjusted_rand",
+    "q275_record_linkage",
+    "q276_vwap_ohlc",
+    "q277_phrase_search",
+    "q278_cohort_ltv",
+    "q279_event_trigrams",
+    "q280_locf_imputation",
+    "q281_skyline",
+    "q282_rolling_distinct_users",
+    "q283_tolerance_join",
+    "q284_conversion_lag",
+    "q285_lsh_quality_eval",
+    "qd61_fifo_taint",
+    "qd62_graph_reciprocity",
+    "qd63_tx_motif_census",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

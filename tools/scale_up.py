@@ -68,6 +68,17 @@ FAMILIES = [
     "q253_bitmap_retention",
     "q259_quantile_normalization",
     "q261_pps_sample",
+    # continuation-wave data-bound families: the user-keyed SCD2
+    # window, the (nation, segment)-blocked linkage self-join — blocks
+    # are FIXED cardinality, so pairs grow quadratically with copies;
+    # the honest mitigation at scale is a finer blocking key or a
+    # max-block cap, recorded in BASELINE.md — the tolerance-banded
+    # per-customer join (linear: per-key density is copy-invariant),
+    # and the shingle inverted-index truth join of the LSH audit.
+    "q269_scd2_dimension",
+    "q275_record_linkage",
+    "q283_tolerance_join",
+    "q285_lsh_quality_eval",
 ]
 
 
