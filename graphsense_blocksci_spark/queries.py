@@ -12054,6 +12054,137 @@ def q285_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q286_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsample confidence interval for the mean order
+    value: ONE 60-bit md5 draw per row yields 60 half-rate replicates
+    (replicate b keeps the rows whose bit b is 0 — deterministic,
+    engine-portable, retry-stable, no rand()); each replicate's exact
+    integer mean aggregates map-side, and the replicate distribution's
+    floor-percentiles bracket the estimator. One x60 explode feeding a
+    60-group aggregate — partial aggregation absorbs the fan-out, so
+    the shuffle is 60 rows regardless of table size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        _cents("o_totalprice").alias("cents"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    reps = (
+        o.select(
+            "cents",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        )
+        .filter(F.expr("(h >> CAST(b AS INT)) & 1 = 0"))
+        .groupBy("b")
+        .agg(F.expr("CAST(sum(cents) DIV count(1) AS BIGINT)").alias("m"))
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.min("m").cast("long").alias("min_mean"),
+        F.expr("CAST(floor(percentile(m, 0.05D)) AS BIGINT)").alias(
+            "p05_mean"
+        ),
+        F.expr("CAST(floor(percentile(m, 0.5D)) AS BIGINT)").alias(
+            "p50_mean"
+        ),
+        F.expr("CAST(floor(percentile(m, 0.95D)) AS BIGINT)").alias(
+            "p95_mean"
+        ),
+        F.max("m").cast("long").alias("max_mean"),
+    )
+    full = o.agg(
+        F.expr("CAST(sum(cents) DIV count(1) AS BIGINT)").alias(
+            "full_mean_cents"
+        )
+    )
+    return ci.crossJoin(F.broadcast(full))
+
+
+def q287_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact readout over q71's fuzzy-dedup assignment: the
+    near-dup cluster-size histogram with exact bytes kept vs removed
+    per size class — the number a curation run reports before anyone
+    signs off on deleting 100 TB of near-duplicates. One join of the
+    assignment to the doc sizes, one cluster aggregate, one size-class
+    aggregate."""
+    assign = q71_fuzzy_dedup(spark, sf_dir)
+    sizes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    clusters = (
+        assign.join(sizes, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum("n_chars").cast("long").alias("bytes_total"),
+            F.sum(
+                F.when(F.col("is_keeper"), F.col("n_chars")).otherwise(0)
+            ).cast("long").alias("bytes_kept"),
+        )
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("bytes_total").cast("long").alias("bytes_total"),
+        F.sum("bytes_kept").cast("long").alias("bytes_kept"),
+        F.sum(F.col("bytes_total") - F.col("bytes_kept"))
+        .cast("long")
+        .alias("bytes_removed"),
+    )
+
+
+def qd64_utxo_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO-set growth curve — the time axis qd28's single-height
+    snapshot flattens: per block, outputs created vs inputs spent
+    (count and satoshi value), with the running UTXO set size and
+    value from one prefix-sum window over the bounded block domain.
+    The chain-wide invariant (final row == qd28's snapshot totals) is
+    pytest-pinned. Deltas aggregate per block BEFORE the global
+    window, so the ordered prefix sum runs over |blocks| rows, never
+    |outputs|."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    created = (
+        raw_txs.select("block_id", F.explode("outputs").alias("o"))
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_created"),
+            F.sum(F.col("o.value")).cast("long").alias("v_created"),
+        )
+    )
+    spent = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("block_id", F.explode("inputs").alias("i"))
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spent"),
+            F.sum(F.col("i.value")).cast("long").alias("v_spent"),
+        )
+    )
+    per_block = created.join(spent, "block_id", "left").select(
+        F.col("block_id").cast("long").alias("block_id"),
+        "n_created",
+        "v_created",
+        F.coalesce("n_spent", F.lit(0)).cast("long").alias("n_spent"),
+        F.coalesce("v_spent", F.lit(0)).cast("long").alias("v_spent"),
+    )
+    w = Window.orderBy("block_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_block.select(
+        "block_id",
+        "n_created",
+        "n_spent",
+        (F.sum(F.col("n_created") - F.col("n_spent")).over(w))
+        .cast("long")
+        .alias("utxo_count"),
+        (F.sum(F.col("v_created") - F.col("v_spent")).over(w))
+        .cast("long")
+        .alias("utxo_value"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12218,6 +12349,9 @@ QUERIES: dict[str, QueryFn] = {
     "q284_conversion_lag": q284_conversion_lag,
     "qd63_tx_motif_census": qd63_tx_motif_census,
     "q285_lsh_quality_eval": q285_lsh_quality_eval,
+    "q286_subsample_ci": q286_subsample_ci,
+    "q287_dedup_savings": q287_dedup_savings,
+    "qd64_utxo_growth": qd64_utxo_growth,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21202,3 +21336,94 @@ SELECT n_truth, n_lsh, tp,
 FROM m
 """
 )
+
+ORACLE_SQL["q286_subsample_ci"] = """
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+    FROM orders
+),
+reps AS (
+    SELECT b.b, CAST(sum(cents) // count(*) AS BIGINT) AS m
+    FROM o CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+    WHERE (h >> CAST(b.b AS INT)) & 1 = 0
+    GROUP BY 1
+),
+ci AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(min(m) AS BIGINT) AS min_mean,
+           CAST(floor(quantile_cont(m, 0.05)) AS BIGINT) AS p05_mean,
+           CAST(floor(quantile_cont(m, 0.5)) AS BIGINT) AS p50_mean,
+           CAST(floor(quantile_cont(m, 0.95)) AS BIGINT) AS p95_mean,
+           CAST(max(m) AS BIGINT) AS max_mean
+    FROM reps
+),
+fullm AS (
+    SELECT CAST(sum(cents) // count(*) AS BIGINT) AS full_mean_cents
+    FROM o
+)
+SELECT * FROM ci CROSS JOIN fullm
+"""
+
+ORACLE_SQL["q287_dedup_savings"] = (
+    "WITH assign AS ("
+    + ORACLE_SQL["q71_fuzzy_dedup"]
+    + """
+),
+clusters AS (
+    SELECT a.canonical_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(sum(d.n_chars) AS BIGINT) AS bytes_total,
+           CAST(sum(CASE WHEN a.is_keeper THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS bytes_kept
+    FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+    GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(bytes_total) AS BIGINT) AS bytes_total,
+       CAST(sum(bytes_kept) AS BIGINT) AS bytes_kept,
+       CAST(sum(bytes_total - bytes_kept) AS BIGINT) AS bytes_removed
+FROM clusters GROUP BY 1
+"""
+)
+
+ORACLE_SQL["qd64_utxo_growth"] = f"""
+WITH created AS (
+    SELECT block_id,
+           CAST(len(outputs) AS BIGINT) AS n_created,
+           CAST(coalesce(list_sum(list_transform(outputs, o -> o.value)), 0)
+                AS BIGINT) AS v_created
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+spent AS (
+    SELECT block_id,
+           CAST(len(inputs) AS BIGINT) AS n_spent,
+           CAST(coalesce(list_sum(list_transform(inputs, i -> i.value)), 0)
+                AS BIGINT) AS v_spent
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+per_block AS (
+    SELECT CAST(c.block_id AS BIGINT) AS block_id,
+           CAST(sum(c.n_created) AS BIGINT) AS n_created,
+           CAST(sum(c.v_created) AS BIGINT) AS v_created,
+           CAST(coalesce(s.n_spent, 0) AS BIGINT) AS n_spent,
+           CAST(coalesce(s.v_spent, 0) AS BIGINT) AS v_spent
+    FROM (SELECT block_id, sum(n_created) AS n_created,
+                 sum(v_created) AS v_created
+          FROM created GROUP BY 1) c
+    LEFT JOIN (SELECT block_id, sum(n_spent) AS n_spent,
+                      sum(v_spent) AS v_spent
+               FROM spent GROUP BY 1) s
+      ON c.block_id = s.block_id
+    GROUP BY 1, 4, 5
+)
+SELECT block_id, n_created, n_spent,
+       CAST(sum(n_created - n_spent) OVER w AS BIGINT) AS utxo_count,
+       CAST(sum(v_created - v_spent) OVER w AS BIGINT) AS utxo_value
+FROM per_block
+WINDOW w AS (ORDER BY block_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -503,3 +503,71 @@ def test_lsh_quality_eval_invariants(spark):
     assert 0 <= r["tp"] <= min(r["n_lsh"], r["n_truth"])
     assert r["precision_ppm"] == 1_000_000 * r["tp"] // r["n_lsh"]
     assert r["recall_ppm"] == 1_000_000 * r["tp"] // r["n_truth"]
+
+
+def test_subsample_ci_brackets(spark):
+    """min <= p05 <= p50 <= p95 <= max, the full-sample mean lies in
+    [min, max], and ~60 replicates materialize."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["q286_subsample_ci"](spark, SF).collect()[0]
+    assert r["n_replicates"] == 60
+    assert (
+        r["min_mean"] <= r["p05_mean"] <= r["p50_mean"]
+        <= r["p95_mean"] <= r["max_mean"]
+    )
+    assert r["min_mean"] <= r["full_mean_cents"] <= r["max_mean"]
+
+
+def test_dedup_savings_conservation(spark):
+    """Byte totals partition the corpus: sum(bytes_total) over the
+    histogram equals the corpus n_chars sum, and every size class
+    keeps exactly one doc's bytes per cluster."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    corpus = load_table(spark, SF, "documents").agg(
+        F.sum("n_chars")
+    ).collect()[0][0]
+    rows = QUERIES["q287_dedup_savings"](spark, SF).collect()
+    assert sum(r["bytes_total"] for r in rows) == corpus
+    for r in rows:
+        assert r["bytes_kept"] + r["bytes_removed"] == r["bytes_total"]
+        if r["cluster_size"] == 1:
+            assert r["bytes_removed"] == 0
+
+
+def test_utxo_growth_matches_final_snapshot(spark):
+    """The curve's final row equals the direct unspent-set totals and
+    the count never goes negative."""
+    import duckdb
+
+    from graphsense_blocksci_spark.queries import QUERIES, _FIXTURE_DIR
+
+    rows = sorted(
+        QUERIES["qd64_utxo_growth"](spark, "unused").collect(),
+        key=lambda r: r["block_id"],
+    )
+    assert all(r["utxo_count"] >= 0 for r in rows)
+    n, v = duckdb.connect().execute(f"""
+        WITH outs AS (
+            SELECT tx_id,
+                   unnest(list_transform(outputs,
+                       (o, i) -> {{'idx': i - 1, 'val': o.value}})) AS u
+            FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+        ),
+        ins AS (
+            SELECT unnest(list_transform(inputs,
+                       i -> {{'stx': i.spent_tx_id,
+                              'sidx': i.spent_index}})) AS u
+            FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+            WHERE NOT coinbase
+        )
+        SELECT count(*), sum(o.u.val) FROM outs o
+        WHERE NOT EXISTS (SELECT 1 FROM ins i
+            WHERE i.u.stx = o.tx_id AND i.u.sidx = o.u.idx)
+    """).fetchone()
+    assert rows[-1]["utxo_count"] == n
+    assert rows[-1]["utxo_value"] == v
