@@ -12185,6 +12185,61 @@ def qd64_utxo_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q288_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest — the per-source summary a curation run
+    publishes next to the data: doc/token counts, declared-language
+    diversity, predicted-language mode (deterministic tie-break),
+    quality-pass rate, near-dup rate (q71 assignment), and the exact
+    median token length. Pure composition of already-oracled stages
+    (q32 quality, q33 language-ID, q71 dedup) joined once on doc_id
+    and aggregated at source grain; the base join pins so the mode
+    window and the source aggregate share one pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "lang"
+    )
+    qual = q32_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_ok"
+    )
+    lang = q33_language_id(spark, sf_dir).select("doc_id", "lang_pred")
+    assign = q71_fuzzy_dedup(spark, sf_dir).select("doc_id", "is_keeper")
+    base = (
+        docs.join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(assign, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok_total"),
+        F.count_distinct("lang").cast("long").alias("n_true_langs"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN quality_ok THEN 1 ELSE 0 END)"
+            " DIV count(1) AS BIGINT)"
+        ).alias("quality_ok_ppm"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN is_keeper THEN 0 ELSE 1 END)"
+            " DIV count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.expr("CAST(floor(percentile(n_tokens, 0.5D)) AS BIGINT)").alias(
+            "p50_tokens"
+        ),
+    )
+    lp = base.groupBy("source", "lang_pred").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), "lang_pred"
+    )
+    top = (
+        lp.select(
+            "source", "lang_pred", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang_pred").alias("top_pred_lang"))
+    )
+    return per_src.join(F.broadcast(top), "source")
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12352,6 +12407,7 @@ QUERIES: dict[str, QueryFn] = {
     "q286_subsample_ci": q286_subsample_ci,
     "q287_dedup_savings": q287_dedup_savings,
     "qd64_utxo_growth": qd64_utxo_growth,
+    "q288_dataset_card": q288_dataset_card,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21427,3 +21483,45 @@ FROM per_block
 WINDOW w AS (ORDER BY block_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+ORACLE_SQL["q288_dataset_card"] = (
+    "WITH base AS (\n"
+    "    SELECT d.doc_id, d.source, d.lang, q.n_tokens, q.quality_ok,\n"
+    "           l.lang_pred, a.is_keeper\n"
+    "    FROM documents d\n"
+    "    JOIN (" + ORACLE_SQL["q32_quality_score"] + ") q"
+    " ON d.doc_id = q.doc_id\n"
+    "    JOIN (" + ORACLE_SQL["q33_language_id"] + ") l"
+    " ON d.doc_id = l.doc_id\n"
+    "    JOIN (" + ORACLE_SQL["q71_fuzzy_dedup"] + ") a"
+    " ON d.doc_id = a.doc_id\n"
+    ")"
+    + """,
+per_src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_true_langs,
+           CAST(1000000 * sum(CASE WHEN quality_ok THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS quality_ok_ppm,
+           CAST(1000000 * sum(CASE WHEN is_keeper THEN 0 ELSE 1 END)
+                // count(*) AS BIGINT) AS dup_ppm,
+           CAST(floor(quantile_cont(n_tokens, 0.5)) AS BIGINT)
+               AS p50_tokens
+    FROM base GROUP BY 1
+),
+lp AS (
+    SELECT source, lang_pred, count(*) AS cnt FROM base GROUP BY 1, 2
+),
+top AS (
+    SELECT source, lang_pred AS top_pred_lang
+    FROM (SELECT source, lang_pred,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY cnt DESC, lang_pred) AS rn
+          FROM lp)
+    WHERE rn = 1
+)
+SELECT p.*, t.top_pred_lang
+FROM per_src p JOIN top t ON p.source = t.source
+"""
+)

@@ -571,3 +571,28 @@ def test_utxo_growth_matches_final_snapshot(spark):
     """).fetchone()
     assert rows[-1]["utxo_count"] == n
     assert rows[-1]["utxo_value"] == v
+
+
+def test_dataset_card_consistency(spark):
+    """Per-source docs/tokens agree with direct aggregation and all
+    ppm rates are in [0, 1e6]."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    direct = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = QUERIES["q288_dataset_card"](spark, SF).collect()
+    assert {r["source"] for r in rows} == set(direct)
+    for r in rows:
+        assert r["n_docs"] == direct[r["source"]]
+        assert 0 <= r["quality_ok_ppm"] <= 1_000_000
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+        assert r["p50_tokens"] >= 0
+        assert r["top_pred_lang"]
