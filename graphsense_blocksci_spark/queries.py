@@ -12240,6 +12240,79 @@ def q288_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.join(F.broadcast(top), "source")
 
 
+def q289_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction on the REAL payload column: the
+    events props JSON parses JVM-side (get_json_object — a codegen
+    projection, no UDF), and the extracted integer aggregates per
+    event type with a parse-failure counter (nulls survive the CASE,
+    never drop rows silently). The everyday log-analytics shape:
+    schema-on-read over a string column, then a columnar aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unparsed"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+
+
+def q290_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of enrichment — the bidirectional variant of qd06's
+    backward as-of join, computed with ZERO joins: per user the event
+    stream sorts once, each error row reads the latest preceding and
+    earliest following purchase time from two conditional
+    ignore-nulls window frames (current row excluded), and the nearer
+    side wins (ties -> backward, the reproducible convention). One
+    user-keyed sort serves both directions — at scale this beats the
+    two-sided range join whenever the streams interleave densely."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        "event_type",
+    )
+    base = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = base.rowsBetween(1, Window.unboundedFollowing)
+    purch = F.when(F.col("event_type") == "purchase", F.col("tsu"))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "tsu",
+        "event_type",
+        F.last(purch, ignorenulls=True).over(w_prev).alias("prev_p"),
+        F.first(purch, ignorenulls=True).over(w_next).alias("next_p"),
+    )
+    errors = flagged.filter(F.col("event_type") == "error")
+    return errors.select(
+        "user_id",
+        "event_id",
+        "tsu",
+        F.expr(
+            "CASE"
+            " WHEN prev_p IS NULL AND next_p IS NULL THEN NULL"
+            " WHEN prev_p IS NULL THEN next_p - tsu"
+            " WHEN next_p IS NULL THEN tsu - prev_p"
+            " WHEN tsu - prev_p <= next_p - tsu THEN tsu - prev_p"
+            " ELSE next_p - tsu END"
+        ).cast("long").alias("gap_micros"),
+        F.expr(
+            "CASE"
+            " WHEN prev_p IS NULL AND next_p IS NULL THEN 'none'"
+            " WHEN prev_p IS NULL THEN 'forward'"
+            " WHEN next_p IS NULL THEN 'backward'"
+            " WHEN tsu - prev_p <= next_p - tsu THEN 'backward'"
+            " ELSE 'forward' END"
+        ).alias("direction"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12408,6 +12481,8 @@ QUERIES: dict[str, QueryFn] = {
     "q287_dedup_savings": q287_dedup_savings,
     "qd64_utxo_growth": qd64_utxo_growth,
     "q288_dataset_card": q288_dataset_card,
+    "q289_json_props_stats": q289_json_props_stats,
+    "q290_nearest_asof": q290_nearest_asof,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21525,3 +21600,53 @@ SELECT p.*, t.top_pred_lang
 FROM per_src p JOIN top t ON p.source = t.source
 """
 )
+
+ORACLE_SQL["q289_json_props_stats"] = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unparsed,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM ev GROUP BY 1
+"""
+
+ORACLE_SQL["q290_nearest_asof"] = """
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, tsu, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN tsu END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_p,
+           first_value(CASE WHEN event_type = 'purchase' THEN tsu END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_p
+    FROM ev
+)
+SELECT user_id, event_id, tsu,
+       CAST(CASE
+            WHEN prev_p IS NULL AND next_p IS NULL THEN NULL
+            WHEN prev_p IS NULL THEN next_p - tsu
+            WHEN next_p IS NULL THEN tsu - prev_p
+            WHEN tsu - prev_p <= next_p - tsu THEN tsu - prev_p
+            ELSE next_p - tsu END AS BIGINT) AS gap_micros,
+       CASE WHEN prev_p IS NULL AND next_p IS NULL THEN 'none'
+            WHEN prev_p IS NULL THEN 'forward'
+            WHEN next_p IS NULL THEN 'backward'
+            WHEN tsu - prev_p <= next_p - tsu THEN 'backward'
+            ELSE 'forward' END AS direction
+FROM flagged WHERE event_type = 'error'
+"""

@@ -596,3 +596,70 @@ def test_dataset_card_consistency(spark):
         assert 0 <= r["dup_ppm"] <= 1_000_000
         assert r["p50_tokens"] >= 0
         assert r["top_pred_lang"]
+
+
+def test_json_props_parse_complete(spark):
+    """Every event parses (the synthetic props are well-formed) and
+    counts partition the event table."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    n = load_table(spark, SF, "events").count()
+    rows = QUERIES["q289_json_props_stats"](spark, SF).collect()
+    assert sum(r["n_events"] for r in rows) == n
+    for r in rows:
+        assert r["n_unparsed"] == 0
+        assert r["min_k"] <= r["max_k"]
+
+
+def test_nearest_asof_python_reference(spark):
+    """Every error's nearest-purchase gap equals a pure-Python
+    bidirectional scan (ties -> backward)."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+            "event_type",
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["tsu"], r["event_id"], r["event_type"])
+        )
+    expect = {}
+    for user, rows in by_user.items():
+        rows.sort()
+        for i, (tsu, eid, et) in enumerate(rows):
+            if et != "error":
+                continue
+            prev_p = next_p = None
+            for t2, _, e2 in rows[:i]:
+                if e2 == "purchase":
+                    prev_p = t2
+            for t2, _, e2 in rows[i + 1:]:
+                if e2 == "purchase":
+                    next_p = t2
+                    break
+            if prev_p is None and next_p is None:
+                expect[eid] = (None, "none")
+            elif prev_p is None:
+                expect[eid] = (next_p - tsu, "forward")
+            elif next_p is None:
+                expect[eid] = (tsu - prev_p, "backward")
+            elif tsu - prev_p <= next_p - tsu:
+                expect[eid] = (tsu - prev_p, "backward")
+            else:
+                expect[eid] = (next_p - tsu, "forward")
+    got = {
+        r["event_id"]: (r["gap_micros"], r["direction"])
+        for r in QUERIES["q290_nearest_asof"](spark, SF).collect()
+    }
+    assert got == expect
