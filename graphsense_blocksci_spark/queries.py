@@ -12347,7 +12347,9 @@ def q290_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # concurrency, streaks, CDC apply, adjusted Rand, record linkage,
 # OHLC/VWAP + streaming twin, phrase search, cohort LTV, trigrams,
 # LOCF, FIFO taint, skyline, rolling-distinct DAU/WAU, reciprocity,
-# tolerance join, tx motif census), then q177/q178
+# tolerance join, tx motif census, LSH quality audit, subsample CI,
+# dedup savings, UTXO growth, dataset card, JSON props, nearest
+# as-of), then q177/q178
 # (the last oracled wave entries), then the
 # rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
 # the weaker rows-only check), then the q37-q97 long tail.
