@@ -12400,6 +12400,42 @@ def qd65_haircut_taint_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def qd66_address_component_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Component census of the address money-flow graph: connected
+    components (undirected) over qd50's relations, reported as the
+    component-SIZE histogram — the shape readout that says whether a
+    chain is one giant web or many islands before anyone runs
+    entity-level analytics on it. Addresses key by the 60-bit md5
+    id (engine-portable); self-loops drop; isolated addresses never
+    enter the edge list (documented: edge-census, not address
+    census). CC is the star-contraction operator — O(log n) rounds,
+    node-keyed shuffles only."""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+    )
+
+    rel = qd50_address_relations(spark, sf_dir).filter(
+        F.col("src_addr") != F.col("dst_addr")
+    )
+    edges = rel.select(
+        F.expr(
+            "CAST(conv(substr(md5(src_addr), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("src"),
+        F.expr(
+            "CAST(conv(substr(md5(dst_addr), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("dst"),
+    ).distinct()
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12573,6 +12609,7 @@ QUERIES: dict[str, QueryFn] = {
     "q289_json_props_stats": q289_json_props_stats,
     "q290_nearest_asof": q290_nearest_asof,
     "qd65_haircut_taint_value": qd65_haircut_taint_value,
+    "qd66_address_component_census": qd66_address_component_census,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21835,4 +21872,77 @@ UNION ALL
 SELECT CAST(3 AS BIGINT) AS hop, tx_id, out_idx AS output_index, taint AS tainted_value FROM taint3
 UNION ALL
 SELECT CAST(4 AS BIGINT) AS hop, tx_id, out_idx AS output_index, taint AS tainted_value FROM taint4
+"""
+
+# Min-label propagation over the symmetrized address edges; the inner
+# derived table IS qd50's oracle (proportional flow attribution).
+ORACLE_SQL["qd66_address_component_census"] = """
+WITH RECURSIVE rel AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5(src_addr), 1, 15))::BIGINT AS src,
+        ('0x' || substr(md5(dst_addr), 1, 15))::BIGINT AS dst
+    FROM (
+WITH ins0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(inputs) + 1),
+               i -> {alen: len(inputs[i].address),
+                      addr: array_to_string(inputs[i].address, '|'),
+                      ival: inputs[i].value})) AS u
+    FROM read_parquet('/root/repo/fixtures/raw_txs.parquet')
+    WHERE NOT coinbase
+),
+ins AS (
+    SELECT tx_id, u.addr AS src_addr, sum(u.ival) AS in_val
+    FROM ins0 WHERE u.alen > 0 GROUP BY 1, 2
+),
+tot AS (
+    SELECT tx_id, sum(in_val) AS total_in FROM ins GROUP BY 1
+),
+outs0 AS (
+    SELECT tx_id,
+           unnest(list_transform(range(1, len(outputs) + 1),
+               i -> {alen: len(outputs[i].address),
+                      addr: array_to_string(outputs[i].address, '|'),
+                      oval: outputs[i].value})) AS u
+    FROM read_parquet('/root/repo/fixtures/raw_txs.parquet')
+),
+outs AS (
+    SELECT tx_id, u.addr AS dst_addr, sum(u.oval) AS out_val
+    FROM outs0 WHERE u.alen > 0 GROUP BY 1, 2
+),
+pairs AS (
+    SELECT i.tx_id, i.src_addr, o.dst_addr,
+           CAST((o.out_val::HUGEINT * i.in_val) // t.total_in AS BIGINT)
+               AS flow
+    FROM ins i
+    JOIN tot t ON i.tx_id = t.tx_id
+    JOIN outs o ON i.tx_id = o.tx_id
+)
+SELECT src_addr, dst_addr,
+       CAST(count(DISTINCT tx_id) AS BIGINT) AS n_txs,
+       CAST(sum(flow) AS BIGINT) AS total_flow
+FROM pairs
+GROUP BY 1, 2
+)
+    WHERE src_addr != dst_addr
+),
+e AS (
+    SELECT src AS u, dst AS v FROM rel
+    UNION
+    SELECT dst, src FROM rel
+),
+walk(node, comp) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN e ON e.u = w.node
+),
+comp AS (
+    SELECT node, min(comp) AS component FROM walk GROUP BY 1
+),
+sizes AS (
+    SELECT component, CAST(count(*) AS BIGINT) AS component_size
+    FROM comp GROUP BY 1
+)
+SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY 1
 """
