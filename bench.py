@@ -274,6 +274,14 @@ BENCH_QUERIES = [
     "qd61_fifo_taint",
     "qd62_graph_reciprocity",
     "qd63_tx_motif_census",
+    "q286_subsample_ci",
+    "q287_dedup_savings",
+    "q288_dataset_card",
+    "q289_json_props_stats",
+    "q290_nearest_asof",
+    "qd64_utxo_growth",
+    "qd65_haircut_taint_value",
+    "qd66_address_component_census",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
