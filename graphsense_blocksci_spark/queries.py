@@ -12436,6 +12436,138 @@ def qd66_address_component_census(
     )
 
 
+def qd67_time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average balance (TWAB) per address — the
+    accounting aggregate interest/airdrop/forensic weightings use,
+    which a plain balance snapshot (qd15) cannot express: every
+    funding output (+v at its block time) and spend (−v at the
+    spending tx's time) folds into a per-address balance timeline;
+    TWAB = Σ balance_i · Δt_i over [first event, chain tip], exact
+    satoshi-seconds in DECIMAL(38,0) floored back to satoshis by one
+    DIV. Two exploded linkage passes, one address-keyed window, a
+    top-20 TakeOrdered. Deltas pre-aggregate per (addr, ts) so the
+    window length is the address's distinct event times."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    recv = (
+        raw_txs.select("timestamp", F.explode("outputs").alias("o"))
+        .filter(F.size("o.address") > 0)
+        .select(
+            F.concat_ws("|", "o.address").alias("addr"),
+            F.col("timestamp").cast("long").alias("ts"),
+            F.col("o.value").cast("long").alias("delta"),
+        )
+    )
+    spent = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("timestamp", F.explode("inputs").alias("i"))
+        .filter(F.size("i.address") > 0)
+        .select(
+            F.concat_ws("|", "i.address").alias("addr"),
+            F.col("timestamp").cast("long").alias("ts"),
+            (-F.col("i.value")).cast("long").alias("delta"),
+        )
+    )
+    events = (
+        recv.unionByName(spent)
+        .groupBy("addr", "ts")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    tip = raw_txs.agg(F.max("timestamp").cast("long").alias("tip"))
+    w = Window.partitionBy("addr").orderBy("ts")
+    timeline = events.crossJoin(F.broadcast(tip)).select(
+        "addr",
+        "ts",
+        F.sum("delta").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("bal"),
+        (
+            F.coalesce(F.lead("ts").over(w), F.col("tip")) - F.col("ts")
+        ).alias("dt"),
+        "tip",
+    )
+    per_addr = timeline.groupBy("addr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("tip").alias("tip"),
+        F.sum(
+            F.expr("CAST(bal AS DECIMAL(38,0)) * dt")
+        ).alias("bal_seconds"),
+    ).select(
+        "addr",
+        "n_events",
+        F.expr(
+            "CASE WHEN tip > first_ts THEN"
+            " CAST(bal_seconds DIV (tip - first_ts) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("twab_satoshi"),
+    )
+    return per_addr.orderBy(
+        F.col("twab_satoshi").desc(), "addr"
+    ).limit(20)
+
+
+def q291_identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity resolution end-to-end — q275's scoring collapsed to
+    the exact-match composition MDM pipelines run first: records
+    agreeing on EVERY compared field (the $1000 balance bucket and
+    the mod-97 identifier) within a (nation, segment) block join
+    directly on the full key — no scoring pass needed — the agreement
+    graph resolves with connected components, and each identity
+    cluster elects a golden record (highest balance, then lowest
+    key). Singletons keep themselves, mirroring q71's corpus
+    semantics on the customer table."""
+    from graphsense_blocksci_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000"
+            " AS BIGINT)"
+        ).alias("bal_bucket"),
+        F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("synth_id"),
+        _cents("c_acctbal").alias("cents"),
+    ).localCheckpoint(eager=False)
+    key = ["c_nationkey", "c_mktsegment", "bal_bucket", "synth_id"]
+    a = c.select(F.col("c_custkey").alias("src"), *key)
+    b = c.select(F.col("c_custkey").alias("dst"), *key)
+    edges = a.join(b, key).filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    cc = connected_components(edges)
+    assigned = c.join(
+        cc, c.c_custkey == cc.node, "left"
+    ).select(
+        "c_custkey",
+        "cents",
+        F.coalesce("component", "c_custkey").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cents").desc(), "c_custkey"
+    )
+    ranked = assigned.select(
+        "cluster_id",
+        "c_custkey",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint(eager=False)
+    agg = ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    golden = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("c_custkey").alias("golden_custkey"),
+        F.col("cents").alias("golden_cents"),
+    )
+    return agg.join(golden, "cluster_id").filter(
+        F.col("n_members") >= 2
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12610,6 +12742,8 @@ QUERIES: dict[str, QueryFn] = {
     "q290_nearest_asof": q290_nearest_asof,
     "qd65_haircut_taint_value": qd65_haircut_taint_value,
     "qd66_address_component_census": qd66_address_component_census,
+    "qd67_time_weighted_balance": qd67_time_weighted_balance,
+    "q291_identity_resolution": q291_identity_resolution,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -21945,4 +22079,115 @@ sizes AS (
 )
 SELECT component_size, CAST(count(*) AS BIGINT) AS n_components
 FROM sizes GROUP BY 1
+"""
+
+ORACLE_SQL["qd67_time_weighted_balance"] = f"""
+WITH recv AS (
+    SELECT array_to_string(u.a, '|') AS addr,
+           CAST(timestamp AS BIGINT) AS ts,
+           CAST(u.v AS BIGINT) AS delta
+    FROM (SELECT timestamp,
+                 unnest(list_transform(outputs,
+                     o -> {{'a': o.address, 'v': o.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet'))
+    WHERE len(u.a) > 0
+),
+spent AS (
+    SELECT array_to_string(u.a, '|') AS addr,
+           CAST(timestamp AS BIGINT) AS ts,
+           CAST(-u.v AS BIGINT) AS delta
+    FROM (SELECT timestamp,
+                 unnest(list_transform(inputs,
+                     i -> {{'a': i.address, 'v': i.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+          WHERE NOT coinbase)
+    WHERE len(u.a) > 0
+),
+events AS (
+    SELECT addr, ts, CAST(sum(delta) AS BIGINT) AS delta
+    FROM (SELECT * FROM recv UNION ALL SELECT * FROM spent)
+    GROUP BY 1, 2
+),
+tip AS (
+    SELECT CAST(max(timestamp) AS BIGINT) AS tip
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+timeline AS (
+    SELECT addr, ts,
+           sum(delta) OVER (PARTITION BY addr ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal,
+           coalesce(lead(ts) OVER (PARTITION BY addr ORDER BY ts), tip)
+               - ts AS dt,
+           tip
+    FROM events CROSS JOIN tip
+),
+per_addr AS (
+    SELECT addr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_ts, max(tip) AS tip,
+           sum(bal::HUGEINT * dt) AS bal_seconds
+    FROM timeline GROUP BY 1
+)
+SELECT addr, n_events,
+       CASE WHEN tip > first_ts
+            THEN CAST(bal_seconds // (tip - first_ts) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS twab_satoshi
+FROM per_addr
+ORDER BY twab_satoshi DESC, addr LIMIT 20
+"""
+
+ORACLE_SQL["q291_identity_resolution"] = """
+WITH RECURSIVE c AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS BIGINT)
+               AS bal_bucket,
+           CAST(c_custkey % 97 AS BIGINT) AS synth_id,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+),
+edges0 AS (
+    SELECT a.c_custkey AS src, b.c_custkey AS dst
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.bal_bucket = b.bal_bucket
+     AND a.synth_id = b.synth_id
+     AND a.c_custkey < b.c_custkey
+),
+e AS (
+    SELECT src AS u, dst AS v FROM edges0
+    UNION
+    SELECT dst, src FROM edges0
+),
+walk(node, comp) AS (
+    SELECT u, u FROM e
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN e ON e.u = w.node
+),
+comp AS (
+    SELECT node, min(comp) AS component FROM walk GROUP BY 1
+),
+assigned AS (
+    SELECT cu.c_custkey, cu.cents,
+           CAST(coalesce(cm.component, cu.c_custkey) AS BIGINT)
+               AS cluster_id
+    FROM c cu LEFT JOIN comp cm ON cu.c_custkey = cm.node
+),
+ranked AS (
+    SELECT cluster_id, c_custkey, cents,
+           row_number() OVER (PARTITION BY cluster_id
+               ORDER BY cents DESC, c_custkey) AS rn
+    FROM assigned
+),
+agg AS (
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM ranked GROUP BY 1
+)
+SELECT a.cluster_id, a.n_members, a.total_cents,
+       r.c_custkey AS golden_custkey, r.cents AS golden_cents
+FROM agg a JOIN ranked r
+  ON a.cluster_id = r.cluster_id AND r.rn = 1
+WHERE a.n_members >= 2
 """

