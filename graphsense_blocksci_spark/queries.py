@@ -12568,6 +12568,117 @@ def q291_identity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q292_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union measure per supplier — overlaps merged, NOT
+    summed (q271 reports peak concurrency; this reports coverage):
+    each lineitem opens a 30-day service window from its ship date,
+    and the answer is how many distinct days each supplier was
+    serving at all, plus how many merged busy stretches that makes.
+    One +1/−1 sweep per supplier: active-prefix-sum over the event
+    days, Δt summed only while active, a 0→1 transition count for the
+    stretch count. Supplier-keyed windows over per-day pre-aggregated
+    events — never row-grain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.to_date("l_shipdate").alias("open_day")
+    )
+    iv = li.select(
+        "l_suppkey",
+        "open_day",
+        F.date_add("open_day", 30).alias("close_day"),
+    )
+    deltas = (
+        iv.select(
+            "l_suppkey", F.col("open_day").alias("day"), F.lit(1).alias("d")
+        )
+        .unionByName(
+            iv.select(
+                "l_suppkey",
+                F.col("close_day").alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("l_suppkey", "day")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day")
+    swept = deltas.select(
+        "l_suppkey",
+        "day",
+        F.sum("delta").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("active"),
+        F.coalesce(
+            F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("prev_active"),
+        F.datediff(
+            F.coalesce(F.lead("day").over(w), F.col("day")), F.col("day")
+        ).cast("long").alias("dt"),
+    )
+    return swept.groupBy(F.col("l_suppkey").cast("long").alias("suppkey")).agg(
+        F.sum(F.when(F.col("active") > 0, F.col("dt")).otherwise(0))
+        .cast("long")
+        .alias("union_days"),
+        F.sum(
+            F.when(
+                (F.col("active") > 0) & (F.col("prev_active") <= 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_stretches"),
+    )
+
+
+def q293_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level dataset reconciliation — the readable companion to
+    q198's Merkle diff: a migrated twin of orders derives
+    deterministically (md5 coin: ~1/17 of rows dropped, ~1/17
+    price-bumped one cent, ~1/17 re-keyed into a new id range), and a
+    FULL OUTER join on the key classifies every row SAME / CHANGED /
+    ADDED / REMOVED with counts, value drift, and the min/max key per
+    class — the exact report a cutover sign-off reads. One shuffle on
+    the key; the twin is a projection, not a copy."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        _cents("o_totalprice").alias("cents"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 7),"
+            " 16, 10) AS BIGINT) % 17"
+        ).alias("coin"),
+    ).localCheckpoint(eager=False)
+    migrated = (
+        o.filter(F.col("coin") != 0)
+        .select(
+            F.when(
+                F.col("coin") == 2, F.col("key") + F.lit(1_000_000_000)
+            ).otherwise(F.col("key")).alias("key"),
+            F.when(F.col("coin") == 1, F.col("cents") + 1)
+            .otherwise(F.col("cents"))
+            .alias("m_cents"),
+        )
+    )
+    left = o.select("key", "cents")
+    joined = left.join(migrated, "key", "full_outer").select(
+        "key",
+        "cents",
+        "m_cents",
+        F.expr(
+            "CASE WHEN cents IS NULL THEN 'ADDED'"
+            " WHEN m_cents IS NULL THEN 'REMOVED'"
+            " WHEN cents = m_cents THEN 'SAME'"
+            " ELSE 'CHANGED' END"
+        ).alias("status"),
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.coalesce("m_cents", F.lit(0)) - F.coalesce("cents", F.lit(0))
+        ).cast("long").alias("cents_drift"),
+        F.min("key").cast("long").alias("min_key"),
+        F.max("key").cast("long").alias("max_key"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12744,6 +12855,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd66_address_component_census": qd66_address_component_census,
     "qd67_time_weighted_balance": qd67_time_weighted_balance,
     "q291_identity_resolution": q291_identity_resolution,
+    "q292_interval_union": q292_interval_union,
+    "q293_table_reconciliation": q293_table_reconciliation,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -22190,4 +22303,67 @@ SELECT a.cluster_id, a.n_members, a.total_cents,
 FROM agg a JOIN ranked r
   ON a.cluster_id = r.cluster_id AND r.rn = 1
 WHERE a.n_members >= 2
+"""
+
+ORACLE_SQL["q292_interval_union"] = """
+WITH iv AS (
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS open_day,
+           CAST(l_shipdate AS DATE) + 30 AS close_day
+    FROM lineitem
+),
+deltas AS (
+    SELECT l_suppkey, day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT l_suppkey, open_day AS day, 1 AS d FROM iv
+        UNION ALL SELECT l_suppkey, close_day, -1 FROM iv
+    ) GROUP BY 1, 2
+),
+swept AS (
+    SELECT l_suppkey, day,
+           sum(delta) OVER w AS active,
+           coalesce(sum(delta) OVER (PARTITION BY l_suppkey ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev_active,
+           CAST(coalesce(lead(day) OVER (PARTITION BY l_suppkey
+               ORDER BY day), day) - day AS BIGINT) AS dt
+    FROM deltas
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(sum(CASE WHEN active > 0 THEN dt ELSE 0 END) AS BIGINT)
+           AS union_days,
+       CAST(sum(CASE WHEN active > 0 AND prev_active <= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stretches
+FROM swept GROUP BY 1
+"""
+
+ORACLE_SQL["q293_table_reconciliation"] = """
+WITH o AS (
+    SELECT o_orderkey AS key,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT
+               % 17 AS coin
+    FROM orders
+),
+migrated AS (
+    SELECT CASE WHEN coin = 2 THEN key + 1000000000 ELSE key END AS key,
+           CASE WHEN coin = 1 THEN cents + 1 ELSE cents END AS m_cents
+    FROM o WHERE coin != 0
+),
+joined AS (
+    SELECT coalesce(l.key, m.key) AS key, l.cents, m.m_cents,
+           CASE WHEN l.cents IS NULL THEN 'ADDED'
+                WHEN m.m_cents IS NULL THEN 'REMOVED'
+                WHEN l.cents = m.m_cents THEN 'SAME'
+                ELSE 'CHANGED' END AS status
+    FROM (SELECT key, cents FROM o) l
+    FULL OUTER JOIN migrated m ON l.key = m.key
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(coalesce(m_cents, 0) - coalesce(cents, 0)) AS BIGINT)
+           AS cents_drift,
+       CAST(min(key) AS BIGINT) AS min_key,
+       CAST(max(key) AS BIGINT) AS max_key
+FROM joined GROUP BY 1
 """

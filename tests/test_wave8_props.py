@@ -737,3 +737,65 @@ def test_identity_resolution_golden(spark):
         assert r["n_members"] >= 2
         assert r["golden_custkey"] in cust
         assert cust[r["golden_custkey"]][4] == r["golden_cents"]
+
+
+def test_interval_union_python_reference(spark):
+    """Union days per supplier equal a pure-Python merged-interval
+    replay; n_stretches equals the merged-interval count; and the
+    union never exceeds the span or the naive 30-day sum."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_suppkey", "l_shipdate"
+    ).collect()
+    by_supp: dict = {}
+    for r in li:
+        d = r["l_shipdate"].date()
+        by_supp.setdefault(r["l_suppkey"], []).append(d)
+    expect = {}
+    for supp, days in by_supp.items():
+        ivs = sorted((d, d) for d in days)
+        merged = []
+        for s, _ in ivs:
+            from datetime import timedelta
+
+            e = s + timedelta(days=30)
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        union = sum((e - s).days for s, e in merged)
+        expect[supp] = (union, len(merged))
+    got = {
+        r["suppkey"]: (r["union_days"], r["n_stretches"])
+        for r in QUERIES["q292_interval_union"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_reconciliation_partition(spark):
+    """Class counts reconcile with the deterministic twin derivation:
+    REMOVED = coin-0 rows, ADDED = coin-2 rows, CHANGED = coin-1 rows
+    with drift == count, and the four classes cover the union."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    rows = {
+        r["status"]: r
+        for r in QUERIES["q293_table_reconciliation"](spark, SF).collect()
+    }
+    n = load_table(spark, SF, "orders").count()
+    assert set(rows) == {"SAME", "CHANGED", "ADDED", "REMOVED"}
+    assert rows["CHANGED"]["cents_drift"] == rows["CHANGED"]["n_rows"]
+    assert rows["ADDED"]["min_key"] >= 1_000_000_000
+    # every LEFT row lands in exactly one of SAME/CHANGED/REMOVED
+    # (a re-keyed coin-2 row is REMOVED under its old key AND ADDED
+    # under its new one — that is the point of the report)
+    total_left = (
+        rows["SAME"]["n_rows"]
+        + rows["CHANGED"]["n_rows"]
+        + rows["REMOVED"]["n_rows"]
+    )
+    assert total_left == n
+    assert rows["ADDED"]["n_rows"] <= rows["REMOVED"]["n_rows"]
