@@ -12679,6 +12679,90 @@ def q293_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q294_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the evaluation loop every
+    forecasting pipeline needs before anything fancier: forecast(d) =
+    revenue(d-7) (same weekday last week), scored per weekday with
+    exact integer absolute-percentage error in ppm (|actual-forecast|
+    *1e6 DIV actual) plus bias direction counts. One day-grain
+    aggregate, one lag window over the bounded day domain, one
+    weekday-grain aggregate. The readout says WHICH weekday the naive
+    model fails on — the actionable shape."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    scored = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 7).over(w).alias("forecast"),
+        F.lag("day", 7).over(w).alias("lag_day"),
+    ).filter(
+        F.col("forecast").isNotNull()
+        # the day spine can have holes: only score true d-7 pairs
+        & (F.datediff("day", F.col("lag_day")) == 7)
+    )
+    return scored.groupBy(
+        F.expr(
+            "CAST((datediff(day, DATE '1970-01-01')) % 7 AS BIGINT)"
+        ).alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(
+            "CAST(1000000 * sum(abs(cents - forecast)) DIV sum(cents)"
+            " AS BIGINT)"
+        ).alias("wape_ppm"),
+        F.sum(F.when(F.col("forecast") > F.col("cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+        F.sum(F.when(F.col("forecast") < F.col("cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_under"),
+    )
+
+
+def qd68_whale_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-transfer detection with a trailing adaptive threshold:
+    a tx is a whale when its output value exceeds 5x the exact median
+    of the previous 200 txs (a RANGE-free ROWS window over the
+    tx-ordered chain — the percentile contract as a WINDOW function,
+    which most engines can't push into one pass; Spark and DuckDB
+    both can). Early txs with fewer than 50 predecessors don't flag
+    (threshold undefined). Output: per block, whale count and their
+    total value — the monitoring readout."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    vals = raw_txs.select(
+        "tx_id",
+        "block_id",
+        F.expr(
+            "CAST(aggregate(transform(outputs, o -> o.value),"
+            " 0L, (a, x) -> a + x) AS BIGINT)"
+        ).alias("out_value"),
+    )
+    w = Window.orderBy("tx_id").rowsBetween(-200, -1)
+    flagged = vals.select(
+        "tx_id",
+        "block_id",
+        "out_value",
+        F.floor(F.expr("percentile(out_value, 0.5D)").over(w))
+        .cast("long")
+        .alias("med"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    ).filter(
+        (F.col("n_prev") >= 50)
+        & (F.col("out_value") > 5 * F.col("med"))
+    )
+    return flagged.groupBy(
+        F.col("block_id").cast("long").alias("block_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_whales"),
+        F.sum("out_value").cast("long").alias("whale_value"),
+        F.max("out_value").cast("long").alias("max_value"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -12857,6 +12941,8 @@ QUERIES: dict[str, QueryFn] = {
     "q291_identity_resolution": q291_identity_resolution,
     "q292_interval_union": q292_interval_union,
     "q293_table_reconciliation": q293_table_reconciliation,
+    "q294_forecast_backtest": q294_forecast_backtest,
+    "qd68_whale_transfers": qd68_whale_transfers,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -22366,4 +22452,54 @@ SELECT status,
        CAST(min(key) AS BIGINT) AS min_key,
        CAST(max(key) AS BIGINT) AS max_key
 FROM joined GROUP BY 1
+"""
+
+ORACLE_SQL["q294_forecast_backtest"] = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT day, cents,
+           lag(cents, 7) OVER (ORDER BY day) AS forecast,
+           lag(day, 7) OVER (ORDER BY day) AS lag_day
+    FROM daily
+)
+SELECT CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS weekday,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(1000000 * sum(abs(cents - forecast)) // sum(cents) AS BIGINT)
+           AS wape_ppm,
+       CAST(sum(CASE WHEN forecast > cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over,
+       CAST(sum(CASE WHEN forecast < cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_under
+FROM scored
+WHERE forecast IS NOT NULL AND day - lag_day = 7
+GROUP BY 1
+"""
+
+ORACLE_SQL["qd68_whale_transfers"] = f"""
+WITH vals AS (
+    SELECT tx_id, block_id,
+           CAST(coalesce(list_sum(list_transform(outputs, o -> o.value)), 0)
+                AS BIGINT) AS out_value
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+flagged AS (
+    SELECT tx_id, block_id, out_value,
+           CAST(floor(quantile_cont(out_value, 0.5) OVER w) AS BIGINT)
+               AS med,
+           count(*) OVER w AS n_prev
+    FROM vals
+    WINDOW w AS (ORDER BY tx_id ROWS BETWEEN 200 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(block_id AS BIGINT) AS block_id,
+       CAST(count(*) AS BIGINT) AS n_whales,
+       CAST(sum(out_value) AS BIGINT) AS whale_value,
+       CAST(max(out_value) AS BIGINT) AS max_value
+FROM flagged
+WHERE n_prev >= 50 AND out_value > 5 * med
+GROUP BY 1
 """

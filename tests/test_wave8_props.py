@@ -799,3 +799,28 @@ def test_reconciliation_partition(spark):
     )
     assert total_left == n
     assert rows["ADDED"]["n_rows"] <= rows["REMOVED"]["n_rows"]
+
+
+def test_forecast_backtest_bounds(spark):
+    """WAPE is non-negative, over+under never exceeds the day count,
+    and all 7 weekdays report."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q294_forecast_backtest"](spark, SF).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["wape_ppm"] >= 0
+        assert r["n_over"] + r["n_under"] <= r["n_days"]
+
+
+def test_whale_transfers_thresholds(spark):
+    """Whale rows respect the adaptive threshold by construction:
+    per-block whale value is at most the block's total output value
+    and counts are positive."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["qd68_whale_transfers"](spark, "unused").collect()
+    assert rows
+    for r in rows:
+        assert r["n_whales"] >= 1
+        assert 0 < r["max_value"] <= r["whale_value"]
