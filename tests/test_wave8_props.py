@@ -826,3 +826,68 @@ def test_whale_transfers_thresholds(spark):
     for r in rows:
         assert r["n_whales"] >= 1
         assert 0 < r["max_value"] <= r["whale_value"]
+
+
+def test_sequence_pattern_python_reference(spark):
+    """Pattern match counts equal a pure-Python regex replay over the
+    same ordered sequences."""
+    import re
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    strings = [
+        " ".join(t for _, _, t in sorted(v)) for v in seqs.values()
+    ]
+    pats = {
+        "resilient_conversion": r"view (error )*click",
+        "repeat_purchase": r"purchase [^ ]+ purchase",
+        "activation": r"signup( [a-z]+)* purchase",
+    }
+    expect = {
+        k: sum(1 for s in strings if re.search(p, s))
+        for k, p in pats.items()
+    }
+    got = {
+        r["pattern"]: r["n_matching"]
+        for r in QUERIES["q295_sequence_pattern"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_five_number_summary_order(spark):
+    """min <= q1 <= median <= q3 <= max per nation, and outliers are
+    a minority."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q296_five_number_summary"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["min_cents"] <= r["q1_cents"] <= r["median_cents"]
+            <= r["q3_cents"] <= r["max_cents"]
+        )
+        assert 0 <= r["n_outliers"] < r["n_orders"]
+
+
+def test_address_type_census_totals(spark):
+    """Census totals equal the whole output table's count and value."""
+    import duckdb
+
+    from graphsense_blocksci_spark.queries import QUERIES, _FIXTURE_DIR
+
+    n, v = duckdb.connect().execute(
+        f"SELECT count(*), sum(u.value) FROM (SELECT unnest(outputs) AS u"
+        f" FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet'))"
+    ).fetchone()
+    rows = QUERIES["qd69_address_type_census"](spark, "unused").collect()
+    assert sum(r["n_outputs"] for r in rows) == n
+    assert sum(r["total_value"] for r in rows) == v
