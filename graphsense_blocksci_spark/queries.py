@@ -12907,6 +12907,69 @@ def qd69_address_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd70_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of q273's CDC apply: the op-log staged as TWO
+    files split by line-number parity (so per-key ops straddle the
+    batch boundary and exercise the merge), per-key survivor state
+    compacted under the identical (seq, payload, op) total order
+    (streaming/cdc.py — max-merge, order-independent), freshest
+    snapshot per key via max_by(n_seen), then the same by-op report.
+    Oracle: q273's SQL verbatim."""
+    import tempfile
+
+    from graphsense_blocksci_spark.streaming.cdc import cdc_compact_stream
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+        _cents("l_extendedprice").alias("payload_cents"),
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat("
+            "CAST(l_orderkey AS STRING), ':',"
+            " CAST(l_linenumber AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+            " % 7 = 0 THEN 'D' ELSE 'U' END"
+        ).alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="gbs_scdc_")
+    cols = ["key", "seq", "payload_cents", "op"]
+    li.filter(F.col("seq") % 2 == 0).select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    li.filter(F.col("seq") % 2 == 1).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    stream = (
+        spark.readStream.schema(
+            "key long, seq long, payload_cents long, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/src")
+    )
+    q = (
+        cdc_compact_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.read.schema(
+        "key long, n_seen long, seq long, payload_cents long, op string"
+    ).parquet(f"{work}/out")
+    final = snaps.groupBy("key").agg(
+        F.expr("max_by(seq, n_seen)").alias("seq"),
+        F.expr("max_by(payload_cents, n_seen)").alias("payload_cents"),
+        F.expr("max_by(op, n_seen)").alias("op"),
+    )
+    return final.groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("payload_cents").cast("long").alias("sum_payload_cents"),
+        F.sum("key").cast("long").alias("sum_keys"),
+        F.max("seq").cast("long").alias("max_seq"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13090,6 +13153,7 @@ QUERIES: dict[str, QueryFn] = {
     "q295_sequence_pattern": q295_sequence_pattern,
     "q296_five_number_summary": q296_five_number_summary,
     "qd69_address_type_census": qd69_address_type_census,
+    "qd70_streaming_cdc": qd70_streaming_cdc,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -22731,3 +22795,6 @@ SELECT address_type,
        CAST(count(DISTINCT addr) AS BIGINT) AS n_addresses
 FROM outs GROUP BY 1
 """
+
+# The streaming compaction must converge to the batch apply exactly.
+ORACLE_SQL["qd70_streaming_cdc"] = ORACLE_SQL["q273_cdc_apply"]

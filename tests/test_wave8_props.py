@@ -891,3 +891,21 @@ def test_address_type_census_totals(spark):
     rows = QUERIES["qd69_address_type_census"](spark, "unused").collect()
     assert sum(r["n_outputs"] for r in rows) == n
     assert sum(r["total_value"] for r in rows) == v
+
+
+def test_streaming_cdc_equals_batch(spark):
+    """The qd70 streaming compaction must reproduce the q273 batch
+    apply cell-exactly across the parity-split micro-batches."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    batch = {
+        r["op"]: (r["n_keys"], r["sum_payload_cents"], r["sum_keys"],
+                  r["max_seq"])
+        for r in QUERIES["q273_cdc_apply"](spark, SF).collect()
+    }
+    stream = {
+        r["op"]: (r["n_keys"], r["sum_payload_cents"], r["sum_keys"],
+                  r["max_seq"])
+        for r in QUERIES["qd70_streaming_cdc"](spark, SF).collect()
+    }
+    assert stream == batch
