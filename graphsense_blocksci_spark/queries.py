@@ -12970,6 +12970,99 @@ def qd70_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q297_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature/label builder — the leakage-safe split
+    every churn/LTV model needs and the thing naive joins get wrong:
+    features for each customer derive ONLY from orders strictly
+    before the cutoff (count, spend, recency in days), the label
+    (retained) ONLY from orders at/after it. One filtered aggregate
+    per side of the cutoff, one left join — a customer with no
+    post-cutoff order is a labeled churner, not a dropped row.
+    Customers with no pre-cutoff history are excluded (no features
+    to train on) — stated, not silent."""
+    cutoff = "DATE '2000-01-01'"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    feats = (
+        o.filter(F.expr(f"day < {cutoff}"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders_pre"),
+            F.sum("cents").cast("long").alias("cents_pre"),
+            F.expr(
+                f"CAST(datediff({cutoff}, max(day)) AS BIGINT)"
+            ).alias("recency_days"),
+        )
+    )
+    labels = (
+        o.filter(F.expr(f"day >= {cutoff}"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_post"))
+    )
+    return feats.join(labels, "o_custkey", "left").select(
+        "o_custkey",
+        "n_orders_pre",
+        "cents_pre",
+        "recency_days",
+        (F.coalesce("n_post", F.lit(0)) > 0).alias("retained"),
+    )
+
+
+def qd71_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-invariant audit as a query: an address's running balance
+    must never go negative (spending an output before funding it
+    would mean broken linkage or a reorder bug in ingestion). Reuses
+    the qd67 timeline (per-address prefix sums over the bounded event
+    domain) and reports the corpus verdict — total addresses, clean
+    vs violating counts, and the worst dip — so the check runs as a
+    scheduled data-quality row, not a test-only assertion."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    recv = (
+        raw_txs.select("timestamp", "tx_id", F.explode("outputs").alias("o"))
+        .filter(F.size("o.address") > 0)
+        .select(
+            F.concat_ws("|", "o.address").alias("addr"),
+            F.col("timestamp").cast("long").alias("ts"),
+            # funding sorts BEFORE spending at the same timestamp
+            F.lit(0).alias("kind"),
+            F.col("o.value").cast("long").alias("delta"),
+        )
+    )
+    spent = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("timestamp", F.explode("inputs").alias("i"))
+        .filter(F.size("i.address") > 0)
+        .select(
+            F.concat_ws("|", "i.address").alias("addr"),
+            F.col("timestamp").cast("long").alias("ts"),
+            F.lit(1).alias("kind"),
+            (-F.col("i.value")).cast("long").alias("delta"),
+        )
+    )
+    w = Window.partitionBy("addr").orderBy("ts", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    timeline = recv.unionByName(spent).select(
+        "addr", F.sum("delta").over(w).alias("bal")
+    )
+    per_addr = timeline.groupBy("addr").agg(
+        F.min("bal").cast("long").alias("min_bal")
+    )
+    return per_addr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_addresses"),
+        F.sum(F.when(F.col("min_bal") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("min_bal") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.min("min_bal").cast("long").alias("worst_dip"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13154,6 +13247,8 @@ QUERIES: dict[str, QueryFn] = {
     "q296_five_number_summary": q296_five_number_summary,
     "qd69_address_type_census": qd69_address_type_census,
     "qd70_streaming_cdc": qd70_streaming_cdc,
+    "q297_pit_features": q297_pit_features,
+    "qd71_balance_audit": qd71_balance_audit,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -22798,3 +22893,66 @@ FROM outs GROUP BY 1
 
 # The streaming compaction must converge to the batch apply exactly.
 ORACLE_SQL["qd70_streaming_cdc"] = ORACLE_SQL["q273_cdc_apply"]
+
+ORACLE_SQL["q297_pit_features"] = """
+WITH o AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+feats AS (
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders_pre,
+           CAST(sum(cents) AS BIGINT) AS cents_pre,
+           CAST(DATE '2000-01-01' - max(day) AS BIGINT) AS recency_days
+    FROM o WHERE day < DATE '2000-01-01' GROUP BY 1
+),
+labels AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_post
+    FROM o WHERE day >= DATE '2000-01-01' GROUP BY 1
+)
+SELECT f.o_custkey, f.n_orders_pre, f.cents_pre, f.recency_days,
+       coalesce(l.n_post, 0) > 0 AS retained
+FROM feats f LEFT JOIN labels l ON f.o_custkey = l.o_custkey
+"""
+
+ORACLE_SQL["qd71_balance_audit"] = f"""
+WITH recv AS (
+    SELECT array_to_string(u.a, '|') AS addr,
+           CAST(timestamp AS BIGINT) AS ts, 0 AS kind,
+           CAST(u.v AS BIGINT) AS delta
+    FROM (SELECT timestamp,
+                 unnest(list_transform(outputs,
+                     o -> {{'a': o.address, 'v': o.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet'))
+    WHERE len(u.a) > 0
+),
+spent AS (
+    SELECT array_to_string(u.a, '|') AS addr,
+           CAST(timestamp AS BIGINT) AS ts, 1 AS kind,
+           CAST(-u.v AS BIGINT) AS delta
+    FROM (SELECT timestamp,
+                 unnest(list_transform(inputs,
+                     i -> {{'a': i.address, 'v': i.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+          WHERE NOT coinbase)
+    WHERE len(u.a) > 0
+),
+timeline AS (
+    SELECT addr,
+           sum(delta) OVER (PARTITION BY addr ORDER BY ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+    FROM (SELECT * FROM recv UNION ALL SELECT * FROM spent)
+),
+per_addr AS (
+    SELECT addr, CAST(min(bal) AS BIGINT) AS min_bal
+    FROM timeline GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_addresses,
+       CAST(sum(CASE WHEN min_bal >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean,
+       CAST(sum(CASE WHEN min_bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(min(min_bal) AS BIGINT) AS worst_dip
+FROM per_addr
+"""

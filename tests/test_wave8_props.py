@@ -909,3 +909,47 @@ def test_streaming_cdc_equals_batch(spark):
         for r in QUERIES["qd70_streaming_cdc"](spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_pit_features_no_leakage(spark):
+    """Feature columns are reproducible from pre-cutoff data alone
+    and every pre-cutoff customer appears exactly once."""
+    from datetime import date
+
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    cutoff = date(2000, 1, 1)
+    orders = load_table(spark, SF, "orders").collect()
+    pre: dict = {}
+    post: set = set()
+    for r in orders:
+        d = r["o_orderdate"].date()
+        if d < cutoff:
+            n, c, last = pre.get(r["o_custkey"], (0, 0, None))
+            pre[r["o_custkey"]] = (
+                n + 1,
+                c + round(r["o_totalprice"] * 100),
+                max(last, d) if last else d,
+            )
+        else:
+            post.add(r["o_custkey"])
+    rows = QUERIES["q297_pit_features"](spark, SF).collect()
+    assert len(rows) == len(pre)
+    for r in rows:
+        n, c, last = pre[r["o_custkey"]]
+        assert r["n_orders_pre"] == n
+        assert r["cents_pre"] == c
+        assert r["recency_days"] == (cutoff - last).days
+        assert r["retained"] == (r["o_custkey"] in post)
+
+
+def test_balance_audit_clean_chain(spark):
+    """The synthetic chain is linkage-consistent: zero negative-dip
+    addresses, and the partition adds up."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["qd71_balance_audit"](spark, "unused").collect()[0]
+    assert r["n_clean"] + r["n_violations"] == r["n_addresses"]
+    assert r["n_violations"] == 0
+    assert r["worst_dip"] >= 0
