@@ -282,6 +282,17 @@ BENCH_QUERIES = [
     "qd64_utxo_growth",
     "qd65_haircut_taint_value",
     "qd66_address_component_census",
+    "q291_identity_resolution",
+    "q292_interval_union",
+    "q293_table_reconciliation",
+    "q294_forecast_backtest",
+    "q295_sequence_pattern",
+    "q296_five_number_summary",
+    "q297_pit_features",
+    "qd67_time_weighted_balance",
+    "qd68_whale_transfers",
+    "qd69_address_type_census",
+    "qd71_balance_audit",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

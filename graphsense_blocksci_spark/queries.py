@@ -13099,7 +13099,11 @@ def qd71_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LOCF, FIFO taint, skyline, rolling-distinct DAU/WAU, reciprocity,
 # tolerance join, tx motif census, LSH quality audit, subsample CI,
 # dedup savings, UTXO growth, dataset card, JSON props, nearest
-# as-of), then q177/q178
+# as-of, haircut taint values, component census, TWAB, identity
+# resolution, interval union, reconciliation, forecast backtest,
+# whale transfers, sequence patterns, five-number summary, address
+# type census, streaming CDC, PIT features, balance audit), then
+# q177/q178
 # (the last oracled wave entries), then the
 # rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
 # the weaker rows-only check), then the q37-q97 long tail.
