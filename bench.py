@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "qd68_whale_transfers",
     "qd69_address_type_census",
     "qd71_balance_audit",
+    "q298_balanced_sample",
+    "qd72_outpoint_conflicts",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13063,6 +13063,79 @@ def qd71_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q298_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — the data-DEPENDENT sampler q72's
+    fixed-rate stratifier is not: every language keeps exactly
+    min(class size) documents, selected by the deterministic md5
+    order (portable, retry-stable). The minority size rides in as a
+    broadcast 1-row aggregate; one rank window per class does the
+    cut. Output is the per-class audit (kept / available / kept_ppm),
+    the thing a training-mix rebalance reviews."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    sizes = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_avail")
+    )
+    floor_n = sizes.agg(F.min("n_avail").alias("n_keep"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rk")
+        )
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("n_keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
+    )
+    return sizes.join(kept, "lang").select(
+        "lang",
+        "n_avail",
+        "n_kept",
+        "kept_id_sum",
+        F.expr("CAST(1000000 * n_kept DIV n_avail AS BIGINT)").alias(
+            "kept_ppm"
+        ),
+    )
+
+
+def qd72_outpoint_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-spend conflict audit: every (spent_tx_id, spent_index)
+    outpoint must be consumed by AT MOST one input chain-wide — more
+    than one spender means a double-spend slipped past ingestion (or
+    a reorg rollback half-applied, the qd49 failure class). One
+    outpoint-grain aggregate; the verdict row reports total/clean/
+    conflicting outpoints so the check schedules as a data-quality
+    row next to qd71's balance audit."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    spends = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("tx_id", F.explode("inputs").alias("i"))
+        .select(
+            F.col("i.spent_tx_id").alias("stx"),
+            F.col("i.spent_index").cast("long").alias("sidx"),
+        )
+    )
+    per_outpoint = spends.groupBy("stx", "sidx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spenders")
+    )
+    return per_outpoint.agg(
+        F.count(F.lit(1)).cast("long").alias("n_outpoints"),
+        F.sum(F.when(F.col("n_spenders") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("n_spenders") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicting"),
+        F.max("n_spenders").cast("long").alias("max_spenders"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13253,6 +13326,8 @@ QUERIES: dict[str, QueryFn] = {
     "qd70_streaming_cdc": qd70_streaming_cdc,
     "q297_pit_features": q297_pit_features,
     "qd71_balance_audit": qd71_balance_audit,
+    "q298_balanced_sample": q298_balanced_sample,
+    "qd72_outpoint_conflicts": qd72_outpoint_conflicts,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -22959,4 +23034,53 @@ SELECT CAST(count(*) AS BIGINT) AS n_addresses,
            AS n_violations,
        CAST(min(min_bal) AS BIGINT) AS worst_dip
 FROM per_addr
+"""
+
+ORACLE_SQL["q298_balanced_sample"] = """
+WITH docs AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+),
+sizes AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_avail
+    FROM docs GROUP BY 1
+),
+floor_n AS (SELECT min(n_avail) AS n_keep FROM sizes),
+ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM docs
+),
+kept AS (
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.doc_id) AS BIGINT) AS kept_id_sum
+    FROM ranked r CROSS JOIN floor_n f
+    WHERE r.rk <= f.n_keep
+    GROUP BY 1
+)
+SELECT s.lang, s.n_avail, k.n_kept, k.kept_id_sum,
+       CAST(1000000 * k.n_kept // s.n_avail AS BIGINT) AS kept_ppm
+FROM sizes s JOIN kept k ON s.lang = k.lang
+"""
+
+ORACLE_SQL["qd72_outpoint_conflicts"] = f"""
+WITH spends AS (
+    SELECT u.stx AS stx, CAST(u.sidx AS BIGINT) AS sidx
+    FROM (SELECT unnest(list_transform(inputs,
+              i -> {{'stx': i.spent_tx_id, 'sidx': i.spent_index}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+          WHERE NOT coinbase)
+),
+per_outpoint AS (
+    SELECT stx, sidx, CAST(count(*) AS BIGINT) AS n_spenders
+    FROM spends GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_outpoints,
+       CAST(sum(CASE WHEN n_spenders = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean,
+       CAST(sum(CASE WHEN n_spenders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_conflicting,
+       CAST(max(n_spenders) AS BIGINT) AS max_spenders
+FROM per_outpoint
 """

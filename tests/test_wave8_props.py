@@ -953,3 +953,27 @@ def test_balance_audit_clean_chain(spark):
     assert r["n_clean"] + r["n_violations"] == r["n_addresses"]
     assert r["n_violations"] == 0
     assert r["worst_dip"] >= 0
+
+
+def test_balanced_sample_floor(spark):
+    """Every class keeps exactly the minority-class size and ppm is
+    consistent."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q298_balanced_sample"](spark, SF).collect()
+    assert rows
+    floor_n = min(r["n_avail"] for r in rows)
+    for r in rows:
+        assert r["n_kept"] == floor_n
+        assert r["kept_ppm"] == 1_000_000 * floor_n // r["n_avail"]
+
+
+def test_outpoint_conflicts_clean(spark):
+    """The synthetic chain has no double spends and the partition
+    adds up."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["qd72_outpoint_conflicts"](spark, "unused").collect()[0]
+    assert r["n_clean"] + r["n_conflicting"] == r["n_outpoints"]
+    assert r["n_conflicting"] == 0
+    assert r["max_spenders"] == 1
