@@ -122,3 +122,41 @@ def test_cdc_group_batching_invariant(rows, rng):
     n_seen, seq, payload, op = base_state
     assert n_seen == len(rows)
     assert (seq, payload, op) == max(rows)
+
+
+mg_items = st.lists(
+    st.sampled_from([f"i{k}" for k in range(12)]),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(mg_items, st.integers(2, 8), st.randoms())
+@settings(max_examples=150, deadline=None)
+def test_misra_gries_merge_guarantee(items, capacity, rng):
+    """The mergeable MG reduce keeps its deviation guarantee under
+    ANY batching: for every item, true_count - total/capacity <=
+    approx <= true_count (undercount-only, bounded), and every item
+    with true_count > total/capacity is PRESENT in the summary."""
+    from collections import Counter
+
+    from graphsense_blocksci_spark.streaming.sketches import _merge_mg
+
+    shuffled = list(items)
+    rng.shuffle(shuffled)
+    n_batches = rng.randint(1, 4)
+    size = max(1, len(shuffled) // n_batches)
+    counts = None
+    for i in range(0, len(shuffled), size):
+        counts = _merge_mg(
+            counts, pd.Series(shuffled[i:i + size]), capacity
+        )
+    total = len(items)
+    true = Counter(items)
+    bound = total / capacity
+    for item, t in true.items():
+        approx = float(counts.get(item, 0.0))
+        assert approx <= t
+        assert approx >= t - bound - 1e-9, (item, t, approx, bound)
+        if t > bound:
+            assert item in counts.index
