@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "qd71_balance_audit",
     "q298_balanced_sample",
     "qd72_outpoint_conflicts",
+    "qd73_entity_taint_exposure",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13136,6 +13136,49 @@ def qd72_outpoint_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd73_entity_taint_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level taint exposure — the report an investigator
+    actually reads: qd65's hop-decomposed haircut taint lands on
+    output ADDRESSES, rolls up to qd16's co-spend ENTITIES (addresses
+    never seen as inputs keep themselves as singleton entities via
+    the same 28-bit hash convention), and the top-20 most-exposed
+    entities report total tainted satoshis, tainted outputs, and the
+    shortest hop at which taint arrived. Full chain-stack
+    composition: taint values x linkage x clustering, each an
+    already-oracled stage."""
+    from graphsense_blocksci_spark.operators.textops import hash28
+
+    taint = qd65_haircut_taint_value(spark, sf_dir)
+    _, raw_txs, _ = _fixture_frames(spark)
+    outs_addr = (
+        raw_txs.select("tx_id", F.posexplode("outputs").alias("idx", "o"))
+        .filter(F.size("o.address") > 0)
+        .select(
+            "tx_id",
+            F.col("idx").cast("long").alias("output_index"),
+            F.concat_ws("|", "o.address").alias("addr"),
+        )
+    )
+    ent = qd16_cospend_entities(spark, sf_dir)
+    j = (
+        taint.join(outs_addr, ["tx_id", "output_index"])
+        .join(ent, "addr", "left")
+        .select(
+            F.coalesce("entity", hash28(F.col("addr"))).alias("entity"),
+            "tainted_value",
+            "hop",
+        )
+    )
+    exposure = j.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tainted_outputs"),
+        F.sum("tainted_value").cast("long").alias("taint_total"),
+        F.min("hop").cast("long").alias("first_hop"),
+    )
+    return exposure.orderBy(
+        F.col("taint_total").desc(), "entity"
+    ).limit(20)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13329,6 +13372,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd71_balance_audit": qd71_balance_audit,
     "q298_balanced_sample": q298_balanced_sample,
     "qd72_outpoint_conflicts": qd72_outpoint_conflicts,
+    "qd73_entity_taint_exposure": qd73_entity_taint_exposure,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23084,4 +23128,42 @@ SELECT CAST(count(*) AS BIGINT) AS n_outpoints,
            AS n_conflicting,
        CAST(max(n_spenders) AS BIGINT) AS max_spenders
 FROM per_outpoint
+"""
+
+# Composition oracle: qd65's unrolled taint hops + the output-address
+# projection + qd16's recursive co-spend entities, singleton-coalesced
+# with the shared 28-bit hash idiom.
+ORACLE_SQL["qd73_entity_taint_exposure"] = f"""
+WITH taint AS (
+{ORACLE_SQL["qd65_haircut_taint_value"]}
+),
+outs_addr AS (
+    SELECT tx_id, CAST(u.oi AS BIGINT) AS output_index,
+           array_to_string(u.a, '|') AS addr
+    FROM (SELECT tx_id,
+                 unnest(list_transform(range(1, len(outputs) + 1),
+                     i -> {{oi: i - 1,
+                            alen: len(outputs[i].address),
+                            a: outputs[i].address}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet'))
+    WHERE u.alen > 0
+),
+ents AS (
+{ORACLE_SQL["qd16_cospend_entities"]}
+),
+j AS (
+    SELECT coalesce(e.entity,
+               ('0x' || substr(md5(oa.addr), 1, 7))::BIGINT) AS entity,
+           t.tainted_value, t.hop
+    FROM taint t
+    JOIN outs_addr oa
+      ON t.tx_id = oa.tx_id AND t.output_index = oa.output_index
+    LEFT JOIN ents e ON oa.addr = e.addr
+)
+SELECT entity,
+       CAST(count(*) AS BIGINT) AS n_tainted_outputs,
+       CAST(sum(tainted_value) AS BIGINT) AS taint_total,
+       CAST(min(hop) AS BIGINT) AS first_hop
+FROM j GROUP BY 1
+ORDER BY taint_total DESC, entity LIMIT 20
 """

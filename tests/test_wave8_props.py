@@ -977,3 +977,29 @@ def test_outpoint_conflicts_clean(spark):
     assert r["n_clean"] + r["n_conflicting"] == r["n_outpoints"]
     assert r["n_conflicting"] == 0
     assert r["max_spenders"] == 1
+
+
+def test_entity_taint_exposure_consistency(spark):
+    """Exposure rows are sorted, positive, and first_hop within the
+    4-hop horizon; total exposure never exceeds the seeds' value."""
+    import duckdb
+
+    from graphsense_blocksci_spark.queries import QUERIES, _FIXTURE_DIR
+
+    seed_total = duckdb.connect().execute(
+        f"SELECT sum(u.value) FROM (SELECT unnest(outputs) AS u"
+        f" FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')"
+        f" WHERE coinbase AND block_id < 10)"
+    ).fetchone()[0]
+    rows = QUERIES["qd73_entity_taint_exposure"](spark, "unused").collect()
+    assert 0 < len(rows) <= 20
+    prev = None
+    for r in rows:
+        assert r["taint_total"] > 0
+        assert 1 <= r["first_hop"] <= 4
+        key = (-r["taint_total"], r["entity"])
+        assert prev is None or prev <= key
+        prev = key
+    # hop-decomposed exposure of the top-20 stays within 4x the seed
+    # mass (each of the 4 hops re-counts a path-length slice)
+    assert sum(r["taint_total"] for r in rows) <= 4 * seed_total
