@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "q298_balanced_sample",
     "qd72_outpoint_conflicts",
     "qd73_entity_taint_exposure",
+    "q299_diff_in_diff",
+    "q300_revenue_bridge",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13179,6 +13179,112 @@ def qd73_entity_taint_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q299_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference estimate the
+    CUPED/A-B family (q150/q183) doesn't cover: treatment = ASIA
+    customers, intervention = 1998-01-01, outcome = mean order value.
+    One 2x2 grouped aggregate (treat x post) with exact integer cell
+    means, pivoted into a single row so the DiD contrast
+    (m11-m10)-(m01-m00) is a plain column expression. The parallel-
+    trends caveat is the analyst's; the arithmetic here is exact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.to_date("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .alias("post"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            (F.col("r_name") == "ASIA").alias("treated"), "post", "cents"
+        )
+    )
+    cells = base.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(cents) DIV count(1) AS BIGINT)").alias("m"),
+    )
+    wide = cells.groupBy().pivot(
+        "treated", [True, False]
+    ).agg(
+        F.expr("max_by(m, post)").alias("post_m"),
+        F.expr("min_by(m, post)").alias("pre_m"),
+        F.sum("n").alias("n"),
+    )
+    return wide.select(
+        F.col("`true_pre_m`").alias("treat_pre_mean"),
+        F.col("`true_post_m`").alias("treat_post_mean"),
+        F.col("`false_pre_m`").alias("control_pre_mean"),
+        F.col("`false_post_m`").alias("control_post_mean"),
+        F.col("`true_n`").cast("long").alias("n_treat"),
+        F.col("`false_n`").cast("long").alias("n_control"),
+        (
+            (F.col("`true_post_m`") - F.col("`true_pre_m`"))
+            - (F.col("`false_post_m`") - F.col("`false_pre_m`"))
+        ).cast("long").alias("did_cents"),
+    )
+
+
+def q300_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (waterfall) between 1997 and 1998 per part
+    category: ΔR decomposes into a Laspeyres VOLUME effect (quantity
+    change at the base period's realized rate, exact milli-cents via
+    DIV) and a residual PRICE/MIX effect defined so additivity is
+    EXACT by construction — 1000·ΔR = volume + price_mix, no floats,
+    no unexplained remainder. One join, one (category, year)
+    aggregate, one pivot."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("cents"),
+        F.year("l_shipdate").alias("yr"),
+    ).filter(F.col("yr").isin(1997, 1998))
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ").getItem(0).alias("category"),
+    )
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cells = base.groupBy("category", "yr").agg(
+        F.sum("qty").cast("long").alias("q"),
+        F.sum("cents").cast("long").alias("r"),
+    )
+    wide = (
+        cells.groupBy("category")
+        .pivot("yr", [1997, 1998])
+        .agg(F.max("q").alias("q"), F.max("r").alias("r"))
+        .filter(
+            F.col("`1997_q`").isNotNull() & F.col("`1998_q`").isNotNull()
+        )
+    )
+    return wide.select(
+        "category",
+        F.col("`1997_r`").alias("r_base_cents"),
+        F.col("`1998_r`").alias("r_next_cents"),
+        F.col("`1997_q`").alias("q_base"),
+        F.col("`1998_q`").alias("q_next"),
+        F.expr(
+            "CAST((`1998_q` - `1997_q`) * `1997_r` * 1000 DIV `1997_q`"
+            " AS BIGINT)"
+        ).alias("volume_effect_milli"),
+        F.expr(
+            "CAST(1000 * (`1998_r` - `1997_r`)"
+            " - ((`1998_q` - `1997_q`) * `1997_r` * 1000 DIV `1997_q`)"
+            " AS BIGINT)"
+        ).alias("price_mix_effect_milli"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13373,6 +13479,8 @@ QUERIES: dict[str, QueryFn] = {
     "q298_balanced_sample": q298_balanced_sample,
     "qd72_outpoint_conflicts": qd72_outpoint_conflicts,
     "qd73_entity_taint_exposure": qd73_entity_taint_exposure,
+    "q299_diff_in_diff": q299_diff_in_diff,
+    "q300_revenue_bridge": q300_revenue_bridge,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23166,4 +23274,72 @@ SELECT entity,
        CAST(min(hop) AS BIGINT) AS first_hop
 FROM j GROUP BY 1
 ORDER BY taint_total DESC, entity LIMIT 20
+"""
+
+ORACLE_SQL["q299_diff_in_diff"] = """
+WITH base AS (
+    SELECT r_name = 'ASIA' AS treated,
+           CAST(o_orderdate AS DATE) >= DATE '1998-01-01' AS post,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+),
+cells AS (
+    SELECT treated, post,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) // count(*) AS BIGINT) AS m
+    FROM base GROUP BY 1, 2
+)
+SELECT
+    (SELECT m FROM cells WHERE treated AND NOT post) AS treat_pre_mean,
+    (SELECT m FROM cells WHERE treated AND post) AS treat_post_mean,
+    (SELECT m FROM cells WHERE NOT treated AND NOT post)
+        AS control_pre_mean,
+    (SELECT m FROM cells WHERE NOT treated AND post) AS control_post_mean,
+    (SELECT CAST(sum(n) AS BIGINT) FROM cells WHERE treated) AS n_treat,
+    (SELECT CAST(sum(n) AS BIGINT) FROM cells WHERE NOT treated)
+        AS n_control,
+    CAST(((SELECT m FROM cells WHERE treated AND post)
+        - (SELECT m FROM cells WHERE treated AND NOT post))
+        - ((SELECT m FROM cells WHERE NOT treated AND post)
+        - (SELECT m FROM cells WHERE NOT treated AND NOT post))
+        AS BIGINT) AS did_cents
+"""
+
+ORACLE_SQL["q300_revenue_bridge"] = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           year(l_shipdate) AS yr
+    FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+),
+p AS (
+    SELECT p_partkey, string_split(p_type, ' ')[1] AS category FROM part
+),
+cells AS (
+    SELECT p.category, li.yr,
+           CAST(sum(li.qty) AS BIGINT) AS q,
+           CAST(sum(li.cents) AS BIGINT) AS r
+    FROM li JOIN p ON li.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+wide AS (
+    SELECT category,
+           max(CASE WHEN yr = 1997 THEN r END) AS r_base_cents,
+           max(CASE WHEN yr = 1998 THEN r END) AS r_next_cents,
+           max(CASE WHEN yr = 1997 THEN q END) AS q_base,
+           max(CASE WHEN yr = 1998 THEN q END) AS q_next
+    FROM cells GROUP BY 1
+)
+SELECT category, r_base_cents, r_next_cents, q_base, q_next,
+       CAST((q_next - q_base) * r_base_cents * 1000 // q_base AS BIGINT)
+           AS volume_effect_milli,
+       CAST(1000 * (r_next_cents - r_base_cents)
+            - ((q_next - q_base) * r_base_cents * 1000 // q_base)
+            AS BIGINT) AS price_mix_effect_milli
+FROM wide
+WHERE q_base IS NOT NULL AND q_next IS NOT NULL
 """

@@ -1003,3 +1003,33 @@ def test_entity_taint_exposure_consistency(spark):
     # hop-decomposed exposure of the top-20 stays within 4x the seed
     # mass (each of the 4 hops re-counts a path-length slice)
     assert sum(r["taint_total"] for r in rows) <= 4 * seed_total
+
+
+def test_diff_in_diff_identity(spark):
+    """The DiD contrast equals the cell-mean arithmetic and cell
+    populations partition the order table."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    r = QUERIES["q299_diff_in_diff"](spark, SF).collect()[0]
+    assert r["did_cents"] == (
+        (r["treat_post_mean"] - r["treat_pre_mean"])
+        - (r["control_post_mean"] - r["control_pre_mean"])
+    )
+    n = load_table(spark, SF, "orders").count()
+    assert r["n_treat"] + r["n_control"] == n
+
+
+def test_revenue_bridge_additivity(spark):
+    """The two effects sum EXACTLY to 1000x the revenue delta for
+    every category — the bridge never leaves an unexplained
+    remainder."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q300_revenue_bridge"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["volume_effect_milli"] + r["price_mix_effect_milli"]
+            == 1000 * (r["r_next_cents"] - r["r_base_cents"])
+        )
