@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "qd73_entity_taint_exposure",
     "q299_diff_in_diff",
     "q300_revenue_bridge",
+    "qd74_gini_timeseries",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13285,6 +13285,87 @@ def q300_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd74_gini_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wealth-inequality TIME SERIES — qd45's Gini at every chain
+    day, not just the tip: per-(addr, day) balance deltas densify
+    onto the bounded day x address spine, carry forward with one
+    prefix-sum window (the q280 LOCF shape applied chain-side), and
+    each day's positive holders rank WITHIN their day partition (the
+    window parallelizes across days, so no global-sort funnel). The
+    exact-integer rank formula is qd45's; numerators ride as
+    DECIMAL(38,0) because day-level Σ rank·x can pass int64 on a
+    whale-heavy day."""
+    _, raw_txs, _ = _fixture_frames(spark)
+    recv = (
+        raw_txs.select("timestamp", F.explode("outputs").alias("o"))
+        .filter(F.size("o.address") > 0)
+        .select(
+            F.concat_ws("|", "o.address").alias("addr"),
+            F.expr("CAST(CAST(timestamp AS BIGINT) DIV 86400 AS BIGINT)")
+            .alias("day"),
+            F.col("o.value").cast("long").alias("delta"),
+        )
+    )
+    spent = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select("timestamp", F.explode("inputs").alias("i"))
+        .filter(F.size("i.address") > 0)
+        .select(
+            F.concat_ws("|", "i.address").alias("addr"),
+            F.expr("CAST(CAST(timestamp AS BIGINT) DIV 86400 AS BIGINT)")
+            .alias("day"),
+            (-F.col("i.value")).cast("long").alias("delta"),
+        )
+    )
+    deltas = (
+        recv.unionByName(spent)
+        .groupBy("addr", "day")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        deltas.select("day").distinct()
+        .crossJoin(deltas.select("addr").distinct())
+    )
+    w = Window.partitionBy("addr").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    balances = (
+        spine.join(deltas, ["addr", "day"], "left")
+        .select(
+            "addr",
+            "day",
+            F.sum(F.coalesce("delta", F.lit(0))).over(w).alias("x"),
+        )
+        .filter(F.col("x") > 0)
+    )
+    wd = Window.partitionBy("day").orderBy("x", "addr")
+    ranked = balances.select(
+        "day", "x", F.row_number().over(wd).cast("long").alias("rk")
+    )
+    agg = ranked.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_holders"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * x")).alias("sum_rx"),
+    )
+    return agg.select(
+        "day",
+        "n_holders",
+        F.expr(
+            "CAST(2 * sum_rx - (n_holders + 1)"
+            " * CAST(sum_x AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("gini_num"),
+        F.expr(
+            "CAST(CAST(n_holders AS DECIMAL(38,0)) * sum_x AS BIGINT)"
+        ).alias("gini_den"),
+        F.expr(
+            "CAST(2 * sum_rx - (n_holders + 1)"
+            " * CAST(sum_x AS DECIMAL(38,0)) AS DOUBLE)"
+            " / CAST(CAST(n_holders AS DECIMAL(38,0)) * sum_x AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13481,6 +13562,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd73_entity_taint_exposure": qd73_entity_taint_exposure,
     "q299_diff_in_diff": q299_diff_in_diff,
     "q300_revenue_bridge": q300_revenue_bridge,
+    "qd74_gini_timeseries": qd74_gini_timeseries,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23342,4 +23424,66 @@ SELECT category, r_base_cents, r_next_cents, q_base, q_next,
             AS BIGINT) AS price_mix_effect_milli
 FROM wide
 WHERE q_base IS NOT NULL AND q_next IS NOT NULL
+"""
+
+ORACLE_SQL["qd74_gini_timeseries"] = f"""
+WITH recv AS (
+    SELECT array_to_string(u.a, '|') AS addr,
+           CAST(CAST(timestamp AS BIGINT) // 86400 AS BIGINT) AS day,
+           CAST(u.v AS BIGINT) AS delta
+    FROM (SELECT timestamp,
+                 unnest(list_transform(outputs,
+                     o -> {{'a': o.address, 'v': o.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet'))
+    WHERE len(u.a) > 0
+),
+spent AS (
+    SELECT array_to_string(u.a, '|') AS addr,
+           CAST(CAST(timestamp AS BIGINT) // 86400 AS BIGINT) AS day,
+           CAST(-u.v AS BIGINT) AS delta
+    FROM (SELECT timestamp,
+                 unnest(list_transform(inputs,
+                     i -> {{'a': i.address, 'v': i.value}})) AS u
+          FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+          WHERE NOT coinbase)
+    WHERE len(u.a) > 0
+),
+deltas AS (
+    SELECT addr, day, CAST(sum(delta) AS BIGINT) AS delta
+    FROM (SELECT * FROM recv UNION ALL SELECT * FROM spent)
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT a.addr, d.day
+    FROM (SELECT DISTINCT addr FROM deltas) a
+    CROSS JOIN (SELECT DISTINCT day FROM deltas) d
+),
+balances AS (
+    SELECT s.addr, s.day,
+           sum(coalesce(dl.delta, 0)) OVER (PARTITION BY s.addr
+               ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+    FROM spine s LEFT JOIN deltas dl
+      ON s.addr = dl.addr AND s.day = dl.day
+),
+ranked AS (
+    SELECT day, x,
+           CAST(row_number() OVER (PARTITION BY day ORDER BY x, addr)
+                AS BIGINT) AS rk
+    FROM balances WHERE x > 0
+),
+agg AS (
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_holders,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           sum(rk::HUGEINT * x) AS sum_rx
+    FROM ranked GROUP BY 1
+)
+SELECT day, n_holders,
+       CAST(2 * sum_rx - (n_holders + 1) * sum_x::HUGEINT AS BIGINT)
+           AS gini_num,
+       CAST(n_holders::HUGEINT * sum_x AS BIGINT) AS gini_den,
+       CAST(2 * sum_rx - (n_holders + 1) * sum_x::HUGEINT AS DOUBLE)
+           / CAST(n_holders::HUGEINT * sum_x AS DOUBLE) AS gini
+FROM agg
 """

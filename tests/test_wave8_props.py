@@ -1033,3 +1033,27 @@ def test_revenue_bridge_additivity(spark):
             r["volume_effect_milli"] + r["price_mix_effect_milli"]
             == 1000 * (r["r_next_cents"] - r["r_base_cents"])
         )
+
+
+def test_gini_timeseries_bounds(spark):
+    """Per-day Gini lies in [0, 1), holders never shrink on this
+    append-mostly synthetic chain's first day vs last, and the final
+    day's statistic equals qd45's snapshot Gini."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["qd74_gini_timeseries"](spark, "unused").collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["gini"] < 1
+        assert r["gini_den"] > 0
+        assert abs(
+            r["gini"] - r["gini_num"] / r["gini_den"]
+        ) < 1e-12
+    snap = QUERIES["qd45_balance_gini"](spark, "unused").collect()[0]
+    last = rows[-1]
+    assert last["n_holders"] == snap["n"]
+    assert last["gini_num"] == snap["gini_num"]
+    assert last["gini_den"] == snap["gini_den"]
