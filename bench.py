@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "q299_diff_in_diff",
     "q300_revenue_bridge",
     "qd74_gini_timeseries",
+    "q301_edge_support",
+    "q302_key_gaps",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13366,6 +13366,94 @@ def qd74_gini_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q301_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support — the k-truss building block (an edge's
+    support = triangles through it = |N(u) ∩ N(v)|), over the same
+    co-supplier graph q120/q194 read: the pinned edge list joins its
+    own adjacency from BOTH endpoints and counts matching third
+    vertices. Cost is Σ_edges min-degree — the oriented wedge
+    discipline, never an all-pairs pass. Output: support histogram
+    plus the max-support edge (deterministic tie-break) — the shape a
+    truss-decomposition peel would start from."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    b = a.select("k", F.col("s").alias("s2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # symmetric adjacency once; support(u,v) = common neighbors
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    n1 = adj.select(F.col("u").alias("eu"), F.col("v").alias("w"))
+    n2 = adj.select(F.col("u").alias("ev"), F.col("v").alias("w"))
+    support = (
+        edges.join(n1, edges.u == n1.eu)
+        .join(n2, (edges.v == n2.ev) & (n1.w == n2.w))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    full = edges.join(support, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    ).localCheckpoint(eager=False)
+    hist = full.groupBy("support").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    top = full.orderBy(
+        F.col("support").desc(), "u", "v"
+    ).limit(1).select(
+        F.col("support").alias("support"),
+        F.lit(-1).cast("long").alias("n_edges"),
+        F.col("u").alias("top_u"),
+        F.col("v").alias("top_v"),
+    )
+    return hist.select(
+        "support",
+        "n_edges",
+        F.lit(None).cast("long").alias("top_u"),
+        F.lit(None).cast("long").alias("top_v"),
+    ).unionByName(top)
+
+
+def q302_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-in-sequence detection over the order-key space — the
+    inverse of q272's islands: where identifier continuity breaks
+    (lost batches, purged ranges, importer bugs). One ordered lag
+    window over the DISTINCT key projection finds every hole; the
+    report carries gap count, missing-id total, and the widest three
+    gaps with their bounds (deterministic TakeOrdered)."""
+    # the finished-orders slice is naturally gapped (open orders
+    # occupy the missing ids) — the realistic purged-range shape
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    gaps = keys.select(
+        "k", F.lag("k").over(w).alias("prev")
+    ).filter(
+        F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1)
+    ).select(
+        (F.col("prev") + 1).alias("gap_start"),
+        (F.col("k") - 1).alias("gap_end"),
+        (F.col("k") - F.col("prev") - 1).cast("long").alias("n_missing"),
+    )
+    return gaps.orderBy(
+        F.col("n_missing").desc(), "gap_start"
+    ).limit(3)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13563,6 +13651,8 @@ QUERIES: dict[str, QueryFn] = {
     "q299_diff_in_diff": q299_diff_in_diff,
     "q300_revenue_bridge": q300_revenue_bridge,
     "qd74_gini_timeseries": qd74_gini_timeseries,
+    "q301_edge_support": q301_edge_support,
+    "q302_key_gaps": q302_key_gaps,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23486,4 +23576,53 @@ SELECT day, n_holders,
        CAST(2 * sum_rx - (n_holders + 1) * sum_x::HUGEINT AS DOUBLE)
            / CAST(n_holders::HUGEINT * sum_x AS DOUBLE) AS gini
 FROM agg
+"""
+
+ORACLE_SQL["q301_edge_support"] = """
+WITH a AS (
+    SELECT DISTINCT l_orderkey AS k, CAST(l_suppkey AS BIGINT) AS s
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+),
+edges AS (
+    SELECT DISTINCT x.s AS u, y.s AS v
+    FROM a x JOIN a y ON x.k = y.k AND x.s < y.s
+),
+adj AS (
+    SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+),
+support AS (
+    SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+    FROM edges e
+    JOIN adj n1 ON e.u = n1.u
+    JOIN adj n2 ON e.v = n2.u AND n1.v = n2.v
+    GROUP BY 1, 2
+),
+fulle AS (
+    SELECT e.u, e.v, CAST(coalesce(s.support, 0) AS BIGINT) AS support
+    FROM edges e LEFT JOIN support s ON e.u = s.u AND e.v = s.v
+),
+hist AS (
+    SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(NULL AS BIGINT) AS top_u, CAST(NULL AS BIGINT) AS top_v
+    FROM fulle GROUP BY 1
+),
+top AS (
+    SELECT support, CAST(-1 AS BIGINT) AS n_edges,
+           u AS top_u, v AS top_v
+    FROM fulle ORDER BY support DESC, u, v LIMIT 1
+)
+SELECT * FROM hist UNION ALL SELECT * FROM top
+"""
+
+ORACLE_SQL["q302_key_gaps"] = """
+WITH keys AS (
+    SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+),
+gaps AS (
+    SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+           CAST(k - prev - 1 AS BIGINT) AS n_missing
+    FROM (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM keys)
+    WHERE prev IS NOT NULL AND k - prev > 1
+)
+SELECT * FROM gaps ORDER BY n_missing DESC, gap_start LIMIT 3
 """

@@ -1057,3 +1057,46 @@ def test_gini_timeseries_bounds(spark):
     assert last["n_holders"] == snap["n"]
     assert last["gini_num"] == snap["gini_num"]
     assert last["gini_den"] == snap["gini_den"]
+
+
+def test_edge_support_consistency(spark):
+    """Total triangle incidences (Σ support over edges) equal 3x the
+    graph's triangle count, tying the new operator to q120's."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    rows = QUERIES["q301_edge_support"](spark, SF).collect()
+    hist = [r for r in rows if r["n_edges"] >= 0]
+    top = [r for r in rows if r["n_edges"] == -1]
+    assert len(top) == 1
+    incidences = sum(r["support"] * r["n_edges"] for r in hist)
+    assert incidences % 3 == 0
+    assert top[0]["support"] == max(r["support"] for r in hist)
+
+
+def test_key_gaps_python_reference(spark):
+    """The widest-3 gaps equal a pure-Python scan of the finished
+    key sequence."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ks = sorted(
+        r["o_orderkey"]
+        for r in load_table(spark, SF, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .distinct()
+        .collect()
+    )
+    gaps = [
+        (b - a - 1, a + 1, b - 1)
+        for a, b in zip(ks, ks[1:])
+        if b - a > 1
+    ]
+    gaps.sort(key=lambda g: (-g[0], g[1]))
+    expect = [(s, e, n) for n, s, e in gaps[:3]]
+    got = [
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in QUERIES["q302_key_gaps"](spark, SF).collect()
+    ]
+    assert got == expect
