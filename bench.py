@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "qd74_gini_timeseries",
     "q301_edge_support",
     "q302_key_gaps",
+    "qd75_supply_audit",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13454,6 +13454,64 @@ def q302_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(3)
 
 
+def qd75_supply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-supply audit — consensus's own invariant as a query:
+    per block, the coinbase may claim AT MOST subsidy (50 BTC flat on
+    this fixture's height range) + that block's fees; claiming less
+    burns the difference forever. The verdict partitions blocks into
+    exact / under-claimed (burned) / OVER-claimed — the last is an
+    inflation bug and must be zero on a valid chain (pytest-pinned).
+    One fee aggregate (qd29's arithmetic), one coinbase aggregate,
+    one block-keyed join."""
+    from graphsense_blocksci_spark.functions.io_aggs import io_total_value
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    subsidy = 5_000_000_000
+    fees = (
+        raw_txs.filter(~F.col("coinbase"))
+        .select(
+            F.col("block_id").cast("long").alias("block_id"),
+            (io_total_value("inputs") - io_total_value("outputs"))
+            .cast("long")
+            .alias("fee"),
+        )
+        .groupBy("block_id")
+        .agg(F.sum("fee").cast("long").alias("fees"))
+    )
+    claimed = (
+        raw_txs.filter(F.col("coinbase"))
+        .select(
+            F.col("block_id").cast("long").alias("block_id"),
+            io_total_value("outputs").cast("long").alias("claimed"),
+        )
+        .groupBy("block_id")
+        .agg(F.sum("claimed").cast("long").alias("claimed"))
+    )
+    audit = claimed.join(fees, "block_id", "left").select(
+        "block_id",
+        "claimed",
+        (F.lit(subsidy) + F.coalesce("fees", F.lit(0))).alias("allowed"),
+    )
+    return audit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("claimed") == F.col("allowed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("claimed") < F.col("allowed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_underclaimed"),
+        F.sum(F.when(F.col("claimed") > F.col("allowed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overclaimed"),
+        F.sum(
+            F.when(
+                F.col("claimed") < F.col("allowed"),
+                F.col("allowed") - F.col("claimed"),
+            ).otherwise(0)
+        ).cast("long").alias("burned_satoshi"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13653,6 +13711,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd74_gini_timeseries": qd74_gini_timeseries,
     "q301_edge_support": q301_edge_support,
     "q302_key_gaps": q302_key_gaps,
+    "qd75_supply_audit": qd75_supply_audit,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23625,4 +23684,38 @@ gaps AS (
     WHERE prev IS NOT NULL AND k - prev > 1
 )
 SELECT * FROM gaps ORDER BY n_missing DESC, gap_start LIMIT 3
+"""
+
+ORACLE_SQL["qd75_supply_audit"] = f"""
+WITH fees AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(sum(coalesce(list_sum(list_transform(inputs,
+                    i -> i.value)), 0)
+                - coalesce(list_sum(list_transform(outputs,
+                    o -> o.value)), 0)) AS BIGINT) AS fees
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE NOT coinbase GROUP BY 1
+),
+claimed AS (
+    SELECT CAST(block_id AS BIGINT) AS block_id,
+           CAST(sum(coalesce(list_sum(list_transform(outputs,
+                    o -> o.value)), 0)) AS BIGINT) AS claimed
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE coinbase GROUP BY 1
+),
+audit AS (
+    SELECT c.block_id, c.claimed,
+           5000000000 + coalesce(f.fees, 0) AS allowed
+    FROM claimed c LEFT JOIN fees f ON c.block_id = f.block_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN claimed = allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+       CAST(sum(CASE WHEN claimed < allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_underclaimed,
+       CAST(sum(CASE WHEN claimed > allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overclaimed,
+       CAST(sum(CASE WHEN claimed < allowed THEN allowed - claimed
+                     ELSE 0 END) AS BIGINT) AS burned_satoshi
+FROM audit
 """

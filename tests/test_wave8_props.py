@@ -1100,3 +1100,14 @@ def test_key_gaps_python_reference(spark):
         for r in QUERIES["q302_key_gaps"](spark, SF).collect()
     ]
     assert got == expect
+
+
+def test_supply_audit_no_inflation(spark):
+    """No block over-claims (inflation would be a chain bug) and the
+    verdict partitions the block set."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["qd75_supply_audit"](spark, "unused").collect()[0]
+    assert r["n_overclaimed"] == 0
+    assert r["n_exact"] + r["n_underclaimed"] == r["n_blocks"]
+    assert r["burned_satoshi"] >= 0
