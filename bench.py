@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "q301_edge_support",
     "q302_key_gaps",
     "qd75_supply_audit",
+    "q303_ngram_coverage",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13512,6 +13512,65 @@ def qd75_supply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q303_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the compression readout tokenizer
+    and dedup work both cite: how many distinct bigrams cover 50% /
+    90% / 99% of the corpus's bigram mass. Bigrams come from the
+    shared offset-slice zip (no positional self-join), rank by
+    (count DESC, bigram) for a total order, and ONE cumulative window
+    over the vocabulary-sized count frame answers every threshold via
+    conditional mins. Exact integer mass arithmetic; the window runs
+    over |vocab| rows, never corpus rows."""
+    from graphsense_blocksci_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("toks")
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg")
+    )
+    counts = bigrams.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), "bg").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = counts.select(
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "bg"))
+        .cast("long")
+        .alias("rk"),
+    ).localCheckpoint(eager=False)
+    total = ranked.agg(
+        F.max("cum").alias("mass"),
+        F.max("rk").alias("vocab"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).agg(
+        F.max("vocab").cast("long").alias("vocab_size"),
+        F.max("mass").cast("long").alias("total_mass"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("mass") * 50, F.col("rk"))
+        ).cast("long").alias("k_50pct"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("mass") * 90, F.col("rk"))
+        ).cast("long").alias("k_90pct"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("mass") * 99, F.col("rk"))
+        ).cast("long").alias("k_99pct"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13712,6 +13771,7 @@ QUERIES: dict[str, QueryFn] = {
     "q301_edge_support": q301_edge_support,
     "q302_key_gaps": q302_key_gaps,
     "qd75_supply_audit": qd75_supply_audit,
+    "q303_ngram_coverage": q303_ngram_coverage,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23718,4 +23778,43 @@ SELECT CAST(count(*) AS BIGINT) AS n_blocks,
        CAST(sum(CASE WHEN claimed < allowed THEN allowed - claimed
                      ELSE 0 END) AS BIGINT) AS burned_satoshi
 FROM audit
+"""
+
+ORACLE_SQL["q303_ngram_coverage"] = r"""
+WITH docs AS (
+    SELECT list_filter(string_split(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               x -> x != '') AS toks
+    FROM documents
+),
+bigrams AS (
+    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])
+           ELSE [] END) AS bg
+    FROM docs
+),
+counts AS (
+    SELECT bg, CAST(count(*) AS BIGINT) AS n FROM bigrams GROUP BY 1
+),
+ranked AS (
+    SELECT n,
+           CAST(sum(n) OVER (ORDER BY n DESC, bg
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(row_number() OVER (ORDER BY n DESC, bg) AS BIGINT) AS rk
+    FROM counts
+),
+total AS (
+    SELECT max(cum) AS mass, max(rk) AS vocab FROM ranked
+)
+SELECT CAST(max(vocab) AS BIGINT) AS vocab_size,
+       CAST(max(mass) AS BIGINT) AS total_mass,
+       CAST(min(CASE WHEN cum * 100 >= mass * 50 THEN rk END) AS BIGINT)
+           AS k_50pct,
+       CAST(min(CASE WHEN cum * 100 >= mass * 90 THEN rk END) AS BIGINT)
+           AS k_90pct,
+       CAST(min(CASE WHEN cum * 100 >= mass * 99 THEN rk END) AS BIGINT)
+           AS k_99pct
+FROM ranked CROSS JOIN total
 """

@@ -1111,3 +1111,14 @@ def test_supply_audit_no_inflation(spark):
     assert r["n_overclaimed"] == 0
     assert r["n_exact"] + r["n_underclaimed"] == r["n_blocks"]
     assert r["burned_satoshi"] >= 0
+
+
+def test_ngram_coverage_monotone(spark):
+    """Coverage thresholds are monotone (k50 <= k90 <= k99 <= vocab)
+    and Zipfian: half the mass needs well under half the vocab."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    r = QUERIES["q303_ngram_coverage"](spark, SF).collect()[0]
+    assert 1 <= r["k_50pct"] <= r["k_90pct"] <= r["k_99pct"]
+    assert r["k_99pct"] <= r["vocab_size"]
+    assert r["total_mass"] >= r["vocab_size"]
