@@ -13610,8 +13610,10 @@ def q303_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as-of, haircut taint values, component census, TWAB, identity
 # resolution, interval union, reconciliation, forecast backtest,
 # whale transfers, sequence patterns, five-number summary, address
-# type census, streaming CDC, PIT features, balance audit, balanced
-# sampler, outpoint-conflict audit), then
+# type census, streaming CDC, PIT features, balance/outpoint/supply
+# audits, balanced sampler, entity taint exposure, daily Gini series,
+# diff-in-diff, revenue bridge, edge support, key gaps, bigram
+# coverage), then
 # q177/q178
 # (the last oracled wave entries), then the
 # rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
