@@ -160,3 +160,53 @@ def test_misra_gries_merge_guarantee(items, capacity, rng):
         assert approx >= t - bound - 1e-9, (item, t, approx, bound)
         if t > bound:
             assert item in counts.index
+
+
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=40),
+    st.randoms(),
+)
+@settings(max_examples=150, deadline=None)
+def test_hll_register_batching_invariant(rhos, rng):
+    """The HLL register state (max rho per bucket) is order- and
+    split-invariant and equals the plain max."""
+    from graphsense_blocksci_spark.streaming.sketches import _hll_group
+
+    base_state, _ = _run_groups(
+        _hll_group, (3,), [[(r,) for r in rhos]], ["rho"]
+    )
+    shuffled = list(rhos)
+    rng.shuffle(shuffled)
+    mid = rng.randint(0, len(shuffled))
+    batches = [
+        [(r,) for r in b]
+        for b in (shuffled[:mid], shuffled[mid:])
+        if b
+    ]
+    split_state, out = _run_groups(_hll_group, (3,), batches, ["rho"])
+    assert split_state == base_state == (max(rhos),)
+    assert out["rho"].iloc[0] == max(rhos)
+
+
+@given(
+    st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    st.randoms(),
+)
+@settings(max_examples=100, deadline=None)
+def test_log2_hist_split_invariant(marks, rng):
+    """The per-bucket count state sums identically across any
+    batching."""
+    from graphsense_blocksci_spark.streaming.sketches import (
+        _log2_hist_group,
+    )
+
+    rows = [(m,) for m in marks]
+    base_state, _ = _run_groups(_log2_hist_group, (9,), [rows], ["v"])
+    rng.shuffle(rows)
+    mid = rng.randint(0, len(rows))
+    batches = [b for b in (rows[:mid], rows[mid:]) if b]
+    split_state, out = _run_groups(
+        _log2_hist_group, (9,), batches, ["v"]
+    )
+    assert split_state == base_state == (len(marks),)
+    assert out["cnt"].iloc[0] == len(marks)
