@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "q302_key_gaps",
     "qd75_supply_audit",
     "q303_ngram_coverage",
+    "q304_daily_overlap",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

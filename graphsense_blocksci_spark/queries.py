@@ -13571,6 +13571,63 @@ def q303_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q304_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap — exact Jaccard between
+    consecutive days' active-user SETS, computed entirely in the
+    q253/q282 bitmap algebra: per (day, word) bitmaps, one lag window
+    per word lane, then popcounts of AND (intersection) and OR
+    (union) summed per day. No distinct-pair set materialization, no
+    join on user ids — the 60-users-per-long packing makes the set
+    ops word-parallel. Exact integer ppm."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("eday"),
+        F.expr("CAST(user_id DIV 60 AS BIGINT)").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 60 AS INT))").alias("mask"),
+    )
+    bits = ev.groupBy("eday", "word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    ).localCheckpoint(eager=False)
+    spine = (
+        bits.select("eday").distinct()
+        .crossJoin(F.broadcast(bits.select("word").distinct()))
+    )
+    dense = spine.join(bits, ["eday", "word"], "left").select(
+        "eday", "word", F.coalesce("bits", F.lit(0)).alias("bits")
+    )
+    w = Window.partitionBy("word").orderBy("eday")
+    lagged = dense.select(
+        "eday",
+        "bits",
+        F.lag("bits").over(w).alias("prev_bits"),
+        (F.col("eday") - F.lag("eday").over(w)).alias("day_gap"),
+    ).filter(F.col("prev_bits").isNotNull() & (F.col("day_gap") == 1))
+    return (
+        lagged.groupBy("eday")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("bits").bitwiseAND(F.col("prev_bits")))
+            ).cast("long").alias("n_both"),
+            F.sum(
+                F.bit_count(F.col("bits").bitwiseOR(F.col("prev_bits")))
+            ).cast("long").alias("n_union"),
+        )
+        .select(
+            F.expr(
+                "CAST(date_add(DATE '1970-01-01', CAST(eday AS INT))"
+                " AS TIMESTAMP)"
+            ).alias("day"),
+            "n_both",
+            "n_union",
+            F.expr(
+                "CASE WHEN n_union = 0 THEN NULL"
+                " ELSE CAST(1000000 * n_both DIV n_union AS BIGINT) END"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13774,6 +13831,7 @@ QUERIES: dict[str, QueryFn] = {
     "q302_key_gaps": q302_key_gaps,
     "qd75_supply_audit": qd75_supply_audit,
     "q303_ngram_coverage": q303_ngram_coverage,
+    "q304_daily_overlap": q304_daily_overlap,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23819,4 +23877,44 @@ SELECT CAST(max(vocab) AS BIGINT) AS vocab_size,
        CAST(min(CASE WHEN cum * 100 >= mass * 99 THEN rk END) AS BIGINT)
            AS k_99pct
 FROM ranked CROSS JOIN total
+"""
+
+ORACLE_SQL["q304_daily_overlap"] = """
+WITH ev AS (
+    SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday,
+           CAST(user_id // 60 AS BIGINT) AS word,
+           CAST(1::BIGINT << CAST(user_id % 60 AS INT) AS BIGINT) AS mask
+    FROM events
+),
+bits AS (
+    SELECT eday, word, CAST(bit_or(mask) AS BIGINT) AS bits
+    FROM ev GROUP BY 1, 2
+),
+spine AS (
+    SELECT d.eday, w.word
+    FROM (SELECT DISTINCT eday FROM bits) d
+    CROSS JOIN (SELECT DISTINCT word FROM bits) w
+),
+dense AS (
+    SELECT s.eday, s.word, coalesce(b.bits, 0) AS bits
+    FROM spine s LEFT JOIN bits b
+      ON s.eday = b.eday AND s.word = b.word
+),
+lagged AS (
+    SELECT eday, bits,
+           lag(bits) OVER w AS prev_bits,
+           eday - lag(eday) OVER w AS day_gap
+    FROM dense
+    WINDOW w AS (PARTITION BY word ORDER BY eday)
+)
+SELECT CAST(DATE '1970-01-01' + CAST(eday AS INT) AS TIMESTAMP) AS day,
+       CAST(sum(bit_count(bits & prev_bits)) AS BIGINT) AS n_both,
+       CAST(sum(bit_count(bits | prev_bits)) AS BIGINT) AS n_union,
+       CASE WHEN sum(bit_count(bits | prev_bits)) = 0 THEN NULL
+            ELSE CAST(1000000 * sum(bit_count(bits & prev_bits))
+                 // sum(bit_count(bits | prev_bits)) AS BIGINT) END
+           AS jaccard_ppm
+FROM lagged
+WHERE prev_bits IS NOT NULL AND day_gap = 1
+GROUP BY 1
 """

@@ -1122,3 +1122,33 @@ def test_ngram_coverage_monotone(spark):
     assert 1 <= r["k_50pct"] <= r["k_90pct"] <= r["k_99pct"]
     assert r["k_99pct"] <= r["vocab_size"]
     assert r["total_mass"] >= r["vocab_size"]
+
+
+def test_daily_overlap_python_reference(spark):
+    """Day-over-day Jaccard equals a pure-Python set replay."""
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    act = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in act:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    expect = {}
+    for a, b in zip(days, days[1:]):
+        if (b - a).days != 1:
+            continue
+        both = len(by_day[a] & by_day[b])
+        union = len(by_day[a] | by_day[b])
+        expect[b] = (both, union, 1_000_000 * both // union)
+    got = {
+        r["day"].date(): (r["n_both"], r["n_union"], r["jaccard_ppm"])
+        for r in QUERIES["q304_daily_overlap"](spark, SF).collect()
+    }
+    assert got == expect
