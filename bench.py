@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "qd75_supply_audit",
     "q303_ngram_coverage",
     "q304_daily_overlap",
+    "q305_scd2_incremental",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -13628,6 +13628,106 @@ def q304_daily_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q305_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance — the A16/A17/A22 capstone: an
+    existing type-2 dimension (built from events before the cutoff)
+    folds in a late batch WITHOUT rescanning history. Per affected
+    user the stored OPEN version re-enters as a pseudo-event (its
+    valid_from is strictly before every delta event, so it always
+    sorts first), change-detection runs over [pseudo + delta] only,
+    version numbers continue from the stored counter, and the merge
+    keeps untouched users' rows verbatim while replacing affected
+    users' open rows. The oracle is the FULL REBUILD (q269's SQL
+    verbatim) — the incremental fold must be cell-exact against it,
+    which is the whole point."""
+    # keep ts in its native type (q269's convention) so the schema
+    # matches the full-rebuild oracle exactly
+    cutoff = F.expr("TIMESTAMP_NTZ '2024-01-20 00:00:00'")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    hist = ev.filter(F.col("ts") < cutoff)
+    delta = ev.filter(F.col("ts") >= cutoff)
+
+    def build(events: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changed = events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        ).filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        return changed.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+
+    old = build(hist).localCheckpoint(eager=False)
+    affected = delta.select("user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    open_v = old.filter(F.col("is_current")).join(affected, "user_id")
+    pseudo = open_v.select(
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("valid_from").alias("ts"),
+        "event_type",
+        (F.col("version") - 1).alias("version_base"),
+    )
+    delta_aff = delta.join(
+        F.broadcast(
+            pseudo.select("user_id", "version_base")
+        ),
+        "user_id",
+        "left",
+    ).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        "event_type",
+        F.coalesce("version_base", F.lit(0)).alias("version_base"),
+    )
+    combined = pseudo.select(
+        "user_id", "event_id", "ts", "event_type", "version_base"
+    ).unionByName(delta_aff)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = combined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "version_base",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    rebuilt = kept.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        (F.col("version_base") + F.row_number().over(w))
+        .cast("long")
+        .alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    untouched = old.join(affected, "user_id", "left_anti")
+    closed_old = (
+        old.filter(~F.col("is_current"))
+        .join(affected, "user_id", "left_semi")
+    )
+    return untouched.unionByName(closed_old).unionByName(rebuilt)
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13832,6 +13932,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd75_supply_audit": qd75_supply_audit,
     "q303_ngram_coverage": q303_ngram_coverage,
     "q304_daily_overlap": q304_daily_overlap,
+    "q305_scd2_incremental": q305_scd2_incremental,
     "qd52_change_heuristics": qd52_change_heuristics,
     "qd53_fee_percentiles": qd53_fee_percentiles,
     "qd54_streaming_changepoint": qd54_streaming_changepoint,
@@ -23918,3 +24019,6 @@ FROM lagged
 WHERE prev_bits IS NOT NULL AND day_gap = 1
 GROUP BY 1
 """
+
+# The incremental fold must be cell-exact against the FULL REBUILD.
+ORACLE_SQL["q305_scd2_incremental"] = ORACLE_SQL["q269_scd2_dimension"]

@@ -1152,3 +1152,20 @@ def test_daily_overlap_python_reference(spark):
         for r in QUERIES["q304_daily_overlap"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_scd2_incremental_equals_rebuild(spark):
+    """The incremental SCD2 fold equals the full rebuild row-for-row
+    (versions, intervals, currency flags — everything)."""
+    from graphsense_blocksci_spark.queries import QUERIES
+
+    def key(rows):
+        return sorted(
+            (r["user_id"], r["version"], r["event_type"],
+             r["valid_from"], r["valid_to"], r["is_current"])
+            for r in rows
+        )
+
+    full = key(QUERIES["q269_scd2_dimension"](spark, SF).collect())
+    inc = key(QUERIES["q305_scd2_incremental"](spark, SF).collect())
+    assert inc == full
