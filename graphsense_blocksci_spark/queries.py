@@ -13770,7 +13770,7 @@ def q305_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # type census, streaming CDC, PIT features, balance/outpoint/supply
 # audits, balanced sampler, entity taint exposure, daily Gini series,
 # diff-in-diff, revenue bridge, edge support, key gaps, bigram
-# coverage), then
+# coverage, daily-overlap Jaccard, incremental SCD2), then
 # q177/q178
 # (the last oracled wave entries), then the
 # rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
