@@ -617,7 +617,17 @@ def kendall_tau(
     n = a.groupBy(F.col("g").alias(group_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    j = agg.join(n, group_col)
+    # left join from the size frame: a single-row group has an empty
+    # pair set and would otherwise vanish — it must surface as n=1,
+    # zero counts, NULL tau_b
+    j = n.join(agg, group_col, "left").select(
+        group_col,
+        "n",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("conc", "disc", "tx", "ty")
+        ],
+    )
     den = (
         (j["conc"] + j["disc"] + j["tx"]).cast("double")
         * (j["conc"] + j["disc"] + j["ty"]).cast("double")

@@ -5849,11 +5849,15 @@ def q187_map_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q188_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the daily order-count series at lags
     1..7 — the seasonality diagnostic (weekly structure) behind the
-    q174 seasonal profile. All sums are INTEGER via the n²-scaling
-    trick: with S = Σx and n days, (n·x_t − S) is an integer, so the
-    lag-k numerator Σ(n·x_t − S)(n·x_{t+k} − S) over day pairs (t,
-    t+k both present) and the denominator Σ(x_t − ⌊S/n⌋)² are exact
-    int64 sums (order-independent) and the float ACF is one divide.
+    q174 seasonal profile. All sums are INTEGER by centering on the
+    FLOOR mean: with S = Σx and n days, c_t = x_t − ⌊S/n⌋ is an
+    integer, so the lag-k numerator Σ c_t·c_{t+k} over day pairs (t,
+    t+k both present) and the denominator Σ c_t² are exact int64
+    sums (order-independent) and the float ACF is one divide. Note
+    the floor-mean centering leaves a sub-unit residual (deviations
+    need not sum to zero), so the statistic is a negligibly (<1
+    count/day) biased ACF — "exact" refers to the integer sums, not
+    to the textbook mean-centered estimator.
     One tiny daily aggregate, one broadcast self-join on day+lag —
     nothing here grows past |days| rows regardless of corpus size."""
     o = load_table(spark, sf_dir, "orders")
@@ -10526,7 +10530,9 @@ def q261_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer is drawn once per selection point inside its weight span
     ((off+w) DIV stride - off DIV stride hits, so heavyweights can be
     drawn multiple times — by design in PPS-with-replacement). Pure
-    integer arithmetic end to end."""
+    integer arithmetic end to end. The stride is floored at 1 so a
+    total weight under the 100-draw count degrades to every-cent
+    selection points instead of a silent divide-by-zero."""
     from graphsense_blocksci_spark.operators.packing import sequence_packing
 
     o = load_table(spark, sf_dir, "orders")
@@ -10547,8 +10553,8 @@ def q261_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "weight_cents",
             F.expr(
-                "CAST((offset + weight_cents) DIV (tw DIV 100)"
-                " - offset DIV (tw DIV 100) AS BIGINT)"
+                "CAST((offset + weight_cents) DIV greatest(tw DIV 100, 1)"
+                " - offset DIV greatest(tw DIV 100, 1) AS BIGINT)"
             ).alias("n_hits"),
         )
         .filter(F.col("n_hits") > 0)
@@ -13374,7 +13380,10 @@ def q301_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices. Cost is Σ_edges min-degree — the oriented wedge
     discipline, never an all-pairs pass. Output: support histogram
     plus the max-support edge (deterministic tie-break) — the shape a
-    truss-decomposition peel would start from."""
+    truss-decomposition peel would start from. The two row kinds
+    share one frame, disambiguated by an explicit row_kind column
+    ('hist': n_edges populated, endpoints NULL; 'max_edge': endpoints
+    populated, n_edges NULL)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
     )
@@ -13411,12 +13420,14 @@ def q301_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = full.orderBy(
         F.col("support").desc(), "u", "v"
     ).limit(1).select(
+        F.lit("max_edge").alias("row_kind"),
         F.col("support").alias("support"),
-        F.lit(-1).cast("long").alias("n_edges"),
+        F.lit(None).cast("long").alias("n_edges"),
         F.col("u").alias("top_u"),
         F.col("v").alias("top_v"),
     )
     return hist.select(
+        F.lit("hist").alias("row_kind"),
         "support",
         "n_edges",
         F.lit(None).cast("long").alias("top_u"),
@@ -13733,107 +13744,42 @@ def q305_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q01 stays first (entry() smoke query); the rest of the window rotates per
 # round so every family eventually gets a driver-green row.
 #
-# ROUND-7 WINDOW (this round): the round-6 additions that have never had a
-# driver-green row — qd40-qd51 (streaming top-N/drift twins, address/entity
-# transaction indexes, incremental address index, Gini/Nakamoto/
-# coin-days-destroyed, streaming index daemon, reorg recovery, address
-# relations, streaming duplicate-sentence monitor) and q216-q227 (epoch
-# shuffle, domain mixture, HITS, assortativity, containment join, duplicate
-# sentences, PII prevalence, SCC, ORC round-trip, SQL interface, tokenizer
-# fertility, cross-source overlap) — all oracled — plus 25 oracled entries
-# from the q135-q176 wave. Previously driver-green entries (rounds 1-6)
-# sit at the back.
-#
-# ROUND-8 ROTATION (do this first next round): move the remaining
-# never-driver-green backlog (the section below the window) into
-# positions 2-50 — the round-7 additions FIRST (q228-q268 and
-# qd52-qd59: PR curve, UNPIVOT, Spearman, NDCG, RA link prediction,
-# CUSUM, kappa, Kendall tau, path-doubling closure, Simpson, n-gram
-# novelty, weighted median, TF-IDF keywords, burstiness, HHI, Benford,
-# group mode, Lorenz, RFM, life table, readability, market basket,
+# ROUND-8 WINDOW (this round): the round-7 additions that have never had a
+# driver-green row — q228-q268 (PR curve, UNPIVOT, Spearman, NDCG, RA link
+# prediction, CUSUM, kappa, Kendall tau, path-doubling closure, Simpson,
+# n-gram novelty, weighted median, TF-IDF keywords, burstiness, HHI,
+# Benford, group mode, Lorenz, RFM, life table, readability, market basket,
 # cumulative distinct, PIVOT, log2 sketch, bitmap retention, seasonal
-# decomposition, runtime-filter join, drawdown, FD discovery, split
-# scoring, quantile normalization, linear interpolation, PPS sample,
-# Kaplan-Meier, k-anonymity, string_agg, mixing manifest, referential
-# integrity, seasonal anomalies, rollup shares, change heuristics,
-# fee percentiles, streaming changepoint/log2-histogram/bitmap-DAU,
-# HODL waves, tagged netflow, multi-chain summary, and the q269-q284 /
-# qd60-qd63 wave: SCD2 build, funnel + conversion lag, sweep-line
-# concurrency, streaks, CDC apply, adjusted Rand, record linkage,
-# OHLC/VWAP + streaming twin, phrase search, cohort LTV, trigrams,
-# LOCF, FIFO taint, skyline, rolling-distinct DAU/WAU, reciprocity,
-# tolerance join, tx motif census, LSH quality audit, subsample CI,
-# dedup savings, UTXO growth, dataset card, JSON props, nearest
-# as-of, haircut taint values, component census, TWAB, identity
-# resolution, interval union, reconciliation, forecast backtest,
-# whale transfers, sequence patterns, five-number summary, address
-# type census, streaming CDC, PIT features, balance/outpoint/supply
-# audits, balanced sampler, entity taint exposure, daily Gini series,
-# diff-in-diff, revenue bridge, edge support, key gaps, bigram
-# coverage, daily-overlap Jaccard, incremental SCD2), then
-# q177/q178
-# (the last oracled wave entries), then the
-# rows-only set (q111/q140/q160/q167/q169/q170/q173 — driver records
-# the weaker rows-only check), then the q37-q97 long tail.
+# decomposition, runtime-filter join, drawdown, FD discovery, split scoring,
+# quantile normalization, linear interpolation, PPS sample, Kaplan-Meier,
+# k-anonymity, string_agg, mixing manifest, referential integrity, seasonal
+# anomalies, rollup shares) with the interleaved qd55-qd59 streaming/chain
+# twins, plus qd52-qd54 (change heuristics, fee percentiles, streaming
+# changepoint). All 49 are oracled.
+#
+# ROUND-9 ROTATION (do this first next round): move the q269-q305 +
+# qd60-qd75 block (the "round-9 rotation candidates" section below the
+# window — SCD2, funnel+lag, sweep-line, streaks, CDC apply, adjusted Rand,
+# record linkage, OHLC/VWAP + streaming twin, phrase search, cohort LTV,
+# trigrams, LOCF, FIFO/haircut taint + entity exposure, skyline,
+# rolling-distinct DAU/WAU, reciprocity, tolerance join, motif census, LSH
+# quality audit, subsample CI, dedup savings, UTXO growth, dataset card,
+# JSON props, nearest as-of, component census, TWAB, identity resolution,
+# interval union, reconciliation, forecast backtest, whale transfers,
+# sequence patterns, five-number summary, address type census, streaming
+# CDC, PIT features, balance/outpoint/supply audits, balanced sampler,
+# daily Gini series, diff-in-diff, revenue bridge, edge support, key gaps,
+# bigram coverage, daily overlap, incremental SCD2) into positions 2-50,
+# then any round-8 additions (q306+), then the rows-only set
+# (q140/q160/q169/q173 and friends — driver records the weaker rows-only
+# check), then the q37-q97 long tail.
 QUERIES: dict[str, QueryFn] = {
-    # -- round-7 driver window (50) ------------------------------------
-    # q01 first (entry() smoke), then the never-driver-green round-6
-    # additions per the registered rotation plan (qd40-qd51, q216-q227,
-    # all oracled), then 25 oracled entries from the q135-q176 wave.
+    # -- round-8 driver window (50) ------------------------------------
+    # q01 first (entry() smoke), then the never-driver-green round-7
+    # additions per the registered rotation plan: q228-q268 + the
+    # interleaved qd55-qd59 streaming/chain twins, then qd52-qd54
+    # (change heuristics, fee percentiles, streaming changepoint).
     "q01_pricing_summary": q01_pricing_summary,
-    "qd40_streaming_topn_others": qd40_streaming_topn_others,
-    "qd41_streaming_drift": qd41_streaming_drift,
-    "qd42_address_transactions": qd42_address_transactions,
-    "qd43_entity_transactions": qd43_entity_transactions,
-    "q216_epoch_shuffle": q216_epoch_shuffle,
-    "q217_domain_mixture": q217_domain_mixture,
-    "qd44_incremental_address_index": qd44_incremental_address_index,
-    "q218_hits": q218_hits,
-    "q219_degree_assortativity": q219_degree_assortativity,
-    "q220_containment_join": q220_containment_join,
-    "qd45_balance_gini": qd45_balance_gini,
-    "qd46_nakamoto_coefficient": qd46_nakamoto_coefficient,
-    "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
-    "q221_duplicate_sentences": q221_duplicate_sentences,
-    "q222_pii_prevalence": q222_pii_prevalence,
-    "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
-    "qd49_reorg_recovery": qd49_reorg_recovery,
-    "qd50_address_relations": qd50_address_relations,
-    "q223_scc": q223_scc,
-    "q224_orc_roundtrip": q224_orc_roundtrip,
-    "q225_sql_interface": q225_sql_interface,
-    "qd51_streaming_duplicate_sentences": qd51_streaming_duplicate_sentences,
-    "q226_tokenizer_fertility": q226_tokenizer_fertility,
-    "q227_cross_source_overlap": q227_cross_source_overlap,
-    "q135_ewma_smoothing": q135_ewma_smoothing,
-    "q136_zorder_key": q136_zorder_key,
-    "q142_systematic_sample": q142_systematic_sample,
-    "q143_scene_changes": q143_scene_changes,
-    "q144_random_walks": q144_random_walks,
-    "q147_negative_sampling": q147_negative_sampling,
-    "q149_weighted_reservoir": q149_weighted_reservoir,
-    "q151_corpus_drift": q151_corpus_drift,
-    "q152_equiwidth_bins": q152_equiwidth_bins,
-    "q153_zscore_normalize": q153_zscore_normalize,
-    "q154_kfold_assign": q154_kfold_assign,
-    "q156_tf_cosine_join": q156_tf_cosine_join,
-    "q158_two_hop": q158_two_hop,
-    "q159_simhash_join": q159_simhash_join,
-    "q161_attribution": q161_attribution,
-    "q162_rank_fusion": q162_rank_fusion,
-    "q163_count_min": q163_count_min,
-    "q164_event_transitions": q164_event_transitions,
-    "q166_gram_matrix": q166_gram_matrix,
-    "q168_path_counts": q168_path_counts,
-    "q171_feature_hash": q171_feature_hash,
-    "q172_skew_report": q172_skew_report,
-    "q174_seasonal_profile": q174_seasonal_profile,
-    "q175_data_quality": q175_data_quality,
-    "q176_minhash_estimate": q176_minhash_estimate,
-    # -- round-8 rotation candidates (never driver-green, oracled) ------
-    # round-7 additions first, then q177/q178 (the last oracled wave
-    # entries), then the rows-only set (q111/q140/q160/q167/q169/q170/
-    # q173 — driver records the weaker rows-only check), then q37-q97.
     "q228_pr_curve": q228_pr_curve,
     "q229_unpivot_measures": q229_unpivot_measures,
     "q230_spearman_by_nation": q230_spearman_by_nation,
@@ -13880,6 +13826,17 @@ QUERIES: dict[str, QueryFn] = {
     "q267_seasonal_anomalies": q267_seasonal_anomalies,
     "q268_rollup_share": q268_rollup_share,
     "qd59_multi_chain_summary": qd59_multi_chain_summary,
+    "qd52_change_heuristics": qd52_change_heuristics,
+    "qd53_fee_percentiles": qd53_fee_percentiles,
+    "qd54_streaming_changepoint": qd54_streaming_changepoint,
+    # -- round-9 rotation candidates (never driver-green, oracled) -----
+    # Move positions 2-50 to this block next round: q269-q305 and
+    # qd60-qd75 (SCD2, funnel+lag, sweep-line, streaks, CDC, ARI,
+    # record linkage, OHLC twins, phrase search, cohort LTV, taint
+    # family, audits, motif census, Gini series, edge support, key
+    # gaps, bigram coverage, daily overlap, incremental SCD2), then
+    # any round-8 additions (q306+), then the rows-only set, then
+    # the q37-q97 long tail.
     "q269_scd2_dimension": q269_scd2_dimension,
     "q270_funnel_conversion": q270_funnel_conversion,
     "q271_max_concurrency": q271_max_concurrency,
@@ -13933,9 +13890,56 @@ QUERIES: dict[str, QueryFn] = {
     "q303_ngram_coverage": q303_ngram_coverage,
     "q304_daily_overlap": q304_daily_overlap,
     "q305_scd2_incremental": q305_scd2_incremental,
-    "qd52_change_heuristics": qd52_change_heuristics,
-    "qd53_fee_percentiles": qd53_fee_percentiles,
-    "qd54_streaming_changepoint": qd54_streaming_changepoint,
+    # -- previously driver-green (rounds 1-7) --------------------------
+    "qd40_streaming_topn_others": qd40_streaming_topn_others,
+    "qd41_streaming_drift": qd41_streaming_drift,
+    "qd42_address_transactions": qd42_address_transactions,
+    "qd43_entity_transactions": qd43_entity_transactions,
+    "q216_epoch_shuffle": q216_epoch_shuffle,
+    "q217_domain_mixture": q217_domain_mixture,
+    "qd44_incremental_address_index": qd44_incremental_address_index,
+    "q218_hits": q218_hits,
+    "q219_degree_assortativity": q219_degree_assortativity,
+    "q220_containment_join": q220_containment_join,
+    "qd45_balance_gini": qd45_balance_gini,
+    "qd46_nakamoto_coefficient": qd46_nakamoto_coefficient,
+    "qd47_coin_days_destroyed": qd47_coin_days_destroyed,
+    "q221_duplicate_sentences": q221_duplicate_sentences,
+    "q222_pii_prevalence": q222_pii_prevalence,
+    "qd48_streaming_index_daemon": qd48_streaming_index_daemon,
+    "qd49_reorg_recovery": qd49_reorg_recovery,
+    "qd50_address_relations": qd50_address_relations,
+    "q223_scc": q223_scc,
+    "q224_orc_roundtrip": q224_orc_roundtrip,
+    "q225_sql_interface": q225_sql_interface,
+    "qd51_streaming_duplicate_sentences": qd51_streaming_duplicate_sentences,
+    "q226_tokenizer_fertility": q226_tokenizer_fertility,
+    "q227_cross_source_overlap": q227_cross_source_overlap,
+    "q135_ewma_smoothing": q135_ewma_smoothing,
+    "q136_zorder_key": q136_zorder_key,
+    "q142_systematic_sample": q142_systematic_sample,
+    "q143_scene_changes": q143_scene_changes,
+    "q144_random_walks": q144_random_walks,
+    "q147_negative_sampling": q147_negative_sampling,
+    "q149_weighted_reservoir": q149_weighted_reservoir,
+    "q151_corpus_drift": q151_corpus_drift,
+    "q152_equiwidth_bins": q152_equiwidth_bins,
+    "q153_zscore_normalize": q153_zscore_normalize,
+    "q154_kfold_assign": q154_kfold_assign,
+    "q156_tf_cosine_join": q156_tf_cosine_join,
+    "q158_two_hop": q158_two_hop,
+    "q159_simhash_join": q159_simhash_join,
+    "q161_attribution": q161_attribution,
+    "q162_rank_fusion": q162_rank_fusion,
+    "q163_count_min": q163_count_min,
+    "q164_event_transitions": q164_event_transitions,
+    "q166_gram_matrix": q166_gram_matrix,
+    "q168_path_counts": q168_path_counts,
+    "q171_feature_hash": q171_feature_hash,
+    "q172_skew_report": q172_skew_report,
+    "q174_seasonal_profile": q174_seasonal_profile,
+    "q175_data_quality": q175_data_quality,
+    "q176_minhash_estimate": q176_minhash_estimate,
     "q186_edit_distance_join": q186_edit_distance_join,
     "q187_map_at_10": q187_map_at_10,
     "q188_autocorrelation": q188_autocorrelation,
@@ -18824,8 +18828,10 @@ LEFT JOIN corpus c USING (query_id)
 )
 
 
-# q188: n^2-scaled integer autocovariance — (n*x_t - S) products are
-# exact int64 sums, so the frame hash-compares.
+# q188: floor-mean-centered integer autocovariance — c_t = x_t - S DIV n
+# deviations are integers, so Σ c_t·c_{t+k} and Σ c_t² are exact int64
+# sums and the frame hash-compares. The floor centering carries a
+# sub-unit (<1 count/day) bias vs the textbook mean-centered ACF.
 ORACLE_SQL["q188_autocorrelation"] = """
 WITH daily AS (
     SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
@@ -21099,17 +21105,25 @@ agg AS (
            CAST(sum(CASE WHEN is_ty THEN 1 ELSE 0 END) AS BIGINT) AS ty
     FROM pp GROUP BY 1
 ),
-n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
-SELECT a.g AS nation, n.n,
-       a.conc AS concordant,
-       a.disc AS discordant,
-       CASE WHEN CAST(a.conc + a.disc + a.tx AS DOUBLE)
-                 * CAST(a.conc + a.disc + a.ty AS DOUBLE) > 0
-            THEN CAST(a.conc - a.disc AS DOUBLE)
-                 / sqrt(CAST(a.conc + a.disc + a.tx AS DOUBLE)
-                        * CAST(a.conc + a.disc + a.ty AS DOUBLE))
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+j AS (
+    SELECT n.g, n.n,
+           CAST(coalesce(a.conc, 0) AS BIGINT) AS conc,
+           CAST(coalesce(a.disc, 0) AS BIGINT) AS disc,
+           CAST(coalesce(a.tx, 0) AS BIGINT) AS tx,
+           CAST(coalesce(a.ty, 0) AS BIGINT) AS ty
+    FROM n LEFT JOIN agg a ON a.g = n.g
+)
+SELECT g AS nation, n,
+       conc AS concordant,
+       disc AS discordant,
+       CASE WHEN CAST(conc + disc + tx AS DOUBLE)
+                 * CAST(conc + disc + ty AS DOUBLE) > 0
+            THEN CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(conc + disc + tx AS DOUBLE)
+                        * CAST(conc + disc + ty AS DOUBLE))
        END AS tau_b
-FROM agg a JOIN n ON a.g = n.g
+FROM j
 """
 
 ORACLE_SQL["q236_ancestor_closure"] = """
@@ -21986,10 +22000,12 @@ c AS (
 ),
 t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w)
 SELECT ck AS o_custkey, wt AS weight_cents,
-       CAST((off + wt) // (tw // 100) - off // (tw // 100) AS BIGINT)
+       CAST((off + wt) // greatest(tw // 100, 1)
+            - off // greatest(tw // 100, 1) AS BIGINT)
            AS n_hits
 FROM c CROSS JOIN t
-WHERE (off + wt) // (tw // 100) - off // (tw // 100) > 0
+WHERE (off + wt) // greatest(tw // 100, 1)
+      - off // greatest(tw // 100, 1) > 0
 """
 
 ORACLE_SQL["qd58_tagged_netflow"] = (
@@ -23882,12 +23898,14 @@ fulle AS (
     FROM edges e LEFT JOIN support s ON e.u = s.u AND e.v = s.v
 ),
 hist AS (
-    SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+    SELECT 'hist' AS row_kind, support,
+           CAST(count(*) AS BIGINT) AS n_edges,
            CAST(NULL AS BIGINT) AS top_u, CAST(NULL AS BIGINT) AS top_v
-    FROM fulle GROUP BY 1
+    FROM fulle GROUP BY 2
 ),
 top AS (
-    SELECT support, CAST(-1 AS BIGINT) AS n_edges,
+    SELECT 'max_edge' AS row_kind, support,
+           CAST(NULL AS BIGINT) AS n_edges,
            u AS top_u, v AS top_v
     FROM fulle ORDER BY support DESC, u, v LIMIT 1
 )

@@ -176,6 +176,24 @@ def test_rank_correlations_random_vs_python(spark):
             assert got_k[g] == pytest.approx(expected_k[g], abs=1e-12), g
 
 
+def test_kendall_tau_single_row_group(spark):
+    # a group with one row has an empty pair set — it must still
+    # surface with n=1, zero counts, and NULL tau_b, not vanish
+    from graphsense_blocksci_spark.operators.evaluation import kendall_tau
+
+    df = spark.createDataFrame(
+        [(0, 5, 9)] + [(1, i, i) for i in range(4)],
+        "g long, x long, y long",
+    )
+    rows = {r["g"]: r for r in kendall_tau(df, "g", "x", "y").collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n"] == 1
+    assert rows[0]["concordant"] == 0
+    assert rows[0]["discordant"] == 0
+    assert rows[0]["tau_b"] is None
+    assert rows[1]["tau_b"] == pytest.approx(1.0)
+
+
 def test_spearman_perfect_monotone(spark):
     from graphsense_blocksci_spark.operators.evaluation import spearman_rho
 
