@@ -90,3 +90,157 @@ def record_linkage(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )
+
+
+def fellegi_sunter_topk(
+    records: DataFrame,
+    block_cols: Sequence[str],
+    fields: Sequence[tuple[str, int, int]],
+    k: int,
+    id_col: str = "id",
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Top-k scored record pairs under Fellegi-Sunter agreement
+    weights — WITHOUT ever materializing the coarse-block quadratic
+    when the data is large enough that it cannot matter.
+
+    Each compared field carries integer (agree, disagree) log-
+    likelihood weights; a pair's score is the sum over fields. The
+    naive plan self-joins on `block_cols` alone — quadratic in block
+    size, and with a FIXED-cardinality blocking key the block size
+    grows linearly with the corpus, so cost grows quadratically (the
+    round-7 10x-harness finding on q275). This operator inverts that
+    scaling with adaptive tier descent:
+
+    1. One aggregate over the FINEST grouping (block + every field)
+       yields a bounded frame (cardinality <= distinct value combos,
+       e.g. 125 blocks x 22 balance buckets x 97 ids ~ 267k rows no
+       matter the corpus size).
+    2. Exact pair counts per agreement PATTERN (which subset of
+       fields agrees) follow from group-size arithmetic + inclusion-
+       exclusion on that frame — no pair is formed. 2^m scalar rows
+       reach the driver (m = #fields, tiny).
+    3. Patterns are taken in score order; only patterns needed to
+       cover k pairs (plus score ties) are MATERIALIZED, each via a
+       self-join on block + its agreeing fields — the finer the
+       pattern, the finer the join key. At scale the all-agree
+       pattern alone covers k, so the join key is the full tuple and
+       blocks stay near-constant size; the coarse join only runs on
+       small corpora, where quadratic is cheap.
+    4. Any pattern that must materialize checks its max block size
+       against `max_block` first and raises with blocking-key advice
+       (the similarity.py `max_bucket` contract) instead of silently
+       exploding.
+
+    Returns (key_a, key_b, agree_<field>..., score) — the global
+    top-k by (score DESC, key_a, key_b), exactly equal to the naive
+    all-block-pairs plan's top-k.
+    """
+    from itertools import combinations
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    fnames = [f for f, _, _ in fields]
+    base = records.select(
+        F.col(id_col).cast("long").alias("_id"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(f) for f in fnames],
+    )
+    fine = (
+        base.groupBy(*block_cols, *fnames)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _pairs_and_max(sub: Sequence[str]) -> tuple[int, int]:
+        g = fine.groupBy(*block_cols, *sub).agg(
+            F.sum("n").cast("long").alias("bn")
+        )
+        row = g.agg(
+            F.sum(F.expr("bn * (bn - 1) DIV 2")).cast("long").alias("p"),
+            F.max("bn").cast("long").alias("mx"),
+        ).collect()[0]
+        return int(row["p"] or 0), int(row["mx"] or 0)
+
+    subsets = [
+        tuple(s)
+        for r in range(len(fnames), -1, -1)
+        for s in combinations(fnames, r)
+    ]
+    stats = {s: _pairs_and_max(s) for s in subsets}
+    # inclusion-exclusion: exact-pattern pair counts from superset
+    # block-pair counts
+    tier_count: dict[tuple[str, ...], int] = {}
+    for p in subsets:
+        total = 0
+        extra = [f for f in fnames if f not in p]
+        for r in range(len(extra) + 1):
+            for add in combinations(extra, r):
+                q = tuple(f for f in fnames if f in p or f in add)
+                total += (-1) ** r * stats[q][0]
+        tier_count[p] = total
+    weights = {f: (wa, wd) for f, wa, wd in fields}
+
+    def _score(p: tuple[str, ...]) -> int:
+        return sum(
+            weights[f][0] if f in p else weights[f][1] for f in fnames
+        )
+
+    ordered = sorted(subsets, key=lambda p: (-_score(p), p))
+    needed: list[tuple[str, ...]] = []
+    cum = 0
+    for i, p in enumerate(ordered):
+        if cum >= k and _score(p) < _score(ordered[i - 1]):
+            break
+        needed.append(p)
+        cum += tier_count[p]
+
+    a = base.select(
+        F.col("_id").alias("key_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+        *[F.col(f).alias(f"_fa_{f}") for f in fnames],
+    )
+    b = base.select(
+        F.col("_id").alias("key_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+        *[F.col(f).alias(f"_fb_{f}") for f in fnames],
+    )
+    out = None
+    for p in needed:
+        if tier_count[p] == 0:
+            continue
+        if max_block is not None and stats[p][1] > max_block:
+            raise ValueError(
+                f"fellegi_sunter_topk: pattern {p or '(none agree)'} must "
+                f"materialize but its largest block has {stats[p][1]} rows "
+                f"(max_block={max_block}); refine block_cols or add "
+                "higher-selectivity compared fields so the top-k is "
+                "covered by finer agreement tiers"
+            )
+        cond = [
+            a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols
+        ] + [a[f"_fa_{f}"] == b[f"_fb_{f}"] for f in p]
+        pairs = a.join(b, cond).filter(F.col("key_a") < F.col("key_b"))
+        for f in fnames:
+            if f not in p:
+                pairs = pairs.filter(
+                    F.col(f"_fa_{f}") != F.col(f"_fb_{f}")
+                )
+        tier = pairs.select(
+            "key_a",
+            "key_b",
+            *[
+                F.lit(f in p).alias(f"agree_{f}")
+                for f in fnames
+            ],
+            F.lit(_score(p)).cast("long").alias("score"),
+        )
+        out = tier if out is None else out.unionByName(tier)
+    if out is None:
+        schema = ", ".join(
+            ["key_a long", "key_b long"]
+            + [f"agree_{f} boolean" for f in fnames]
+            + ["score long"]
+        )
+        return records.sparkSession.createDataFrame([], schema)
+    return out.orderBy(F.col("score").desc(), "key_a", "key_b").limit(k)

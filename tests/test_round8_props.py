@@ -1,0 +1,125 @@
+"""Round-8 operator tests: the adaptive Fellegi-Sunter top-k (tier
+descent must equal the naive all-block-pairs plan bit-for-bit, and the
+max_block contract must raise instead of materializing an oversized
+coarse tier) and the sampled LSH quality audit."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _naive_topk(rows, k):
+    """Pure-Python reference: all within-(nation,seg) pairs, scored,
+    top-k by (score desc, key_a, key_b)."""
+    pairs = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if (a[1], a[2]) != (b[1], b[2]):
+                continue
+            ka, kb = min(a[0], b[0]), max(a[0], b[0])
+            agree_f1 = a[3] == b[3]
+            agree_f2 = a[4] == b[4]
+            score = (24 if agree_f1 else -8) + (18 if agree_f2 else -6)
+            pairs.append((ka, kb, agree_f1, agree_f2, score))
+    pairs.sort(key=lambda p: (-p[4], p[0], p[1]))
+    return pairs[:k]
+
+
+@pytest.mark.parametrize("seed,n,k", [(11, 60, 10), (23, 120, 40), (5, 30, 500)])
+def test_fellegi_sunter_topk_vs_naive(spark, seed, n, k):
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        fellegi_sunter_topk,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randint(0, 3),          # nation
+            rng.choice(["A", "B"]),     # segment
+            rng.randint(0, 4),          # field 1 (bal bucket)
+            rng.randint(0, 6),          # field 2 (synth id)
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, nation long, seg string, f1 long, f2 long"
+    )
+    got = [
+        (r["key_a"], r["key_b"], r["agree_f1"], r["agree_f2"], r["score"])
+        for r in fellegi_sunter_topk(
+            df,
+            block_cols=("nation", "seg"),
+            fields=(("f1", 24, -8), ("f2", 18, -6)),
+            k=k,
+        ).collect()
+    ]
+    # the operator's output is already in (score desc, key_a, key_b)
+    # order; k > total pairs must return every pair
+    assert got == _naive_topk(rows, k)
+
+
+def test_fellegi_sunter_topk_raises_on_oversized_block(spark):
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        fellegi_sunter_topk,
+    )
+
+    # one degenerate block, every field disagreeing, so ONLY the
+    # coarse (no-agreement) tier can cover k — and it is oversized
+    rows = [(i, 0, "A", i, i) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "id long, nation long, seg string, f1 long, f2 long"
+    )
+    with pytest.raises(ValueError, match="max_block"):
+        fellegi_sunter_topk(
+            df,
+            block_cols=("nation", "seg"),
+            fields=(("f1", 24, -8), ("f2", 18, -6)),
+            k=10,
+            max_block=20,
+        )
+
+
+def test_fellegi_sunter_topk_fine_tier_ignores_coarse_cap(spark):
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        fellegi_sunter_topk,
+    )
+
+    # same oversized (nation, seg) block — 30 rows > max_block=20 —
+    # but the fields pair rows up mod 15, so the all-agree tier has
+    # 15 pairs in 2-row fine blocks and covers k on its own; the
+    # oversized coarse tier is never materialized and no raise fires
+    # — the whole point of the adaptive descent
+    rows = [(i, 0, "A", i % 15, i % 15) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "id long, nation long, seg string, f1 long, f2 long"
+    )
+    out = fellegi_sunter_topk(
+        df,
+        block_cols=("nation", "seg"),
+        fields=(("f1", 24, -8), ("f2", 18, -6)),
+        k=10,
+        max_block=20,
+    ).collect()
+    assert len(out) == 10
+    assert all(r["score"] == 42 for r in out)
+    assert [(r["key_a"], r["key_b"]) for r in out] == [
+        (i, i + 15) for i in range(10)
+    ]
+
+
+def test_q285_sampled_equals_complete_on_small_corpus(spark):
+    # at sf0.001 the corpus is under the 2000-doc audit target, so the
+    # integer cutoff saturates at 10000 and the sampled default must
+    # reproduce the complete audit bit-for-bit
+    from graphsense_blocksci_spark.queries import q285_lsh_quality_eval
+
+    sf = "/root/testdata/sf0.001"
+    sampled = q285_lsh_quality_eval(spark, sf).collect()
+    complete = q285_lsh_quality_eval(spark, sf, complete=True).collect()
+    assert sampled == complete
+    assert sampled[0]["n_truth"] > 0
