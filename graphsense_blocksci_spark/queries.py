@@ -8278,7 +8278,7 @@ def qd48_streaming_index_daemon(
     import tempfile
 
     from graphsense_blocksci_spark.streaming.index_daemon import (
-        INDEX_SCHEMA,
+        read_index,
         run_index_daemon,
     )
 
@@ -8323,7 +8323,7 @@ def qd48_streaming_index_daemon(
             f"{f.name} {f.dataType.simpleString()}" for f in raw_txs.schema
         ),
     )
-    return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
+    return read_index(spark, index_dir)
 
 
 def qd49_reorg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8345,7 +8345,7 @@ def qd49_reorg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     from graphsense_blocksci_spark.streaming.index_daemon import (
-        INDEX_SCHEMA,
+        read_index,
         run_index_daemon,
     )
 
@@ -8393,7 +8393,7 @@ def qd49_reorg_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{f.name} {f.dataType.simpleString()}" for f in raw_txs.schema
         ),
     )
-    return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
+    return read_index(spark, index_dir)
 
 
 def qd50_address_relations(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,6 +170,42 @@ def overwrite_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def drop_partition_dirs_ge(
+    spark, path: str, partition_col: str, threshold: int
+) -> list[int]:
+    """Delete every hive partition directory `partition_col=V` under
+    `path` with integer V >= threshold; returns the deleted values.
+
+    The partition-level DROP half of a rollback: dynamic partition
+    overwrite can only REPLACE partitions present in the written
+    frame, so partitions that must end up EMPTY (every row orphaned)
+    need an explicit directory delete. Uses the Hadoop FileSystem API
+    so the same call works on local disk, HDFS, or an object store.
+    Callers must eager-materialize any frame read from these
+    partitions BEFORE deleting (the overwrite-invalidates-readers
+    rule).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    dropped: list[int] = []
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        try:
+            val = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if val >= threshold:
+            fs.delete(status.getPath(), True)
+            dropped.append(val)
+    return sorted(dropped)
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -11,29 +11,40 @@ directory; the stream picks them up per micro-batch and each batch
 applies the qd44 incremental merge — delta flows from the batch's
 transactions, inputs resolved against the ACCUMULATED output table,
 only touched addresses re-sequenced, untouched index rows carried
-verbatim. Two sinks:
+verbatim. Two sinks, both hive-partitioned by the block-range bucket
+``blk_bucket = block_id DIV BLOCK_BUCKET_SIZE`` (functions/layout.py
+bucket_group — the reference's Cassandra block-bucket discipline,
+blocksci_export.py:333):
 
-- ``outputs/``  — exploded output table (the UTXO-side lookup the
-  linkage join needs; append per batch, rewritten only on reorg
-  rollback — see `merge_batch`).
-- ``index/``    — the maintained address_transactions index,
-  atomically replaced per batch (eager localCheckpoint first — a
-  parquet overwrite invalidates readers of the OLD files, so the
-  merged frame must be materialized off the sink before the rewrite;
-  the production sink would be a MERGE-capable table format and skip
-  the rewrite entirely).
+- ``outputs/`` — exploded output table (the UTXO-side lookup the
+  linkage join needs; append per batch into its buckets; on reorg
+  only the forked buckets' directories are touched).
+- ``index/``   — the maintained address_transactions index. Each
+  batch rewrites ONLY the buckets containing touched-address rows or
+  delta rows, via dynamic partition overwrite (A21 machinery);
+  buckets no touched address reaches are never re-written — at real
+  scale that is the difference between rewriting one day and
+  rewriting the chain.
 
-Effectively-once: a replayed batch re-appends outputs (the linkage
-dedups nothing, but duplicate outputs only arise on non-atomic
-retries — production uses the A21 idempotent sink machinery) and the
-index merge is idempotent given the same accumulated outputs.
+REORG ROLLBACK IS PARTITION-TRUE: buckets strictly above the fork's
+bucket are orphaned wholesale and their directories are dropped
+(sinks.drop_partition_dirs_ge); the fork's own bucket is rewritten
+with its surviving rows; buckets below the fork are untouched on
+disk — a pytest pins byte-identical files. Eager localCheckpoints
+materialize every frame read from a partition before that partition
+is deleted or overwritten (a parquet rewrite invalidates readers of
+the old files).
+
+Effectively-once: a replayed batch re-appends outputs; the
+accumulated-outputs read dedups with distinct() so the index merge is
+idempotent given the same staged files (A21 discipline).
 
 Scale shape per batch: delta-sized flows + one linkage shuffle
-against the output table (uniform (spent_tx_id, spent_index) key,
-partition-prunable by tx range at real scale) + touched-address
-re-sequencing only. The full-history recompute never runs — that is
-the point; the ORACLE is that full recompute, and equality after the
-final batch proves the daemon loses nothing.
+against the output table (uniform (spent_tx_id, spent_index) key; the
+bucket layout makes tx-range partition pruning real) + touched-
+address re-sequencing only. The full-history recompute never runs —
+that is the point; the ORACLE is that full recompute, and equality
+after the final batch proves the daemon loses nothing.
 """
 
 from __future__ import annotations
@@ -42,10 +53,15 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphsense_blocksci_spark.functions.layout import bucket_group
 from graphsense_blocksci_spark.operators.linkage import (
     explode_inputs,
     explode_outputs,
     link_inputs_to_outputs,
+)
+from graphsense_blocksci_spark.sources.sinks import (
+    drop_partition_dirs_ge,
+    overwrite_partitions,
 )
 
 INDEX_SCHEMA = (
@@ -56,19 +72,30 @@ INDEX_SCHEMA = (
 OUTPUTS_SCHEMA = (
     "tx_id long, output_index int, addr string, value long, block_id long"
 )
+# fixture chains span ~100 blocks -> 4-5 buckets, so the partition
+# machinery is exercised at test scale; production sizes this to a
+# rollback-granularity window (e.g. one day of blocks)
+BLOCK_BUCKET_SIZE = 25
+
+_INDEX_COLS = [c.split(" ")[0] for c in INDEX_SCHEMA.split(", ")]
+_OUTPUT_COLS = [c.split(" ")[0] for c in OUTPUTS_SCHEMA.split(", ")]
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a sink, treating ONLY a missing path as cold start.
 
     Any other read failure (transient FS error, corrupt footer, perm
-    denied) must propagate: merge_batch rewrites the index with
-    mode('overwrite'), so silently substituting an empty frame would
-    replace the accumulated index with just the current batch's rows —
-    permanent history loss instead of a failed-and-retried batch.
+    denied) must propagate: merge_batch rewrites index partitions, so
+    silently substituting an empty frame would replace accumulated
+    index rows with just the current batch's rows — permanent history
+    loss instead of a failed-and-retried batch.
+
+    The select drops the hive partition column a partitioned sink
+    appends on read, so callers always see the logical schema.
     """
+    cols = [c.split(" ")[0] for c in schema.split(", ")]
     try:
-        return spark.read.schema(schema).parquet(path)
+        return spark.read.schema(schema).parquet(path).select(*cols)
     except AnalysisException as exc:
         cls = (
             exc.getCondition()
@@ -78,6 +105,17 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         if cls == "PATH_NOT_FOUND":
             return spark.createDataFrame([], schema)
         raise
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The maintained index in its logical (INDEX_SCHEMA) shape."""
+    return _read_or_empty(spark, index_dir, INDEX_SCHEMA)
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "blk_bucket", bucket_group("block_id", BLOCK_BUCKET_SIZE)
+    )
 
 
 def merge_batch(
@@ -98,9 +136,10 @@ def merge_batch(
     later — hence orphaned — block's output, so the rollback cannot
     strand a resolved spend). The reference only SHIELDS against
     reorgs with the B7 safety-lag filter; recovery is what the
-    transformation daemon actually needs. At real scale the outputs
-    sink is partitioned by block range and the rollback is a dynamic
-    partition overwrite (A21 machinery) instead of this rewrite.
+    transformation daemon actually needs. The rollback is partition-
+    true: only bucket directories at or above the fork's bucket are
+    dropped/rewritten; everything below the fork stays byte-identical
+    on disk.
     """
     batch_txs = batch_txs.localCheckpoint(eager=True)
 
@@ -112,21 +151,49 @@ def merge_batch(
     reorg = tip is not None and fork is not None and fork <= tip
 
     dropped_addrs = None
+    forced_buckets: list[int] = []
     if reorg:
-        # roll orphaned blocks out of both sinks
+        fork_bucket = int(fork) // BLOCK_BUCKET_SIZE
+        # roll orphaned blocks out of both sinks — partition-true:
+        # materialize survivors off the affected partitions first,
+        # drop the orphaned bucket dirs, re-append the fork bucket's
+        # surviving output rows
         dropped_addrs = (
             old.filter(F.col("block_id") >= fork).select("addr").distinct()
         )
         old = old.filter(F.col("block_id") < fork)
-        kept_outs = (
-            _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA)
-            .filter(F.col("block_id") < fork)
-            .distinct()  # reorg rewrite doubles as replay-dup compaction
-            .localCheckpoint(eager=True)
-        )
-        kept_outs.write.mode("overwrite").parquet(outputs_dir)
         dropped_addrs = dropped_addrs.localCheckpoint(eager=True)
         old = old.localCheckpoint(eager=True)
+
+        kept_fork_outs = (
+            _read_or_empty(spark, outputs_dir, OUTPUTS_SCHEMA)
+            .filter(
+                (F.col("block_id") >= fork_bucket * BLOCK_BUCKET_SIZE)
+                & (F.col("block_id") < fork)
+            )
+            # the bucket rewrite doubles as replay-dup compaction for
+            # the rewritten bucket (A21 owns dups elsewhere)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        forced_buckets = drop_partition_dirs_ge(
+            spark, outputs_dir, "blk_bucket", fork_bucket
+        )
+        _with_bucket(kept_fork_outs).write.mode("append").partitionBy(
+            "blk_bucket"
+        ).parquet(outputs_dir)
+        # the index's orphaned buckets drop the same way; survivors in
+        # the fork bucket re-enter through the merge write below, so
+        # those buckets are forced into the affected set
+        forced_buckets = sorted(
+            set(forced_buckets)
+            | set(
+                drop_partition_dirs_ge(
+                    spark, index_dir, "blk_bucket", fork_bucket
+                )
+            )
+            | {fork_bucket}
+        )
 
     heights_all = batch_txs.select(
         "tx_id", F.col("block_id").cast("long").alias("block_id")
@@ -143,7 +210,9 @@ def merge_batch(
         .join(heights_all, "tx_id")
         .select("tx_id", "output_index", "addr", "value", "block_id")
     )
-    new_outs.write.mode("append").parquet(outputs_dir)
+    _with_bucket(new_outs).write.mode("append").partitionBy(
+        "blk_bucket"
+    ).parquet(outputs_dir)
 
     # accumulated outputs now include this batch — inputs may spend
     # outputs created earlier in the SAME batch. The distinct() makes
@@ -227,13 +296,28 @@ def merge_batch(
         .unionByName(delta)
     )
     w = Window.partitionBy("addr").orderBy("block_id", "tx_id")
-    merged = untouched.unionByName(
+    reseq = _with_bucket(
         reseq.withColumn("tx_seq", F.row_number().over(w).cast("long"))
     )
-    # materialize OFF the sink before overwriting it (parquet overwrite
-    # invalidates the old files any lazy reader still references)
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(index_dir)
+    # only the buckets holding re-sequenced rows (plus the reorg's
+    # forced fork buckets) are rewritten; untouched rows in OTHER
+    # buckets never leave the disk
+    affected = reseq.select("blk_bucket").distinct()
+    if forced_buckets:
+        affected = affected.union(
+            spark.createDataFrame(
+                [(int(v),) for v in forced_buckets], "blk_bucket long"
+            )
+        ).distinct()
+    carried = _with_bucket(untouched).join(
+        F.broadcast(affected), "blk_bucket", "semi"
+    )
+    to_write = reseq.unionByName(carried)
+    # materialize OFF the sink before overwriting its partitions (a
+    # parquet rewrite invalidates the old files any lazy reader still
+    # references)
+    to_write = to_write.localCheckpoint(eager=True)
+    overwrite_partitions(to_write, index_dir, "blk_bucket")
 
 
 def run_index_daemon(

@@ -367,8 +367,8 @@ def test_index_daemon_batch_replay_idempotent(spark, tmp_path):
         address_transactions,
     )
     from graphsense_blocksci_spark.streaming.index_daemon import (
-        INDEX_SCHEMA,
         merge_batch,
+        read_index,
     )
 
     txs = spark.createDataFrame(
@@ -391,20 +391,10 @@ def test_index_daemon_batch_replay_idempotent(spark, tmp_path):
     out_dir = str(tmp_path / "outputs")
     idx_dir = str(tmp_path / "index")
     merge_batch(spark, txs, out_dir, idx_dir)
-    once = sorted(
-        map(
-            tuple,
-            spark.read.schema(INDEX_SCHEMA).parquet(idx_dir).collect(),
-        )
-    )
+    once = sorted(map(tuple, read_index(spark, idx_dir).collect()))
     # crash-replay: the SAME batch folds again (outputs re-append)
     merge_batch(spark, txs, out_dir, idx_dir)
-    twice = sorted(
-        map(
-            tuple,
-            spark.read.schema(INDEX_SCHEMA).parquet(idx_dir).collect(),
-        )
-    )
+    twice = sorted(map(tuple, read_index(spark, idx_dir).collect()))
     want = sorted(map(tuple, address_transactions(txs).collect()))
     assert once == want
     assert twice == want

@@ -149,8 +149,13 @@ def test_index_daemon_survives_corrupt_probe_without_overwrite(
     import pathlib
 
     idx = pathlib.Path(index_dir)
-    for p in idx.glob("*.parquet"):
+    # the sink is hive-partitioned (blk_bucket=N/part-*.parquet), so
+    # the corruption must recurse into the partition dirs
+    corrupted = 0
+    for p in idx.glob("**/*.parquet"):
         p.write_bytes(b"garbage")
+        corrupted += 1
+    assert corrupted > 0
     b2 = spark.createDataFrame(
         [(2, 2, True, [], [(["C"], 25, 0)])], tx_schema
     )

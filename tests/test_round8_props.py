@@ -123,3 +123,75 @@ def test_q285_sampled_equals_complete_on_small_corpus(spark):
     complete = q285_lsh_quality_eval(spark, sf, complete=True).collect()
     assert sampled == complete
     assert sampled[0]["n_truth"] > 0
+
+
+def test_index_daemon_reorg_is_partition_true(spark, tmp_path):
+    """A reorg rollback must only touch bucket directories at or above
+    the fork's bucket: every file in buckets strictly below the fork
+    stays byte-identical in BOTH sinks (same path, same mtime, same
+    size), while orphaned buckets disappear or are rewritten."""
+    import pathlib
+
+    from graphsense_blocksci_spark.streaming.index_daemon import (
+        BLOCK_BUCKET_SIZE,
+        merge_batch,
+        read_index,
+    )
+
+    tx_schema = (
+        "tx_id long, block_id int, coinbase boolean,"
+        " inputs array<struct<address:array<string>,value:long,"
+        "address_type:int,spent_tx_id:long,spent_index:long>>,"
+        " outputs array<struct<address:array<string>,value:long,"
+        "address_type:int>>"
+    )
+    # chain spanning 4 buckets: coinbase per block, one address each
+    blocks = [0, 10, 30, 55, 80, 90]
+    rows = [
+        (i, b, True, [], [([f"A{b}"], 100 + b, 0)])
+        for i, b in enumerate(blocks)
+    ]
+    b1 = spark.createDataFrame(rows, tx_schema)
+    outputs_dir = str(tmp_path / "outputs")
+    index_dir = str(tmp_path / "index")
+    merge_batch(spark, b1, outputs_dir, index_dir)
+
+    def snapshot(d):
+        return {
+            str(p.relative_to(d)): (p.stat().st_mtime_ns, p.stat().st_size)
+            for p in pathlib.Path(d).glob("**/*.parquet")
+        }
+
+    before_out = snapshot(outputs_dir)
+    before_idx = snapshot(index_dir)
+    assert any("blk_bucket=0" in k for k in before_out)
+    assert any("blk_bucket=3" in k for k in before_out)
+
+    # competing chain from block 80: bucket 3 forks, buckets 0-2 must
+    # not be touched
+    b2 = spark.createDataFrame(
+        [(100, 80, True, [], [(["Z"], 777, 0)])], tx_schema
+    )
+    merge_batch(spark, b2, outputs_dir, index_dir)
+
+    fork_bucket = 80 // BLOCK_BUCKET_SIZE
+    after_out = snapshot(outputs_dir)
+    after_idx = snapshot(index_dir)
+    for snap_before, snap_after in ((before_out, after_out),
+                                    (before_idx, after_idx)):
+        for path, sig in snap_before.items():
+            bucket = int(path.split("blk_bucket=")[1].split("/")[0])
+            if bucket < fork_bucket:
+                assert snap_after.get(path) == sig, path
+            else:
+                assert snap_after.get(path) != sig, path
+
+    # and the logical result is the post-reorg chain
+    idx = read_index(spark, index_dir)
+    got = {
+        (r["addr"], r["block_id"], r["received_value"])
+        for r in idx.collect()
+    }
+    assert ("Z", 80, 777) in got
+    assert not any(b >= 80 and a != "Z" for a, b, _ in got)
+    assert ("A55", 55, 155) in got
