@@ -79,7 +79,116 @@ FAMILIES = [
     "q275_record_linkage",
     "q283_tolerance_join",
     "q285_lsh_quality_eval",
+    # round-8: the stateful-session streaming twin (events-driven, so
+    # the standard sf-scaled harness covers it; per-batch state is
+    # O(open sessions) and must grow with users, not with events)
+    "qd18_stateful_sessions",
 ]
+
+
+def bench_streaming_index(spark) -> dict:
+    """10x row for the streaming index daemon (VERDICT r7 item 8):
+    the fixture chain is fixed-size, so the harness builds a 10x-
+    DENSER chain — 10 disjoint copies of every transaction (tx ids,
+    spent_tx_id pointers, and addresses shifted per copy; block
+    heights unchanged), i.e. 10x the per-batch delta and 10x the
+    accumulated output/index state at the same chain length — and
+    drives run_index_daemon over the same 3-file staging at 1x and
+    10x. min-of-2 with fresh work dirs (the checkpoint pins a dir to
+    one run)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.sources.tables import load_raw_txs
+    from graphsense_blocksci_spark.streaming.index_daemon import (
+        run_index_daemon,
+    )
+
+    fixtures.ensure_fixtures()
+    base_txs = load_raw_txs(spark)
+    stride = 1_000_000_000
+
+    def copy_chain(c: int):
+        shift = F.lit(c * stride).cast("long")
+        suf = F.lit(f"#c{c}")
+        return base_txs.select(
+            (F.col("tx_id") + shift).alias("tx_id"),
+            "tx_hash",
+            "block_id",
+            "timestamp",
+            "coinbase",
+            F.transform(
+                "inputs",
+                lambda i: F.struct(
+                    F.transform(
+                        i["address"], lambda a: F.concat(a, suf)
+                    ).alias("address"),
+                    i["value"].alias("value"),
+                    i["address_type"].alias("address_type"),
+                    (i["spent_tx_id"] + shift)
+                    .cast("long")
+                    .alias("spent_tx_id"),
+                    i["spent_index"].alias("spent_index"),
+                ),
+            ).alias("inputs"),
+            F.transform(
+                "outputs",
+                lambda o: F.struct(
+                    F.transform(
+                        o["address"], lambda a: F.concat(a, suf)
+                    ).alias("address"),
+                    o["value"].alias("value"),
+                    o["address_type"].alias("address_type"),
+                    o["spent_tx_id"].alias("spent_tx_id"),
+                    o["spent_index"].alias("spent_index"),
+                ),
+            ).alias("outputs"),
+        )
+
+    tx_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base_txs.schema
+    )
+
+    def run_once(txs) -> float:
+        work = tempfile.mkdtemp(prefix="gbs_scaleidx_")
+        try:
+            cuts = [(None, 333), (333, 666), (666, None)]
+            src = f"{work}/stream_src"
+            os.makedirs(src, exist_ok=True)
+            base = int(_time.time())
+            for i, (lo, hi) in enumerate(cuts):
+                part = txs
+                if lo is not None:
+                    part = part.filter(F.col("block_id") > lo)
+                if hi is not None:
+                    part = part.filter(F.col("block_id") <= hi)
+                pdir = f"{work}/src/part{i}"
+                part.coalesce(1).write.mode("overwrite").parquet(pdir)
+                for fn in sorted(os.listdir(pdir)):
+                    if fn.endswith(".parquet"):
+                        dst = f"{src}/part{i}.parquet"
+                        shutil.copy(f"{pdir}/{fn}", dst)
+                        os.utime(dst, (base + 60 * i, base + 60 * i))
+            t0 = time.time()
+            run_index_daemon(spark, src, work, tx_schema)
+            return time.time() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    row: dict[str, float] = {}
+    for label, copies in (("x1", 1), ("x10", 10)):
+        txs = copy_chain(0)
+        for c in range(1, copies):
+            txs = txs.unionByName(copy_chain(c))
+        txs = txs.localCheckpoint(eager=True)
+        best = min(run_once(txs) for _ in range(2))
+        row[label] = round(best, 2)
+        print(f"# qd48_10x_chain {label}: {best:.2f}s", file=sys.stderr)
+    row["ratio"] = round(row["x10"] / row["x1"], 2)
+    return {"qd48_streaming_index_daemon_10x_chain": row}
 
 
 def _shift(col: str, c: int):
@@ -260,7 +369,10 @@ def main() -> None:
     if "--bench" in sys.argv:
         build(spark)
         out = bench(spark)
+        out.update(bench_streaming_index(spark))
         print(json.dumps(out, indent=2))
+    elif "--bench-streaming" in sys.argv:
+        print(json.dumps(bench_streaming_index(spark), indent=2))
     else:
         out_dir = sys.argv[1] if len(sys.argv) > 1 else OUT
         copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
