@@ -129,7 +129,7 @@ BENCH_QUERIES = [
     "q167_ridge_fit",
     "q168_path_counts",
     "q169_betweenness",
-    "q170_pca_eigenvalues",
+    "q170_pca_scatter",
     "q171_feature_hash",
     "q172_skew_report",
     "q173_logistic_gd",

@@ -286,3 +286,123 @@ def semdedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def kmeans_lloyd_quantized(
+    vectors: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd iterations in EXACT integer arithmetic — the hash-green
+    twin of `kmeans_lloyd`.
+
+    Coordinates quantize once to ``round(x * scale)`` int64; every
+    subsequent value is an integer: E-step distances are Σ(x−c)²
+    int64 sums (fits comfortably — 1e6-scaled unit-ish coords square
+    to ~1e12·dim per vector), the M-step centroid is the TRUNCATED
+    integer mean ``sum DIV count`` per coordinate (Spark DIV ≡ DuckDB
+    // — truncation toward zero, matching on negatives), and
+    assignment ties break on centroid id. Deterministic and
+    engine-portable end to end, so the final assignment frame is
+    cell-exact oracle-able — unlike the float twin, whose unordered
+    M-step sums are only numpy-parity testable. Quantization shifts
+    each centroid by < 1/scale per coordinate per iteration; the
+    pytest pins the quantized assignment against the float twin's.
+
+    Same scale shape as the float twin: broadcast E-step projection
+    (zero shuffle), one groupBy(cluster) M-step with dim fixed-width
+    integer agg columns (map-side partials), k×dim driver collect per
+    iteration. int64 headroom: per-cluster coordinate sums reach
+    ~n·scale, safe to n ~ 9e12 vectors per cluster.
+
+    Returns (vec_id, cluster_id, dist_sq) with integer dist_sq in
+    quantized units.
+    """
+    if dim is None:
+        row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            spark = vectors.sparkSession
+            return spark.createDataFrame(
+                [], f"{id_col} long, cluster_id long, dist_sq long"
+            )
+        dim = row["d"]
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    v = vectors.select(
+        F.col(id_col).cast("long").alias(id_col), q.alias("_e")
+    )
+    cents = [
+        (int(r[id_col]), [int(x) for x in r["_e"]])
+        for r in v.filter(F.col(id_col) < k).collect()
+    ]
+
+    def idist(e: Column, ce: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(e, ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    spark = vectors.sparkSession
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(cid, ce) for cid, ce in cents], "cid long, ce array<long>"
+        )
+        carr = cdf.agg(
+            F.collect_list(F.struct("cid", "ce")).alias("_cs")
+        )
+        best = F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("_cs"),
+                    lambda c: F.struct(
+                        idist(F.col("_e"), c["ce"]).alias("dist_sq"),
+                        c["cid"].cast("long").alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )
+        assign = v.crossJoin(F.broadcast(carr)).select(
+            id_col, best["cid"].alias("cluster_id"), "_e"
+        )
+        means = assign.groupBy("cluster_id").agg(
+            *[
+                F.expr(f"CAST(sum(_e[{i}]) DIV count(1) AS BIGINT)").alias(
+                    f"m{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        new = {
+            int(r["cluster_id"]): [int(r[f"m{i}"]) for i in range(dim)]
+            for r in means.collect()
+        }
+        cents = [(cid, new.get(cid, ce)) for cid, ce in cents]
+    cdf = spark.createDataFrame(
+        [(cid, ce) for cid, ce in cents], "cid long, ce array<long>"
+    )
+    carr = cdf.agg(F.collect_list(F.struct("cid", "ce")).alias("_cs"))
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("_cs"),
+                lambda c: F.struct(
+                    idist(F.col("_e"), c["ce"]).alias("dist_sq"),
+                    c["cid"].cast("long").alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )
+    return v.crossJoin(F.broadcast(carr)).select(
+        id_col,
+        best["cid"].alias("cluster_id"),
+        best["dist_sq"].alias("dist_sq"),
+    )

@@ -105,3 +105,80 @@ def pca_topk(
         "component long, eigenvalue double, explained_frac double, "
         "total_variance double",
     )
+
+
+def scatter_quantized(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """EXACT integer second-moment sufficient statistics — the
+    hash-green twin of `moment_partials`: coordinates quantize once
+    to ``round(x*scale)`` int64 and the per-batch GEMM runs in int64
+    (numpy integer matmul is exact), so the partial sums are
+    order-independent and the long-form frame is cell-exact
+    oracle-able. Same one-pass Arrow shape: a d×d integer GEMM per
+    batch, then one (row, col) sum — d² + d + 1 numbers total.
+
+    Returns (row, col, value): col in [0, d) are Σ x_q·x_qᵀ entries,
+    col = -1 holds the coordinate sums Σ x_q, and (row=-1, col=-1) is
+    n. int64 bound: |x_q| ≲ scale ⇒ entries grow as n·scale² — at
+    1e6 scale that is exact to n ~ 9e6 unit-ish vectors; larger
+    corpora drop `scale` (each 10× corpus step costs one digit of
+    quantization) or move the final sum to decimal(38,0).
+    """
+    import numpy as np
+
+    def part(batches):
+        n = 0
+        s = None
+        m2 = None
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if X.size == 0:
+                continue
+            Q = np.rint(X * scale).astype(np.int64)
+            n += Q.shape[0]
+            s = Q.sum(axis=0) if s is None else s + Q.sum(axis=0)
+            g = Q.T @ Q
+            m2 = g if m2 is None else m2 + g
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "m2": [m2.ravel().tolist()],
+                }
+            )
+
+    partials = emb.select(vec_col).mapInPandas(
+        part, schema="n long, s array<long>, m2 array<long>"
+    )
+    d_row = partials.select(F.size("s").alias("d")).first()
+    if d_row is None:
+        raise ValueError("scatter_quantized: empty input")
+    d = d_row["d"]
+    xx = (
+        partials.select(
+            F.posexplode("m2").alias("flat", "value")
+        )
+        .select(
+            (F.col("flat") / d).cast("long").alias("row"),
+            (F.col("flat") % d).cast("long").alias("col"),
+            "value",
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("value").cast("long").alias("value"))
+    )
+    sums = (
+        partials.select(F.posexplode("s").alias("row", "value"))
+        .groupBy(F.col("row").cast("long").alias("row"))
+        .agg(F.sum("value").cast("long").alias("value"))
+        .select("row", F.lit(-1).cast("long").alias("col"), "value")
+    )
+    nrow = partials.agg(F.sum("n").cast("long").alias("value")).select(
+        F.lit(-1).cast("long").alias("row"),
+        F.lit(-1).cast("long").alias("col"),
+        "value",
+    )
+    return xx.select("row", "col", "value").unionByName(sums).unionByName(
+        nrow
+    )

@@ -695,3 +695,58 @@ def cohens_kappa(
             / (c["n"] * c["n"] - pe_num).cast("double"),
         ).alias("kappa"),
     )
+
+
+def ridge_solve_exact(
+    gram: DataFrame,
+    d: int,
+    lam: int = 1,
+) -> list[tuple[int, int]]:
+    """Solve (X'X + λI) β = X'y EXACTLY as rationals via Cramer's
+    rule on the collected integer sufficient statistics (d ≤ 3).
+
+    Python's arbitrary-precision integers make the determinants exact
+    at any magnitude; the shared denominator det(X'X + λI) is > 0 (the
+    ridge system is positive definite), so β_i = num_i / den is a
+    canonical unreduced fraction and the (num, den) pairs are
+    engine-portable — a DuckDB oracle reproduces them in HUGEINT and
+    the frame hash-compares, unlike the float LAPACK route
+    (`ridge_solve`), whose solve is library-specific. Driver-side by
+    design: d²+d+1 numbers whatever the corpus size.
+    """
+    if d > 3:
+        raise ValueError(
+            "ridge_solve_exact expands Cramer determinants explicitly;"
+            " d <= 3 only (use ridge_solve past that)"
+        )
+    rows = gram.collect()
+    a = [[0] * d for _ in range(d)]
+    b = [0] * d
+    for r in rows:
+        if r.row >= 0 and r.col >= 0:
+            a[r.row][r.col] = int(r.value)
+        elif r.row >= 0:
+            b[r.row] = int(r.value)
+    for i in range(d):
+        a[i][i] += lam
+
+    def det(m: list[list[int]]) -> int:
+        n = len(m)
+        if n == 1:
+            return m[0][0]
+        if n == 2:
+            return m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    den = det(a)
+    out: list[tuple[int, int]] = []
+    for i in range(d):
+        ai = [row[:] for row in a]
+        for r_ in range(d):
+            ai[r_][i] = b[r_]
+        out.append((det(ai), den))
+    return out

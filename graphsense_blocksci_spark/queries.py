@@ -3025,17 +3025,25 @@ def q110_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q111_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five Lloyd iterations from the deterministic seed
-    (operators/clustering.py:kmeans_lloyd): broadcast E-step + one
-    groupBy(cluster) M-step per round (dim fixed-width avg columns,
-    map-side partials, no explode), bounded k×dim centroid collect
-    between rounds. M-step float sums are unordered -> rows-only
-    driver check; numpy parity at 1e-9 is pytest-gated
-    (tests/test_clustering.py)."""
-    from graphsense_blocksci_spark.operators.clustering import kmeans_lloyd
+    """Five Lloyd iterations from the deterministic seed, in EXACT
+    integer arithmetic (operators/clustering.py:
+    kmeans_lloyd_quantized): coordinates quantize once to 1e6-scaled
+    int64, E-step distances are integer sums, the M-step centroid is
+    the truncated integer mean (DIV ≡ DuckDB //), ties break on
+    centroid id — so the full iterative fixpoint is cell-exact
+    oracle-able (the round-7 rows-only gap, closed). Same plan shape
+    as the float twin: broadcast E-step projection (zero shuffle) +
+    one groupBy(cluster) M-step per round (dim fixed-width integer
+    agg columns, map-side partials, no explode), bounded k×dim
+    centroid collect between rounds. The float twin remains
+    numpy-parity pytest-gated (tests/test_clustering.py); a pytest
+    pins the quantized assignment against it."""
+    from graphsense_blocksci_spark.operators.clustering import (
+        kmeans_lloyd_quantized,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(emb, k=10, n_iter=5)
+    return kmeans_lloyd_quantized(emb, k=10, n_iter=5)
 
 
 def q112_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4817,15 +4825,22 @@ def q166_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q167_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ridge regression fit from the q166 sufficient statistics
-    (operators/evaluation.py:ridge_solve): the driver touches exactly
-    d²+d+1 numbers however large the corpus — floats enter only AFTER
-    the exact distributed aggregation, in one LAPACK solve. Rows-only
-    (LAPACK is not SQL); pytest-gated against numpy lstsq on the
-    collected toy frame and the normal-equations residual."""
+    """Ridge regression fit from the q166 sufficient statistics,
+    EXACT to the last digit (operators/evaluation.py:
+    ridge_solve_exact): the distributed work is the one integer
+    Gram/moment aggregate (d²+d+1 numbers to the driver however
+    large the corpus); the solve is Cramer's rule in arbitrary-
+    precision integer arithmetic, so each coefficient is the
+    canonical rational num_i / det(X'X + λI) and the frame is
+    cell-exact oracle-able (the round-7 rows-only gap, closed — the
+    DuckDB oracle reproduces the determinants in HUGEINT). The
+    numerator/denominator ride as decimal STRINGS (they exceed
+    int64 by construction: det is a product of three ~Σx² sums);
+    β_i = num/den, and the float LAPACK route (ridge_solve) is
+    pytest-pinned against these rationals."""
     from graphsense_blocksci_spark.operators.evaluation import (
         gram_matrix,
-        ridge_solve,
+        ridge_solve_exact,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -4835,10 +4850,10 @@ def q167_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("l_extendedprice").alias("price_cents"),
     )
     gram = gram_matrix(li, ["one", "qty", "disc_pct"], "price_cents")
-    beta = ridge_solve(gram, d=3, lam=1.0)
+    beta = ridge_solve_exact(gram, d=3, lam=1)
     return spark.createDataFrame(
-        [(i, float(b)) for i, b in enumerate(beta)],
-        "coef_idx long, beta double",
+        [(i, str(num), str(den)) for i, (num, den) in enumerate(beta)],
+        "coef_idx long, beta_num string, beta_den string",
     )
 
 
@@ -4888,18 +4903,24 @@ def q169_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q170_pca_eigenvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA over the embeddings table
-    (operators/decomposition.py:pca_topk): second-moment matrix via
-    one Arrow-batched numpy GEMM partial per partition (the cosine-
-    GEMM discipline), d²+d+1 numbers to the driver, one bounded eigh.
-    Output is eigenvalues + explained variance only — eigenvector
-    sign is indeterminate, eigenvalues are not. Rows-only (float
-    partials are partition-order dependent); numpy parity pytest."""
-    from graphsense_blocksci_spark.operators.decomposition import pca_topk
+def q170_pca_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA sufficient statistics over the embeddings
+    table, EXACT (operators/decomposition.py:scatter_quantized): the
+    1e6-quantized int64 second-moment matrix, coordinate sums, and n
+    — one Arrow-batched INTEGER GEMM partial per partition (numpy
+    int64 matmul is exact, so partials are order-independent), d²+d+1
+    numbers total, cell-exact against a DuckDB unnest-pair oracle
+    (the round-7 rows-only gap, closed). This is the frame the
+    driver-side eigh consumes: the float eigenvalue readout
+    (decomposition.py:pca_topk) stays numpy-parity pytest-gated, and
+    a round-8 pytest pins eigh-on-this-scatter against pca_topk
+    within quantization error."""
+    from graphsense_blocksci_spark.operators.decomposition import (
+        scatter_quantized,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_topk(emb, k=8)
+    return scatter_quantized(emb)
 
 
 
@@ -14007,7 +14028,7 @@ QUERIES: dict[str, QueryFn] = {
     "q160_louvain": q160_louvain,
     "q167_ridge_fit": q167_ridge_fit,
     "q169_betweenness": q169_betweenness,
-    "q170_pca_eigenvalues": q170_pca_eigenvalues,
+    "q170_pca_scatter": q170_pca_scatter,
     "q173_logistic_gd": q173_logistic_gd,
     "q177_calibration_curve": q177_calibration_curve,
     "q178_cms_join_size": q178_cms_join_size,
@@ -14314,6 +14335,65 @@ FROM d
 QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY dist_sq ASC, cid ASC) = 1
 """
+
+
+def _kmeans_quantized_sql(
+    k: int = 10, dim: int = 64, iters: int = 5, scale: int = 1_000_000
+) -> str:
+    """Mirror of operators.clustering.kmeans_lloyd_quantized: the
+    same quantize-once int64 coordinates, (dist asc, cid asc) argmin
+    tie-break, truncated-integer-mean M-step (// ≡ Spark DIV on
+    negatives), and empty-cluster carry — unrolled as one CTE pair
+    per Lloyd iteration."""
+    parts = [
+        f"""
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+               AS e
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})"""
+    ]
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (a.e[i] - c.ce[i]) * (a.e[i] - c.ce[i])))"
+    )
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t} AS (
+    SELECT a.vec_id, a.e, c.cid
+    FROM v a CROSS JOIN c{t - 1} c
+    QUALIFY row_number() OVER (
+        PARTITION BY a.vec_id ORDER BY {dist} ASC, c.cid ASC) = 1
+),
+u{t} AS (
+    SELECT cid, ii.i AS i, e[ii.i] AS x
+    FROM a{t}, (SELECT unnest(range(1, {dim + 1})) AS i) ii
+),
+m{t} AS (
+    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS ce
+    FROM (SELECT cid, i, sum(x) AS s, count(*) AS n
+          FROM u{t} GROUP BY 1, 2)
+    GROUP BY 1
+),
+c{t} AS (
+    SELECT p.cid, coalesce(m{t}.ce, p.ce) AS ce
+    FROM c{t - 1} p LEFT JOIN m{t} ON p.cid = m{t}.cid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT a.vec_id, CAST(c.cid AS BIGINT) AS cluster_id,
+       CAST({dist} AS BIGINT) AS dist_sq
+FROM v a CROSS JOIN c{iters} c
+QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id ORDER BY {dist} ASC, c.cid ASC) = 1
+"""
+    )
+    return "".join(parts)
 
 
 def _semdedup_sql(k: int = 10, threshold: float = 0.35) -> str:
@@ -24061,3 +24141,78 @@ GROUP BY 1
 
 # The incremental fold must be cell-exact against the FULL REBUILD.
 ORACLE_SQL["q305_scd2_incremental"] = ORACLE_SQL["q269_scd2_dimension"]
+
+# round-8: exact quantized PCA scatter — unnest (i, j) coordinate
+# pairs; 500 x 64^2 rows is nothing for the oracle, while the engine
+# side stays one integer GEMM per Arrow batch
+ORACLE_SQL["q170_pca_scatter"] = """
+WITH v AS (
+    SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS e
+    FROM embeddings
+),
+xx AS (
+    SELECT CAST(i.i - 1 AS BIGINT) AS row, CAST(j.j - 1 AS BIGINT) AS col,
+           CAST(sum(e[i.i] * e[j.j]) AS BIGINT) AS value
+    FROM v,
+         (SELECT unnest(range(1, 65)) AS i) i,
+         (SELECT unnest(range(1, 65)) AS j) j
+    GROUP BY 1, 2
+),
+s AS (
+    SELECT CAST(i.i - 1 AS BIGINT) AS row, CAST(-1 AS BIGINT) AS col,
+           CAST(sum(e[i.i]) AS BIGINT) AS value
+    FROM v, (SELECT unnest(range(1, 65)) AS i) i
+    GROUP BY 1, 2
+)
+SELECT * FROM xx
+UNION ALL SELECT * FROM s
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM v
+"""
+
+# round-8: the quantized Lloyd fixpoint is integer-exact end to end,
+# upgrading the former rows-only q111 to a hash-green row
+ORACLE_SQL["q111_kmeans_lloyd"] = _kmeans_quantized_sql(10, 64, 5)
+
+# round-8: exact Cramer ridge — the determinants are reproduced in
+# HUGEINT (3x3 products of ~1e8-1e14 sums stay far under 1.7e38) and
+# compared as decimal strings, upgrading q167 to hash-green
+ORACLE_SQL["q167_ridge_fit"] = """
+WITH li AS (
+    SELECT 1::BIGINT AS x0,
+           CAST(l_quantity AS BIGINT) AS x1,
+           CAST(round(l_discount * 100) AS BIGINT) AS x2,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+),
+g AS (
+    SELECT sum(x0*x0)::HUGEINT + 1 AS a11, sum(x0*x1)::HUGEINT AS a12,
+           sum(x0*x2)::HUGEINT AS a13,
+           sum(x1*x0)::HUGEINT AS a21, sum(x1*x1)::HUGEINT + 1 AS a22,
+           sum(x1*x2)::HUGEINT AS a23,
+           sum(x2*x0)::HUGEINT AS a31, sum(x2*x1)::HUGEINT AS a32,
+           sum(x2*x2)::HUGEINT + 1 AS a33,
+           sum(x0*y)::HUGEINT AS b1, sum(x1*y)::HUGEINT AS b2,
+           sum(x2*y)::HUGEINT AS b3
+    FROM li
+),
+d AS (
+    SELECT a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31)
+           + a13*(a21*a32 - a22*a31) AS den,
+           b1*(a22*a33 - a23*a32) - a12*(b2*a33 - a23*b3)
+           + a13*(b2*a32 - a22*b3) AS n0,
+           a11*(b2*a33 - a23*b3) - b1*(a21*a33 - a23*a31)
+           + a13*(a21*b3 - b2*a31) AS n1,
+           a11*(a22*b3 - b2*a32) - a12*(a21*b3 - b2*a31)
+           + b1*(a21*a32 - a22*a31) AS n2
+    FROM g
+)
+SELECT u.coef_idx,
+       CAST(CASE u.coef_idx WHEN 0 THEN n0 WHEN 1 THEN n1 ELSE n2 END
+            AS VARCHAR) AS beta_num,
+       CAST(den AS VARCHAR) AS beta_den
+FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS coef_idx) u
+"""

@@ -195,3 +195,106 @@ def test_index_daemon_reorg_is_partition_true(spark, tmp_path):
     assert ("Z", 80, 777) in got
     assert not any(b >= 80 and a != "Z" for a, b, _ in got)
     assert ("A55", 55, 155) in got
+
+
+def test_kmeans_quantized_matches_float_on_separated_blobs(spark):
+    """On well-separated blobs the 1e-6 quantization error cannot flip
+    an assignment, so the integer Lloyd must agree with the float twin
+    vector-for-vector (and its dist_sq must be the quantized integer)."""
+    import random
+
+    from graphsense_blocksci_spark.operators.clustering import (
+        kmeans_lloyd,
+        kmeans_lloyd_quantized,
+    )
+
+    rng = random.Random(42)
+    dim = 8
+    centers = [[10.0 * c + 0.0] * dim for c in range(3)]
+    rows = []
+    vid = 0
+    # seeds are the k smallest ids: give each blob one early vector
+    for c in range(3):
+        rows.append((vid, [centers[c][j] for j in range(dim)]))
+        vid += 1
+    for c in range(3):
+        for _ in range(20):
+            rows.append(
+                (
+                    vid,
+                    [
+                        centers[c][j] + rng.uniform(-0.5, 0.5)
+                        for j in range(dim)
+                    ],
+                )
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fl = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd(df, k=3, n_iter=4).collect()
+    }
+    qt = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_lloyd_quantized(df, k=3, n_iter=4).collect()
+    }
+    assert fl == qt
+
+
+def test_ridge_solve_exact_matches_lapack(spark):
+    """The exact Cramer rationals and the float LAPACK solve are the
+    same system's solution: num/den must equal numpy's beta to float
+    precision, and den must be positive (ridge system is PD)."""
+    import random
+
+    from graphsense_blocksci_spark.operators.evaluation import (
+        gram_matrix,
+        ridge_solve,
+        ridge_solve_exact,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (1, rng.randint(0, 50), rng.randint(0, 10), rng.randint(0, 100000))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "one long, q long, d long, y long")
+    gram = gram_matrix(df, ["one", "q", "d"], "y").localCheckpoint()
+    exact = ridge_solve_exact(gram, d=3, lam=1)
+    lapack = ridge_solve(gram, d=3, lam=1.0)
+    for (num, den), fl in zip(exact, lapack):
+        assert den > 0
+        assert abs(num / den - fl) <= 1e-9 * max(1.0, abs(fl))
+
+
+def test_scatter_quantized_eigh_matches_pca_topk(spark):
+    """eigh on the exact quantized scatter must reproduce pca_topk's
+    float eigenvalues within quantization error (~1e-6 per coord)."""
+    import numpy as np
+
+    from graphsense_blocksci_spark.operators.decomposition import (
+        pca_topk,
+        scatter_quantized,
+    )
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = scatter_quantized(emb).collect()
+    d = 64
+    scale = 1_000_000
+    m2 = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for r in rows:
+        if r["row"] >= 0 and r["col"] >= 0:
+            m2[r["row"]][r["col"]] = float(r["value"])
+        elif r["row"] >= 0:
+            s[r["row"]] = float(r["value"])
+        else:
+            n = int(r["value"])
+    mu = s / n
+    cov = (m2 / n - np.outer(mu, mu)) / (scale * scale)
+    ev_q = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    ev_f = [r["eigenvalue"] for r in pca_topk(emb, k=8).collect()]
+    for a, b in zip(ev_q[:8], ev_f):
+        assert abs(a - b) < 1e-4, (a, b)
