@@ -13773,6 +13773,314 @@ def q305_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched.unionByName(closed_old).unionByName(rebuilt)
 
 
+def q306_grouped_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation EXACT ridge fit (d=2: intercept + order-date day) of
+    order value on time — the groupwise flavor of q167: one map-side-
+    combined groupBy(nation) aggregate produces every nation's integer
+    sufficient statistics (n, Σx, Σx², Σy, Σxy — 5 numbers per group,
+    whatever the corpus size), the bounded 25-row collect solves each
+    2×2 system by Cramer's rule in arbitrary-precision integers, and
+    the canonical (num, den) rationals ride as decimal strings the
+    DuckDB HUGEINT oracle reproduces. The 100 TB shape is the same
+    d²-numbers-per-group shuffle as q166 — groupwise OLS/ridge is one
+    aggregate, never a per-group solver pass over the data."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("x"),
+        _cents("o_totalprice").alias("y"),
+    )
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    rows = g.collect()  # bounded: one row per nation
+    out = []
+    for r in rows:
+        n, sx, sxx, sy, sxy = (
+            int(r["n"]), int(r["sx"]), int(r["sxx"]), int(r["sy"]),
+            int(r["sxy"]),
+        )
+        a11, a12, a22 = n + 1, sx, sxx + 1  # ridge lam=1 on the diagonal
+        den = a11 * a22 - a12 * a12
+        n0 = sy * a22 - a12 * sxy
+        n1 = a11 * sxy - sy * a12
+        out.append((int(r["nation"]), 0, str(n0), str(den)))
+        out.append((int(r["nation"]), 1, str(n1), str(den)))
+    return spark.createDataFrame(
+        out, "nation long, coef_idx long, beta_num string, beta_den string"
+    )
+
+
+def q307_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the daily
+    order count on time via the minimax identity
+    fit(t) = max_{i<=t} min_{j>=i} avg(y[i..j]) — the exact PAV
+    solution without PAV's sequential pass (Robertson-Wright minimax
+    characterization; a pytest proves the identity against
+    sequential-PAV on exact Fractions). Segment averages quantize to
+    floor-milli integers, and floor commutes with min/max, so
+    fit_milli = floor(1000·exact_PAV_fit) EXACTLY — deterministic and
+    engine-portable. Cost is the O(|days|²) segment grid — bounded by
+    the DAY GRAIN, not the corpus (2.4k days → 5.8M integer rows);
+    the prefix-sum window runs over the same bounded day frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.orderBy("day")
+    d = daily.select(
+        "day",
+        "y",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("y").over(w).cast("long").alias("s"),
+    ).localCheckpoint(eager=False)
+    i_side = d.select(
+        F.col("rn").alias("i"),
+        (F.col("s") - F.col("y")).alias("s_before"),
+    )
+    j_side = d.select(F.col("rn").alias("j"), F.col("s").alias("s_j"))
+    seg_min = (
+        i_side.join(j_side, F.col("j") >= F.col("i"))
+        .select(
+            "i",
+            F.expr(
+                "CAST((1000 * (s_j - s_before)) DIV (j - i + 1) AS BIGINT)"
+            ).alias("a"),
+        )
+        .groupBy("i")
+        .agg(F.min("a").cast("long").alias("b"))
+    )
+    wfit = Window.orderBy("i")
+    fit = seg_min.select(
+        "i", F.max("b").over(wfit).cast("long").alias("fit_milli")
+    )
+    return (
+        d.join(fit, d["rn"] == fit["i"])
+        .select(
+            F.expr("CAST(day * 86400 AS TIMESTAMP)").alias("day"),
+            "y",
+            "fit_milli",
+        )
+    )
+
+
+def q308_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator of the daily order count —
+    the median of all Walsh averages (y_i + y_j)/2, i <= j — the
+    robust center a mean can't give and a plain median under-uses.
+    Doubled sums keep everything integer; the median over the
+    O(|days|²) Walsh multiset (bounded by the day grain, never the
+    corpus) collapses to value-grouped counts + one running cumsum
+    over the bounded distinct-sum domain, then the lower median is
+    the first value whose cumulative count reaches ceil(N/2). Output:
+    one row (n_days, n_pairs, hl2, hl) with hl = hl2/2 the one float
+    divide."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select(F.col("day").alias("di"), F.col("y").alias("yi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("y").alias("yj"))
+    walsh = (
+        a.join(b, F.col("dj") >= F.col("di"))
+        .select((F.col("yi") + F.col("yj")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wv = Window.orderBy("v")
+    cum = walsh.select(
+        "v", "cnt", F.sum("cnt").over(wv).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= (F.col("n_pairs") + 1) / 2)
+        .agg(F.min("v").cast("long").alias("hl2"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_days",
+            "n_pairs",
+            "hl2",
+            (F.col("hl2").cast("double") / F.lit(2.0)).alias("hl"),
+        )
+    )
+
+
+def q310_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between the AUTOMOBILE and BUILDING
+    segments' customer balances with midrank tie handling — the
+    rank-sum two-sample test q210's KS complements. Midranks ride
+    doubled (integers): per distinct balance the below-count window
+    runs over the BOUNDED distinct-value domain (value-grouped
+    counts first, the roc_auc discipline), r_a2 = Σ n_a·midrank2 and
+    u2 = r_a2 − n_a(n_a+1) are exact longs, and the effect size is
+    integer floor ppm of U/(n_a·n_b). One row out."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    per = (
+        c.select(
+            _cents("c_acctbal").alias("s"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_a"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "s",
+        "n",
+        "n_a",
+        (2 * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + 1)
+        .cast("long")
+        .alias("midrank2"),
+    )
+    return ranked.agg(
+        F.sum("n_a").cast("long").alias("n_a"),
+        (F.sum("n") - F.sum("n_a")).cast("long").alias("n_b"),
+        F.sum(F.col("n_a") * F.col("midrank2")).cast("long").alias("r_a2"),
+    ).select(
+        "n_a",
+        "n_b",
+        "r_a2",
+        (F.col("r_a2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "CAST(1000000 * (r_a2 - n_a * (n_a + 1))"
+            " DIV (2 * n_a * n_b) AS BIGINT)"
+        ).alias("u_ppm"),
+    )
+
+
+def q311_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the click and purchase daily
+    event-count series at lags -3..3 — does engagement lead
+    conversion? Same integer discipline as q188's ACF: both series
+    align on the union of active days (missing side = 0), center on
+    their floor means, and the lag-k numerator Σ ca_t·cb_{t+k} and
+    both denominators are exact int64 sums; the correlation is one
+    num/sqrt(da·db) float chain. Day-grain bounded: the widest frame
+    is |days| × 7 lags."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+    )
+    d = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (F.col("a") - F.expr("CAST(sa DIV n AS BIGINT)")).alias("ca"),
+        (F.col("b") - F.expr("CAST(sb DIV n AS BIGINT)")).alias("cb"),
+    ).localCheckpoint(eager=False)
+    dens = d.agg(
+        F.sum(F.col("ca") * F.col("ca")).cast("long").alias("da"),
+        F.sum(F.col("cb") * F.col("cb")).cast("long").alias("db"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    left = d.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") + F.col("lag")).alias("day"),
+        F.col("ca").alias("ca_t"),
+    )
+    num = (
+        left.join(d.select("day", "cb"), "day")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("ca_t") * F.col("cb")).cast("long").alias("num"),
+        )
+    )
+    return num.crossJoin(F.broadcast(dens)).select(
+        "lag",
+        "n_pairs",
+        "num",
+        "da",
+        "db",
+        (
+            F.col("num").cast("double")
+            / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double"))
+        ).alias("xcorr"),
+    )
+
+
+def q312_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for the term 'join' —
+    the corpus-inspection readout every data-quality review of a text
+    pipeline leans on: each occurrence with two normalized tokens of
+    context either side. Pure per-row array work (posexplode + two
+    slices) on the normalized token array — zero joins, zero
+    shuffles beyond the scan, output is occurrence-sized (posting-
+    list shaped, term-frequency bounded, never corpus-sized)."""
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens("text").alias("toks"),
+    )
+    occ = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode("toks").alias("p0", "tok"),
+    ).filter(F.col("tok") == "join")
+    return occ.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.array_join(
+            F.slice(
+                "toks",
+                F.greatest(F.col("p0") - 1, F.lit(1)),
+                F.least(F.col("p0"), F.lit(2)),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(
+            F.slice("toks", F.col("p0") + 2, 2), " "
+        ).alias("right_ctx"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -13924,6 +14232,13 @@ QUERIES: dict[str, QueryFn] = {
     "q303_ngram_coverage": q303_ngram_coverage,
     "q304_daily_overlap": q304_daily_overlap,
     "q305_scd2_incremental": q305_scd2_incremental,
+    # round-8 additions (never driver-green; round-9 window per plan)
+    "q306_grouped_ridge": q306_grouped_ridge,
+    "q307_isotonic_trend": q307_isotonic_trend,
+    "q308_hodges_lehmann": q308_hodges_lehmann,
+    "q310_mann_whitney": q310_mann_whitney,
+    "q311_cross_correlation": q311_cross_correlation,
+    "q312_keyword_in_context": q312_keyword_in_context,
     # -- previously driver-green (rounds 1-7) --------------------------
     "qd40_streaming_topn_others": qd40_streaming_topn_others,
     "qd41_streaming_drift": qd41_streaming_drift,
@@ -24171,6 +24486,184 @@ UNION ALL SELECT * FROM s
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
        CAST(count(*) AS BIGINT) FROM v
+"""
+
+
+# -- round-8 additions ------------------------------------------------
+
+ORACLE_SQL["q306_grouped_ridge"] = """
+WITH g AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           count(*)::HUGEINT AS n,
+           sum(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))::HUGEINT
+               AS sx,
+           sum(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               * CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT))::HUGEINT
+               AS sxx,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS sy,
+           sum(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               * CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS sxy
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+),
+d AS (
+    SELECT nation,
+           (n + 1) * (sxx + 1) - sx * sx AS den,
+           sy * (sxx + 1) - sx * sxy AS n0,
+           (n + 1) * sxy - sy * sx AS n1
+    FROM g
+)
+SELECT nation, u.coef_idx,
+       CAST(CASE u.coef_idx WHEN 0 THEN n0 ELSE n1 END AS VARCHAR)
+           AS beta_num,
+       CAST(den AS VARCHAR) AS beta_den
+FROM d CROSS JOIN (SELECT unnest(range(0, 2)) AS coef_idx) u
+"""
+
+ORACLE_SQL["q307_isotonic_trend"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+),
+d AS (
+    SELECT day, y,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+           CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS s
+    FROM daily
+),
+segmin AS (
+    SELECT i.rn AS i,
+           CAST(min((1000 * (j.s - (i.s - i.y))) // (j.rn - i.rn + 1))
+               AS BIGINT) AS b
+    FROM d i JOIN d j ON j.rn >= i.rn
+    GROUP BY 1
+),
+fit AS (
+    SELECT i, CAST(max(b) OVER (ORDER BY i) AS BIGINT) AS fit_milli
+    FROM segmin
+)
+SELECT CAST(to_timestamp(d.day * 86400) AS TIMESTAMP) AS day, d.y,
+       fit.fit_milli
+FROM d JOIN fit ON d.rn = fit.i
+"""
+
+ORACLE_SQL["q308_hodges_lehmann"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS y
+    FROM orders GROUP BY 1
+),
+walsh AS (
+    SELECT a.y + b.y AS v, CAST(count(*) AS BIGINT) AS cnt
+    FROM daily a JOIN daily b ON b.day >= a.day
+    GROUP BY 1
+),
+cum AS (
+    SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+    FROM walsh
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs FROM walsh),
+med AS (
+    SELECT CAST(min(v) AS BIGINT) AS hl2
+    FROM cum CROSS JOIN tot WHERE cum >= (n_pairs + 1) / 2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       tot.n_pairs, med.hl2,
+       CAST(med.hl2 AS DOUBLE) / 2.0 AS hl
+FROM tot CROSS JOIN med
+"""
+
+ORACLE_SQL["q310_mann_whitney"] = """
+WITH per AS (
+    SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    GROUP BY 1
+),
+ranked AS (
+    SELECT s, n, n_a,
+           CAST(2 * coalesce(sum(n) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + n + 1 AS BIGINT) AS midrank2
+    FROM per
+),
+agg AS (
+    SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+           CAST(sum(n) - sum(n_a) AS BIGINT) AS n_b,
+           CAST(sum(n_a * midrank2) AS BIGINT) AS r_a2
+    FROM ranked
+)
+SELECT n_a, n_b, r_a2,
+       CAST(r_a2 - n_a * (n_a + 1) AS BIGINT) AS u2,
+       CAST(1000000 * (r_a2 - n_a * (n_a + 1)) // (2 * n_a * n_b)
+           AS BIGINT) AS u_ppm
+FROM agg
+"""
+
+ORACLE_SQL["q311_cross_correlation"] = """
+WITH daily AS (
+    SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+               AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(a) AS BIGINT) AS sa,
+           CAST(sum(b) AS BIGINT) AS sb
+    FROM daily
+),
+d AS (
+    SELECT day, a - (sa // n) AS ca, b - (sb // n) AS cb
+    FROM daily CROSS JOIN stats
+),
+dens AS (
+    SELECT CAST(sum(ca * ca) AS BIGINT) AS da,
+           CAST(sum(cb * cb) AS BIGINT) AS db
+    FROM d
+),
+num AS (
+    SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(x.ca * y.cb) AS BIGINT) AS num
+    FROM (SELECT unnest(range(-3, 4)) AS lag) l
+    JOIN d x ON TRUE
+    JOIN d y ON y.day = x.day + l.lag
+    GROUP BY 1
+)
+SELECT lag, n_pairs, num, da, db,
+       CAST(num AS DOUBLE) / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))
+           AS xcorr
+FROM num CROSS JOIN dens
+"""
+
+ORACLE_SQL["q312_keyword_in_context"] = r"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split(
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+               t -> t <> '') AS toks
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, toks, u.p AS pos
+    FROM tok,
+         LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS p) u
+    WHERE toks[u.p] = 'join'
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       coalesce(array_to_string(toks[greatest(pos - 2, 1):pos - 1], ' '),
+                '') AS left_ctx,
+       coalesce(array_to_string(toks[pos + 1:least(pos + 2, len(toks))],
+                ' '), '') AS right_ctx
+FROM occ
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,
