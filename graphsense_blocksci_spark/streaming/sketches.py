@@ -420,3 +420,75 @@ def bitmap_or_stream(values: DataFrame, day_col: str, user_col: str) -> DataFram
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LIFETIME_OUTPUT = T.StructType(
+    [
+        T.StructField("addr", T.StringType()),
+        T.StructField("first_block", T.LongType()),
+        T.StructField("last_block", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("received_value", T.LongType()),
+        T.StructField("spent_value", T.LongType()),
+    ]
+)
+LIFETIME_STATE = T.StructType(
+    [
+        T.StructField("first_block", T.LongType()),
+        T.StructField("last_block", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("received_value", T.LongType()),
+        T.StructField("spent_value", T.LongType()),
+    ]
+)
+
+
+def _lifetime_group(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    if state.exists:
+        first, last, n, recv, spent = (int(x) for x in state.get)
+    else:
+        first, last, n, recv, spent = None, None, 0, 0, 0
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        lo = int(pdf["blk"].min())
+        hi = int(pdf["blk"].max())
+        first = lo if first is None else min(first, lo)
+        last = hi if last is None else max(last, hi)
+        n += len(pdf)
+        recv += int(pdf["recv"].sum())
+        spent += int(pdf["spent"].sum())
+    state.update((first, last, n, recv, spent))
+    yield pd.DataFrame(
+        {
+            "addr": [key[0]],
+            "first_block": [first],
+            "last_block": [last],
+            "n_events": [n],
+            "received_value": [recv],
+            "spent_value": [spent],
+        }
+    )
+
+
+def lifetime_stream(ledger: DataFrame) -> DataFrame:
+    """STREAMING per-address lifetime ledger: the stateful face of the
+    qd77 batch rollup (minus the distinct-tx count, whose state would
+    be a per-address tx SET — the maintained index qd44/qd48 owns that
+    shape). State per address is five mergeable longs (min, max,
+    count, two sums) — each a commutative monoid, so replay and batch
+    boundaries cannot change the fixpoint; the final snapshot per key
+    is the emission with the largest n_events (monotone). Input must
+    carry (addr string, blk long, recv long, spent long).
+
+    State is O(addresses), independent of event volume.
+    """
+    return ledger.groupBy("addr").applyInPandasWithState(
+        _lifetime_group,
+        outputStructType=LIFETIME_OUTPUT,
+        stateStructType=LIFETIME_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
