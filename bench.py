@@ -305,6 +305,16 @@ BENCH_QUERIES = [
     "q303_ngram_coverage",
     "q304_daily_overlap",
     "q305_scd2_incremental",
+    "q306_grouped_ridge",
+    "q307_isotonic_trend",
+    "q308_hodges_lehmann",
+    "q309_quantile_shift",
+    "q310_mann_whitney",
+    "q311_cross_correlation",
+    "q312_keyword_in_context",
+    "qd76_coinbase_maturity",
+    "qd77_address_lifetime",
+    "qd78_ktruss_peel",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

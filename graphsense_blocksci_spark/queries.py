@@ -14380,6 +14380,60 @@ def qd79_streaming_address_lifetime(
     )
 
 
+def q309_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile quantile-treatment-effect readout: at each decile
+    d=1..9, the exact lower-quantile balance of the AUTOMOBILE
+    segment minus BUILDING's — WHERE the two distributions differ,
+    not just whether (q310's U says whether). Exact integer
+    quantiles with zero corpus-wide sort: each segment collapses to
+    value-grouped counts, one cumulative window runs over the
+    BOUNDED distinct-value domain, and decile d picks the first
+    value whose cumulative count reaches ceil(d·n/10) — the same
+    bounded-domain discipline as q308's median."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    per = (
+        c.select(
+            F.col("c_mktsegment").alias("seg"),
+            _cents("c_acctbal").alias("s"),
+        )
+        .groupBy("seg", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("seg").orderBy("s")
+    cum = per.select(
+        "seg", "s", F.sum("cnt").over(w).cast("long").alias("cum")
+    ).localCheckpoint(eager=False)
+    tot = per.groupBy("seg").agg(F.sum("cnt").cast("long").alias("n"))
+    deciles = spark.range(1, 10).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    targets = tot.crossJoin(F.broadcast(deciles)).select(
+        "seg",
+        "decile",
+        F.expr("CAST((decile * n + 9) DIV 10 AS BIGINT)").alias("k"),
+    )
+    qtile = (
+        cum.join(targets, "seg")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("seg", "decile")
+        .agg(F.min("s").cast("long").alias("q"))
+    )
+    a = qtile.filter(F.col("seg") == "AUTOMOBILE").select(
+        "decile", F.col("q").alias("q_auto")
+    )
+    b = qtile.filter(F.col("seg") == "BUILDING").select(
+        "decile", F.col("q").alias("q_build")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        "q_auto",
+        "q_build",
+        (F.col("q_auto") - F.col("q_build")).cast("long").alias("shift"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14535,6 +14589,7 @@ QUERIES: dict[str, QueryFn] = {
     "q306_grouped_ridge": q306_grouped_ridge,
     "q307_isotonic_trend": q307_isotonic_trend,
     "q308_hodges_lehmann": q308_hodges_lehmann,
+    "q309_quantile_shift": q309_quantile_shift,
     "q310_mann_whitney": q310_mann_whitney,
     "q311_cross_correlation": q311_cross_correlation,
     "q312_keyword_in_context": q312_keyword_in_context,
@@ -25136,6 +25191,37 @@ SELECT addr,
        CAST(sum(recv) AS BIGINT) AS received_value,
        CAST(sum(spent) AS BIGINT) AS spent_value
 FROM ev GROUP BY 1
+"""
+
+ORACLE_SQL["q309_quantile_shift"] = """
+WITH per AS (
+    SELECT c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT seg, s,
+           CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY s) AS BIGINT)
+               AS cum
+    FROM per
+),
+tot AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n FROM per GROUP BY 1),
+targets AS (
+    SELECT seg, d.decile, CAST((d.decile * n + 9) // 10 AS BIGINT) AS k
+    FROM tot CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+),
+qtile AS (
+    SELECT c.seg, t.decile, CAST(min(c.s) AS BIGINT) AS q
+    FROM cum c JOIN targets t ON c.seg = t.seg AND c.cum >= t.k
+    GROUP BY 1, 2
+)
+SELECT a.decile AS decile, a.q AS q_auto, b.q AS q_build,
+       CAST(a.q - b.q AS BIGINT) AS shift
+FROM qtile a JOIN qtile b
+  ON a.decile = b.decile AND a.seg = 'AUTOMOBILE' AND b.seg = 'BUILDING'
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,

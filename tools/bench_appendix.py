@@ -49,6 +49,7 @@ STAGING_BOUND = {
     "qd51_streaming_duplicate_sentences": "streaming staging; twin q221",
     "q39_knn_bruteforce": "quadratic exact oracle twin of q43",
     "q44_knn_ivf": "includes quadratic exact twin; scale path is q125",
+    "qd79_streaming_address_lifetime": "streaming staging; twin qd77",
 }
 
 
