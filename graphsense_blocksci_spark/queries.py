@@ -14434,6 +14434,85 @@ def q309_quantile_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q313_recurring_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-periodic behavior detection — which (user, event_type)
+    streams fire on a regular cadence (subscription renewals, cron
+    jobs, bot traffic): per stream with >= 4 events, the inter-event
+    gaps' mean and variance ride as exact n-scaled integers (mean
+    stays as the (sum, n) pair; variance numerator n·Σg² − (Σg)² is
+    the standard n²-scaled form), and the periodicity verdict is the
+    integer predicate CV² < 1/16 ⇔ 16·(n·Σg² − (Σg)²) < (Σg)² — a
+    coefficient-of-variation threshold with no float anywhere. One
+    per-stream lag window + one rollup; gap magnitudes are seconds
+    (~1e6) and streams are short, so n·Σg² sits far under int64."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("tse"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "tse", "event_id"
+    )
+    gaps = ev.select(
+        "user_id",
+        "event_type",
+        (F.col("tse") - F.lag("tse").over(w)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    ).filter(F.col("n_gaps") >= 3)
+    return agg.select(
+        "user_id",
+        "event_type",
+        "n_gaps",
+        F.expr("CAST(sg DIV n_gaps AS BIGINT)").alias("mean_gap_s"),
+        (F.col("n_gaps") * F.col("sgg") - F.col("sg") * F.col("sg"))
+        .cast("long")
+        .alias("var_num"),
+        (
+            16 * (F.col("n_gaps") * F.col("sgg") - F.col("sg") * F.col("sg"))
+            < F.col("sg") * F.col("sg")
+        ).alias("is_periodic"),
+    )
+
+
+def q314_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary: the
+    top-50 tokens with rank, frequency, and the integer-ppm Zipf
+    statistic 1e6·freq·rank DIV top_freq (exactly 1e6 everywhere iff
+    the corpus is ideally Zipfian) — the vocabulary-health readout a
+    tokenizer review starts from. One token count (map-side
+    combined), a TakeOrdered top-50 (never a global sort), and the
+    rank window over 50 rows."""
+    from graphsense_blocksci_spark.operators.textops import spread, tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "t").limit(50)
+    w = Window.orderBy(F.col("freq").desc(), "t")
+    ranked = top.select(
+        "t", "freq", F.row_number().over(w).cast("long").alias("rank")
+    )
+    top1 = ranked.filter(F.col("rank") == 1).select(
+        F.col("freq").alias("f1")
+    )
+    return ranked.crossJoin(F.broadcast(top1)).select(
+        "rank",
+        F.col("t").alias("token"),
+        "freq",
+        F.expr("CAST(1000000 * freq * rank DIV f1 AS BIGINT)").alias(
+            "zipf_ppm"
+        ),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14593,6 +14672,8 @@ QUERIES: dict[str, QueryFn] = {
     "q310_mann_whitney": q310_mann_whitney,
     "q311_cross_correlation": q311_cross_correlation,
     "q312_keyword_in_context": q312_keyword_in_context,
+    "q313_recurring_payments": q313_recurring_payments,
+    "q314_zipf_profile": q314_zipf_profile,
     "qd76_coinbase_maturity": qd76_coinbase_maturity,
     "qd77_address_lifetime": qd77_address_lifetime,
     "qd78_ktruss_peel": qd78_ktruss_peel,
@@ -25222,6 +25303,61 @@ SELECT a.decile AS decile, a.q AS q_auto, b.q AS q_build,
        CAST(a.q - b.q AS BIGINT) AS shift
 FROM qtile a JOIN qtile b
   ON a.decile = b.decile AND a.seg = 'AUTOMOBILE' AND b.seg = 'BUILDING'
+"""
+
+ORACLE_SQL["q313_recurring_payments"] = """
+WITH ev AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS tse,
+           CAST(event_id AS BIGINT) AS event_id
+    FROM events
+),
+gaps AS (
+    SELECT user_id, event_type,
+           tse - lag(tse) OVER (PARTITION BY user_id, event_type
+                                ORDER BY tse, event_id) AS g
+    FROM ev
+),
+agg AS (
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(g) AS BIGINT) AS sg,
+           CAST(sum(g * g) AS BIGINT) AS sgg
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+)
+SELECT user_id, event_type, n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+       CAST(n_gaps * sgg - sg * sg AS BIGINT) AS var_num,
+       16 * (n_gaps * sgg - sg * sg) < sg * sg AS is_periodic
+FROM agg
+"""
+
+ORACLE_SQL["q314_zipf_profile"] = """
+WITH counts AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(list_filter(string_split(
+            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+            x -> x <> '')) AS t
+        FROM documents
+    )
+    GROUP BY 1
+),
+top AS (
+    SELECT t, freq FROM counts ORDER BY freq DESC, t LIMIT 50
+),
+ranked AS (
+    SELECT t, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, t) AS BIGINT)
+               AS rank
+    FROM top
+),
+top1 AS (SELECT freq AS f1 FROM ranked WHERE rank = 1)
+SELECT rank, t AS token, freq,
+       CAST(1000000 * freq * rank // f1 AS BIGINT) AS zipf_ppm
+FROM ranked CROSS JOIN top1
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,

@@ -1065,9 +1065,10 @@ def test_edge_support_consistency(spark):
     from graphsense_blocksci_spark.queries import QUERIES
 
     rows = QUERIES["q301_edge_support"](spark, SF).collect()
-    hist = [r for r in rows if r["n_edges"] >= 0]
-    top = [r for r in rows if r["n_edges"] == -1]
+    hist = [r for r in rows if r["row_kind"] == "hist"]
+    top = [r for r in rows if r["row_kind"] == "max_edge"]
     assert len(top) == 1
+    assert top[0]["top_u"] is not None and top[0]["n_edges"] is None
     incidences = sum(r["support"] * r["n_edges"] for r in hist)
     assert incidences % 3 == 0
     assert top[0]["support"] == max(r["support"] for r in hist)
