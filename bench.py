@@ -312,6 +312,8 @@ BENCH_QUERIES = [
     "q310_mann_whitney",
     "q311_cross_correlation",
     "q312_keyword_in_context",
+    "q313_recurring_payments",
+    "q314_zipf_profile",
     "qd76_coinbase_maturity",
     "qd77_address_lifetime",
     "qd78_ktruss_peel",
