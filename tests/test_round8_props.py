@@ -298,3 +298,58 @@ def test_scatter_quantized_eigh_matches_pca_topk(spark):
     ev_f = [r["eigenvalue"] for r in pca_topk(emb, k=8).collect()]
     for a, b in zip(ev_q[:8], ev_f):
         assert abs(a - b) < 1e-4, (a, b)
+
+
+def test_isotonic_minimax_identity_vs_sequential_pav():
+    """q307's formula fit(t) = max_{i<=t} min_{j>=i} avg(y[i..j])
+    must equal sequential pool-adjacent-violators on exact Fractions,
+    for random sequences (no Spark needed — this proves the math the
+    engine and oracle both implement)."""
+    import random
+    from fractions import Fraction
+
+    def pav(ys):
+        # classic stack PAV: blocks of (sum, count), merge while
+        # decreasing
+        blocks = []
+        for y in ys:
+            s, n = Fraction(y), 1
+            while blocks and Fraction(blocks[-1][0], blocks[-1][1]) >= s / n:
+                ps, pn = blocks.pop()
+                s, n = s + ps, n + pn
+            blocks.append((s, n))
+        out = []
+        for s, n in blocks:
+            out.extend([Fraction(s, n)] * n)
+        return out
+
+    def minimax(ys):
+        n = len(ys)
+        pre = [0]
+        for y in ys:
+            pre.append(pre[-1] + y)
+        b = []
+        for i in range(n):
+            b.append(
+                min(
+                    Fraction(pre[j + 1] - pre[i], j - i + 1)
+                    for j in range(i, n)
+                )
+            )
+        out = []
+        cur = None
+        for i in range(n):
+            cur = b[i] if cur is None else max(cur, b[i])
+            out.append(cur)
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(30):
+        ys = [rng.randint(0, 20) for _ in range(rng.randint(1, 40))]
+        assert pav(ys) == minimax(ys), (trial, ys)
+        # and the engine's floor-milli readout is floor(1000 * fit)
+        got = [
+            (1000 * f.numerator) // f.denominator for f in minimax(ys)
+        ]
+        want = [(1000 * f.numerator) // f.denominator for f in pav(ys)]
+        assert got == want
