@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "q312_keyword_in_context",
     "q313_recurring_payments",
     "q314_zipf_profile",
+    "q315_schema_evolution",
     "qd76_coinbase_maturity",
     "qd77_address_lifetime",
     "qd78_ktruss_peel",

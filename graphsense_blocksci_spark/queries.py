@@ -14513,6 +14513,52 @@ def q314_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q315_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip — the lake reality q224's format
+    coverage doesn't touch: a table whose LATER files carry an added
+    column (priority_flag appears only in the 1995+ era of orders),
+    read back in ONE scan with mergeSchema=true, old-era rows showing
+    NULL for the new column exactly as a 100 TB lake's readers must
+    (schema evolution never rewrites history). The rollup counts both
+    eras and aggregates the evolved column with NULL-absorbing sums;
+    the oracle reproduces the same union-with-missing-column
+    semantics. The mergeSchema footer reconciliation happens at
+    planning time — the scan itself stays one pushdown-pruned pass."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        _cents("o_totalprice").alias("cents"),
+        F.col("o_orderpriority"),
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    path = tempfile.mkdtemp(prefix="gbs_evo_") + "/orders_evo"
+    o.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_orderdate", "cents"
+    ).write.mode("overwrite").parquet(f"{path}/era=v1")
+    o.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderkey",
+        "o_orderdate",
+        "cents",
+        F.when(F.col("o_orderpriority") < "3", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("priority_flag"),
+    ).write.mode("overwrite").parquet(f"{path}/era=v2")
+    evolved = spark.read.option("mergeSchema", "true").parquet(path)
+    return evolved.groupBy("era").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.when(F.col("priority_flag").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_flag"),
+        F.coalesce(F.sum("priority_flag"), F.lit(0))
+        .cast("long")
+        .alias("n_priority"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14674,6 +14720,7 @@ QUERIES: dict[str, QueryFn] = {
     "q312_keyword_in_context": q312_keyword_in_context,
     "q313_recurring_payments": q313_recurring_payments,
     "q314_zipf_profile": q314_zipf_profile,
+    "q315_schema_evolution": q315_schema_evolution,
     "qd76_coinbase_maturity": qd76_coinbase_maturity,
     "qd77_address_lifetime": qd77_address_lifetime,
     "qd78_ktruss_peel": qd78_ktruss_peel,
@@ -25358,6 +25405,30 @@ top1 AS (SELECT freq AS f1 FROM ranked WHERE rank = 1)
 SELECT rank, t AS token, freq,
        CAST(1000000 * freq * rank // f1 AS BIGINT) AS zipf_ppm
 FROM ranked CROSS JOIN top1
+"""
+
+ORACLE_SQL["q315_schema_evolution"] = """
+WITH o AS (
+    SELECT o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderpriority
+    FROM orders
+),
+evolved AS (
+    SELECT 'v1' AS era, cents, CAST(NULL AS BIGINT) AS priority_flag
+    FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    UNION ALL
+    SELECT 'v2' AS era, cents,
+           CAST(CASE WHEN o_orderpriority < '3' THEN 1 ELSE 0 END
+               AS BIGINT) AS priority_flag
+    FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+SELECT era, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(CASE WHEN priority_flag IS NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_null_flag,
+       CAST(coalesce(sum(priority_flag), 0) AS BIGINT) AS n_priority
+FROM evolved GROUP BY 1
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,
