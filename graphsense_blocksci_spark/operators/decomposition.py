@@ -151,7 +151,9 @@ def scatter_quantized(
 
     partials = emb.select(vec_col).mapInPandas(
         part, schema="n long, s array<long>, m2 array<long>"
-    )
+    ).localCheckpoint(eager=False)
+    # pinned: the partials frame feeds the xx/sums/n branches AND the
+    # dim probe — unpinned, the corpus GEMM would execute four times
     d_row = partials.select(F.size("s").alias("d")).first()
     if d_row is None:
         raise ValueError("scatter_quantized: empty input")
