@@ -14590,9 +14590,16 @@ def q315_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC, PIT features, balance/outpoint/supply audits, balanced sampler,
 # daily Gini series, diff-in-diff, revenue bridge, edge support, key gaps,
 # bigram coverage, daily overlap, incremental SCD2) into positions 2-50,
-# then any round-8 additions (q306+), then the rows-only set
-# (q140/q160/q169/q173 and friends — driver records the weaker rows-only
-# check), then the q37-q97 long tail.
+# then the round-8 additions (q306-q315 and qd76-qd79: grouped ridge,
+# isotonic PAV, Hodges-Lehmann, quantile shift, Mann-Whitney,
+# cross-correlation, KWIC, recurring payments, Zipf profile, schema
+# evolution, coinbase maturity, address lifetime + streaming twin,
+# k-truss peel), then the newly-exact q111/q167/q170, then the
+# rows-only set (q54/q61/q97/q140/q160/q169/q173 — driver records the
+# weaker rows-only check), then the q37-q97 long tail. The q269-q305 +
+# qd60-qd75 block plus the round-8 additions total 66 never-driver-
+# green oracled entries — 49 fit round 9; plan the remainder (the
+# round-8 additions' tail) for round 10 explicitly in this comment.
 QUERIES: dict[str, QueryFn] = {
     # -- round-8 driver window (50) ------------------------------------
     # q01 first (entry() smoke), then the never-driver-green round-7
