@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "q313_recurring_payments",
     "q314_zipf_profile",
     "q315_schema_evolution",
+    "q316_corrupt_records",
     "qd76_coinbase_maturity",
     "qd77_address_lifetime",
     "qd78_ktruss_peel",

@@ -14559,6 +14559,56 @@ def q315_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q316_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record triage on CSV ingest — the lake-edge reality
+    every 100 TB pipeline hits before its first clean parquet file:
+    orders rendered to CSV with a deterministic corruption (every
+    o_orderkey % 97 == 0 row carries a non-numeric amount), read back
+    in ONE PERMISSIVE pass where schema violations land in the
+    _corrupt_record column instead of killing the job (the
+    quarantine-don't-crash contract; FAILFAST is the other knob).
+    The audit row counts clean vs quarantined and sums only clean
+    cents — the oracle re-derives all three from the corruption rule,
+    proving PERMISSIVE neither drops nor double-counts anything."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        _cents("o_totalprice").alias("cents"),
+    )
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("XX")).otherwise(
+                F.col("cents").cast("string")
+            ),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="gbs_corrupt_") + "/orders_csv"
+    lines.write.mode("overwrite").text(path)
+    raw = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, cents long,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return raw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("cents"))
+        ).cast("long").alias("clean_cents"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14728,6 +14778,7 @@ QUERIES: dict[str, QueryFn] = {
     "q313_recurring_payments": q313_recurring_payments,
     "q314_zipf_profile": q314_zipf_profile,
     "q315_schema_evolution": q315_schema_evolution,
+    "q316_corrupt_records": q316_corrupt_records,
     "qd76_coinbase_maturity": qd76_coinbase_maturity,
     "qd77_address_lifetime": qd77_address_lifetime,
     "qd78_ktruss_peel": qd78_ktruss_peel,
@@ -25436,6 +25487,16 @@ SELECT era, CAST(count(*) AS BIGINT) AS n_rows,
            AS BIGINT) AS n_null_flag,
        CAST(coalesce(sum(priority_flag), 0) AS BIGINT) AS n_priority
 FROM evolved GROUP BY 1
+"""
+
+ORACLE_SQL["q316_corrupt_records"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+           AS BIGINT) AS clean_cents
+FROM orders
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,
