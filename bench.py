@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "qd76_coinbase_maturity",
     "qd77_address_lifetime",
     "qd78_ktruss_peel",
+    "qd80_utxo_survival",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

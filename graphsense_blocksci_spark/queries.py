@@ -14609,6 +14609,68 @@ def q316_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qd80_utxo_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTXO survival curve by creation era — what fraction of the
+    coins minted in each block-range bucket has been spent at all,
+    spent fast (within 10 blocks), or still sits unspent: the
+    hoarding-vs-velocity readout that qd56's HODL waves give by
+    VALUE-age and qd76 gives for coinbase only, here for every
+    output from its CREATION side (outputs LEFT JOIN their spends,
+    so never-spent outputs stay in the frame — the survival-analysis
+    orientation). One linkage-shaped join + one era rollup."""
+    from graphsense_blocksci_spark.operators.linkage import (
+        explode_inputs,
+        explode_outputs,
+    )
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    heights = raw_txs.select(
+        "tx_id", F.col("block_id").cast("long").alias("blk")
+    )
+    outs = (
+        explode_outputs(raw_txs)
+        .select("tx_id", "output_index", "value")
+        .join(heights, "tx_id")
+        .select(
+            "tx_id",
+            "output_index",
+            F.col("value").cast("long").alias("value"),
+            F.col("blk").alias("created_blk"),
+        )
+    )
+    spends = (
+        explode_inputs(raw_txs.filter(~F.col("coinbase")))
+        .join(heights, "tx_id")
+        .select(
+            F.col("spent_tx_id").alias("tx_id"),
+            F.col("spent_index").alias("output_index"),
+            F.col("blk").alias("spend_blk"),
+        )
+    )
+    joined = outs.join(spends, ["tx_id", "output_index"], "left")
+    return joined.groupBy(
+        F.expr("CAST(created_blk DIV 25 AS BIGINT)").alias("era_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_outputs"),
+        F.sum("value").cast("long").alias("value_created"),
+        F.sum(F.when(F.col("spend_blk").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spent"),
+        F.sum(
+            F.when(
+                F.col("spend_blk").isNotNull()
+                & (F.col("spend_blk") - F.col("created_blk") <= 10),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_spent_fast"),
+        F.sum(F.when(F.col("spend_blk").isNull(), F.col("value")))
+        .cast("long")
+        .alias("value_unspent"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14783,6 +14845,7 @@ QUERIES: dict[str, QueryFn] = {
     "qd77_address_lifetime": qd77_address_lifetime,
     "qd78_ktruss_peel": qd78_ktruss_peel,
     "qd79_streaming_address_lifetime": qd79_streaming_address_lifetime,
+    "qd80_utxo_survival": qd80_utxo_survival,
     # -- previously driver-green (rounds 1-7) --------------------------
     "qd40_streaming_topn_others": qd40_streaming_topn_others,
     "qd41_streaming_drift": qd41_streaming_drift,
@@ -25497,6 +25560,49 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
            AS BIGINT) AS clean_cents
 FROM orders
+"""
+
+ORACLE_SQL["qd80_utxo_survival"] = f"""
+WITH heights AS (
+    SELECT tx_id, CAST(block_id AS BIGINT) AS blk
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT t.tx_id, u.oi - 1 AS output_index, u.val AS value,
+           h.blk AS created_blk
+    FROM (
+        SELECT tx_id,
+               unnest(list_transform(range(1, len(outputs) + 1),
+                   i -> {{oi: i, val: outputs[i].value}})) AS u
+        FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    ) t JOIN heights h ON t.tx_id = h.tx_id
+),
+spends AS (
+    SELECT u.sti AS tx_id, u.sii AS output_index, h.blk AS spend_blk
+    FROM (
+        SELECT tx_id,
+               unnest(list_transform(inputs,
+                   i -> {{sti: i.spent_tx_id, sii: i.spent_index}})) AS u
+        FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+        WHERE NOT coinbase
+    ) t JOIN heights h ON t.tx_id = h.tx_id
+),
+joined AS (
+    SELECT o.value, o.created_blk, s.spend_blk
+    FROM outs o LEFT JOIN spends s
+      ON o.tx_id = s.tx_id AND o.output_index = s.output_index
+)
+SELECT CAST(created_blk // 25 AS BIGINT) AS era_bucket,
+       CAST(count(*) AS BIGINT) AS n_outputs,
+       CAST(sum(value) AS BIGINT) AS value_created,
+       CAST(sum(CASE WHEN spend_blk IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_spent,
+       CAST(sum(CASE WHEN spend_blk IS NOT NULL
+                      AND spend_blk - created_blk <= 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_spent_fast,
+       CAST(sum(CASE WHEN spend_blk IS NULL THEN value END)
+           AS BIGINT) AS value_unspent
+FROM joined GROUP BY 1
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,
