@@ -320,6 +320,9 @@ BENCH_QUERIES = [
     "qd77_address_lifetime",
     "qd78_ktruss_peel",
     "qd80_utxo_survival",
+    "q317_order_dependency",
+    "q318_lateness_audit",
+    "qd81_dust_analysis",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

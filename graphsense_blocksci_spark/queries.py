@@ -14671,6 +14671,155 @@ def qd80_utxo_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q317_order_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependency discovery — does sorting by column A imply
+    column B is sorted (the OD A ↦ B from the dependency-discovery
+    literature; what q257's FDs are to equality, ODs are to order)?
+    The audit that decides whether one layout sort key serves two
+    range-pruning columns (a Z-order-vs-single-key question). For
+    each candidate pair the violation count is one lag window over
+    the A-ordered frame: a violation is B decreasing while A strictly
+    increased (ties in A are exempt — ODs are defined on A-groups).
+    Candidates here: orderdate↦orderkey, orderkey↦orderdate,
+    custkey↦totalprice — the readout is (pair, n_violations, holds).
+    Windows run per candidate over the orders scan; at 100 TB the
+    same audit runs on a per-partition sample first."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("oday"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    pairs = [
+        ("oday_to_okey", "oday", "okey"),
+        ("okey_to_oday", "okey", "oday"),
+        ("ckey_to_cents", "ckey", "cents"),
+    ]
+    out = None
+    for name, a, b in pairs:
+        w = Window.orderBy(F.col(a), F.col(b))
+        v = (
+            o.select(
+                F.col(a).alias("_a"),
+                F.col(b).alias("_b"),
+            )
+            .select(
+                "_a",
+                "_b",
+                F.lag("_a").over(
+                    Window.orderBy(F.col("_a"), F.col("_b"))
+                ).alias("_pa"),
+                F.lag("_b").over(
+                    Window.orderBy(F.col("_a"), F.col("_b"))
+                ).alias("_pb"),
+            )
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("_pa").isNotNull())
+                        & (F.col("_a") > F.col("_pa"))
+                        & (F.col("_b") < F.col("_pb")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit(name).alias("pair"),
+                "n_violations",
+                (F.col("n_violations") == 0).alias("holds"),
+            )
+        )
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+def q318_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit — the batch readout that calibrates a
+    streaming watermark BEFORE the stream runs: replaying events in
+    arrival order (event_id — the ingest sequence), each event's
+    lateness is the running max of event time seen so far minus its
+    own event time; the per-event-type histogram over {0, ≤1m, ≤1h,
+    ≤1d, >1d} says what `withWatermark` delay loses how much data.
+    The synthetic feed arrives perfectly ordered, so the replay adds
+    deterministic ingest jitter — events shuffle md5-wise WITHIN each
+    100-event block (arrival = (block, md5(eid), eid)) — the bounded
+    out-of-orderness a multi-partition Kafka topic actually shows.
+    The running max is one cumulative window per type; lateness stays
+    integer seconds."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("eid"),
+            F.col("ts").cast("timestamp").cast("long").alias("tse"),
+        )
+        .withColumn("arr_block", F.expr("CAST(eid DIV 100 AS BIGINT)"))
+        .withColumn("arr_h", F.md5(F.col("eid").cast("string")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr_block", "arr_h", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (F.max("tse").over(w) - F.col("tse")).alias("late_s"),
+    )
+    bucket = (
+        F.when(F.col("late_s") <= 0, F.lit("on_time"))
+        .when(F.col("late_s") <= 60, F.lit("le_1m"))
+        .when(F.col("late_s") <= 3600, F.lit("le_1h"))
+        .when(F.col("late_s") <= 86400, F.lit("le_1d"))
+        .otherwise(F.lit("gt_1d"))
+    )
+    return late.groupBy(
+        "event_type", bucket.alias("lateness_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )
+
+
+def qd81_dust_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dust-output analysis — sub-threshold outputs (< 10k units)
+    per creation era: how much of the UTXO set is uneconomical to
+    spend (the fee-pressure readout wallet consolidation planning
+    starts from). Per era bucket: dust count/value, total outputs,
+    and the dust share in exact ppm. One exploded-output scan, one
+    era rollup — no linkage needed (dust is a creation-side
+    property)."""
+    from graphsense_blocksci_spark.operators.linkage import explode_outputs
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    heights = raw_txs.select(
+        "tx_id", F.col("block_id").cast("long").alias("blk")
+    )
+    outs = (
+        explode_outputs(raw_txs)
+        .select("tx_id", F.col("value").cast("long").alias("value"))
+        .join(heights, "tx_id")
+    )
+    return outs.groupBy(
+        F.expr("CAST(blk DIV 25 AS BIGINT)").alias("era_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_outputs"),
+        F.sum(F.when(F.col("value") < 10_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dust"),
+        F.sum(F.when(F.col("value") < 10_000, F.col("value")).otherwise(0))
+        .cast("long")
+        .alias("dust_value"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN value < 10000 THEN 1 ELSE 0 END)"
+            " DIV count(1) AS BIGINT)"
+        ).alias("dust_share_ppm"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14846,6 +14995,9 @@ QUERIES: dict[str, QueryFn] = {
     "qd78_ktruss_peel": qd78_ktruss_peel,
     "qd79_streaming_address_lifetime": qd79_streaming_address_lifetime,
     "qd80_utxo_survival": qd80_utxo_survival,
+    "q317_order_dependency": q317_order_dependency,
+    "q318_lateness_audit": q318_lateness_audit,
+    "qd81_dust_analysis": qd81_dust_analysis,
     # -- previously driver-green (rounds 1-7) --------------------------
     "qd40_streaming_topn_others": qd40_streaming_topn_others,
     "qd41_streaming_drift": qd41_streaming_drift,
@@ -25603,6 +25755,100 @@ SELECT CAST(created_blk // 25 AS BIGINT) AS era_bucket,
        CAST(sum(CASE WHEN spend_blk IS NULL THEN value END)
            AS BIGINT) AS value_unspent
 FROM joined GROUP BY 1
+"""
+
+
+ORACLE_SQL["q317_order_dependency"] = """
+WITH o AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS oday,
+           CAST(o_custkey AS BIGINT) AS ckey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+v1 AS (
+    SELECT 'oday_to_okey' AS pair,
+           CAST(sum(CASE WHEN pa IS NOT NULL AND a > pa AND b < pb
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM (SELECT oday AS a, okey AS b,
+                 lag(oday) OVER (ORDER BY oday, okey) AS pa,
+                 lag(okey) OVER (ORDER BY oday, okey) AS pb
+          FROM o)
+),
+v2 AS (
+    SELECT 'okey_to_oday' AS pair,
+           CAST(sum(CASE WHEN pa IS NOT NULL AND a > pa AND b < pb
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM (SELECT okey AS a, oday AS b,
+                 lag(okey) OVER (ORDER BY okey, oday) AS pa,
+                 lag(oday) OVER (ORDER BY okey, oday) AS pb
+          FROM o)
+),
+v3 AS (
+    SELECT 'ckey_to_cents' AS pair,
+           CAST(sum(CASE WHEN pa IS NOT NULL AND a > pa AND b < pb
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM (SELECT ckey AS a, cents AS b,
+                 lag(ckey) OVER (ORDER BY ckey, cents) AS pa,
+                 lag(cents) OVER (ORDER BY ckey, cents) AS pb
+          FROM o)
+)
+SELECT pair, n_violations, n_violations = 0 AS holds FROM v1
+UNION ALL SELECT pair, n_violations, n_violations = 0 FROM v2
+UNION ALL SELECT pair, n_violations, n_violations = 0 FROM v3
+"""
+
+ORACLE_SQL["q318_lateness_audit"] = """
+WITH ev AS (
+    SELECT event_type, CAST(event_id AS BIGINT) AS eid,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT)
+               AS tse
+    FROM events
+),
+late AS (
+    SELECT event_type,
+           max(tse) OVER (PARTITION BY event_type
+               ORDER BY eid // 100, md5(CAST(eid AS VARCHAR)), eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tse AS late_s
+    FROM ev
+)
+SELECT event_type,
+       CASE WHEN late_s <= 0 THEN 'on_time'
+            WHEN late_s <= 60 THEN 'le_1m'
+            WHEN late_s <= 3600 THEN 'le_1h'
+            WHEN late_s <= 86400 THEN 'le_1d'
+            ELSE 'gt_1d' END AS lateness_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(late_s) AS BIGINT) AS max_late_s
+FROM late GROUP BY 1, 2
+"""
+
+ORACLE_SQL["qd81_dust_analysis"] = f"""
+WITH heights AS (
+    SELECT tx_id, CAST(block_id AS BIGINT) AS blk
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+),
+outs AS (
+    SELECT t.tx_id, u.val AS value
+    FROM (
+        SELECT tx_id,
+               unnest(list_transform(outputs, o -> {{val: o.value}})) AS u
+        FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    ) t
+),
+j AS (
+    SELECT o.value, h.blk FROM outs o JOIN heights h ON o.tx_id = h.tx_id
+)
+SELECT CAST(blk // 25 AS BIGINT) AS era_bucket,
+       CAST(count(*) AS BIGINT) AS n_outputs,
+       CAST(sum(CASE WHEN value < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dust,
+       CAST(sum(CASE WHEN value < 10000 THEN value ELSE 0 END) AS BIGINT)
+           AS dust_value,
+       CAST(1000000 * sum(CASE WHEN value < 10000 THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS dust_share_ppm
+FROM j GROUP BY 1
 """
 
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,
