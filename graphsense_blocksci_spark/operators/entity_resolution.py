@@ -135,6 +135,14 @@ def fellegi_sunter_topk(
     Returns (key_a, key_b, agree_<field>..., score) — the global
     top-k by (score DESC, key_a, key_b), exactly equal to the naive
     all-block-pairs plan's top-k.
+
+    NULL semantics: NULL agrees with NULL. The pattern counting rides
+    groupBy (which groups NULLs together), so the materializing joins
+    use null-safe equality (`<=>`) on block and agreeing fields and
+    null-safe INequality on disagreeing fields — counting and
+    materialization agree even when block or compared columns are
+    nullable (two-NULL pairs score as agreement, NULL-vs-value as
+    disagreement).
     """
     from itertools import combinations
 
@@ -217,14 +225,17 @@ def fellegi_sunter_topk(
                 "higher-selectivity compared fields so the top-k is "
                 "covered by finer agreement tiers"
             )
+        # null-safe equality (<=>) keeps the join consistent with the
+        # groupBy-based pattern counting above (NULL==NULL agrees);
+        # still an equi-join for shuffle planning purposes.
         cond = [
-            a[f"_ba_{c}"] == b[f"_bb_{c}"] for c in block_cols
-        ] + [a[f"_fa_{f}"] == b[f"_fb_{f}"] for f in p]
+            a[f"_ba_{c}"].eqNullSafe(b[f"_bb_{c}"]) for c in block_cols
+        ] + [a[f"_fa_{f}"].eqNullSafe(b[f"_fb_{f}"]) for f in p]
         pairs = a.join(b, cond).filter(F.col("key_a") < F.col("key_b"))
         for f in fnames:
             if f not in p:
                 pairs = pairs.filter(
-                    F.col(f"_fa_{f}") != F.col(f"_fb_{f}")
+                    ~F.col(f"_fa_{f}").eqNullSafe(F.col(f"_fb_{f}"))
                 )
         tier = pairs.select(
             "key_a",

@@ -13885,8 +13885,12 @@ def q308_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Doubled sums keep everything integer; the median over the
     O(|days|²) Walsh multiset (bounded by the day grain, never the
     corpus) collapses to value-grouped counts + one running cumsum
-    over the bounded distinct-sum domain, then the lower median is
-    the first value whose cumulative count reaches ceil(N/2). Output:
+    over the bounded distinct-sum domain, then the UPPER median is
+    selected: the first value whose cumulative count reaches
+    (N+1)/2 under float divide, i.e. cum >= N/2 + 0.5, which for
+    even N excludes cum == N/2 and lands on element N/2 + 1 (the
+    oracle shares the expression, so engine and oracle agree by
+    construction). Output:
     one row (n_days, n_pairs, hl2, hl) with hl = hl2/2 the one float
     divide."""
     o = load_table(spark, sf_dir, "orders")
@@ -14665,7 +14669,7 @@ def qd80_utxo_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_spent_fast"),
-        F.sum(F.when(F.col("spend_blk").isNull(), F.col("value")))
+        F.sum(F.when(F.col("spend_blk").isNull(), F.col("value")).otherwise(0))
         .cast("long")
         .alias("value_unspent"),
     )
@@ -14682,8 +14686,18 @@ def q317_order_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     increased (ties in A are exempt — ODs are defined on A-groups).
     Candidates here: orderdate↦orderkey, orderkey↦orderdate,
     custkey↦totalprice — the readout is (pair, n_violations, holds).
-    Windows run per candidate over the orders scan; at 100 TB the
-    same audit runs on a per-partition sample first."""
+
+    Scale plan (the qd45/qd46 distributed-prefix discipline, not a
+    global sort): per candidate, `repartitionByRange` on (A, B) makes
+    every partition a contiguous block of the global sort order
+    (Spark's RangePartitioner maps equal keys to one partition), so
+    consecutive-pair violations split exactly into (i) within-
+    partition lags — a window partitioned by the range-partition id,
+    each task sorting only its own chunk — and (ii) the P-1 cross-
+    boundary pairs, reconciled on a tiny per-partition first/last
+    frame (min/max struct per pid, one lag over ≤P rows). No
+    corpus-sized single-partition WindowExec anywhere; cell-exact
+    equal to the global-window definition at any partition count."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("okey"),
         F.floor(F.unix_timestamp("o_orderdate") / 86400)
@@ -14697,33 +14711,45 @@ def q317_order_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("okey_to_oday", "okey", "oday"),
         ("ckey_to_cents", "ckey", "cents"),
     ]
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    viol = (
+        (F.col("_pa").isNotNull())
+        & (F.col("_a") > F.col("_pa"))
+        & (F.col("_b") < F.col("_pb"))
+    )
     out = None
     for name, a, b in pairs:
-        w = Window.orderBy(F.col(a), F.col(b))
+        d = (
+            o.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .repartitionByRange(n_parts, "_a", "_b")
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        w_in = Window.partitionBy("_pid").orderBy("_a", "_b")
+        inner = d.select(
+            "_a",
+            "_b",
+            F.lag("_a").over(w_in).alias("_pa"),
+            F.lag("_b").over(w_in).alias("_pb"),
+        ).select(F.when(viol, 1).otherwise(0).alias("_viol"))
+        # per-partition first/last rows: partitions are contiguous
+        # range blocks, so min/max struct(_a,_b) IS first/last in the
+        # global (A, B) order; the lag pairs each non-empty partition's
+        # first row with the previous non-empty partition's last row.
+        bounds = d.groupBy("_pid").agg(
+            F.min(F.struct("_a", "_b")).alias("_first"),
+            F.max(F.struct("_a", "_b")).alias("_last"),
+        )
+        w_b = Window.orderBy("_pid")
+        edge = bounds.select(
+            F.col("_first._a").alias("_a"),
+            F.col("_first._b").alias("_b"),
+            F.lag(F.col("_last._a")).over(w_b).alias("_pa"),
+            F.lag(F.col("_last._b")).over(w_b).alias("_pb"),
+        ).select(F.when(viol, 1).otherwise(0).alias("_viol"))
         v = (
-            o.select(
-                F.col(a).alias("_a"),
-                F.col(b).alias("_b"),
-            )
-            .select(
-                "_a",
-                "_b",
-                F.lag("_a").over(
-                    Window.orderBy(F.col("_a"), F.col("_b"))
-                ).alias("_pa"),
-                F.lag("_b").over(
-                    Window.orderBy(F.col("_a"), F.col("_b"))
-                ).alias("_pb"),
-            )
+            inner.unionByName(edge)
             .agg(
-                F.sum(
-                    F.when(
-                        (F.col("_pa").isNotNull())
-                        & (F.col("_a") > F.col("_pa"))
-                        & (F.col("_b") < F.col("_pb")),
-                        1,
-                    ).otherwise(0)
-                )
+                F.coalesce(F.sum("_viol"), F.lit(0))
                 .cast("long")
                 .alias("n_violations")
             )
@@ -14748,8 +14774,20 @@ def q318_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic ingest jitter — events shuffle md5-wise WITHIN each
     100-event block (arrival = (block, md5(eid), eid)) — the bounded
     out-of-orderness a multi-partition Kafka topic actually shows.
-    The running max is one cumulative window per type; lateness stays
-    integer seconds."""
+    Lateness stays integer seconds.
+
+    Scale plan (the qd45/qd46/q261 two-phase distributed prefix, not a
+    per-type global window — event_type has a handful of values, so a
+    type-partitioned running max would sort ~corpus/|types| rows in
+    one task): phase 1 computes per-(type, arr_block) maxima (one
+    map-side-combining agg, frame 100× smaller than the feed); phase 2
+    runs the running max over that bounded block frame with an
+    exclusive upper bound (all PRIOR blocks); the per-block prefix
+    joins back on (type, arr_block) — co-partitioned with the
+    within-block window that follows, so no extra exchange — and each
+    row's running max is greatest(prior-blocks max, within-block
+    running max over ≤100 rows). Cell-exact equal to the single
+    cumulative window."""
     ev = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -14760,14 +14798,33 @@ def q318_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arr_block", F.expr("CAST(eid DIV 100 AS BIGINT)"))
         .withColumn("arr_h", F.md5(F.col("eid").cast("string")))
     )
-    w = (
+    blk = ev.groupBy("event_type", "arr_block").agg(
+        F.max("tse").alias("_blk_max")
+    )
+    w_blk = (
         Window.partitionBy("event_type")
-        .orderBy("arr_block", "arr_h", "eid")
+        .orderBy("arr_block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = blk.select(
+        "event_type",
+        "arr_block",
+        F.max("_blk_max").over(w_blk).alias("_prev_max"),
+    )
+    w_in = (
+        Window.partitionBy("event_type", "arr_block")
+        .orderBy("arr_h", "eid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    late = ev.select(
+    late = ev.join(prev, ["event_type", "arr_block"]).select(
         "event_type",
-        (F.max("tse").over(w) - F.col("tse")).alias("late_s"),
+        (
+            F.greatest(
+                F.max("tse").over(w_in),
+                F.coalesce(F.col("_prev_max"), F.lit(-(1 << 62))),
+            )
+            - F.col("tse")
+        ).alias("late_s"),
     )
     bucket = (
         F.when(F.col("late_s") <= 0, F.lit("on_time"))
@@ -14825,106 +14882,37 @@ def qd81_dust_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q01 stays first (entry() smoke query); the rest of the window rotates per
 # round so every family eventually gets a driver-green row.
 #
-# ROUND-8 WINDOW (this round): the round-7 additions that have never had a
-# driver-green row — q228-q268 (PR curve, UNPIVOT, Spearman, NDCG, RA link
-# prediction, CUSUM, kappa, Kendall tau, path-doubling closure, Simpson,
-# n-gram novelty, weighted median, TF-IDF keywords, burstiness, HHI,
-# Benford, group mode, Lorenz, RFM, life table, readability, market basket,
-# cumulative distinct, PIVOT, log2 sketch, bitmap retention, seasonal
-# decomposition, runtime-filter join, drawdown, FD discovery, split scoring,
-# quantile normalization, linear interpolation, PPS sample, Kaplan-Meier,
-# k-anonymity, string_agg, mixing manifest, referential integrity, seasonal
-# anomalies, rollup shares) with the interleaved qd55-qd59 streaming/chain
-# twins, plus qd52-qd54 (change heuristics, fee percentiles, streaming
-# changepoint). All 49 are oracled.
+# ROUND-9 WINDOW (this round): the first 49 of the never-driver-green
+# continuation block — q269-q302 with the interleaved qd60-qd74
+# streaming/chain twins. See the in-dict section comment for the family
+# list. All 49 are oracled.
 #
-# ROUND-9 ROTATION (do this first next round): move the q269-q305 +
-# qd60-qd75 block (the "round-9 rotation candidates" section below the
-# window — SCD2, funnel+lag, sweep-line, streaks, CDC apply, adjusted Rand,
-# record linkage, OHLC/VWAP + streaming twin, phrase search, cohort LTV,
-# trigrams, LOCF, FIFO/haircut taint + entity exposure, skyline,
-# rolling-distinct DAU/WAU, reciprocity, tolerance join, motif census, LSH
-# quality audit, subsample CI, dedup savings, UTXO growth, dataset card,
-# JSON props, nearest as-of, component census, TWAB, identity resolution,
-# interval union, reconciliation, forecast backtest, whale transfers,
-# sequence patterns, five-number summary, address type census, streaming
-# CDC, PIT features, balance/outpoint/supply audits, balanced sampler,
-# daily Gini series, diff-in-diff, revenue bridge, edge support, key gaps,
-# bigram coverage, daily overlap, incremental SCD2) into positions 2-50,
-# then the round-8 additions (q306-q315 and qd76-qd79: grouped ridge,
-# isotonic PAV, Hodges-Lehmann, quantile shift, Mann-Whitney,
-# cross-correlation, KWIC, recurring payments, Zipf profile, schema
-# evolution, coinbase maturity, address lifetime + streaming twin,
-# k-truss peel), then the newly-exact q111/q167/q170, then the
+# ROUND-10 ROTATION (do this first next round): move the "round-10
+# rotation candidates" section below the window (qd75/q303/q304/q305 +
+# the round-8 additions q306-q318 + qd76-qd81 — 23 entries) into
+# positions 2-50, then the newly-exact q111/q167/q170, then the
 # rows-only set (q54/q61/q97/q140/q160/q169/q173 — driver records the
-# weaker rows-only check), then the q37-q97 long tail. The q269-q305 +
-# qd60-qd75 block plus the round-8 additions total 66 never-driver-
-# green oracled entries — 49 fit round 9; plan the remainder (the
-# round-8 additions' tail) for round 10 explicitly in this comment.
+# weaker rows-only check): 33 never-driver-green slots total. Fill the
+# remaining 16 with the oldest previously-green rows (q37-q97 long
+# tail) for re-verification. After round 10 every registered entry has
+# had a driver-green (or declared rows-only) row at least once.
 QUERIES: dict[str, QueryFn] = {
-    # -- round-8 driver window (50) ------------------------------------
-    # q01 first (entry() smoke), then the never-driver-green round-7
-    # additions per the registered rotation plan: q228-q268 + the
-    # interleaved qd55-qd59 streaming/chain twins, then qd52-qd54
-    # (change heuristics, fee percentiles, streaming changepoint).
+    # -- round-9 driver window (50) ------------------------------------
+    # q01 first (entry() smoke), then the never-driver-green round-7/8
+    # continuation block per the registered rotation plan: q269-q302 +
+    # the interleaved qd60-qd74 streaming/chain twins (SCD2, funnel,
+    # sweep-line, streaks, CDC apply, adjusted Rand, record linkage,
+    # OHLC/VWAP, phrase search, cohort LTV, trigrams, LOCF, FIFO/haircut
+    # taint, skyline, rolling-distinct DAU/WAU, reciprocity, tolerance
+    # join, motif census, LSH quality audit, subsample CI, dedup savings,
+    # UTXO growth, dataset card, JSON props, nearest as-of, component
+    # census, TWAB, identity resolution, interval union, reconciliation,
+    # forecast backtest, whale transfers, sequence patterns, five-number
+    # summary, address type census, streaming CDC, PIT features,
+    # balance/outpoint audits, balanced sampler, taint exposure,
+    # diff-in-diff, revenue bridge, daily Gini, edge support, key gaps).
+    # All 49 are oracled.
     "q01_pricing_summary": q01_pricing_summary,
-    "q228_pr_curve": q228_pr_curve,
-    "q229_unpivot_measures": q229_unpivot_measures,
-    "q230_spearman_by_nation": q230_spearman_by_nation,
-    "q231_ndcg_at_10": q231_ndcg_at_10,
-    "q232_resource_allocation": q232_resource_allocation,
-    "q233_cusum_revenue": q233_cusum_revenue,
-    "q234_cohens_kappa": q234_cohens_kappa,
-    "q235_kendall_tau": q235_kendall_tau,
-    "q236_ancestor_closure": q236_ancestor_closure,
-    "q237_simpson_diversity": q237_simpson_diversity,
-    "q238_ngram_novelty": q238_ngram_novelty,
-    "q239_weighted_median": q239_weighted_median,
-    "q240_tfidf_keywords": q240_tfidf_keywords,
-    "q241_burstiness": q241_burstiness,
-    "q242_hhi_concentration": q242_hhi_concentration,
-    "q243_benford_deviation": q243_benford_deviation,
-    "q244_group_mode": q244_group_mode,
-    "q245_lorenz_curve": q245_lorenz_curve,
-    "q246_rfm_segmentation": q246_rfm_segmentation,
-    "q247_life_table": q247_life_table,
-    "q248_readability": q248_readability,
-    "q249_market_basket": q249_market_basket,
-    "q250_cumulative_distinct": q250_cumulative_distinct,
-    "q251_pivot_report": q251_pivot_report,
-    "q252_log2_quantile_sketch": q252_log2_quantile_sketch,
-    "q253_bitmap_retention": q253_bitmap_retention,
-    "q254_seasonal_decomposition": q254_seasonal_decomposition,
-    "qd55_streaming_log2_histogram": qd55_streaming_log2_histogram,
-    "q255_runtime_filter_join": q255_runtime_filter_join,
-    "q256_max_drawdown": q256_max_drawdown,
-    "q257_functional_deps": q257_functional_deps,
-    "qd56_hodl_waves": qd56_hodl_waves,
-    "q258_split_scoring": q258_split_scoring,
-    "q259_quantile_normalization": q259_quantile_normalization,
-    "qd57_streaming_bitmap_dau": qd57_streaming_bitmap_dau,
-    "q260_linear_interpolation": q260_linear_interpolation,
-    "q261_pps_sample": q261_pps_sample,
-    "qd58_tagged_netflow": qd58_tagged_netflow,
-    "q262_kaplan_meier": q262_kaplan_meier,
-    "q263_k_anonymity": q263_k_anonymity,
-    "q264_ordered_string_agg": q264_ordered_string_agg,
-    "q265_mixing_manifest": q265_mixing_manifest,
-    "q266_referential_integrity": q266_referential_integrity,
-    "q267_seasonal_anomalies": q267_seasonal_anomalies,
-    "q268_rollup_share": q268_rollup_share,
-    "qd59_multi_chain_summary": qd59_multi_chain_summary,
-    "qd52_change_heuristics": qd52_change_heuristics,
-    "qd53_fee_percentiles": qd53_fee_percentiles,
-    "qd54_streaming_changepoint": qd54_streaming_changepoint,
-    # -- round-9 rotation candidates (never driver-green, oracled) -----
-    # Move positions 2-50 to this block next round: q269-q305 and
-    # qd60-qd75 (SCD2, funnel+lag, sweep-line, streaks, CDC, ARI,
-    # record linkage, OHLC twins, phrase search, cohort LTV, taint
-    # family, audits, motif census, Gini series, edge support, key
-    # gaps, bigram coverage, daily overlap, incremental SCD2), then
-    # any round-8 additions (q306+), then the rows-only set, then
-    # the q37-q97 long tail.
     "q269_scd2_dimension": q269_scd2_dimension,
     "q270_funnel_conversion": q270_funnel_conversion,
     "q271_max_concurrency": q271_max_concurrency,
@@ -14974,11 +14962,24 @@ QUERIES: dict[str, QueryFn] = {
     "qd74_gini_timeseries": qd74_gini_timeseries,
     "q301_edge_support": q301_edge_support,
     "q302_key_gaps": q302_key_gaps,
+    # -- round-10 rotation candidates (never driver-green, oracled) ----
+    # ROUND-10 ROTATION (do this first next round): move this block --
+    # qd75/q303/q304/q305 (supply audit, n-gram coverage, daily overlap,
+    # incremental SCD2) plus the round-8 additions q306-q318 + qd76-qd81
+    # (grouped ridge, isotonic PAV, Hodges-Lehmann, quantile shift,
+    # Mann-Whitney, cross-correlation, KWIC, recurring payments, Zipf
+    # profile, schema evolution, corrupt-record triage, coinbase
+    # maturity, address lifetime + streaming twin, k-truss peel, UTXO
+    # survival, order-dependency audit, lateness audit, dust analysis)
+    # -- into positions 2-50, then the newly-exact q111/q167/q170, then
+    # the rows-only set (q54/q61/q97/q140/q160/q169/q173 -- driver
+    # records the weaker rows-only check). That is 23 + 3 + 7 = 33
+    # never-driver-green slots; fill the remaining 16 with the oldest
+    # previously-green rows (q37-q97 long tail) for re-verification.
     "qd75_supply_audit": qd75_supply_audit,
     "q303_ngram_coverage": q303_ngram_coverage,
     "q304_daily_overlap": q304_daily_overlap,
     "q305_scd2_incremental": q305_scd2_incremental,
-    # round-8 additions (never driver-green; round-9 window per plan)
     "q306_grouped_ridge": q306_grouped_ridge,
     "q307_isotonic_trend": q307_isotonic_trend,
     "q308_hodges_lehmann": q308_hodges_lehmann,
@@ -14998,7 +14999,56 @@ QUERIES: dict[str, QueryFn] = {
     "q317_order_dependency": q317_order_dependency,
     "q318_lateness_audit": q318_lateness_audit,
     "qd81_dust_analysis": qd81_dust_analysis,
-    # -- previously driver-green (rounds 1-7) --------------------------
+    # -- previously driver-green (rounds 1-8) --------------------------
+    "q228_pr_curve": q228_pr_curve,
+    "q229_unpivot_measures": q229_unpivot_measures,
+    "q230_spearman_by_nation": q230_spearman_by_nation,
+    "q231_ndcg_at_10": q231_ndcg_at_10,
+    "q232_resource_allocation": q232_resource_allocation,
+    "q233_cusum_revenue": q233_cusum_revenue,
+    "q234_cohens_kappa": q234_cohens_kappa,
+    "q235_kendall_tau": q235_kendall_tau,
+    "q236_ancestor_closure": q236_ancestor_closure,
+    "q237_simpson_diversity": q237_simpson_diversity,
+    "q238_ngram_novelty": q238_ngram_novelty,
+    "q239_weighted_median": q239_weighted_median,
+    "q240_tfidf_keywords": q240_tfidf_keywords,
+    "q241_burstiness": q241_burstiness,
+    "q242_hhi_concentration": q242_hhi_concentration,
+    "q243_benford_deviation": q243_benford_deviation,
+    "q244_group_mode": q244_group_mode,
+    "q245_lorenz_curve": q245_lorenz_curve,
+    "q246_rfm_segmentation": q246_rfm_segmentation,
+    "q247_life_table": q247_life_table,
+    "q248_readability": q248_readability,
+    "q249_market_basket": q249_market_basket,
+    "q250_cumulative_distinct": q250_cumulative_distinct,
+    "q251_pivot_report": q251_pivot_report,
+    "q252_log2_quantile_sketch": q252_log2_quantile_sketch,
+    "q253_bitmap_retention": q253_bitmap_retention,
+    "q254_seasonal_decomposition": q254_seasonal_decomposition,
+    "qd55_streaming_log2_histogram": qd55_streaming_log2_histogram,
+    "q255_runtime_filter_join": q255_runtime_filter_join,
+    "q256_max_drawdown": q256_max_drawdown,
+    "q257_functional_deps": q257_functional_deps,
+    "qd56_hodl_waves": qd56_hodl_waves,
+    "q258_split_scoring": q258_split_scoring,
+    "q259_quantile_normalization": q259_quantile_normalization,
+    "qd57_streaming_bitmap_dau": qd57_streaming_bitmap_dau,
+    "q260_linear_interpolation": q260_linear_interpolation,
+    "q261_pps_sample": q261_pps_sample,
+    "qd58_tagged_netflow": qd58_tagged_netflow,
+    "q262_kaplan_meier": q262_kaplan_meier,
+    "q263_k_anonymity": q263_k_anonymity,
+    "q264_ordered_string_agg": q264_ordered_string_agg,
+    "q265_mixing_manifest": q265_mixing_manifest,
+    "q266_referential_integrity": q266_referential_integrity,
+    "q267_seasonal_anomalies": q267_seasonal_anomalies,
+    "q268_rollup_share": q268_rollup_share,
+    "qd59_multi_chain_summary": qd59_multi_chain_summary,
+    "qd52_change_heuristics": qd52_change_heuristics,
+    "qd53_fee_percentiles": qd53_fee_percentiles,
+    "qd54_streaming_changepoint": qd54_streaming_changepoint,
     "qd40_streaming_topn_others": qd40_streaming_topn_others,
     "qd41_streaming_drift": qd41_streaming_drift,
     "qd42_address_transactions": qd42_address_transactions,
@@ -25654,7 +25704,7 @@ SELECT user_id, event_type, n_gaps,
 FROM agg
 """
 
-ORACLE_SQL["q314_zipf_profile"] = """
+ORACLE_SQL["q314_zipf_profile"] = r"""
 WITH counts AS (
     SELECT t, CAST(count(*) AS BIGINT) AS freq
     FROM (
@@ -25752,7 +25802,7 @@ SELECT CAST(created_blk // 25 AS BIGINT) AS era_bucket,
        CAST(sum(CASE WHEN spend_blk IS NOT NULL
                       AND spend_blk - created_blk <= 10
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_spent_fast,
-       CAST(sum(CASE WHEN spend_blk IS NULL THEN value END)
+       CAST(sum(CASE WHEN spend_blk IS NULL THEN value ELSE 0 END)
            AS BIGINT) AS value_unspent
 FROM joined GROUP BY 1
 """

@@ -63,6 +63,45 @@ def test_fellegi_sunter_topk_vs_naive(spark, seed, n, k):
     assert got == _naive_topk(rows, k)
 
 
+@pytest.mark.parametrize("seed,n,k", [(7, 60, 15), (41, 90, 40)])
+def test_fellegi_sunter_topk_nullable_fields(spark, seed, n, k):
+    """NULL==NULL agrees: with nullable block and compared columns the
+    null-safe joins must keep materialization consistent with the
+    groupBy-based pattern counting (the round-8 ADVICE silent-wrong
+    mode: equality joins dropped NULL pairs while counts included
+    them, so the descent could stop early with pairs missing)."""
+    from graphsense_blocksci_spark.operators.entity_resolution import (
+        fellegi_sunter_topk,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.choice([None, 0, 1, 2]),            # nullable block col
+            rng.choice(["A", "B", None]),            # nullable block col
+            rng.choice([None, 0, 1, 2, 3]),          # nullable field 1
+            rng.choice([None, 0, 1, 2, 3, 4, 5]),    # nullable field 2
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, nation long, seg string, f1 long, f2 long"
+    )
+    got = [
+        (r["key_a"], r["key_b"], r["agree_f1"], r["agree_f2"], r["score"])
+        for r in fellegi_sunter_topk(
+            df,
+            block_cols=("nation", "seg"),
+            fields=(("f1", 24, -8), ("f2", 18, -6)),
+            k=k,
+        ).collect()
+    ]
+    # _naive_topk compares python tuples where None == None holds —
+    # exactly the NULL<=>NULL semantics the operator must implement
+    assert got == _naive_topk(rows, k)
+
+
 def test_fellegi_sunter_topk_raises_on_oversized_block(spark):
     from graphsense_blocksci_spark.operators.entity_resolution import (
         fellegi_sunter_topk,

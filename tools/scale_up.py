@@ -142,7 +142,13 @@ def bench_streaming_index(spark) -> dict:
                     ).alias("address"),
                     o["value"].alias("value"),
                     o["address_type"].alias("address_type"),
-                    o["spent_tx_id"].alias("spent_tx_id"),
+                    # shift output-side pointers by the same per-copy
+                    # stride (NULL-preserving: NULL + shift = NULL) so
+                    # the synthetic chain stays self-consistent even
+                    # for consumers that read output-side linkage
+                    (o["spent_tx_id"] + shift)
+                    .cast("long")
+                    .alias("spent_tx_id"),
                     o["spent_index"].alias("spent_index"),
                 ),
             ).alias("outputs"),
