@@ -83,7 +83,125 @@ FAMILIES = [
     # the standard sf-scaled harness covers it; per-batch state is
     # O(open sessions) and must grow with users, not with events)
     "qd18_stateful_sessions",
+    # round-9 closing-wave families (VERDICT r8 item 4): the per-stream
+    # lag + rollup cadence detector, the PERMISSIVE CSV quarantine pass
+    # (scales with the orders render), and the two rewrites this round
+    # — the range-partitioned order-dependency audit and the two-phase
+    # prefix-max lateness replay — precisely the rows that would have
+    # caught the corpus-sized windows they replace.
+    "q313_recurring_payments",
+    "q316_corrupt_records",
+    "q317_order_dependency",
+    "q318_lateness_audit",
 ]
+
+# chain-family queries read the domain FIXTURE chain (not sf_dir), so
+# the sf-scaled harness can't touch them; bench_chain_families builds a
+# 10x-DENSER chain (the qd48 recipe: 10 disjoint tx copies, same block
+# heights) into a second fixture dir and swaps fixtures.DEFAULT_DIR.
+CHAIN_FAMILIES = [
+    "qd77_address_lifetime",
+    "qd80_utxo_survival",
+    "qd81_dust_analysis",
+]
+
+
+def _copy_chain(base_txs, c: int, stride: int = 1_000_000_000):
+    """One disjoint copy of the fixture chain: tx ids and BOTH sides'
+    spent_tx_id pointers shifted by c*stride (NULL-preserving),
+    addresses suffixed per copy, block heights unchanged — unioning C
+    copies yields a C-x-denser chain with identical height range."""
+    shift = F.lit(c * stride).cast("long")
+    suf = F.lit(f"#c{c}")
+    return base_txs.select(
+        (F.col("tx_id") + shift).alias("tx_id"),
+        "tx_hash",
+        "block_id",
+        "timestamp",
+        "coinbase",
+        F.transform(
+            "inputs",
+            lambda i: F.struct(
+                F.transform(
+                    i["address"], lambda a: F.concat(a, suf)
+                ).alias("address"),
+                i["value"].alias("value"),
+                i["address_type"].alias("address_type"),
+                (i["spent_tx_id"] + shift)
+                .cast("long")
+                .alias("spent_tx_id"),
+                i["spent_index"].alias("spent_index"),
+            ),
+        ).alias("inputs"),
+        F.transform(
+            "outputs",
+            lambda o: F.struct(
+                F.transform(
+                    o["address"], lambda a: F.concat(a, suf)
+                ).alias("address"),
+                o["value"].alias("value"),
+                o["address_type"].alias("address_type"),
+                # shift output-side pointers by the same per-copy
+                # stride (NULL-preserving: NULL + shift = NULL) so
+                # the synthetic chain stays self-consistent even
+                # for consumers that read output-side linkage
+                (o["spent_tx_id"] + shift)
+                .cast("long")
+                .alias("spent_tx_id"),
+                o["spent_index"].alias("spent_index"),
+            ),
+        ).alias("outputs"),
+    )
+
+
+def bench_chain_families(spark) -> dict:
+    """10x rows for the fixture-chain query families (VERDICT r8 item
+    4): stage a 10x-denser chain (10 disjoint _copy_chain unions) as a
+    SECOND fixture dir, then time each family at 1x and 10x by
+    swapping fixtures.DEFAULT_DIR — every chain query loads through
+    sources.tables._fixture, which reads that attribute at call time.
+    min-of-2, noop sink."""
+    import shutil
+    from pathlib import Path
+
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_raw_txs
+
+    base_dir = Path(fixtures.ensure_fixtures())
+    dense = Path("/tmp/gbs_dense_chain")
+    dense.mkdir(parents=True, exist_ok=True)
+    base_txs = load_raw_txs(spark)
+    txs = _copy_chain(base_txs, 0)
+    for c in range(1, 10):
+        txs = txs.unionByName(_copy_chain(base_txs, c))
+    txs.write.mode("overwrite").parquet(str(dense / "raw_txs.parquet"))
+    for f in ("raw_blocks.parquet", "raw_exchange_rates.parquet"):
+        if not (dense / f).exists():
+            shutil.copy(base_dir / f, dense / f)
+
+    results: dict[str, dict[str, float]] = {n: {} for n in CHAIN_FAMILIES}
+    for label, d in (("x1", base_dir), ("x10", dense)):
+        old = fixtures.DEFAULT_DIR
+        fixtures.DEFAULT_DIR = d
+        try:
+            for name in CHAIN_FAMILIES:
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    QUERIES[name](spark, SRC).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                results[name][label] = round(best, 2)
+                print(f"# {name} {label}: {best:.2f}s", file=sys.stderr)
+        finally:
+            fixtures.DEFAULT_DIR = old
+    for name in CHAIN_FAMILIES:
+        row = results[name]
+        row["ratio"] = round(row["x10"] / row["x1"], 2)
+    return results
 
 
 def bench_streaming_index(spark) -> dict:
@@ -112,47 +230,7 @@ def bench_streaming_index(spark) -> dict:
     stride = 1_000_000_000
 
     def copy_chain(c: int):
-        shift = F.lit(c * stride).cast("long")
-        suf = F.lit(f"#c{c}")
-        return base_txs.select(
-            (F.col("tx_id") + shift).alias("tx_id"),
-            "tx_hash",
-            "block_id",
-            "timestamp",
-            "coinbase",
-            F.transform(
-                "inputs",
-                lambda i: F.struct(
-                    F.transform(
-                        i["address"], lambda a: F.concat(a, suf)
-                    ).alias("address"),
-                    i["value"].alias("value"),
-                    i["address_type"].alias("address_type"),
-                    (i["spent_tx_id"] + shift)
-                    .cast("long")
-                    .alias("spent_tx_id"),
-                    i["spent_index"].alias("spent_index"),
-                ),
-            ).alias("inputs"),
-            F.transform(
-                "outputs",
-                lambda o: F.struct(
-                    F.transform(
-                        o["address"], lambda a: F.concat(a, suf)
-                    ).alias("address"),
-                    o["value"].alias("value"),
-                    o["address_type"].alias("address_type"),
-                    # shift output-side pointers by the same per-copy
-                    # stride (NULL-preserving: NULL + shift = NULL) so
-                    # the synthetic chain stays self-consistent even
-                    # for consumers that read output-side linkage
-                    (o["spent_tx_id"] + shift)
-                    .cast("long")
-                    .alias("spent_tx_id"),
-                    o["spent_index"].alias("spent_index"),
-                ),
-            ).alias("outputs"),
-        )
+        return _copy_chain(base_txs, c, stride)
 
     tx_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base_txs.schema
@@ -375,10 +453,13 @@ def main() -> None:
     if "--bench" in sys.argv:
         build(spark)
         out = bench(spark)
+        out.update(bench_chain_families(spark))
         out.update(bench_streaming_index(spark))
         print(json.dumps(out, indent=2))
     elif "--bench-streaming" in sys.argv:
         print(json.dumps(bench_streaming_index(spark), indent=2))
+    elif "--bench-chain" in sys.argv:
+        print(json.dumps(bench_chain_families(spark), indent=2))
     else:
         out_dir = sys.argv[1] if len(sys.argv) > 1 else OUT
         copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
