@@ -33,9 +33,10 @@ left-to-right non-overlapping ("aaa" -> [aa, a]).
 Output: the learned merge table (rank, left, right, pair_count) — the
 artifact `bpe_encode`-style tokenizers consume.
 
-Oracle status: rows-only (an 8-round fold-loop is not reasonably
-SQL-expressible); exactness is pytest-gated against a pure-Python
-reference trainer (tests/test_llm_ops.py).
+Oracle status: cell-exact since round 9 — queries._bpe_train_sql
+unrolls the 8-round fold as one positional CTE block per merge (the
+kmeans/k-truss unroll discipline); additionally pytest-gated against
+the pure-Python reference trainer (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations

@@ -3979,10 +3979,10 @@ def q140_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents corpus — pair counts as a vocabulary-sized aggregate,
     the argmax merge picked with one min_by over (-count, pair) and
     applied via an F.aggregate left fold, the 1-row winner riding a
-    broadcast crossJoin (no driver-side scalar sync). Rows-only
-    registry entry (an 8-round fold loop is not SQL-expressible);
-    exactness is pytest-gated against the pure-Python reference
-    trainer."""
+    broadcast crossJoin (no driver-side scalar sync). Cell-exact
+    oracle since round 9 (_bpe_train_sql — the 8-round fold unrolled
+    as positional CTEs, the kmeans discipline); also pytest-gated
+    against the pure-Python reference trainer."""
     from graphsense_blocksci_spark.operators.tokenizer import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4616,10 +4616,11 @@ def q160_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     2m-scaled integer gain comparisons, stay-biased total tie-breaks,
     parity-alternating synchronous moves, one contraction level.
     Bit-reproducible output where textbook Louvain's random node
-    order is not; summarized per community so the rows-only gate
-    pins (community, size) shape. Quality is pytest-gated with the
-    exact-integer modularity operator (planted-partition recovery,
-    never-worse-than-singletons)."""
+    order is not — which is exactly what makes it oracle-able:
+    cell-exact since round 9 via _louvain_sql (the 2x3
+    level/sub-round unroll, kmeans discipline). Quality additionally
+    pytest-gated with the exact-integer modularity operator
+    (planted-partition recovery, never-worse-than-singletons)."""
     from graphsense_blocksci_spark.operators.graph import louvain
 
     out = louvain(_q157_edges(spark, sf_dir), sub_rounds=3, levels=2)
@@ -14890,12 +14891,14 @@ def qd81_dust_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND-10 ROTATION (do this first next round): move the "round-10
 # rotation candidates" section below the window (qd75/q303/q304/q305 +
 # the round-8 additions q306-q318 + qd76-qd81 — 23 entries) into
-# positions 2-50, then the newly-exact q111/q167/q170, then the
-# rows-only set (q54/q61/q97/q140/q160/q169/q173 — driver records the
-# weaker rows-only check): 33 never-driver-green slots total. Fill the
-# remaining 16 with the oldest previously-green rows (q37-q97 long
-# tail) for re-verification. After round 10 every registered entry has
-# had a driver-green (or declared rows-only) row at least once.
+# positions 2-50, then the newly-exact q111/q167/q170/q140/q160
+# (q140 BPE train and q160 Louvain gained unroll oracles in round 9),
+# then the rows-only set (q54/q61/q97/q169/q173 — genuinely float
+# paths; driver records the weaker rows-only check): 33
+# never-driver-green slots total. Fill the remaining 16 with the
+# oldest previously-green rows (q37-q97 long tail) for
+# re-verification. After round 10 every registered entry has had a
+# driver-green (or declared rows-only) row at least once.
 QUERIES: dict[str, QueryFn] = {
     # -- round-9 driver window (50) ------------------------------------
     # q01 first (entry() smoke), then the never-driver-green round-7/8
@@ -14971,11 +14974,12 @@ QUERIES: dict[str, QueryFn] = {
     # profile, schema evolution, corrupt-record triage, coinbase
     # maturity, address lifetime + streaming twin, k-truss peel, UTXO
     # survival, order-dependency audit, lateness audit, dust analysis)
-    # -- into positions 2-50, then the newly-exact q111/q167/q170, then
-    # the rows-only set (q54/q61/q97/q140/q160/q169/q173 -- driver
-    # records the weaker rows-only check). That is 23 + 3 + 7 = 33
-    # never-driver-green slots; fill the remaining 16 with the oldest
-    # previously-green rows (q37-q97 long tail) for re-verification.
+    # -- into positions 2-50, then the newly-exact
+    # q111/q167/q170/q140/q160, then the rows-only set
+    # (q54/q61/q97/q169/q173 -- driver records the weaker rows-only
+    # check). That is 23 + 5 + 5 = 33 never-driver-green slots; fill
+    # the remaining 16 with the oldest previously-green rows (q37-q97
+    # long tail) for re-verification.
     "qd75_supply_audit": qd75_supply_audit,
     "q303_ngram_coverage": q303_ngram_coverage,
     "q304_daily_overlap": q304_daily_overlap,
@@ -15459,6 +15463,226 @@ FROM d
 QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY dist_sq ASC, cid ASC) = 1
 """
+
+
+def _louvain_sql(sub_rounds: int = 3, levels: int = 2) -> str:
+    """Mirror of operators.graph.louvain over the q157 edge frame,
+    unrolled one CTE block per (level, sub-round) — the kmeans/k-truss
+    unroll discipline (VERDICT r8 item 5, upgrading q160 from
+    rows-only to cell-exact). Every piece is already integer-exact
+    and deterministic in the engine (2m-scaled gains, stay-biased
+    total tie-breaks, parity-alternating moves), so the SQL replays
+    it literally: per sub-round one Σtot aggregate, one
+    parity-filtered neighbor-label aggregate, one stay-candidate
+    union, and the argmax as row_number over (score DESC, is_cur
+    DESC, cj ASC); per level one min-member canonicalization and one
+    contraction aggregate. MATERIALIZED stops DuckDB re-inlining the
+    multiply-referenced per-round frames."""
+    parts = [
+        r"""
+WITH eraw AS (
+    SELECT CAST(l_orderkey % 5000 AS BIGINT) AS src,
+           CAST(l_partkey % 5000 AS BIGINT) AS dst
+    FROM lineitem WHERE l_quantity < 10
+),
+und_0 AS MATERIALIZED (
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+           CAST(count(*) AS BIGINT) AS w
+    FROM eraw GROUP BY 1, 2
+),
+mm AS MATERIALIZED (SELECT CAST(sum(2 * w) AS BIGINT) AS m FROM und_0)"""
+    ]
+    for lvl in range(levels):
+        u = f"und_{lvl}"
+        parts.append(
+            f""",
+adj_{lvl} AS MATERIALIZED (
+    SELECT a AS i, b AS j, w FROM {u} WHERE a <> b
+    UNION ALL
+    SELECT b AS i, a AS j, w FROM {u} WHERE a <> b
+),
+selfw_{lvl} AS (
+    SELECT a AS i, w AS ws FROM {u} WHERE a = b
+),
+nodes_{lvl} AS MATERIALIZED (
+    SELECT DISTINCT i
+    FROM (SELECT a AS i FROM {u} UNION ALL SELECT b FROM {u})
+),
+k_{lvl} AS MATERIALIZED (
+    SELECT n.i,
+           CAST(coalesce(s._s, 0) + 2 * coalesce(sw.ws, 0) AS BIGINT) AS k
+    FROM nodes_{lvl} n
+    LEFT JOIN (SELECT i, sum(w) AS _s FROM adj_{lvl} GROUP BY i) s
+        ON n.i = s.i
+    LEFT JOIN selfw_{lvl} sw ON n.i = sw.i
+),
+lab_{lvl}_0 AS MATERIALIZED (SELECT i, i AS comm FROM nodes_{lvl})"""
+        )
+        for r in range(sub_rounds):
+            L = f"lab_{lvl}_{r}"
+            parts.append(
+                f""",
+sig_{lvl}_{r} AS (
+    SELECT l.comm, CAST(sum(k.k) AS BIGINT) AS sig
+    FROM {L} l JOIN k_{lvl} k ON l.i = k.i GROUP BY l.comm
+),
+cand_{lvl}_{r} AS MATERIALIZED (
+    SELECT i, cj, CAST(max(kc) AS BIGINT) AS kc FROM (
+        SELECT a.i, l.comm AS cj, CAST(sum(a.w) AS BIGINT) AS kc
+        FROM adj_{lvl} a JOIN {L} l ON a.j = l.i
+        WHERE a.i % 2 = {r % 2}
+        GROUP BY a.i, l.comm
+        UNION ALL
+        SELECT i, comm AS cj, CAST(0 AS BIGINT) AS kc
+        FROM {L} WHERE i % 2 = {r % 2}
+    ) GROUP BY i, cj
+),
+moved_{lvl}_{r} AS MATERIALIZED (
+    SELECT i, cj AS comm FROM (
+        SELECT c.i, c.cj,
+               row_number() OVER (PARTITION BY c.i ORDER BY
+                   (2 * mm.m * c.kc - k.k * (s.sig -
+                        CASE WHEN c.cj = cur.comm THEN k.k
+                             ELSE 0 END)) DESC,
+                   CASE WHEN c.cj = cur.comm THEN 1 ELSE 0 END DESC,
+                   c.cj ASC) AS rn
+        FROM cand_{lvl}_{r} c
+        JOIN {L} cur ON c.i = cur.i
+        JOIN k_{lvl} k ON c.i = k.i
+        JOIN sig_{lvl}_{r} s ON c.cj = s.comm
+        CROSS JOIN mm
+    ) WHERE rn = 1
+),
+lab_{lvl}_{r + 1} AS MATERIALIZED (
+    SELECT l.i, coalesce(mv.comm, l.comm) AS comm
+    FROM {L} l LEFT JOIN moved_{lvl}_{r} mv ON l.i = mv.i
+)"""
+            )
+        LF = f"lab_{lvl}_{sub_rounds}"
+        parts.append(
+            f""",
+res_{lvl} AS MATERIALIZED (
+    SELECT l.i AS node, c.canon AS comm
+    FROM {LF} l
+    JOIN (SELECT comm, min(i) AS canon FROM {LF} GROUP BY comm) c
+      ON l.comm = c.comm
+)"""
+        )
+        if lvl == 0:
+            parts.append(
+                """,
+map_0 AS MATERIALIZED (SELECT node, comm AS community FROM res_0)"""
+            )
+        else:
+            parts.append(
+                f""",
+map_{lvl} AS MATERIALIZED (
+    SELECT m.node, r.comm AS community
+    FROM map_{lvl - 1} m JOIN res_{lvl} r ON m.community = r.node
+)"""
+            )
+        if lvl < levels - 1:
+            parts.append(
+                f""",
+und_{lvl + 1} AS MATERIALIZED (
+    SELECT least(ra.comm, rb.comm) AS a,
+           greatest(ra.comm, rb.comm) AS b,
+           CAST(sum(u.w) AS BIGINT) AS w
+    FROM und_{lvl} u
+    JOIN res_{lvl} ra ON u.a = ra.node
+    JOIN res_{lvl} rb ON u.b = rb.node
+    GROUP BY 1, 2
+)"""
+            )
+    parts.append(
+        f"""
+SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node
+FROM map_{levels - 1} GROUP BY community
+"""
+    )
+    return "".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """Mirror of operators.tokenizer.bpe_train, unrolled one CTE
+    block per merge round (the kmeans/k-truss unroll discipline —
+    VERDICT r8 item 5, upgrading q140 from rows-only to cell-exact):
+    same normalize/tokenize pipeline, overlapping pair counts as a
+    lead() aggregate, argmax via ORDER BY (count DESC, pair ASC)
+    LIMIT 1, and the greedy left-to-right non-overlapping merge
+    application expressed positionally — fuse_i = cand_i AND NOT
+    fuse_{i-1} collapses to odd-rank positions within each
+    gaps-and-islands run of consecutive candidates (adjacent
+    candidates only arise when left = right), then kept positions
+    renumber for the next round. MATERIALIZED blocks stop DuckDB
+    from inlining each round's CTE into its 3 consumers (3^8 scan
+    blowup otherwise). Integer counts throughout — cell-exact."""
+    parts = [
+        r"""
+WITH norm AS (
+    SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+    FROM documents
+),
+w AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_filter(string_split(s, ' '), t -> t <> ''))
+                 AS word
+          FROM norm)
+    GROUP BY word
+),
+pos0 AS (
+    SELECT row_number() OVER (ORDER BY word) AS wid, cnt,
+           unnest(range(1, len(string_split(word, '')) + 1)) AS i,
+           unnest(string_split(word, '')) AS sym
+    FROM w
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f""",
+adj{t} AS MATERIALIZED (
+    SELECT wid, cnt, i, sym,
+           lead(sym) OVER (PARTITION BY wid ORDER BY i) AS nxt
+    FROM pos{t - 1}
+),
+b{t} AS MATERIALIZED (
+    SELECT sym AS l, nxt AS r, CAST(sum(cnt) AS BIGINT) AS pc
+    FROM adj{t} WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY pc DESC, l ASC, r ASC LIMIT 1
+),
+cand{t} AS (
+    SELECT a.wid, a.i,
+           a.i - row_number() OVER (PARTITION BY a.wid ORDER BY a.i) AS grp
+    FROM adj{t} a, b{t} b
+    WHERE a.sym = b.l AND a.nxt = b.r
+),
+fuse{t} AS MATERIALIZED (
+    SELECT wid, i FROM (
+        SELECT wid, i,
+               row_number() OVER (PARTITION BY wid, grp ORDER BY i) AS rn
+        FROM cand{t})
+    WHERE rn % 2 = 1
+),
+pos{t} AS MATERIALIZED (
+    SELECT a.wid, a.cnt,
+           row_number() OVER (PARTITION BY a.wid ORDER BY a.i) AS i,
+           CASE WHEN f.i IS NOT NULL THEN a.sym || a.nxt ELSE a.sym END AS sym
+    FROM adj{t} a
+    LEFT JOIN fuse{t} f ON a.wid = f.wid AND a.i = f.i
+    LEFT JOIN fuse{t} g ON a.wid = g.wid AND a.i = g.i + 1
+    WHERE g.i IS NULL
+)"""
+        )
+    finals = "\nUNION ALL ".join(
+        f'SELECT CAST({t - 1} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"pc AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    parts.append("\n" + finals)
+    return "".join(parts)
 
 
 def _kmeans_quantized_sql(
@@ -25904,6 +26128,17 @@ FROM j GROUP BY 1
 # round-8: the quantized Lloyd fixpoint is integer-exact end to end,
 # upgrading the former rows-only q111 to a hash-green row
 ORACLE_SQL["q111_kmeans_lloyd"] = _kmeans_quantized_sql(10, 64, 5)
+
+# round-9: the 8-round BPE merge fold unrolled per the same discipline
+# upgrades the former rows-only q140 to a cell-exact row (integer pair
+# counts, deterministic tie-break, positional greedy-merge semantics)
+ORACLE_SQL["q140_bpe_train"] = _bpe_train_sql(8)
+
+# round-9: Louvain was already integer-exact and deterministic in the
+# engine (2m-scaled gains, total tie-breaks, parity moves) — the SQL
+# unroll replays the 2 levels x 3 sub-rounds literally, upgrading the
+# former rows-only q160 to a cell-exact row
+ORACLE_SQL["q160_louvain"] = _louvain_sql(3, 2)
 
 # round-8: exact Cramer ridge — the determinants are reproduced in
 # HUGEINT (3x3 products of ~1e8-1e14 sums stay far under 1.7e38) and
