@@ -323,6 +323,11 @@ BENCH_QUERIES = [
     "q317_order_dependency",
     "q318_lateness_audit",
     "qd81_dust_analysis",
+    # round-9 wave
+    "q319_incremental_dedup",
+    "q320_leakage_safe_split",
+    "q321_incremental_neardup",
+    "qd82_peel_chain",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -14878,6 +14878,316 @@ def qd81_dust_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q319_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — dedup a NEW ingest batch against an
+    EXISTING corpus without ever re-comparing old-vs-old (the shape a
+    production 100 TB pipeline actually runs: the corpus is
+    append-only, each batch dedups against the accumulated hash
+    index). The batch is doc_id % 5 == 0 (~20%); the corpus is the
+    rest. Per new doc the verdict is a two-join decision: the
+    normalized-content md5 probes the corpus hash index
+    (dup_of_existing → canonical = min matching corpus doc), else the
+    within-batch min (dup_in_batch for non-first occurrences), else
+    unique.
+
+    Scale shape: corpus side is ONE groupBy to its hash index (in
+    production a bucketed table maintained incrementally — sinks.py's
+    bucketBy layout — so even that pass is amortized); batch side is
+    two hash-key shuffles of BATCH size. Old-vs-old pairs never form.
+    Output columns: (doc_id, verdict, canonical_id)."""
+    from graphsense_blocksci_spark.operators.textops import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalize_text("text")).alias("h"),
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    old_idx = old.groupBy("h").agg(F.min("doc_id").alias("_old_min"))
+    batch_min = new.groupBy("h").agg(F.min("doc_id").alias("_batch_min"))
+    return (
+        new.join(old_idx, "h", "left")
+        .join(batch_min, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("_old_min").isNotNull(), F.lit("dup_of_existing"))
+            .when(F.col("doc_id") > F.col("_batch_min"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("_old_min", "_batch_min").alias("canonical_id"),
+        )
+    )
+
+
+def q320_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the assignment a training
+    pipeline must make AFTER near-dup clustering, not before: if two
+    near-duplicate documents land in different splits, the eval split
+    is contaminated. Clusters come from the oracled q71 machinery
+    (MinHash-LSH candidates → exact Jaccard ≥ 0.2 verify → connected
+    components → canonical id); every doc in a cluster inherits the
+    split of its CANONICAL id via deterministic md5 hashing (8/1/1
+    train/val/test), so co-clustered docs can never separate. The
+    readout is the split audit card: per split, docs, distinct
+    clusters, total chars — plus cross_split_dup_pairs, the number of
+    verified near-dup pairs whose endpoints sit in different splits,
+    COMPUTED from the pair frame rather than assumed (0 proves the
+    no-leakage property end to end).
+
+    Scale shape: rides q71's candidate/verify discipline (the pair
+    graph is near-dup-sized, not corpus-sized); the split assignment
+    is one md5 projection + one broadcast-able cluster-map join; the
+    audit is one rollup plus one pair-frame join."""
+    from graphsense_blocksci_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=False)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    assigned = (
+        d.join(cc, d.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            "chars",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 7), 16, 10)
+                .cast("long") % 10 < 8,
+                F.lit("train"),
+            )
+            .when(
+                F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 7), 16, 10)
+                .cast("long") % 10 == 8,
+                F.lit("val"),
+            )
+            .otherwise(F.lit("test")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    card = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    )
+    sa = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    sb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    leak = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("cross_split_dup_pairs")
+        )
+    )
+    return card.crossJoin(F.broadcast(leak))
+
+
+def q321_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup probe — the fuzzy sibling of q319: match
+    each NEW-batch document (doc_id % 5 == 0) against the EXISTING
+    corpus through an inverted shingle-hash index, probe-side only.
+    Candidates form exclusively where a new doc shares a shingle with
+    an old doc (the index join is new-side-probe-sized); per
+    candidate the EXACT Jaccard rides integer arithmetic — inter from
+    the shared-shingle count, union = |A| + |B| - inter, and the
+    ≥ 0.5 threshold as the cross-multiplied predicate 3·inter ≥
+    |A| + |B| (no float compare anywhere; jaccard_ppm = 10^6·inter
+    DIV union is the reported integer). Output: every (new_doc_id,
+    matched_old_id) above threshold with (inter, union_sz,
+    jaccard_ppm).
+
+    This is the production decontamination/incremental-dedup
+    asymmetry q91 inverts: q91 broadcasts a small eval set over the
+    corpus; here the CORPUS is the indexed side and the small batch
+    probes it — old-vs-old shingle pairs never join. At 100 TB the
+    old index is a bucketed table on shingle hash; each batch is one
+    probe join + one (new, old) count aggregate."""
+    from graphsense_blocksci_spark.operators.textops import shingle_hash_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hash_frame(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("_sh").alias("sh"),
+    )
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("h"))
+    new_sh = ex.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("new_doc_id"), "h"
+    )
+    old_idx = ex.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("matched_old_id"), "h"
+    )
+    inter = (
+        new_sh.join(old_idx, "h")
+        .groupBy("new_doc_id", "matched_old_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc_id"), F.col("n").alias("_na")),
+            "new_doc_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("matched_old_id"), F.col("n").alias("_nb")
+            ),
+            "matched_old_id",
+        )
+        .filter(3 * F.col("inter") >= F.col("_na") + F.col("_nb"))
+        .select(
+            "new_doc_id",
+            "matched_old_id",
+            "inter",
+            (F.col("_na") + F.col("_nb") - F.col("inter")).alias("union_sz"),
+            F.expr("CAST(1000000 * inter DIV (_na + _nb - inter) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+def qd82_peel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeling-chain detection — the classic obfuscation pattern a
+    chain-analytics engine must surface (a BlockSci-domain analytic
+    beyond the reference's export surface): a run of 1-input/2-output
+    transactions where each tx's larger output funds the next hop and
+    the smaller output "peels" off. Per maximal chain of length ≥ 2
+    transactions (one full peel step or more): (head_tx, chain_len,
+    tail_tx, peeled_total).
+
+    Construction, all integer and deterministic: peel-shaped txs
+    (exactly 1 input, 2 outputs); a successor edge parent → child
+    where the child's single input spends a parent output, both ends
+    peel-shaped, and — when both parent outputs are spent by
+    peel-shaped children — the successor is the child spending the
+    LARGER-value output (tie → lower spent_index), so out-degree ≤ 1;
+    in-degree ≤ 1 holds by the single-input shape. The graph is a
+    union of simple paths (spends point forward in time — no cycles),
+    so chain stats ride 6 rounds of pointer doubling (exact for
+    chains to 2^6 + 1 txs; the fixture maxes far below — the bound is
+    asserted by a raise-on-unresolved guard). peeled_total sums
+    parent_outputs_total − continued_value over the chain's edges.
+
+    Scale shape: the peel frame is a small filtered projection of the
+    tx scan; each doubling round is one self-join on the current
+    pointer — log-depth, never a corpus-sized window."""
+    from graphsense_blocksci_spark.operators.linkage import explode_outputs  # noqa: F401  (schema doc)
+
+    _, raw_txs, _ = _fixture_frames(spark)
+    peel = (
+        raw_txs.filter(
+            (F.size("inputs") == 1) & (F.size("outputs") == 2)
+        )
+        .select(
+            F.col("tx_id").cast("long").alias("tx_id"),
+            F.col("inputs")[0]["spent_tx_id"].cast("long").alias("parent"),
+            F.col("inputs")[0]["value"].cast("long").alias("in_value"),
+            F.col("inputs")[0]["spent_index"].cast("long").alias("in_index"),
+            F.aggregate(
+                "outputs", F.lit(0).cast("long"), lambda a, o: a + o["value"]
+            ).alias("out_total"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ids = peel.select("tx_id")
+    # successor: among peel-shaped children of a peel-shaped parent,
+    # the one spending the larger-value output (tie: lower index)
+    succ = (
+        peel.join(ids.withColumnRenamed("tx_id", "parent"), "parent")
+        .groupBy("parent")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("tx_id").alias("child"),
+                    F.col("in_value").alias("v"),
+                ),
+                F.struct(F.col("in_value"), (-F.col("in_index")).alias("ni")),
+            ).alias("_c")
+        )
+        .select(
+            "parent",
+            F.col("_c.child").alias("child"),
+            F.col("_c.v").alias("continued_value"),
+        )
+    )
+    parent_tot = peel.select(
+        F.col("tx_id").alias("parent"), F.col("out_total").alias("_pt")
+    )
+    edges = succ.join(parent_tot, "parent").select(
+        "parent",
+        "child",
+        (F.col("_pt") - F.col("continued_value")).alias("peeled"),
+    )
+    edges = edges.localCheckpoint(eager=False)
+    # pointer doubling: state(x) = (ptr, dist, sum); terminal state is
+    # (x, 0, 0) so composition is idempotent at the tail
+    nodes = (
+        edges.select(F.col("parent").alias("x"))
+        .union(edges.select(F.col("child").alias("x")))
+        .distinct()
+    )
+    state = (
+        nodes.join(edges.withColumnRenamed("parent", "x"), "x", "left")
+        .select(
+            "x",
+            F.coalesce("child", "x").alias("ptr"),
+            F.when(F.col("child").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("dist"),
+            F.coalesce("peeled", F.lit(0)).cast("long").alias("psum"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(6):
+        nxt = state.select(
+            F.col("x").alias("ptr"),
+            F.col("ptr").alias("_p2"),
+            F.col("dist").alias("_d2"),
+            F.col("psum").alias("_s2"),
+        )
+        state = (
+            state.join(nxt, "ptr")
+            .select(
+                "x",
+                F.col("_p2").alias("ptr"),
+                (F.col("dist") + F.col("_d2")).alias("dist"),
+                (F.col("psum") + F.col("_s2")).alias("psum"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # resolution guard: after 6 roundings every ptr must be terminal
+    unresolved = (
+        state.join(edges.select(F.col("parent").alias("ptr")), "ptr", "semi")
+        .limit(1)
+        .count()
+    )
+    if unresolved:
+        raise ValueError(
+            "qd82_peel_chain: a chain exceeds 2^6 + 1 txs; raise the "
+            "doubling rounds (log-depth — one extra round doubles reach)"
+        )
+    heads = state.join(
+        edges.select(F.col("child").alias("x")), "x", "anti"
+    )
+    return heads.filter(F.col("dist") >= 1).select(
+        F.col("x").alias("head_tx"),
+        (F.col("dist") + 1).alias("chain_len"),
+        F.col("ptr").alias("tail_tx"),
+        F.col("psum").alias("peeled_total"),
+    )
+
+
 # Registry order is load-bearing: the driver's correctness gate verifies the
 # FIRST 50 insertion-ordered entries against the DuckDB oracle each round.
 # q01 stays first (entry() smoke query); the rest of the window rotates per
@@ -14890,15 +15200,16 @@ def qd81_dust_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-10 ROTATION (do this first next round): move the "round-10
 # rotation candidates" section below the window (qd75/q303/q304/q305 +
-# the round-8 additions q306-q318 + qd76-qd81 — 23 entries) into
-# positions 2-50, then the newly-exact q111/q167/q170/q140/q160
-# (q140 BPE train and q160 Louvain gained unroll oracles in round 9),
-# then the rows-only set (q54/q61/q97/q169/q173 — genuinely float
-# paths; driver records the weaker rows-only check): 33
-# never-driver-green slots total. Fill the remaining 16 with the
-# oldest previously-green rows (q37-q97 long tail) for
-# re-verification. After round 10 every registered entry has had a
-# driver-green (or declared rows-only) row at least once.
+# the round-8 additions q306-q318 + qd76-qd81 + the round-9 wave
+# q319-q321 + qd82 — 27 entries) into positions 2-50, then the
+# newly-exact q111/q167/q170/q140/q160 (q140 BPE train and q160
+# Louvain gained unroll oracles in round 9), then the rows-only set
+# (q54/q61/q97/q169/q173 — genuinely float paths; driver records the
+# weaker rows-only check): 37 never-driver-green slots total. Fill
+# the remaining 12 with the oldest previously-green rows (q37-q97
+# long tail) for re-verification. After round 10 every registered
+# entry has had a driver-green (or declared rows-only) row at least
+# once.
 QUERIES: dict[str, QueryFn] = {
     # -- round-9 driver window (50) ------------------------------------
     # q01 first (entry() smoke), then the never-driver-green round-7/8
@@ -14974,11 +15285,11 @@ QUERIES: dict[str, QueryFn] = {
     # profile, schema evolution, corrupt-record triage, coinbase
     # maturity, address lifetime + streaming twin, k-truss peel, UTXO
     # survival, order-dependency audit, lateness audit, dust analysis)
-    # -- into positions 2-50, then the newly-exact
-    # q111/q167/q170/q140/q160, then the rows-only set
+    # + the round-9 wave q319-q321/qd82 -- into positions 2-50, then
+    # the newly-exact q111/q167/q170/q140/q160, then the rows-only set
     # (q54/q61/q97/q169/q173 -- driver records the weaker rows-only
-    # check). That is 23 + 5 + 5 = 33 never-driver-green slots; fill
-    # the remaining 16 with the oldest previously-green rows (q37-q97
+    # check). That is 27 + 5 + 5 = 37 never-driver-green slots; fill
+    # the remaining 12 with the oldest previously-green rows (q37-q97
     # long tail) for re-verification.
     "qd75_supply_audit": qd75_supply_audit,
     "q303_ngram_coverage": q303_ngram_coverage,
@@ -15003,6 +15314,13 @@ QUERIES: dict[str, QueryFn] = {
     "q317_order_dependency": q317_order_dependency,
     "q318_lateness_audit": q318_lateness_audit,
     "qd81_dust_analysis": qd81_dust_analysis,
+    # round-9 wave (never driver-green, oracled): incremental
+    # exact/near dedup against an existing corpus, leakage-safe
+    # cluster-hashed splits, and peeling-chain detection
+    "q319_incremental_dedup": q319_incremental_dedup,
+    "q320_leakage_safe_split": q320_leakage_safe_split,
+    "q321_incremental_neardup": q321_incremental_neardup,
+    "qd82_peel_chain": qd82_peel_chain,
     # -- previously driver-green (rounds 1-8) --------------------------
     "q228_pr_curve": q228_pr_curve,
     "q229_unpivot_measures": q229_unpivot_measures,
@@ -26139,6 +26457,133 @@ ORACLE_SQL["q140_bpe_train"] = _bpe_train_sql(8)
 # unroll replays the 2 levels x 3 sub-rounds literally, upgrading the
 # former rows-only q160 to a cell-exact row
 ORACLE_SQL["q160_louvain"] = _louvain_sql(3, 2)
+
+# round-9 wave: incremental dedup / leakage-safe split / peel chains
+ORACLE_SQL["q319_incremental_dedup"] = r"""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+    FROM documents
+),
+newb AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+oldc AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+oi AS (SELECT h, min(doc_id) AS old_min FROM oldc GROUP BY h),
+bm AS (SELECT h, min(doc_id) AS batch_min FROM newb GROUP BY h)
+SELECT n.doc_id,
+       CASE WHEN oi.old_min IS NOT NULL THEN 'dup_of_existing'
+            WHEN n.doc_id > bm.batch_min THEN 'dup_in_batch'
+            ELSE 'unique' END AS verdict,
+       CAST(coalesce(oi.old_min, bm.batch_min) AS BIGINT) AS canonical_id
+FROM newb n LEFT JOIN oi ON n.h = oi.h JOIN bm ON n.h = bm.h
+"""
+
+ORACLE_SQL["q320_leakage_safe_split"] = (
+    ORACLE_SQL["q71_fuzzy_dedup"].rsplit("SELECT CAST(d.doc_id", 1)[0]
+    + """,
+assigned AS (
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(length(d.text) AS BIGINT) AS chars,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+splits AS (
+    SELECT doc_id, chars, cluster_id,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 7))
+                         ::BIGINT % 10 < 8 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 7))
+                         ::BIGINT % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+),
+leak AS (
+    SELECT CAST(coalesce(sum(CASE WHEN s1.split <> s2.split
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS cross_split_dup_pairs
+    FROM (SELECT id_a, id_b FROM ja WHERE jaccard >= 0.2) p
+    JOIN splits s1 ON p.id_a = s1.doc_id
+    JOIN splits s2 ON p.id_b = s2.doc_id
+)
+SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(s.chars) AS BIGINT) AS total_chars,
+       leak.cross_split_dup_pairs
+FROM splits s CROSS JOIN leak
+GROUP BY s.split, leak.cross_split_dup_pairs
+"""
+)
+
+ORACLE_SQL["q321_incremental_neardup"] = (
+    "WITH "
+    + _TEXT_CTE
+    + """,
+szs AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+inter AS (
+    SELECT CAST(a.doc_id AS BIGINT) AS new_doc_id,
+           CAST(b.doc_id AS BIGINT) AS matched_old_id,
+           CAST(count(*) AS BIGINT) AS inter
+    FROM ex a JOIN ex b ON a.h = b.h
+    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    GROUP BY 1, 2
+)
+SELECT i.new_doc_id, i.matched_old_id, i.inter,
+       CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_sz,
+       CAST(1000000 * i.inter // (sa.n + sb.n - i.inter) AS BIGINT)
+           AS jaccard_ppm
+FROM inter i
+JOIN szs sa ON i.new_doc_id = sa.doc_id
+JOIN szs sb ON i.matched_old_id = sb.doc_id
+WHERE 3 * i.inter >= sa.n + sb.n
+"""
+)
+
+ORACLE_SQL["qd82_peel_chain"] = f"""
+WITH RECURSIVE peel AS (
+    SELECT CAST(tx_id AS BIGINT) AS tx_id,
+           CAST(inputs[1].spent_tx_id AS BIGINT) AS parent,
+           CAST(inputs[1].value AS BIGINT) AS in_value,
+           CAST(inputs[1].spent_index AS BIGINT) AS in_index,
+           CAST(list_sum(list_transform(outputs, o -> o.value)) AS BIGINT)
+               AS out_total
+    FROM read_parquet('{_FIXTURE_DIR}/raw_txs.parquet')
+    WHERE len(inputs) = 1 AND len(outputs) = 2
+),
+succ AS (
+    SELECT parent, tx_id AS child, in_value AS continued_value
+    FROM (
+        SELECT p.parent, p.tx_id, p.in_value,
+               row_number() OVER (PARTITION BY p.parent
+                   ORDER BY p.in_value DESC, p.in_index ASC) AS rn
+        FROM peel p JOIN peel q ON p.parent = q.tx_id
+    ) WHERE rn = 1
+),
+edges AS (
+    SELECT s.parent, s.child, pt.out_total - s.continued_value AS peeled
+    FROM succ s JOIN peel pt ON s.parent = pt.tx_id
+),
+heads AS (
+    -- anti-join, not EXCEPT: DuckDB rejects set ops other than UNION
+    -- inside a WITH RECURSIVE block
+    SELECT DISTINCT e.parent AS head FROM edges e
+    WHERE NOT EXISTS (SELECT 1 FROM edges c WHERE c.child = e.parent)
+),
+walk(head, node, dist, psum) AS (
+    SELECT head, head, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM heads
+    UNION ALL
+    SELECT w.head, e.child, w.dist + 1, w.psum + e.peeled
+    FROM walk w JOIN edges e ON e.parent = w.node
+),
+tails AS (
+    SELECT head, node, dist, psum,
+           row_number() OVER (PARTITION BY head ORDER BY dist DESC) AS rn
+    FROM walk
+)
+SELECT CAST(head AS BIGINT) AS head_tx,
+       CAST(dist + 1 AS BIGINT) AS chain_len,
+       CAST(node AS BIGINT) AS tail_tx,
+       CAST(psum AS BIGINT) AS peeled_total
+FROM tails WHERE rn = 1 AND dist >= 1
+"""
 
 # round-8: exact Cramer ridge — the determinants are reproduced in
 # HUGEINT (3x3 products of ~1e8-1e14 sums stay far under 1.7e38) and
