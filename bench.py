@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "q320_leakage_safe_split",
     "q321_incremental_neardup",
     "qd82_peel_chain",
+    "qd83_realized_cap",
+    "qd84_sopr",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
