@@ -93,6 +93,14 @@ FAMILIES = [
     "q316_corrupt_records",
     "q317_order_dependency",
     "q318_lateness_audit",
+    # round-9 wave: the incremental-dedup family. The BATCH is a fixed
+    # fraction of the corpus here (doc_id % 5), so these rows measure
+    # the whole-corpus worst case; in production the batch is constant-
+    # sized and the old side is a prebuilt index, so real incremental
+    # cost is batch-bound (the docstrings' contract).
+    "q319_incremental_dedup",
+    "q320_leakage_safe_split",
+    "q321_incremental_neardup",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -103,6 +111,12 @@ CHAIN_FAMILIES = [
     "qd77_address_lifetime",
     "qd80_utxo_survival",
     "qd81_dust_analysis",
+    # round-9 wave: path analysis + rate-weighted metrics on the
+    # 10x-denser chain (rates join is day-keyed — the rate table does
+    # not grow with density, exactly the broadcast-dim shape)
+    "qd82_peel_chain",
+    "qd83_realized_cap",
+    "qd84_sopr",
 ]
 
 
