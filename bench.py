@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "qd82_peel_chain",
     "qd83_realized_cap",
     "qd84_sopr",
+    "qd85_change_augmented_entities",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

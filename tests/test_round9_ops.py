@@ -118,3 +118,23 @@ def test_fellegi_null_semantics_documented_vs_behavior(spark):
     assert (r["key_a"], r["key_b"]) == (1, 2)
     assert r["agree_f1"] and r["agree_f2"]
     assert r["score"] == 17
+
+
+def test_change_augmented_entities_invariants(spark):
+    """Every augmented entity is a union of >= 1 co-spend parts and
+    the merged flag fires exactly when change evidence fused >= 2
+    parts (majority vote: >= 2 of the 3 heuristics name the same
+    output)."""
+    from graphsense_blocksci_spark.queries import (
+        qd85_change_augmented_entities,
+    )
+
+    rows = qd85_change_augmented_entities(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_cospend_parts"] <= r["n_addrs"]
+        assert r["merged_by_change"] == (r["n_cospend_parts"] > 1)
+    assert any(r["merged_by_change"] for r in rows), (
+        "fixture chain produces at least one majority change vote that "
+        "fuses two co-spend entities"
+    )

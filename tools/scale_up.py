@@ -117,6 +117,9 @@ CHAIN_FAMILIES = [
     "qd82_peel_chain",
     "qd83_realized_cap",
     "qd84_sopr",
+    # the change-augmented clustering: both edge families are O(inputs)
+    # projections; CC runs on the edge frame
+    "qd85_change_augmented_entities",
 ]
 
 
