@@ -138,3 +138,51 @@ def test_change_augmented_entities_invariants(spark):
         "fixture chain produces at least one majority change vote that "
         "fuses two co-spend entities"
     )
+
+
+def test_incremental_dedup_bucketed_index_join_no_index_shuffle(spark):
+    """q319's production contract made concrete: the corpus content-
+    hash index persisted as a Spark-bucketed table on the hash key
+    joins a same-bucketed batch WITHOUT an Exchange on either side —
+    the per-batch dedup probe never reshuffles the (huge) index."""
+    from graphsense_blocksci_spark.operators.textops import normalize_text
+    from graphsense_blocksci_spark.sources import write_spark_bucketed
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(normalize_text("text")).alias("h"),
+    )
+    old_idx = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("old_min"))
+    )
+    new_h = docs.filter(F.col("doc_id") % 5 == 0)
+    write_spark_bucketed(old_idx, "t_r9_old_idx", "h", n_buckets=8)
+    write_spark_bucketed(new_h, "t_r9_batch", "h", n_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx, batch = spark.table("t_r9_old_idx"), spark.table("t_r9_batch")
+        probed = batch.join(idx, "h", "left")
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # same dup_of_existing verdicts as the scan-based q319 path
+        got = {
+            r["doc_id"]
+            for r in probed.filter(F.col("old_min").isNotNull()).collect()
+        }
+        from graphsense_blocksci_spark.queries import q319_incremental_dedup
+
+        want = {
+            r["doc_id"]
+            for r in q319_incremental_dedup(spark, SF).collect()
+            if r["verdict"] == "dup_of_existing"
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS t_r9_old_idx")
+        spark.sql("DROP TABLE IF EXISTS t_r9_batch")
