@@ -120,6 +120,10 @@ CHAIN_FAMILIES = [
     # the change-augmented clustering: both edge families are O(inputs)
     # projections; CC runs on the edge frame
     "qd85_change_augmented_entities",
+    # round-10: the bucketed trailing-median rewrite — exactly the row
+    # that would have caught the corpus-sized unpartitioned window it
+    # replaces (VERDICT r9 item 4); 10x density exercises 32 buckets
+    "qd68_whale_transfers",
 ]
 
 
