@@ -216,6 +216,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs — the verify
     step. Output: (id_a, id_b, jaccard) for candidates with
@@ -224,8 +225,11 @@ def ngram_jaccard_pairs(
     The expensive exact measure runs ONLY on pairs LSH surfaced; the
     shingle sets are joined in by id (two hash joins on ids, both
     broadcast-able when the candidate set is small — the normal case).
+    `max_bucket` forwards to the LSH candidate stage: degenerate
+    (boilerplate-heavy) buckets above the cap are dropped before pair
+    enumeration, bounding candidate count at corpus scale.
     """
-    pairs = minhash_lsh_pairs(docs, text_col, id_col)
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, max_bucket=max_bucket)
     sets_ = shingle_hash_frame(docs, text_col, id_col).withColumnRenamed(
         "_sh", "sh"
     )

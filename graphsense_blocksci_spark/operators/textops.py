@@ -92,6 +92,15 @@ def hash28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+def hash60(col: Column) -> Column:
+    """60-bit deterministic hash of a string: first 15 hex chars of
+    md5, which fits a signed 64-bit long. Use for NODE IDENTITY at
+    scale (birthday bound ~2^30 keys before expected collisions, vs
+    ~2^14 for hash28 — a 28-bit id falsely merges distinct entities
+    once the address universe nears 2^28)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shingle_hashes(col: Column | str, k: int = SHINGLE_K) -> Column:
     """Distinct 28-bit hashes of the word k-grams.
 

@@ -470,12 +470,26 @@ def bench(spark, out_dir: str = OUT) -> dict:
 def main() -> None:
     from graphsense_blocksci_spark.session import get_spark
 
+    # --only name1,name2 filters both family lists so a changed query
+    # can be re-measured without the full battery (rows merge into
+    # BASELINE.md by name).
+    global FAMILIES, CHAIN_FAMILIES
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        FAMILIES = [n for n in FAMILIES if n in keep]
+        CHAIN_FAMILIES = [n for n in CHAIN_FAMILIES if n in keep]
+
     spark = get_spark(app_name="scale-up-spotcheck")
     if "--bench" in sys.argv:
-        build(spark)
-        out = bench(spark)
-        out.update(bench_chain_families(spark))
-        out.update(bench_streaming_index(spark))
+        import os
+
+        if not os.path.exists(f"{OUT}/documents.parquet"):
+            build(spark)
+        out = bench(spark) if FAMILIES else {}
+        if CHAIN_FAMILIES:
+            out.update(bench_chain_families(spark))
+        if "--only" not in sys.argv:
+            out.update(bench_streaming_index(spark))
         print(json.dumps(out, indent=2))
     elif "--bench-streaming" in sys.argv:
         print(json.dumps(bench_streaming_index(spark), indent=2))
