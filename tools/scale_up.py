@@ -101,6 +101,16 @@ FAMILIES = [
     "q319_incremental_dedup",
     "q320_leakage_safe_split",
     "q321_incremental_neardup",
+    # round-10 wave: the grouped Theil-Sen (pair frame is month-grain
+    # bounded — corpus touches only the first rollup, so the row should
+    # be ~linear-in-scan), the distributed-ntile RFM (three range
+    # shuffles over the customer rollup), the first-seen dedup monitor
+    # (one reused md5 shuffle), and the distinct-n diversity union
+    # (corpus-linear gram explode into one aggregate).
+    "q322_theil_sen",
+    "q323_rfm_segmentation",
+    "q324_dedup_influx_monitor",
+    "q325_ngram_diversity",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -124,6 +134,14 @@ CHAIN_FAMILIES = [
     # that would have caught the corpus-sized unpartitioned window it
     # replaces (VERDICT r9 item 4); 10x density exercises 32 buckets
     "qd68_whale_transfers",
+    # round-10 wave: velocity's only window is day-grain (constant in
+    # density); the band census is one linkage + one tiny rollup; the
+    # coinjoin audit's CC and the adjusted-volume CC run on edge
+    # frames that grow linearly with tx density.
+    "qd86_supply_velocity",
+    "qd87_balance_band_census",
+    "qd88_coinjoin_merge_audit",
+    "qd89_adjusted_volume",
 ]
 
 
