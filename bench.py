@@ -331,6 +331,15 @@ BENCH_QUERIES = [
     "qd83_realized_cap",
     "qd84_sopr",
     "qd85_change_augmented_entities",
+    # round-10 wave
+    "qd86_supply_velocity",
+    "qd87_balance_band_census",
+    "qd88_coinjoin_merge_audit",
+    "qd89_adjusted_volume",
+    "q322_theil_sen",
+    "q323_rfm_segmentation",
+    "q324_dedup_influx_monitor",
+    "q325_ngram_diversity",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
