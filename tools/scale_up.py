@@ -462,6 +462,14 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
         frame.write.mode("overwrite").parquet(path)
         print(f"# wrote {path}", file=sys.stderr)
 
+    # dimension tables don't scale with copies: at 10x the fact data a
+    # real warehouse still has 25 nations — copy them verbatim so dim
+    # joins (q322's nation rollup) resolve against the synth dir.
+    for name in ("nation", "region", "supplier"):
+        path = f"{out_dir}/{name}.parquet"
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(path)
+        print(f"# wrote {path} (verbatim dim)", file=sys.stderr)
+
 
 def bench(spark, out_dir: str = OUT) -> dict:
     from graphsense_blocksci_spark.queries import QUERIES
