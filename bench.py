@@ -340,6 +340,9 @@ BENCH_QUERIES = [
     "q323_rfm_segmentation",
     "q324_dedup_influx_monitor",
     "q325_ngram_diversity",
+    "qd90_address_type_migration",
+    "q326_mmr_rerank",
+    "q327_triplet_mining",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

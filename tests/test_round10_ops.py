@@ -277,3 +277,129 @@ def test_ngram_diversity_bounds(spark):
             assert r["total_ngrams"] == tok_counts[r["source"]]
     assert len({s for s, _ in seen}) == len(tok_counts)
     assert {n for _, n in seen} == {1, 2, 3}
+
+
+def _unit(vec):
+    s = 0.0
+    for x in vec:
+        x = float(x)
+        s = s + x * x
+    nrm = s ** 0.5
+    return [float(x) / nrm for x in vec]
+
+
+def _pydot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def test_mmr_rerank_vs_python_greedy(spark):
+    """Pure-Python greedy MMR from the same unit vectors — Python
+    floats are IEEE doubles and the loops reproduce the fixed-order
+    folds, so equality is exact, not approximate."""
+    from graphsense_blocksci_spark.queries import q326_mmr_rerank
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    got = {
+        (r["vec_id"], r["mmr_rank"]): (r["neighbor_id"], r["rel"], r["mmr_score"])
+        for r in q326_mmr_rerank(spark, SF).collect()
+    }
+    vecs = {
+        r["vec_id"]: _unit(r["embedding"])
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    want = {}
+    for q in [i for i in sorted(vecs) if i % 100 == 0]:
+        rels = sorted(
+            ((-_pydot(vecs[q], vecs[n]), n) for n in vecs if n != q),
+        )[:10]
+        cand = {n: -negrel for negrel, n in rels}
+        sel = []
+        first = min(cand, key=lambda n: (-cand[n], n))
+        sel.append(first)
+        want[(q, 1)] = (first, cand[first], cand[first])
+        for r in range(2, 6):
+            best = None
+            for n in cand:
+                if n in sel:
+                    continue
+                maxsim = max(_pydot(vecs[n], vecs[s]) for s in sel)
+                score = 0.7 * cand[n] - 0.3 * maxsim
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, score)
+            sel.append(best[1])
+            want[(q, r)] = (best[1], cand[best[1]], best[2])
+    assert got == want
+
+
+def test_triplet_mining_vs_python(spark):
+    """Hardest positive / hardest negative recomputed in Python from
+    the same unit vectors; exact double equality."""
+    from graphsense_blocksci_spark.queries import q327_triplet_mining
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    got = {
+        r["vec_id"]: (
+            r["pos_id"], r["pos_sim"], r["neg_id"], r["neg_sim"],
+            r["margin_violation"],
+        )
+        for r in q327_triplet_mining(spark, SF).collect()
+    }
+    rows = load_table(spark, SF, "embeddings").collect()
+    vecs = {r["vec_id"]: _unit(r["embedding"]) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    want = {}
+    for a in vecs:
+        pos = [
+            (_pydot(vecs[a], vecs[b]), b)
+            for b in vecs
+            if b != a and labels[b] == labels[a]
+        ]
+        neg = [
+            (_pydot(vecs[a], vecs[b]), b)
+            for b in vecs
+            if b != a and labels[b] != labels[a]
+        ]
+        if not pos or not neg:
+            continue
+        ps, pid = min(pos, key=lambda t: (t[0], t[1]))
+        ns, nid = max(neg, key=lambda t: (t[0], -t[1]))
+        want[a] = (pid, ps, nid, ns, ns + 0.2 > ps)
+    assert got == want
+
+
+def test_address_type_migration_vs_python(spark):
+    """Full per-tx proportional-attribution recompute: per-type input
+    and output sums, flow = out_d * in_s // total_in, matrix rollup."""
+    from graphsense_blocksci_spark.queries import (
+        _fixture_frames,
+        qd90_address_type_migration,
+    )
+
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n_txs"], r["total_flow"])
+        for r in qd90_address_type_migration(spark, SF).collect()
+    }
+    _, raw_txs, _ = _fixture_frames(spark)
+    txs = raw_txs.filter(~F.col("coinbase")).select(
+        "tx_id", "inputs", "outputs"
+    ).collect()
+    agg: dict[tuple[int, int], list[int]] = {}
+    for t in txs:
+        ins: dict[int, int] = {}
+        for i in t["inputs"]:
+            ins[i["address_type"]] = ins.get(i["address_type"], 0) + i["value"]
+        outs: dict[int, int] = {}
+        for o in t["outputs"]:
+            outs[o["address_type"]] = outs.get(o["address_type"], 0) + o["value"]
+        total_in = sum(ins.values())
+        for s, iv in ins.items():
+            for d, ov in outs.items():
+                cur = agg.setdefault((s, d), [set(), 0])
+                cur[0].add(t["tx_id"])
+                cur[1] += ov * iv // total_in
+    want = {k: (len(v[0]), v[1]) for k, v in agg.items()}
+    assert got == want

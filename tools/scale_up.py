@@ -111,6 +111,12 @@ FAMILIES = [
     "q323_rfm_segmentation",
     "q324_dedup_influx_monitor",
     "q325_ngram_diversity",
+    # round-10 second wave: MMR's selection rounds run over bounded
+    # candidate frames (the corpus appears once, in the relevance
+    # scan); triplet mining is the quadratic baseline scan — both
+    # measure the corpus-side scan growth.
+    "q326_mmr_rerank",
+    "q327_triplet_mining",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -142,6 +148,9 @@ CHAIN_FAMILIES = [
     "qd87_balance_band_census",
     "qd88_coinjoin_merge_audit",
     "qd89_adjusted_volume",
+    # type-migration matrix: per-tx per-TYPE rollups before pairing,
+    # pair fan-out |types|^2 per tx
+    "qd90_address_type_migration",
 ]
 
 
