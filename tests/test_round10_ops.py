@@ -403,3 +403,22 @@ def test_address_type_migration_vs_python(spark):
                 cur[1] += ov * iv // total_in
     want = {k: (len(v[0]), v[1]) for k, v in agg.items()}
     assert got == want
+
+
+def test_streaming_dedup_rate_equals_batch_monitor(spark):
+    """qd91's five-micro-batch incremental fold must reproduce q324's
+    whole-corpus monitor row for row — the twin-equality contract."""
+    from graphsense_blocksci_spark.queries import (
+        q324_dedup_influx_monitor,
+        qd91_streaming_dedup_rate,
+    )
+
+    batch = {
+        r["day"]: (r["n_docs"], r["n_dups"], r["n_first_seen"], r["dup_ppm"])
+        for r in q324_dedup_influx_monitor(spark, SF).collect()
+    }
+    stream = {
+        r["day"]: (r["n_docs"], r["n_dups"], r["n_first_seen"], r["dup_ppm"])
+        for r in qd91_streaming_dedup_rate(spark, SF).collect()
+    }
+    assert stream == batch
