@@ -336,8 +336,8 @@ def test_mmr_rerank_vs_python_greedy(spark):
 
 
 def test_triplet_mining_vs_python(spark):
-    """Hardest positive / hardest negative recomputed in Python from
-    the same unit vectors; exact double equality."""
+    """Within-batch hardest positive / hardest negative recomputed in
+    Python from the same unit vectors; exact double equality."""
     from graphsense_blocksci_spark.queries import q327_triplet_mining
     from graphsense_blocksci_spark.sources.tables import load_table
 
@@ -353,14 +353,15 @@ def test_triplet_mining_vs_python(spark):
     labels = {r["vec_id"]: r["label"] for r in rows}
     want = {}
     for a in vecs:
+        batch = [b for b in vecs if b // 256 == a // 256]
         pos = [
             (_pydot(vecs[a], vecs[b]), b)
-            for b in vecs
+            for b in batch
             if b != a and labels[b] == labels[a]
         ]
         neg = [
             (_pydot(vecs[a], vecs[b]), b)
-            for b in vecs
+            for b in batch
             if b != a and labels[b] != labels[a]
         ]
         if not pos or not neg:
