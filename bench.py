@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "qd90_address_type_migration",
     "q326_mmr_rerank",
     "q327_triplet_mining",
+    "q328_conformal_intervals",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -423,3 +423,60 @@ def test_streaming_dedup_rate_equals_batch_monitor(spark):
         for r in qd91_streaming_dedup_rate(spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_conformal_intervals_vs_python(spark):
+    """q_hat must be the exact k-th smallest calibration residual with
+    k = ceil(0.9*(n_cal+1)) clamped to n_cal, and coverage the exact
+    test-split count — recomputed in Python from the same split."""
+    import hashlib
+
+    from graphsense_blocksci_spark.queries import (
+        _cents,
+        q328_conformal_intervals,
+    )
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    got = {
+        r["n_name"]: (
+            r["n_train"], r["n_cal"], r["n_test"], r["pred"], r["q_hat"],
+            r["n_covered"], r["coverage_ppm"],
+        )
+        for r in q328_conformal_intervals(spark, SF).collect()
+    }
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_orderkey", _cents("o_totalprice").alias("y"))
+        .collect()
+    )
+    per: dict[str, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        bkt = int(hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:4], 16) % 4
+        per.setdefault(r["n_name"], []).append((bkt, r["o_orderkey"], r["y"]))
+    want = {}
+    for name, items in per.items():
+        train = sorted(y for b, _, y in items if b <= 1)
+        calr = [(b, k, y) for b, k, y in items if b == 2]
+        test = [y for b, _, y in items if b == 3]
+        if not train or not calr or not test:
+            continue
+        # quantile_cont(0.5) == linear-interpolated median
+        m = len(train)
+        if m % 2:
+            pred = float(train[m // 2])
+        else:
+            pred = (train[m // 2 - 1] + train[m // 2]) / 2.0
+        res = sorted((abs(y - pred), k) for _, k, y in calr)
+        n_cal = len(res)
+        k = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+        q_hat = res[k - 1][0]
+        covered = sum(1 for y in test if abs(y - pred) <= q_hat)
+        want[name] = (
+            len(train), n_cal, len(test), pred, q_hat,
+            covered, covered * 1_000_000 // len(test),
+        )
+    assert got == want

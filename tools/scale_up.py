@@ -117,6 +117,8 @@ FAMILIES = [
     # measure the corpus-side scan growth.
     "q326_mmr_rerank",
     "q327_triplet_mining",
+    # split-conformal: aggregates + one nation-keyed cal-split window
+    "q328_conformal_intervals",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
