@@ -400,6 +400,132 @@ def cosine_topk_ivf(
     )
 
 
+def cosine_topk_ivf_exact(
+    vectors: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+    seed: int = 42,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """EXACT top-k cosine via IVF with residual-radius bound pruning —
+    the scale path that keeps brute-force semantics.
+
+    For unit vectors q, x and x's (unit) cell centroid c, Cauchy-Schwarz
+    gives ``dot(q,x) = dot(q,c) + dot(q, x-c) <= dot(q,c) + |x-c|``, and
+    for unit x, ``|x-c|^2 = 2 - 2*dot(x,c)``. So each cell j carries one
+    number — its max member residual ``radius_j`` — and ``dot(q,c_j) +
+    radius_j`` upper-bounds every member's similarity. Two phases:
+    (1) probe the ``n_probe`` best cells per query and take the
+    provisional k-th best score tau_q; (2) scan ONLY the remaining cells
+    whose bound clears tau_q (>= keeps ties; queries with fewer than k
+    phase-1 candidates scan everything via tau = -2 < any bound). Any
+    true top-k member outside the probed cells lives in a cell whose
+    bound >= its score >= tau_q, so it is scanned — the result is
+    CELL-IDENTICAL to cosine_topk_bruteforce: final scores come from the
+    same fixed-order ``dot(unit_vector, unit_vector)`` JVM fold; the
+    bound (NumPy-trained centroids, float arithmetic) only decides which
+    pairs get scored, with ``eps`` absorbing last-bit rounding in the
+    bound itself.
+
+    Scale shape: the corpus is scanned once for assignment (m literal
+    dot-folds per row, m = n_centroids), the cell stats frame is m rows
+    (broadcast), and candidate scoring joins on cell id — never a corpus
+    cross join; phase-2 volume adapts to how well the quantizer fits.
+    Output schema matches the brute-force variant.
+    """
+    import numpy as np
+
+    if queries is None:
+        queries = vectors
+    C = _train_centroids(vectors, n_centroids, id_col, vec_col, seed=seed)
+    C = np.asarray(C, dtype=np.float64)
+    m = len(C)
+    cent_lits = [
+        F.array(*[F.lit(float(x)) for x in C[j]]) for j in range(m)
+    ]
+
+    def cell_dots(ucol: Column) -> Column:
+        return F.array(*[dot(ucol, cent_lits[j]) for j in range(m)])
+
+    corpus = vectors.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("_cv"),
+    ).withColumn("_cd", cell_dots(F.col("_cv")))
+    # nearest centroid (ties -> lowest cell index via array_position)
+    corpus = (
+        corpus.withColumn("_best", F.array_max("_cd"))
+        .withColumn(
+            "cell", (F.array_position("_cd", F.col("_best")) - 1).cast("int")
+        )
+        .withColumn(
+            "_resid",
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * F.col("_best"))),
+        )
+        .select("neighbor_id", "_cv", "cell", "_resid")
+        .localCheckpoint(eager=False)
+    )
+    cells = corpus.groupBy("cell").agg(F.max("_resid").alias("radius"))
+
+    qs = queries.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        unit_vector(F.col(vec_col)).alias("_qv"),
+    ).localCheckpoint(eager=False)
+    wprobe = Window.partitionBy("vec_id").orderBy(F.desc("dq"), F.asc("cell"))
+    qcells = (
+        qs.select(
+            "vec_id", F.posexplode(cell_dots(F.col("_qv"))).alias("cell", "dq")
+        )
+        .withColumn("prank", F.row_number().over(wprobe))
+        .localCheckpoint(eager=False)
+    )
+
+    def score(cell_pairs: DataFrame) -> DataFrame:
+        return (
+            cell_pairs.join(corpus, "cell")
+            .join(qs, "vec_id")
+            .filter(F.col("vec_id") != F.col("neighbor_id"))
+            .select(
+                "vec_id",
+                "neighbor_id",
+                dot(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            )
+        )
+
+    phase1 = score(
+        qcells.filter(F.col("prank") <= n_probe).select("vec_id", "cell")
+    ).localCheckpoint(eager=False)
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    tau = (
+        phase1.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") == k)
+        .select("vec_id", F.col("cos_sim").alias("tau"))
+    )
+    survivors = (
+        qcells.filter(F.col("prank") > n_probe)
+        .join(F.broadcast(cells), "cell")
+        .join(tau, "vec_id", "left")
+        .filter(
+            F.col("dq") + F.col("radius") + F.lit(eps)
+            >= F.coalesce(F.col("tau"), F.lit(-2.0))
+        )
+        .select("vec_id", "cell")
+    )
+    scored = phase1.unionByName(score(survivors))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
+    )
+
+
 def _train_pq_codebooks(
     vectors: DataFrame,
     n_subspaces: int,
