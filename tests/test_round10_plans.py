@@ -40,6 +40,42 @@ def test_q327_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q326_no_corpus_crossjoin(spark):
+    """The MMR candidate stage rides cosine_topk_ivf_exact (VERDICT
+    r10 item 2): queries meet the corpus only inside bound-surviving
+    IVF cells (equi join on cell id), so the executed plan must carry
+    no CartesianProduct and no BroadcastNestedLoopJoin anywhere —
+    the quadratic queries x corpus relevance scan is gone."""
+    from graphsense_blocksci_spark.queries import q326_mmr_rerank
+
+    plan = _executed_plan(q326_mmr_rerank(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_exact_matches_bruteforce(spark):
+    """cosine_topk_ivf_exact is cell-identical to brute force — same
+    (neighbor_id, rank) rows and bitwise-equal cos_sim — because the
+    residual-radius bound only prunes pairs that provably cannot
+    reach the top-k and final scores use the same fixed-order fold."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_exact,
+    )
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    cols = ["vec_id", "rank", "neighbor_id", "cos_sim"]
+    bf = sorted(map(tuple, cosine_topk_bruteforce(emb, k=10, queries=qs)
+                    .select(cols).collect()))
+    iv = sorted(map(tuple, cosine_topk_ivf_exact(emb, k=10, queries=qs)
+                    .select(cols).collect()))
+    assert bf == iv
+
+
 def test_q322_pair_window_is_nation_partitioned(spark):
     """The Theil-Sen rank window partitions on n_name (month-grain
     bounded pair frame), never globally."""
