@@ -1341,6 +1341,126 @@ def betweenness_sampled(
     )
 
 
+def betweenness_pair_counting(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+) -> DataFrame:
+    """Hop-bounded sampled betweenness via the PAIR-COUNTING identity —
+    the oracle-exact twin of ``betweenness_sampled``. Brandes'
+    recursive float accumulation telescopes to
+
+        betweenness(v) = Σ over (s, t):  σ_sv · P_vt / σ_st
+
+    where P_vt counts the shortest-path-DAG paths v→t (every shortest
+    s→t path through v is a shortest s→v path × a DAG v→t path), so
+    EVERYTHING is exact integer arithmetic until one division per
+    DISTINCT denominator: numerators group by (v, σ_st) into exact
+    LONG sums, and the final per-node value is a fixed-order
+    left-associated double fold over the ≤|distinct σ| quotients
+    sorted by denominator — bit-reproducible and SQL-mirrorable
+    (DuckDB ``list(x ORDER BY denom)`` + ``list_reduce``), unlike the
+    level-by-level float recursion whose sum order is plan-dependent.
+
+    Scale shape: the P frame is (source, v, t) pairs inside the
+    hop-truncated DAG — bounded by |seeds| × (reachable set)², the
+    estimator's dial, and strictly hop-bounded; max_hops−1 self-joins
+    of the DAG edge frame build it. Numerator sums can reach
+    σ² · paths — LONG is ample at sampled-source scale; lift to
+    DECIMAL(38,0) for adversarially dense DAGs.
+
+    Returns (node, betweenness, n_sources) like betweenness_sampled.
+    """
+    paths = bfs_path_counts(edges, seeds, max_hops, src, dst, id_col)
+    sp = paths.localCheckpoint(eager=True)
+    e = edges.select(
+        F.col(src).cast("long").alias("_src"),
+        F.col(dst).cast("long").alias("_dst"),
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    dag = (
+        a.join(e, F.col("a.node") == F.col("_src"))
+        .join(
+            b,
+            (F.col("b.source") == F.col("a.source"))
+            & (F.col("b.node") == F.col("_dst"))
+            & (F.col("b.dist") == F.col("a.dist") + 1),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.node").alias("u"),
+            F.col("b.node").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    p1 = dag.select(
+        "source",
+        F.col("u").alias("v"),
+        F.col("w").alias("t"),
+        F.lit(1).cast("long").alias("p"),
+    )
+    acc, cur = p1, p1
+    for _ in range(max_hops - 1):
+        cur = (
+            dag.join(
+                cur.select(
+                    F.col("source").alias("_s"),
+                    F.col("v").alias("_v"),
+                    "t",
+                    "p",
+                ),
+                (F.col("source") == F.col("_s")) & (F.col("w") == F.col("_v")),
+            )
+            .select("source", F.col("u").alias("v"), "t", "p")
+        )
+        acc = acc.unionByName(cur)
+    pall = acc.groupBy("source", "v", "t").agg(
+        F.sum("p").cast("long").alias("p")
+    )
+    sv = sp.select("source", F.col("node").alias("v"), F.col("sigma").alias("_sv"))
+    st = sp.select("source", F.col("node").alias("t"), F.col("sigma").alias("denom"))
+    terms = (
+        pall.filter(F.col("v") != F.col("source"))
+        .join(sv, ["source", "v"])
+        .join(st, ["source", "t"])
+        .select(
+            F.col("v").alias("node"),
+            (F.col("_sv") * F.col("p")).cast("long").alias("num"),
+            "denom",
+        )
+    )
+    folded = (
+        terms.groupBy("node", "denom")
+        .agg(F.sum("num").cast("long").alias("s"))
+        .groupBy("node")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("denom", "s"))),
+                F.lit(0.0),
+                lambda a_, x: a_
+                + x["s"].cast("double") / x["denom"].cast("double"),
+            ).alias("betweenness")
+        )
+    )
+    n_sources = (
+        seeds.select(F.col(id_col).cast("long").alias("s")).distinct().count()
+    )
+    return (
+        sp.filter(F.col("node") != F.col("source"))
+        .select("node")
+        .distinct()
+        .join(folded, "node", "left")
+        .select(
+            "node",
+            F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"),
+            F.lit(n_sources).cast("long").alias("n_sources"),
+        )
+    )
+
+
 def minimum_spanning_forest(
     edges: DataFrame,
     src: str = "src",

@@ -377,3 +377,38 @@ def test_betweenness_matches_python_reference(spark):
         assert got[k] == _pt.approx(want[k], abs=1e-9)
     # the diamond midpoint 4 must dominate
     assert got[4] == max(got.values())
+
+
+def test_betweenness_pair_counting_matches_brandes(spark):
+    """The oracle-exact pair-counting identity (q169's round-11 path)
+    agrees with both the pure-Python Brandes reference and the
+    level-accumulation operator to 1e-9 on the same graph — the
+    telescoped Σ σ_sv·P_vt/σ_st really is the same quantity."""
+    import pytest as _pt
+
+    from graphsense_blocksci_spark.operators.graph import (
+        betweenness_pair_counting,
+        betweenness_sampled,
+    )
+
+    edges = [
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 7), (6, 7),
+        (7, 8), (9, 1),
+    ]
+    nodes = sorted({x for e_ in edges for x in e_})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(n,) for n in nodes], "node long")
+    got = {
+        r.node: r.betweenness
+        for r in betweenness_pair_counting(e, seeds, max_hops=4).collect()
+    }
+    want = _brandes_ref(edges, nodes, max_hops=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == _pt.approx(want[k], abs=1e-9)
+    twin = {
+        r.node: r.betweenness
+        for r in betweenness_sampled(e, seeds, max_hops=4).collect()
+    }
+    for k in twin:
+        assert got[k] == _pt.approx(twin[k], abs=1e-9)
