@@ -16,6 +16,58 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_qd92_no_interval_cross_join(spark):
+    """HODL waves must build the daily series from banded delta
+    events + a day-grain running sum — never the day × UTXO interval
+    join the oracle uses. The only nested-loop joins allowed are the
+    repo's 1-row scalar-broadcast pattern (the horizon min/max frame
+    and the 4-row band-name frame): no CartesianProduct, and no BNLJ
+    may join two non-aggregate sides (every BNLJ build side must be
+    an aggregate-derived or literal frame)."""
+    from graphsense_blocksci_spark.queries import qd92_hodl_waves
+
+    df = qd92_hodl_waves(spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # walk the tree: every BNLJ's build (right) side must be a tiny
+    # bounded frame — a HashAggregate (the 1-row horizon min/max) or
+    # a LocalTableScan (the literal band list)
+    jplan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        name = node.nodeName()
+        if "BroadcastNestedLoopJoin" in name:
+            right = node.children().last()
+            rs = right.toString()
+            assert (
+                "HashAggregate" in rs or "LocalTableScan" in rs
+            ), f"BNLJ over a non-bounded side:\n{rs[:500]}"
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(jplan)
+
+
+def test_q330_first_occurrence_window_partitions_on_hash(spark):
+    """Paragraph dedup's first-occurrence window partitions on the
+    uniform md5 paragraph hash — no single-partition funnel."""
+    from graphsense_blocksci_spark.queries import q330_paragraph_dedup
+
+    plan = _executed_plan(q330_paragraph_dedup(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q329_pii_scan_is_projection_only(spark):
+    """The PII scan must be pure JVM projections into one hash
+    aggregate: no join, no window, no UDF in the plan."""
+    from graphsense_blocksci_spark.queries import q329_pii_redaction
+
+    plan = _executed_plan(q329_pii_redaction(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_q323_three_global_rank_passes_end_to_end(spark, monkeypatch):
     """q323 must rank via EXACTLY three global_rank invocations (one
     per RFM metric), and each invocation's pre-checkpoint rank stage —
