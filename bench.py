@@ -344,6 +344,15 @@ BENCH_QUERIES = [
     "q326_mmr_rerank",
     "q327_triplet_mining",
     "q328_conformal_intervals",
+    # round-11 wave (qd94 streaming PII monitor is gate-only per the
+    # qd91 staging convention; q329's batch scan carries the signal)
+    "q329_pii_redaction",
+    "q330_paragraph_dedup",
+    "q331_seasonal_backtest",
+    "q332_winsorized_stats",
+    "q333_unpivot_melt",
+    "qd92_hodl_waves",
+    "qd93_fee_market",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

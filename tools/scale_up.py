@@ -119,6 +119,16 @@ FAMILIES = [
     "q327_triplet_mining",
     # split-conformal: aggregates + one nation-keyed cal-split window
     "q328_conformal_intervals",
+    # round-11 wave: the PII scan is projection-only into a 5-key
+    # rollup; paragraph dedup is one hash-partitioned window over the
+    # chunk explode; the backtest and winsorized stats run on
+    # nation-bounded frames after one corpus rollup; the melt is one
+    # rollup + a Generate.
+    "q329_pii_redaction",
+    "q330_paragraph_dedup",
+    "q331_seasonal_backtest",
+    "q332_winsorized_stats",
+    "q333_unpivot_melt",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -153,6 +163,12 @@ CHAIN_FAMILIES = [
     # type-migration matrix: per-tx per-TYPE rollups before pairing,
     # pair fan-out |types|^2 per tx
     "qd90_address_type_migration",
+    # round-11 wave: HODL waves emit <=2 delta events per band per
+    # output (never a day x UTXO join); the fee market is per-row
+    # array folds + block-bounded rank windows. qd94 streaming PII is
+    # gate-only per the staging convention (qd91's rule).
+    "qd92_hodl_waves",
+    "qd93_fee_market",
 ]
 
 
