@@ -352,7 +352,10 @@ BENCH_QUERIES = [
     "q332_winsorized_stats",
     "q333_unpivot_melt",
     "qd92_hodl_waves",
-    "qd93_fee_market",
+    "qd93_spend_age_flow",
+    "q334_integrity_audit",
+    "q335_embedding_outliers",
+    "qd95_address_reuse",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -129,6 +129,11 @@ FAMILIES = [
     "q331_seasonal_backtest",
     "q332_winsorized_stats",
     "q333_unpivot_melt",
+    # round-11 second wave: the integrity audit is 8 anti-join /
+    # dup-group counts; the outlier audit is one broadcast-assign scan
+    # + a k-bounded window.
+    "q334_integrity_audit",
+    "q335_embedding_outliers",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -164,11 +169,13 @@ CHAIN_FAMILIES = [
     # pair fan-out |types|^2 per tx
     "qd90_address_type_migration",
     # round-11 wave: HODL waves emit <=2 delta events per band per
-    # output (never a day x UTXO join); the fee market is per-row
-    # array folds + block-bounded rank windows. qd94 streaming PII is
+    # output (never a day x UTXO join); the spend-age flow is one
+    # linkage join + a banded day rollup. qd94 streaming PII is
     # gate-only per the staging convention (qd91's rule).
     "qd92_hodl_waves",
-    "qd93_fee_market",
+    "qd93_spend_age_flow",
+    # address reuse: one explode + one min rollup + one co-keyed join
+    "qd95_address_reuse",
 ]
 
 
