@@ -68,6 +68,40 @@ def test_q329_pii_scan_is_projection_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_q335_rank_rides_global_rank_not_cluster_window(spark, monkeypatch):
+    """q335's per-cluster p90 rank must come from ONE global_rank pass
+    over the composite (cluster_id, dist_sq, vec_id) order — a
+    cluster_id-partitioned window would make k=10 corpus/10-sized
+    single-task partitions (the qd68 trap). Same spy walk as q323's."""
+    from graphsense_blocksci_spark.operators import windows as W
+
+    calls = []
+    orig = W.global_rank
+
+    def spy(df, order_cols, rank_col="rank", num_partitions=32):
+        cols = list(order_cols)
+        staged = (
+            df.repartitionByRange(num_partitions, *cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_lrk",
+                F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)),
+            )
+        )
+        calls.append((tuple(cols), _executed_plan(staged)))
+        return orig(df, order_cols, rank_col, num_partitions)
+
+    monkeypatch.setattr(W, "global_rank", spy)
+    from graphsense_blocksci_spark.queries import q335_embedding_outliers
+
+    assert q335_embedding_outliers(spark, SF).count() > 0
+    assert len(calls) == 1
+    cols, plan = calls[0]
+    assert cols == ("cluster_id", "dist_sq", "vec_id")
+    assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_q323_three_global_rank_passes_end_to_end(spark, monkeypatch):
     """q323 must rank via EXACTLY three global_rank invocations (one
     per RFM metric), and each invocation's pre-checkpoint rank stage —
