@@ -134,6 +134,15 @@ FAMILIES = [
     # + a k-bounded window.
     "q334_integrity_audit",
     "q335_embedding_outliers",
+    # round-11 wave 3: ANOVA/Gini/l-diversity are one-pass suffstat
+    # rollups; grid-density's CC runs on the bounded CELL frame (the
+    # corpus only feeds the cell assignment and the final count); DTW
+    # pairs the 25-row profile frame, so only the profile scan grows.
+    "q336_anova_f",
+    "q337_gini_gain",
+    "q338_l_diversity",
+    "q339_grid_density_clusters",
+    "q340_dtw_profiles",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -176,6 +185,9 @@ CHAIN_FAMILIES = [
     "qd93_spend_age_flow",
     # address reuse: one explode + one min rollup + one co-keyed join
     "qd95_address_reuse",
+    # link prediction: pair fan-out bounded by the payer degree cap
+    # (<=1024 pairs per payer); 10x density = 10x payers, flat cap
+    "qd96_payee_link_prediction",
 ]
 
 
