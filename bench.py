@@ -362,6 +362,9 @@ BENCH_QUERIES = [
     "q339_grid_density_clusters",
     "q340_dtw_profiles",
     "qd96_payee_link_prediction",
+    "q341_holt_forecast",
+    "q342_shapley_attribution",
+    "q343_image_dedup_groups",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -143,6 +143,12 @@ FAMILIES = [
     "q338_l_diversity",
     "q339_grid_density_clusters",
     "q340_dtw_profiles",
+    # wave 4: Holt folds a 25-row series frame; Shapley is one
+    # user-keyed rollup + an 8-row lattice; image dedup pairs run on
+    # the DISTINCT-hash frame after exact-dup pre-collapse.
+    "q341_holt_forecast",
+    "q342_shapley_attribution",
+    "q343_image_dedup_groups",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
