@@ -365,6 +365,7 @@ BENCH_QUERIES = [
     "q341_holt_forecast",
     "q342_shapley_attribution",
     "q343_image_dedup_groups",
+    "q344_kcenter_seeds",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -571,3 +571,84 @@ def test_q343_pair_join_runs_on_distinct_hashes(spark):
 
     plan = _executed_plan(q343_image_dedup_groups(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q344 — greedy k-center seeds
+# ---------------------------------------------------------------------------
+
+
+def test_q344_matches_python_gonzalez(spark):
+    from graphsense_blocksci_spark.queries import q344_kcenter_seeds
+
+    got = [
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in sorted(
+            q344_kcenter_seeds(spark, SF).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    con = duckdb.connect()
+    vecs = {
+        vid: [float(x) for x in e]
+        for vid, e in con.sql(
+            f"SELECT vec_id, list_transform(embedding,"
+            f" x -> CAST(x AS DOUBLE)) FROM"
+            f" read_parquet('{SF}/embeddings.parquet')"
+        ).fetchall()
+    }
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    centers = [min(vecs)]
+    expected = [(1, centers[0], 0.0)]
+    for t in range(2, 9):
+        best = None
+        for vid in sorted(vecs):
+            dm = min(d2(vecs[vid], vecs[c]) for c in centers)
+            if best is None or dm > best[1]:
+                best = (vid, dm)
+        centers.append(best[0])
+        expected.append((t, best[0], best[1]))
+    assert got == expected
+
+
+def test_q344_farthest_first_monotone(spark):
+    """Gonzalez invariant: the selection radii are non-increasing
+    from rank 2 on (each new center is the farthest remaining point
+    from a growing center set)."""
+    from graphsense_blocksci_spark.queries import q344_kcenter_seeds
+
+    rows = sorted(
+        q344_kcenter_seeds(spark, SF).collect(), key=lambda r: r["rank"]
+    )
+    radii = [r["dist_sq"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+# ---------------------------------------------------------------------------
+# qd97 — streaming reuse monitor ≡ qd95 batch curve
+# ---------------------------------------------------------------------------
+
+
+def test_qd97_equals_batch_reuse_curve(spark):
+    """The incremental fold must reproduce qd95's whole-chain curve
+    cell-for-cell (the qd91 twin contract, checked directly here in
+    addition to the shared oracle)."""
+    from graphsense_blocksci_spark.queries import (
+        qd95_address_reuse,
+        qd97_streaming_reuse_monitor,
+    )
+
+    batch = {
+        r["day"]: (r["n_outputs"], r["n_reused"], r["reuse_ppm"])
+        for r in qd95_address_reuse(spark, SF).collect()
+    }
+    stream = {
+        r["day"]: (r["n_outputs"], r["n_reused"], r["reuse_ppm"])
+        for r in qd97_streaming_reuse_monitor(spark, SF).collect()
+    }
+    assert stream == batch

@@ -149,6 +149,10 @@ FAMILIES = [
     "q341_holt_forecast",
     "q342_shapley_attribution",
     "q343_image_dedup_groups",
+    # k-center: k-1 zero-shuffle corpus scans + TakeOrdered(1) each;
+    # qd97 streaming reuse is gate-only per the qd91/qd94 staging
+    # convention (qd95 carries the timing signal for the same scan)
+    "q344_kcenter_seeds",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
