@@ -366,6 +366,8 @@ BENCH_QUERIES = [
     "q342_shapley_attribution",
     "q343_image_dedup_groups",
     "q344_kcenter_seeds",
+    "q345_cluster_labeling",
+    "qd98_intrablock_chains",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

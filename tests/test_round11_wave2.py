@@ -652,3 +652,117 @@ def test_qd97_equals_batch_reuse_curve(spark):
         for r in qd97_streaming_reuse_monitor(spark, SF).collect()
     }
     assert stream == batch
+
+
+# ---------------------------------------------------------------------------
+# q345 — cluster labeling
+# ---------------------------------------------------------------------------
+
+
+def test_q345_lift_math_and_rank(spark):
+    """Recompute the lift ppm in pure Python from the collected
+    (cluster, token) counts and re-derive the top-5 per cluster."""
+    from graphsense_blocksci_spark.operators.clustering import (
+        kmeans_assign,
+        seed_centroids,
+    )
+    from graphsense_blocksci_spark.operators.textops import tokens as _tk
+    from graphsense_blocksci_spark.queries import q345_cluster_labeling
+    from graphsense_blocksci_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r["cluster_id"], r["rank"], r["token"], r["tf_c"], r["lift_ppm"])
+        for r in q345_cluster_labeling(spark, SF).collect()
+    )
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(emb, seed_centroids(emb, k=10)).collect()
+    }
+    tok_rows = docs.select(
+        F.col("doc_id").cast("long").alias("d"),
+        F.explode(_tk("text")).alias("t"),
+    ).collect()
+    ct: dict[tuple, int] = {}
+    for r in tok_rows:
+        c = assign.get(r["d"])
+        if c is None:
+            continue
+        ct[(c, r["t"])] = ct.get((c, r["t"]), 0) + 1
+    tok_c: dict[int, int] = {}
+    tf_all: dict[str, int] = {}
+    for (c, t), n in ct.items():
+        tok_c[c] = tok_c.get(c, 0) + n
+        tf_all[t] = tf_all.get(t, 0) + n
+    tt = sum(tf_all.values())
+    per_cluster: dict[int, list] = {}
+    for (c, t), n in ct.items():
+        lift = n * tt * 1000000 // (tok_c[c] * tf_all[t])
+        per_cluster.setdefault(c, []).append((-lift, -n, t))
+    expected = []
+    for c, rows in per_cluster.items():
+        rows.sort()
+        for i, (nl, nn, t) in enumerate(rows[:5]):
+            expected.append((c, i + 1, t, -nn, -nl))
+    assert got == sorted(expected)
+
+
+# ---------------------------------------------------------------------------
+# qd98 — intra-block dependency chains
+# ---------------------------------------------------------------------------
+
+
+def test_qd98_matches_python_longest_path(spark, fixture_dir):
+    from graphsense_blocksci_spark.queries import qd98_intrablock_chains
+
+    got = {
+        r["block_id"]: (r["n_txs"], r["n_chained"], r["max_depth"])
+        for r in qd98_intrablock_chains(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    txs = con.sql(
+        f"""
+        SELECT tx_id, block_id, coinbase,
+               list_transform(inputs, i -> i.spent_tx_id)
+        FROM read_parquet('{fixture_dir}/raw_txs.parquet')
+        """
+    ).fetchall()
+    block_of = {t: b for t, b, _, _ in txs}
+    n_txs: dict[int, int] = {}
+    edges: dict[int, list] = {}
+    for t, b, cb, parents in txs:
+        n_txs[b] = n_txs.get(b, 0) + 1
+        if cb:
+            continue
+        for p in parents or []:
+            if p is not None and block_of.get(p) == b:
+                edges.setdefault(b, []).append((p, t))
+    expected = {}
+    for b in n_txs:
+        es = set(edges.get(b, []))
+        children = {c for _, c in es}
+        depth = {c: 1 for c in children}
+        changed = True
+        while changed:
+            changed = False
+            for p, c in es:
+                d = depth.get(p, 0) + 1
+                if d > depth.get(c, 0):
+                    depth[c] = d
+                    changed = True
+        expected[b] = (
+            n_txs[b],
+            len(children),
+            max(depth.values()) if depth else 0,
+        )
+    assert got == expected
+
+
+def test_qd98_depth_bounded_by_chained_count(spark):
+    from graphsense_blocksci_spark.queries import qd98_intrablock_chains
+
+    for r in qd98_intrablock_chains(spark, SF).collect():
+        assert r["max_depth"] <= r["n_chained"]
+        assert r["n_chained"] <= r["n_txs"]

@@ -153,6 +153,9 @@ FAMILIES = [
     # qd97 streaming reuse is gate-only per the qd91/qd94 staging
     # convention (qd95 carries the timing signal for the same scan)
     "q344_kcenter_seeds",
+    # cluster labeling: one token explode + (cluster, token) rollup;
+    # lift math on k-row/token-keyed aggregates
+    "q345_cluster_labeling",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -198,6 +201,9 @@ CHAIN_FAMILIES = [
     # link prediction: pair fan-out bounded by the payer degree cap
     # (<=1024 pairs per payer); 10x density = 10x payers, flat cap
     "qd96_payee_link_prediction",
+    # intra-block chains: the copy-shifted 10x chain preserves each
+    # copy's DAG, so edges and depth relax rounds scale with density
+    "qd98_intrablock_chains",
 ]
 
 
