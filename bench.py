@@ -368,6 +368,8 @@ BENCH_QUERIES = [
     "q344_kcenter_seeds",
     "q345_cluster_labeling",
     "qd98_intrablock_chains",
+    "q346_pettitt_changepoint",
+    "q347_dedup_threshold_sweep",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -766,3 +766,107 @@ def test_qd98_depth_bounded_by_chained_count(spark):
     for r in qd98_intrablock_chains(spark, SF).collect():
         assert r["max_depth"] <= r["n_chained"]
         assert r["n_chained"] <= r["n_txs"]
+
+
+# ---------------------------------------------------------------------------
+# q346 — Pettitt change-point
+# ---------------------------------------------------------------------------
+
+
+def test_q346_rank_identity_matches_brute_force():
+    """U_t = t(n+1) − Σ_{i≤t} r2_i with r2 = rank_asc + (n+1) −
+    rank_desc must equal the O(n²) pairwise sgn definition, ties
+    included — the identity the registered query rides."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(50):
+        n = rng.randrange(2, 25)
+        x = [rng.randrange(0, 5) for _ in range(n)]
+
+        def sgn(v):
+            return (v > 0) - (v < 0)
+
+        c_lt = lambda v: sum(1 for y in x if y < v)  # noqa: E731
+        c_gt = lambda v: sum(1 for y in x if y > v)  # noqa: E731
+        r2 = [n + 1 + c_lt(v) - c_gt(v) for v in x]
+        for t in range(1, n):
+            brute = sum(
+                sgn(x[j] - x[i]) for i in range(t) for j in range(t, n)
+            )
+            assert brute == t * (n + 1) - sum(r2[:t])
+
+
+def test_q346_matches_python(spark):
+    from graphsense_blocksci_spark.queries import q346_pettitt_changepoint
+
+    row = q346_pettitt_changepoint(spark, SF).collect()[0]
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""
+        SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF}/orders.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    xs = [v for _, v in daily]
+    days = [d for d, _ in daily]
+    n = len(xs)
+    c_lt = lambda v: sum(1 for y in xs if y < v)  # noqa: E731
+    c_gt = lambda v: sum(1 for y in xs if y > v)  # noqa: E731
+    r2 = [n + 1 + c_lt(v) - c_gt(v) for v in xs]
+    best = None
+    cum = 0
+    for t in range(1, n):
+        cum += r2[t - 1]
+        u = t * (n + 1) - cum
+        key = (-abs(u), days[t - 1])
+        if best is None or key < best[0]:
+            best = (key, days[t - 1], u)
+    assert (row["n"], row["changepoint_day"], row["u_stat"], row["u_abs"]) == (
+        n,
+        best[1],
+        best[2],
+        abs(best[2]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q347 — dedup threshold sweep
+# ---------------------------------------------------------------------------
+
+
+def test_q347_monotone_and_consistent(spark):
+    """Higher thresholds can only shrink both counts, and removals
+    never exceed qualifying pairs' distinct b-side."""
+    from graphsense_blocksci_spark.queries import q347_dedup_threshold_sweep
+
+    rows = sorted(
+        q347_dedup_threshold_sweep(spark, SF).collect(),
+        key=lambda r: r["threshold_ppm"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs_removed"] >= b["n_docs_removed"]
+    for r in rows:
+        assert r["n_docs_removed"] <= r["n_pairs"]
+
+
+def test_q347_matches_pair_frame(spark):
+    """Recompute the sweep from the (oracle-verified) q38 pair frame
+    at threshold 0.2, restricted to thresholds >= 0.3 where both
+    frames see identical pairs."""
+    from graphsense_blocksci_spark.queries import (
+        q38_jaccard_pairs,
+        q347_dedup_threshold_sweep,
+    )
+
+    got = {
+        r["threshold_ppm"]: (r["n_pairs"], r["n_docs_removed"])
+        for r in q347_dedup_threshold_sweep(spark, SF).collect()
+    }
+    pairs = q38_jaccard_pairs(spark, SF).collect()
+    for theta in (300000, 500000, 700000, 900000):
+        qual = [r for r in pairs if r["jaccard"] * 1e6 >= theta]
+        removed = {r["id_b"] for r in qual}
+        assert got[theta] == (len(qual), len(removed))

@@ -156,6 +156,10 @@ FAMILIES = [
     # cluster labeling: one token explode + (cluster, token) rollup;
     # lift math on k-row/token-keyed aggregates
     "q345_cluster_labeling",
+    # Pettitt: corpus reduces to the day-grain frame before ranking;
+    # the sweep shares ONE candidate/verify pass across 4 thresholds
+    "q346_pettitt_changepoint",
+    "q347_dedup_threshold_sweep",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
