@@ -479,11 +479,9 @@ def test_q342_matches_python_lattice(spark):
 
 
 def test_q342_efficiency_property(spark):
-    """Shapley efficiency: credits sum to v(full) − v(∅) when every
-    coalition on a full-channel path is observed. With the observed-
-    else-zero convention this becomes a bound check: the x6 credits
-    are integers and divisible structure holds (sum of 3 channel
-    credits = 6·(r(7)−r(0)) when all 8 masks observed)."""
+    """Shapley efficiency holds for ANY set function, including the
+    observed-else-zero v̂ the query defines: the three channel credits
+    must sum to exactly 6·(v̂(full) − v̂(∅))."""
     import duckdb as _d
 
     from graphsense_blocksci_spark.queries import q342_shapley_attribution
@@ -503,14 +501,12 @@ def test_q342_efficiency_property(spark):
             """
         ).fetchall()
     }
-    if set(masks) != set(range(8)):
-        pytest.skip("not all coalitions observed at this sf")
     r = {m: c * 1000000 // nn for m, (nn, c) in masks.items()}
     total = sum(
         row["credit_x6_ppm"]
         for row in q342_shapley_attribution(spark, SF).collect()
     )
-    assert total == 6 * (r[7] - r[0])
+    assert total == 6 * (r.get(7, 0) - r.get(0, 0))
 
 
 # ---------------------------------------------------------------------------
