@@ -370,6 +370,8 @@ BENCH_QUERIES = [
     "qd98_intrablock_chains",
     "q346_pettitt_changepoint",
     "q347_dedup_threshold_sweep",
+    "q348_mutual_knn_pairs",
+    "q349_brown_forsythe",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

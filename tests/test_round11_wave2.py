@@ -866,3 +866,103 @@ def test_q347_matches_pair_frame(spark):
         qual = [r for r in pairs if r["jaccard"] * 1e6 >= theta]
         removed = {r["id_b"] for r in qual}
         assert got[theta] == (len(qual), len(removed))
+
+
+# ---------------------------------------------------------------------------
+# q348 — mutual-kNN pairs
+# ---------------------------------------------------------------------------
+
+
+def test_q348_matches_python_mnn(spark):
+    """Third implementation: numpy-free python top-1s in both
+    directions over the batch/corpus split, mutual intersection."""
+    from pyspark.sql import functions as F
+
+    from graphsense_blocksci_spark.operators.similarity import unit_vector
+    from graphsense_blocksci_spark.queries import q348_mutual_knn_pairs
+    from graphsense_blocksci_spark.sources.tables import load_table
+
+    got = sorted(
+        (r["batch_id"], r["corpus_id"])
+        for r in q348_mutual_knn_pairs(spark, SF).collect()
+    )
+    emb = load_table(spark, SF, "embeddings")
+    units = {
+        r["vec_id"]: list(r["u"])
+        for r in emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            unit_vector(F.col("embedding")).alias("u"),
+        ).collect()
+    }
+    batch = sorted(v for v in units if v % 10 == 0)
+    corpus = sorted(v for v in units if v % 10 != 0)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def top1(q, cands):
+        best = None
+        for cid in cands:
+            s = dot(units[q], units[cid])
+            if best is None or s > best[1]:
+                best = (cid, s)
+        return best[0]
+
+    fwd = {q: top1(q, corpus) for q in batch}
+    rev = {c: top1(c, batch) for c in corpus}
+    expected = sorted(
+        (q, c) for q, c in fwd.items() if rev.get(c) == q
+    )
+    assert got == expected
+
+
+def test_q348_plan_no_corpus_self_join(spark):
+    """Both kNN directions must be batch×corpus (the batch side
+    broadcast); the corpus must never cross-join itself."""
+    from graphsense_blocksci_spark.queries import q348_mutual_knn_pairs
+
+    plan = _executed_plan(q348_mutual_knn_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q349 — Brown–Forsythe
+# ---------------------------------------------------------------------------
+
+
+def test_q349_matches_scipy_free_reference(spark):
+    """Recompute W in pure Python floats: ANOVA F over |x − med_g|
+    (the 2x integer scaling in the query cancels in F)."""
+    import statistics
+
+    from graphsense_blocksci_spark.queries import q349_brown_forsythe
+
+    row = q349_brown_forsythe(spark, SF).collect()[0]
+    con = duckdb.connect()
+    data = con.sql(
+        f"SELECT o_orderpriority, CAST(floor(o_totalprice) AS BIGINT)"
+        f" FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()
+    by_g: dict[str, list[int]] = {}
+    for g, x in data:
+        by_g.setdefault(g, []).append(x)
+    k = len(by_g)
+    n = sum(len(v) for v in by_g.values())
+    zs = {
+        g: [abs(x - statistics.median(v)) for x in v]
+        for g, v in by_g.items()
+    }
+    mean = sum(sum(z) for z in zs.values()) / n
+    ssb = sum(len(z) * (sum(z) / len(z) - mean) ** 2 for z in zs.values())
+    ssw = sum(
+        sum((val - sum(z) / len(z)) ** 2 for val in z) for z in zs.values()
+    )
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    # query works on 2x-scaled integers: ssb/ssw scale by 4, W invariant
+    assert math.isclose(row["ssb"], 4 * ssb, rel_tol=1e-9)
+    assert math.isclose(row["ssw"], 4 * ssw, rel_tol=1e-9)
+    assert abs(row["w_ppm"] - math.floor(w * 1e6)) <= 1

@@ -160,6 +160,12 @@ FAMILIES = [
     # the sweep shares ONE candidate/verify pass across 4 thresholds
     "q346_pettitt_changepoint",
     "q347_dedup_threshold_sweep",
+    # MNN: exact-IVF candidate stage (cell-keyed joins, q326's
+    # discipline — the first brute-force cut measured 34x at 10x and
+    # was rewritten the same session) + one id-keyed mutual join;
+    # Brown-Forsythe is two corpus scans into the shared ANOVA core
+    "q348_mutual_knn_pairs",
+    "q349_brown_forsythe",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
