@@ -919,13 +919,23 @@ def test_q348_matches_python_mnn(spark):
     assert got == expected
 
 
-def test_q348_plan_no_corpus_self_join(spark):
-    """Both kNN directions must be batch×corpus (the batch side
-    broadcast); the corpus must never cross-join itself."""
+def test_q348_plan_single_product_batch_broadcast(spark):
+    """r11 verdict item 1 / ADVICE scale bug, closed by measurement:
+    both directed top-1s derive from the scored product with the
+    BATCH side broadcast (mutual_top1_pairs). Pins: (a) no
+    CartesianProduct; (b) every BroadcastNestedLoopJoin builds RIGHT —
+    by construction the explicitly-broadcast batch side, so the
+    corpus is never the broadcast build side; (c) the raw pair frame
+    is never window-ranked (no Window operator anywhere — both
+    argmaxes are map-side-combinable partial aggregations); (d) the
+    partial-aggregation stage is actually in the plan."""
     from graphsense_blocksci_spark.queries import q348_mutual_knn_pairs
 
     plan = _executed_plan(q348_mutual_knn_pairs(spark, SF))
     assert "CartesianProduct" not in plan
+    assert "BuildLeft" not in plan
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial_finalmerge_max" in plan
 
 
 # ---------------------------------------------------------------------------

@@ -160,9 +160,12 @@ FAMILIES = [
     # the sweep shares ONE candidate/verify pass across 4 thresholds
     "q346_pettitt_changepoint",
     "q347_dedup_threshold_sweep",
-    # MNN: exact-IVF candidate stage (cell-keyed joins, q326's
-    # discipline — the first brute-force cut measured 34x at 10x and
-    # was rewritten the same session) + one id-keyed mutual join;
+    # MNN: ONE batch-broadcast scored product, both directed top-1s
+    # via map-side-combinable argmax (mutual_top1_pairs) + one
+    # id-keyed mutual join. The harness scales the batch WITH the
+    # corpus so pair work grows ~quadratically/100 here under ANY
+    # exact scheme; exact-IVF was measured (20.5x — zero cells
+    # pruned, see the operator docstring) and rejected.
     # Brown-Forsythe is two corpus scans into the shared ANOVA core
     "q348_mutual_knn_pairs",
     "q349_brown_forsythe",
