@@ -36,7 +36,13 @@ BENCH_QUERIES = [
     "q41_media_features",
     "q43_knn_gemm",
     "q46_embedding_neardup",
-    "q50_embedding_neardup_gemm",
+    # q50 (neardup GEMM+fold parity) and q103 (LSH GEMM+fold parity)
+    # went gate-only in round 12 (VERDICT r11 item 6): each runs BOTH
+    # execution paths purely to pin their symmetric difference at 0,
+    # so timing them double-counts work the anchor already measures —
+    # q46 carries the neardup candidate/verify signal, q43 the GEMM
+    # signal, q40 the LSH signal. Their driver parity gates are
+    # unchanged.
     "q47_bpe_tokens",
     "q48_shipping_priority",
     "q49_regional_revenue",
@@ -58,7 +64,6 @@ BENCH_QUERIES = [
     "q88_product_profit",
     "q98_sequence_packing",
     "q102_netpbm_decode",
-    "q103_knn_lsh_gemm",
     "q99_unigram_likelihood",
     "q100_boilerplate_ngrams",
     "q101_vocab_overlap",
@@ -372,6 +377,8 @@ BENCH_QUERIES = [
     "q347_dedup_threshold_sweep",
     "q348_mutual_knn_pairs",
     "q349_brown_forsythe",
+    "q350_kruskal_wallis",
+    "q351_ordinal_patterns",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -11,11 +11,13 @@ preserved:
 - lineitem / orders : all keys shifted by copy * stride -> the supplier
   graph becomes 10 disjoint copies (nodes and edges scale x10; degree
   distribution unchanged), GD/profile scans scale x10.
-- documents         : doc_id shifted; for copy c > 0 every (c+1)-th
-  token is dropped, which rewrites the shingle sets wholesale (cross-
-  copy Jaccard ~ 0) while preserving each copy's internal near-dup
-  structure -- so the set-similarity join grows in corpus, not in
-  degenerate duplicate families.
+- documents         : doc_id shifted; for copy c > 0 every token gets
+  a per-copy suffix, which rewrites the shingle sets wholesale (cross-
+  copy Jaccard EXACTLY 0 at any copy count) while preserving each
+  copy's internal near-dup structure verbatim -- so the
+  set-similarity join grows in corpus, not in degenerate duplicate
+  families. (Round 12 replaced the earlier drop-every-(c+1)-th-token
+  scheme, which degenerated above ~10 copies.)
 - embeddings        : vec_id shifted; components rotated by c, which
   preserves within-copy pairwise dot products (a coordinate
   permutation) and decorrelates copies.
@@ -169,6 +171,11 @@ FAMILIES = [
     # Brown-Forsythe is two corpus scans into the shared ANOVA core
     "q348_mutual_knn_pairs",
     "q349_brown_forsythe",
+    # round-12 wave: Kruskal-Wallis windows only the bounded
+    # distinct-value rollup (q310's discipline); ordinal patterns
+    # reduce to the day frame before the two lead() windows
+    "q350_kruskal_wallis",
+    "q351_ordinal_patterns",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -439,12 +446,20 @@ def build(spark, out_dir: str = OUT, copies: int = COPIES) -> None:
         if c == 0:
             text = F.col("text")
         else:
-            # drop every (c+1)-th token: rewrites shingles wholesale,
-            # keeps within-copy near-dup structure
+            # per-copy token SUFFIX: every shingle/gram differs from
+            # every other copy's (cross-copy Jaccard EXACTLY 0 at any
+            # copy count) while within-copy near-dup structure is
+            # preserved verbatim. The previous scheme — drop every
+            # (c+1)-th token — degenerated for c >= ~10: dropping 1
+            # token in 30 leaves copies ~97% shingle-identical to
+            # copy 0, so a 30-copy corpus grew quadratic cross-copy
+            # near-dup families BY CONSTRUCTION and the 30x
+            # spot-check measured the synthetic data, not the plan
+            # (round-12 finding; BASELINE.md 30x table).
             text = F.array_join(
-                F.filter(
+                F.transform(
                     F.split(F.col("text"), " "),
-                    lambda x, i: i % (c + 1) != 0,
+                    lambda x: F.concat(x, F.lit(f"_k{c}")),
                 ),
                 " ",
             )
