@@ -379,6 +379,8 @@ BENCH_QUERIES = [
     "q349_brown_forsythe",
     "q350_kruskal_wallis",
     "q351_ordinal_patterns",
+    "q352_xml_roundtrip",
+    "q353_variant_shredding",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

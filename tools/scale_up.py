@@ -176,6 +176,11 @@ FAMILIES = [
     # reduce to the day frame before the two lead() windows
     "q350_kruskal_wallis",
     "q351_ordinal_patterns",
+    # round-12 wave 10: XML round-trips a 5-row rollup (format
+    # coverage, volume lives in the pre-I/O groupBy); VARIANT
+    # shreds props once per row then aggregates
+    "q352_xml_roundtrip",
+    "q353_variant_shredding",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
