@@ -50,6 +50,21 @@ STAGING_BOUND = {
     "q39_knn_bruteforce": "quadratic exact oracle twin of q43",
     "q44_knn_ivf": "includes quadratic exact twin; scale path is q125",
     "qd79_streaming_address_lifetime": "streaming staging; twin qd77",
+    # r11 item 7: these three monitors also carry min-of-2 anchor rows
+    # in BASELINE.md (qd91 6.81 / qd94 3.06 / qd97 6.01 s at sf0.1);
+    # the per-run 5-batch staging share measures ~0.79 s of the total
+    "qd91_streaming_dedup_rate": (
+        "includes per-run micro-batch staging (~0.79 s); min-of-2"
+        " anchor in BASELINE.md"
+    ),
+    "qd94_streaming_pii_monitor": (
+        "includes per-run micro-batch staging (~0.79 s); min-of-2"
+        " anchor in BASELINE.md"
+    ),
+    "qd97_streaming_reuse_monitor": (
+        "includes per-run micro-batch staging (~0.79 s); min-of-2"
+        " anchor in BASELINE.md"
+    ),
 }
 
 
