@@ -381,6 +381,11 @@ BENCH_QUERIES = [
     "q351_ordinal_patterns",
     "q352_xml_roundtrip",
     "q353_variant_shredding",
+    # q354 (recursive CTE) is gate-only: each recursion step is a
+    # separately planned Catalyst iteration (~0.5-1 s scheduler
+    # latency each at toy scale — the q39/q160 convention); deep
+    # recursion rides the driver-loop operators instead
+    "q355_sql_udf",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only

@@ -181,6 +181,10 @@ FAMILIES = [
     # shreds props once per row then aggregates
     "q352_xml_roundtrip",
     "q353_variant_shredding",
+    # round-12 wave 11: SQL UDFs inline to plain expressions, so the
+    # 10x row is just the rollup's; q354 recursion is gate-only
+    # (iteration count is date-bounded, data-independent)
+    "q355_sql_udf",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
