@@ -113,6 +113,14 @@ def mutual_top1_pairs(
     a corpus — both directed cosine top-1s derived from ONE scored
     product with the BATCH side broadcast, never the corpus.
 
+    ASSUMES A SHARED ID SPACE: batch and corpus ids must come from the
+    same identifier domain (q348 derives both from one embeddings
+    table), because self-pairs are excluded as ``batch_id !=
+    corpus_id``. If the two sides come from INDEPENDENT tables whose
+    ids can coincidentally collide, that filter silently drops a
+    legitimate cross-table nearest-neighbor pair — disambiguate the
+    ids (e.g. offset or tag one side) before calling.
+
     Exact top-1 over arbitrary vectors is irreducibly |batch|×|corpus|
     fused-multiply work — but it need not be |batch|×|corpus| SHUFFLE
     work, and it must never broadcast the unbounded side. Per

@@ -10,10 +10,14 @@ streaming/stateful.py's applyInPandasWithState sessionizer — per-key
 state is the one OPEN session (start, last_ts, n_events); each batch
 folds its events in event-time order, emits every session the gap
 rule closes, and keeps the open session for the next batch — so the
-two APIs are directly comparable: qd100 gates this implementation
-against the SAME oracle as qd18, and
-tests/test_round12_wave12.py pins row-identical output between the
-two operators on the same staged stream.
+two APIs are directly comparable. Contract: qd18 remains the gated
+stateful-streaming registry entry (applyInPandasWithState path);
+THIS implementation is pinned by tests/test_round12_wave12.py,
+which runs `SessionizeProcessor.handleInputRows` as a plain Python
+state machine and requires row-identical output to the
+applyInPandasWithState twin on the same staged stream, and by
+qd99_tws_state_gate (gate-only registry entry) asserting the
+environment block below.
 
 Scale shape: identical to the old API — state keyed by user_id,
 partitioned by the state store, per-key state O(1), store size
@@ -92,12 +96,21 @@ def tws_available() -> bool:
     JVM state server; the package is not baked into this container,
     so the API crashes its driver worker at stream start
     (ImportError from pyspark's StateMessage_pb2). Environment gate,
-    same disposition as the Cassandra sink (sinks.write_cassandra)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    same disposition as the Cassandra sink (sinks.write_cassandra).
 
+    The gate imports the ACTUAL module the API loads at stream start
+    (pyspark's generated ``StateMessage_pb2``) and round-trips one
+    message through it, so an installed-but-incompatible protobuf
+    (pb2 files generated for protobuf>=4 crash on protobuf 3.x
+    descriptors) fails the gate here instead of killing the stream's
+    Python driver worker mid-query."""
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2
+
+        msg = StateMessage_pb2.StateRequest()
+        msg.ParseFromString(msg.SerializeToString())
         return True
-    except ImportError:
+    except Exception:  # ImportError or protobuf version mismatch
         return False
 
 

@@ -70,16 +70,18 @@ def test_q350_plan_windows_bounded_value_domain(spark):
 
     plan = _executed_plan(q350_kruskal_wallis(spark, SF))
     assert "CartesianProduct" not in plan
-    # every SinglePartition exchange feeds a window over the bounded
-    # value/group rollup: the plan must aggregate before it sorts
-    before_window = plan.split("Window", 1)[0]
     assert "HashAggregate" in plan
-    # the raw-table scan must be below at least one aggregate before
-    # any window: the Window section must not directly contain the
-    # parquet scan of orders without an intervening aggregate
-    win_subtree = plan.split("Window", 1)[1] if "Window" in plan else ""
-    assert "HashAggregate" in win_subtree or "SortAggregate" in win_subtree
-    assert before_window is not None
+    # the raw-table scan must sit BELOW an aggregate in every window
+    # subtree: between each Window node and the orders parquet scan
+    # there must be an intervening (Hash|Sort)Aggregate, i.e. the
+    # window's direct input is already the bounded value/group rollup
+    assert "Window" in plan
+    for win_subtree in plan.split("Window")[1:]:
+        scan_at = win_subtree.find("Scan parquet")
+        if scan_at == -1:
+            continue
+        between = win_subtree[:scan_at]
+        assert "HashAggregate" in between or "SortAggregate" in between
 
 
 # ---------------------------------------------------------------------------

@@ -18,8 +18,9 @@ from __future__ import annotations
 
 import re
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 STOP = {
     "select", "from", "where", "group", "by", "order", "as", "and",
