@@ -334,6 +334,138 @@ def bench_chain_families(spark) -> dict:
     return results
 
 
+SKEW_FAMILIES = [
+    "qd16_cospend_entities",
+    "qd17_entity_summary",
+    "qd19_entity_relations",
+]
+
+
+def _hub_inject(txs, hub_frac_ppm: int = 50_000, copy_mod: int = 3):
+    """Append ONE shared hub-wallet input to a deterministic slice of
+    non-coinbase txs, so co-spend clustering (qd16) absorbs their
+    input addresses into a single giant global entity — the exchange-
+    hot-wallet skew shape. The fixture chain ALREADY carries a ~64%
+    giant component per copy (measured: 2255/3509 input identities),
+    so ANY within-copy injection that touches it absorbs the whole
+    copy transitively; the absorbed share is therefore controlled at
+    COPY granularity — only every `copy_mod`-th copy is hubbed
+    (copy = tx_id div stride), which at 30 copies puts ~⅓ × ~90% ≈
+    30% of ALL addresses into the one hub entity. The hub input
+    spends nothing (NULL outpoint, value 0): qd16/qd19 read only the
+    address identity, and address_balances treats a NULL-outpoint
+    input as unresolvable — the hub never distorts the value ledger,
+    only the entity graph."""
+    hub = F.struct(
+        F.array(F.lit("HUBWALLET")).alias("address"),
+        F.lit(0).cast("long").alias("value"),
+        F.lit(0).cast("short").alias("address_type"),
+        F.lit(None).cast("long").alias("spent_tx_id"),
+        F.lit(None).cast("int").alias("spent_index"),
+    )
+    pick = (
+        (~F.col("coinbase"))
+        & (F.size("inputs") > 0)
+        & (
+            F.pmod(F.floor(F.col("tx_id") / F.lit(1_000_000_000)),
+                   F.lit(copy_mod))
+            == 0
+        )
+        & (F.pmod(F.col("tx_id"), F.lit(1_000_000)) < F.lit(hub_frac_ppm))
+    )
+    return txs.withColumn(
+        "inputs",
+        F.when(pick, F.concat("inputs", F.array(hub))).otherwise(
+            F.col("inputs")
+        ),
+    )
+
+
+def bench_skewed_entities(spark, copies: int = 30) -> dict:
+    """Skew-stress the co-spend entity trio (VERDICT r12 item 5): the
+    text/similarity families carry 30x pair-linearity rows, but the
+    graph side's skew story (large-star splits the hub; AQE absorbs
+    the transient) was a claim, not a measurement. Stage the fixture
+    chain with a hub wallet co-spending in ~30% of txs at 1x and at
+    `copies`x density (hub GLOBAL across copies — one entity absorbs
+    ~a third of all addresses at every scale), time
+    qd16/qd17/qd19 min-of-2 at both, and report the measured hub
+    share so the skew is verified, not assumed."""
+    import shutil
+    from pathlib import Path
+
+    from graphsense_blocksci_spark import fixtures
+    from graphsense_blocksci_spark.queries import QUERIES
+    from graphsense_blocksci_spark.sources.tables import load_raw_txs
+
+    base_dir = Path(fixtures.ensure_fixtures())
+    out: dict[str, dict] = {n: {} for n in SKEW_FAMILIES}
+    stage_dirs = {}
+    for label, n_copies in (("x1", 1), (f"x{copies}", copies)):
+        d = Path(f"/tmp/gbs_skew_chain_{label}")
+        d.mkdir(parents=True, exist_ok=True)
+        base_txs = load_raw_txs(spark)
+        txs = _copy_chain(base_txs, 0)
+        for c in range(1, n_copies):
+            txs = txs.unionByName(_copy_chain(base_txs, c))
+        _hub_inject(txs).write.mode("overwrite").parquet(
+            str(d / "raw_txs.parquet")
+        )
+        for f in ("raw_blocks.parquet", "raw_exchange_rates.parquet"):
+            if not (d / f).exists():
+                shutil.copy(base_dir / f, d / f)
+        stage_dirs[label] = d
+
+    # verify the skew: share of distinct input-address identities in
+    # the hub's entity at each scale (measured, not assumed)
+    hub_share = {}
+    for label, d in stage_dirs.items():
+        old = fixtures.DEFAULT_DIR
+        fixtures.DEFAULT_DIR = d
+        try:
+            ent = QUERIES["qd16_cospend_entities"](spark, SRC)
+            hub_ent = (
+                ent.filter(F.col("addr") == "HUBWALLET")
+                .select("entity")
+                .first()
+            )
+            total = ent.count()
+            absorbed = ent.filter(
+                F.col("entity") == hub_ent["entity"]
+            ).count()
+            hub_share[label] = round(absorbed / total, 3)
+            print(
+                f"# hub share {label}: {absorbed}/{total}"
+                f" = {hub_share[label]}",
+                file=sys.stderr,
+            )
+        finally:
+            fixtures.DEFAULT_DIR = old
+
+    for label, d in stage_dirs.items():
+        old = fixtures.DEFAULT_DIR
+        fixtures.DEFAULT_DIR = d
+        try:
+            for name in SKEW_FAMILIES:
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    QUERIES[name](spark, SRC).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                out[name][label] = round(best, 2)
+                print(f"# {name} {label}: {best:.2f}s", file=sys.stderr)
+        finally:
+            fixtures.DEFAULT_DIR = old
+    hi = f"x{copies}"
+    for name in SKEW_FAMILIES:
+        out[name]["ratio"] = round(out[name][hi] / out[name]["x1"], 2)
+    out["hub_share"] = hub_share
+    return out
+
+
 def bench_streaming_index(spark) -> dict:
     """10x row for the streaming index daemon (VERDICT r7 item 8):
     the fixture chain is fixed-size, so the harness builds a 10x-
@@ -620,6 +752,8 @@ def main() -> None:
         print(json.dumps(bench_streaming_index(spark), indent=2))
     elif "--bench-chain" in sys.argv:
         print(json.dumps(bench_chain_families(spark), indent=2))
+    elif "--bench-skew" in sys.argv:
+        print(json.dumps(bench_skewed_entities(spark), indent=2))
     else:
         out_dir = sys.argv[1] if len(sys.argv) > 1 else OUT
         copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
