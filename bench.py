@@ -275,7 +275,12 @@ BENCH_QUERIES = [
     "q282_rolling_distinct_users",
     "q283_tolerance_join",
     "q284_conversion_lag",
-    "q285_lsh_quality_eval",
+    # q285 (LSH quality eval) went gate-only in round 13 (anchor
+    # budget, VERDICT r12 item 4): it runs BOTH the LSH candidate
+    # path and the exact shingle-truth join purely to score
+    # precision/recall, double-counting work q36 (LSH) and q38
+    # (exact Jaccard truth) already time — the q50/q103 template.
+    # Its driver/strict gates are unchanged.
     "qd61_fifo_taint",
     "qd62_graph_reciprocity",
     "qd63_tx_motif_census",
@@ -386,6 +391,11 @@ BENCH_QUERIES = [
     # latency each at toy scale — the q39/q160 convention); deep
     # recursion rides the driver-loop operators instead
     "q355_sql_udf",
+    # round-13 wave (qd99/qd100 are gate-only: qd99 is an O(1)
+    # disposition gate, qd100 stages a stream per run — the
+    # qd23/qd32 staging convention; paid for by the q285 demotion)
+    "q356_python_datasource",
+    "q357_sql_variables",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
