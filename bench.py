@@ -396,6 +396,10 @@ BENCH_QUERIES = [
     # qd23/qd32 staging convention; paid for by the q285 demotion)
     "q356_python_datasource",
     "q357_sql_variables",
+    "q358_friedman_test",
+    "q359_cliffs_delta",
+    "q360_runs_test",
+    "q361_jonckheere_terpstra",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
