@@ -285,7 +285,10 @@ BENCH_QUERIES = [
     "qd62_graph_reciprocity",
     "qd63_tx_motif_census",
     "q286_subsample_ci",
-    "q287_dedup_savings",
+    # q287 (dedup savings) went gate-only in round 13 (anchor budget):
+    # it recomputes q71's LSH dedup verdicts purely to roll up the
+    # byte-savings report — q71 carries the fuzzy-dedup timing signal
+    # and q211 the survivorship signal. Gates unchanged.
     "q288_dataset_card",
     "q289_json_props_stats",
     "q290_nearest_asof",
@@ -400,6 +403,8 @@ BENCH_QUERIES = [
     "q359_cliffs_delta",
     "q360_runs_test",
     "q361_jonckheere_terpstra",
+    "q362_dsir_importance",
+    "q363_page_hinkley",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
