@@ -140,7 +140,11 @@ BENCH_QUERIES = [
     "q173_logistic_gd",
     "q174_seasonal_profile",
     "q175_data_quality",
-    "q176_minhash_estimate",
+    # q176 (minhash-estimate audit) went gate-only in round 13
+    # (anchor budget): it runs BOTH the signature estimate and the
+    # exact shingle Jaccard per candidate pair — the audit-twin class
+    # (q50/q103/q285/q287). q35/q36 carry the minhash timing signal,
+    # q38 the exact-Jaccard signal. Gates unchanged.
     "q177_calibration_curve",
     "q178_cms_join_size",
     "q179_window_distinct_merge",
@@ -405,6 +409,9 @@ BENCH_QUERIES = [
     "q361_jonckheere_terpstra",
     "q362_dsir_importance",
     "q363_page_hinkley",
+    "qd101_utxo_commitment",
+    "q364_collated_filter",
+    "q365_cochran_q",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
