@@ -185,6 +185,20 @@ FAMILIES = [
     # 10x row is just the rollup's; q354 recursion is gate-only
     # (iteration count is date-bounded, data-independent)
     "q355_sql_udf",
+    # round-13 wave: the rank tests reduce to bounded frames before
+    # any window (Friedman: per-month k-row rank; Cliff/runs/PH: the
+    # distinct-value / day-grain frame; JT: 4x the distinct-value
+    # domain); DSIR is a shingle scan + one broadcast-weight rollup;
+    # Cochran is a single projection + one global aggregate. q356's
+    # generator is fixed-size by construction and q357/q364 are
+    # pushed-down literal scans — scale-invariant, no rows needed.
+    "q358_friedman_test",
+    "q359_cliffs_delta",
+    "q360_runs_test",
+    "q361_jonckheere_terpstra",
+    "q362_dsir_importance",
+    "q363_page_hinkley",
+    "q365_cochran_q",
 ]
 
 # chain-family queries read the domain FIXTURE chain (not sf_dir), so
@@ -233,6 +247,9 @@ CHAIN_FAMILIES = [
     # intra-block chains: the copy-shifted 10x chain preserves each
     # copy's DAG, so edges and depth relax rounds scale with density
     "qd98_intrablock_chains",
+    # round-13: the additive UTXO digest — two explode rollups + one
+    # block-grain prefix window; density scales both explode sides
+    "qd101_utxo_commitment",
 ]
 
 
