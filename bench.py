@@ -412,6 +412,9 @@ BENCH_QUERIES = [
     "qd101_utxo_commitment",
     "q364_collated_filter",
     "q365_cochran_q",
+    "q366_pipe_syntax",
+    "q367_identifier_clause",
+    "q368_try_arithmetic",
 ]
 # qd40/qd41 (streaming top-N+OTHERS / drift monitor), qd48 (index
 # daemon) and qd54 (streaming changepoint) are gate-only
