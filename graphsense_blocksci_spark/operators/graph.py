@@ -1002,17 +1002,33 @@ def _louvain_local_move(
         # job-folding treatment that took logistic GD 5.4->4.4 s)
         .localCheckpoint(eager=False)
     )
-    labels = nodes.select("i", F.col("i").alias("comm"))
+    # r13 optimization (guide §2.4): k_i is STATIC within a level, so
+    # carry it inside the labels frame instead of re-joining `k` every
+    # sub-round — sigma becomes a plain aggregate (no labels⋈k join)
+    # and the scoring join chain drops its ⋈k leg: two node-keyed
+    # shuffles fewer per sub-round at every scale, identical integers.
+    labels = k.select("i", F.col("i").alias("comm"), "k")
     for r in range(sub_rounds):
-        sigma = (
-            labels.join(k, "i")
-            .groupBy("comm")
-            .agg(F.sum("k").cast("long").alias("sig"))
+        sigma = labels.groupBy("comm").agg(
+            F.sum("k").cast("long").alias("sig")
         )
+        cur = labels.select("i", F.col("comm").alias("cur"), "k")
+        movers = cur.filter(F.col("i") % 2 == r % 2)
         # only this round's parity class can move — filter BEFORE the
-        # neighbor join so the widest shuffle carries half the edges
-        kic = (
+        # neighbor join so the widest shuffle carries half the edges.
+        # r13 optimization (guide §2.4): the stay option rides the SAME
+        # join as the real neighbors — a zero-weight virtual self-edge
+        # per mover maps through labels to (i, cur, +0), so the old
+        # union + SECOND (i, cj) aggregate ("cand") disappears; one
+        # (i, cj)-keyed shuffle per sub-round instead of two. Values
+        # are unchanged: sum(w)+0 == max(kc, 0) for kc >= 0.
+        cand = (
             adj.filter(F.col("i") % 2 == r % 2)
+            .union(
+                movers.select(
+                    "i", F.col("i").alias("j"), F.lit(0).cast("long")
+                )
+            )
             .join(
                 labels.select(
                     F.col("i").alias("j"), F.col("comm").alias("cj")
@@ -1022,21 +1038,8 @@ def _louvain_local_move(
             .groupBy("i", "cj")
             .agg(F.sum("w").cast("long").alias("kc"))
         )
-        cur = labels.select("i", F.col("comm").alias("cur"))
-        movers = cur.filter(F.col("i") % 2 == r % 2)
-        # make sure the stay option exists even with zero internal edges
-        cand = (
-            kic.union(
-                movers.select(
-                    "i", F.col("cur").alias("cj"), F.lit(0).cast("long")
-                )
-            )
-            .groupBy("i", "cj")
-            .agg(F.max("kc").cast("long").alias("kc"))
-        )
         scored = (
             cand.join(movers, "i")
-            .join(k, "i")
             .join(sigma.select(F.col("comm").alias("cj"), "sig"), "cj")
             .crossJoin(F.broadcast(two_m))
             .select(
@@ -1070,7 +1073,9 @@ def _louvain_local_move(
         labels = (
             labels.join(moved.withColumnRenamed("comm", "_new"), "i", "left")
             .select(
-                "i", F.coalesce(F.col("_new"), F.col("comm")).alias("comm")
+                "i",
+                F.coalesce(F.col("_new"), F.col("comm")).alias("comm"),
+                "k",
             )
             .localCheckpoint(eager=False)
         )
@@ -1539,6 +1544,17 @@ def minimum_spanning_forest(
         ).union(
             cross.select(F.col("cb").alias("comp"), "a", "b", "w", "ca", "cb")
         )
+        # r13 optimization (guide §2.4): two per-round trims. (1) The
+        # old `.distinct()` on picked cost one more exchange per round;
+        # an edge picked by BOTH its endpoints' components appears
+        # twice, but union-find is duplicate-tolerant and the final
+        # `forest.distinct()` already dedups the output — so the
+        # per-round dedup bought nothing. (2) The old emptiness probe
+        # (limit(1).count()) and connected_components' own adaptive
+        # driver probe each collected from picked; ONE bounded
+        # limit(cap+1) collect now serves both: empty -> converged,
+        # <= cap -> driver union-find (identical min-member labels),
+        # > cap -> the distributed star-contraction path unchanged.
         picked = (
             sides.groupBy("comp")
             .agg(
@@ -1548,17 +1564,27 @@ def minimum_spanning_forest(
                 ).alias("e")
             )
             .select("e.a", "e.b", "e.w", "e.ca", "e.cb")
-            .distinct()
             .localCheckpoint(eager=False)
         )
-        if picked.limit(1).count() == 0:
+        cap = 1 << 20
+        probe = picked.select("ca", "cb").limit(cap + 1).collect()
+        if not probe:
             break
         chosen = picked.select("a", "b", "w")
         forest = chosen if forest is None else forest.union(chosen)
         forest = forest.localCheckpoint(eager=False)
-        mapping = connected_components(
-            picked.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
-        ).select(F.col("node").alias("comp"), F.col("component").alias("_new"))
+        if len(probe) <= cap:
+            mapping = edges.sparkSession.createDataFrame(
+                _unionfind_components(probe), "comp long, _new long"
+            )
+        else:
+            mapping = connected_components(
+                picked.select(
+                    F.col("ca").alias("src"), F.col("cb").alias("dst")
+                )
+            ).select(
+                F.col("node").alias("comp"), F.col("component").alias("_new")
+            )
         labels = (
             labels.join(mapping, "comp", "left")
             .select(

@@ -17,14 +17,14 @@ fit on one machine:
       partials collapse the Zipf head;
    b. the argmax pair (count DESC, then lexicographic (left, right)
       ASC — deterministic, unlike dict-order ties in reference
-      implementations) picked with ONE max_by aggregate;
+      implementations) picked with ONE max_by aggregate and collected
+      as a single bounded row (the kmeans k-row-probe contract; an
+      empty result early-exits — every word fully merged);
    c. the merge applied to every word with an `F.aggregate` left fold
-      (append, or fuse with the previous symbol when it equals
-      left+right pattern) — the 1-row argmax rides a broadcast
-      crossJoin, so a round is pure DataFrame ops with no
-      driver-side scalar sync;
-   d. localCheckpoint flattens lineage; an empty pair frame
-      early-exits (every word fully merged).
+      (append, or fuse with the previous symbol when it equals the
+      left+right pattern) — the winner pair rides the fold as two
+      short string literals;
+   d. localCheckpoint flattens lineage per round.
 
 Counting matches Sennrich's get_stats: overlapping occurrences all
 count ("aaa" contributes (a,a) twice), while APPLICATION is greedy
@@ -65,9 +65,7 @@ def bpe_train(
         .select(F.split(F.col("word"), "").alias("syms"), "cnt")
         .localCheckpoint(eager=True)
     )
-    merges = spark.createDataFrame(
-        [], "rank long, left string, right string, pair_count long"
-    )
+    merge_rows: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         n = F.size("syms")
         pairs = (
@@ -98,16 +96,25 @@ def bpe_train(
                 ),
             ).alias("b")
         ).select(
-            F.lit(rank).cast("long").alias("rank"),
             F.col("b.left").alias("left"),
             F.col("b.right").alias("right"),
             F.col("b.pair_count").alias("pair_count"),
         ).filter(F.col("left").isNotNull())
-        best = best.localCheckpoint(eager=True)
-        if best.isEmpty():
+        # r13 optimization (guide §2.4): the old round shape checkpointed
+        # the 1-row argmax, probed isEmpty() (a driver sync already!),
+        # and re-attached the winner via broadcast crossJoin — three
+        # extra Spark jobs per round. Collecting the single winner row
+        # instead is the SAME bounded driver sync, and the merge pair
+        # then rides the fold as two short string literals: per round
+        # one aggregate job + one checkpoint job remain (53 -> ~30 jobs
+        # for q140 at sf0.1). Arithmetic and tie-breaks are unchanged.
+        brow = best.collect()
+        if not brow:
             break
-        merges = merges.union(best)
-        fused = F.concat(F.col("left"), F.col("right"))
+        left, right = brow[0]["left"], brow[0]["right"]
+        merge_rows.append((rank, left, right, int(brow[0]["pair_count"])))
+        llit, rlit = F.lit(left), F.lit(right)
+        fused = F.lit(left + right)
         # greedy left-to-right merge application as a left fold: append
         # x, unless the accumulated tail is exactly `left` and x is
         # `right` AND the tail was not itself just produced by this
@@ -115,15 +122,14 @@ def bpe_train(
         # tail equals `left`, which a fresh fusion `left+right` cannot
         # equal because left != left+right).
         vocab = (
-            vocab.crossJoin(F.broadcast(best.select("left", "right")))
-            .select(
+            vocab.select(
                 F.aggregate(
                     "syms",
                     F.array().cast("array<string>"),
                     lambda acc, x: F.when(
                         (F.size(acc) > 0)
-                        & (F.element_at(acc, -1) == F.col("left"))
-                        & (x == F.col("right")),
+                        & (F.element_at(acc, -1) == llit)
+                        & (x == rlit),
                         F.concat(
                             F.slice(acc, 1, F.size(acc) - 1), F.array(fused)
                         ),
@@ -133,7 +139,9 @@ def bpe_train(
             )
             .localCheckpoint(eager=True)
         )
-    return merges
+    return spark.createDataFrame(
+        merge_rows, "rank long, left string, right string, pair_count long"
+    )
 
 
 def bpe_train_reference(
