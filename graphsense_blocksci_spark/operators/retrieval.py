@@ -24,10 +24,12 @@ Exactness design (same rules as the rest of the repo):
 Scale shape: the query set is KBs and BROADCAST (both its terms and
 the final per-query top-k heap); the corpus side pays one
 corpus-token-sized tf aggregate (map-side partials, uniform term
-keys), a vocab-sized df aggregate reusing the tf frame, and a
-broadcast join of query terms onto tf. No corpus self-join, no
-all-pairs anything; the only per-query state is the top-k window over
-matched docs.
+keys), a per-doc length aggregate reusing the tf frame, and a
+broadcast join of query terms onto tf. Document frequency is computed
+only for the query vocabulary (aggregate of the broadcast-filtered
+matched frame) and broadcast back — no vocab-wide shuffle. No corpus
+self-join, no all-pairs anything; the only per-query state is the
+top-k window over matched docs.
 """
 
 from __future__ import annotations
@@ -79,27 +81,40 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .localCheckpoint(eager=False)
     )
-    # zero-token docs still count toward _n / avgdl: re-attach them via
-    # a column-pruned id scan (no tokenization) with dl = 0.
-    ids = spread(docs).select(F.col(id_col).cast("long").alias(id_col))
-    dl = ids.join(
-        tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("_dl")),
-        id_col,
-        "left",
-    ).select(id_col, F.coalesce("_dl", F.lit(0)).cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum("dl").cast("long").alias("_sumdl"),
+    # Per-doc length from the tf frame itself (sum of per-term counts ==
+    # token count). Only docs with >=1 token appear here — which is
+    # exactly the set that can match a query term, so the scoring join
+    # below needs nothing else. Zero-token docs still count toward
+    # _n / avgdl, but as AGGREGATES they need no per-row re-attach: _n
+    # is a column-pruned id count and _sumdl a sum over dl (zero-token
+    # docs contribute 0 to it by construction). r13: this replaces the
+    # former |docs|-sized ids left-join dl frame — one whole doc-keyed
+    # join gone (guide §2.4), with _n/_sumdl values unchanged.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs = spread(docs).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    stats = n_docs.crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("_sumdl"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qdf = spark.createDataFrame(
         list(queries), "query_id long, qtext string"
     ).select("query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("term"))
+    # r13: document frequency is only ever consumed for the query
+    # vocabulary (a handful of terms), so filter tf down to that
+    # vocabulary FIRST via the broadcast semi-join, then aggregate the
+    # tiny matched frame — the former full-vocab term-keyed shuffle
+    # (df over every corpus term) becomes a <=|query vocab|-row frame
+    # that BROADCASTS into the scoring join (guide §2.3/§3.1). Counts
+    # for query terms are identical; terms matching no document drop
+    # out of both sides of the inner join exactly as before.
+    matched = tf.join(F.broadcast(qdf.select("term").distinct()), "term")
+    df_ = matched.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
     # per-(query, doc, term) score; every arithmetic step in fixed order
     kd = F.lit(float(BM25_K1))
     scored = (
-        tf.join(F.broadcast(qdf), "term")
-        .join(df_, "term")
+        matched.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
