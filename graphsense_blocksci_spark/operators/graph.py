@@ -655,6 +655,11 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r13: carry the surviving-edge count across rounds — round N's
+    # sym.count() is by construction round N-1's nxt.count(), so
+    # re-counting it cost one full pass over the (checkpointed) edge
+    # frame per round for a number we already hold (guide §2.4).
+    cur_cnt = sym.count()
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("u")
@@ -664,11 +669,12 @@ def kcore(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        nxt_cnt = nxt.count()
         # early-exit: nothing peeled -> fixpoint reached
-        if nxt.count() == sym.count():
-            sym = nxt
-            break
         sym = nxt
+        if nxt_cnt == cur_cnt:
+            break
+        cur_cnt = nxt_cnt
     return (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("degree"))
