@@ -169,10 +169,14 @@ def kmeans_lloyd(
                 [], f"{id_col} long, cluster_id long, dist_sq double"
             )
         dim = row["d"]
+    # r13: pin the cast vector frame ONCE — every Lloyd iteration (and
+    # the final assignment) re-scanned the source and re-cast the
+    # arrays otherwise; caching the feature matrix across iterations is
+    # the canonical iterative-ML shape (guide §5.3).
     v = vectors.select(
         F.col(id_col).cast("long").alias(id_col),
         _as_double(F.col(vec_col)).alias("_e"),
-    )
+    ).localCheckpoint(eager=True)
     cents = [
         (int(r["cid"]), [float(x) for x in r["ce"]])
         for r in seed_centroids(vectors, k, id_col, vec_col).collect()
@@ -245,6 +249,11 @@ def semdedup(
             ),
             "_uv",
         )
+        # r13: `u` (whose projection embeds the k-fold E-step argmin)
+        # feeds the final assignment frame AND both sides of the
+        # within-cluster pair join; the lazy pin runs that compute once
+        # (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     assign = u.select(id_col, "cluster_id")
     paired = u
@@ -334,9 +343,12 @@ def kmeans_lloyd_quantized(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
+    # r13: same cross-iteration pin as the float twin — the quantized
+    # frame fed every iteration, the seed collect, and the final
+    # assignment from a fresh source scan otherwise (guide §5.3).
     v = vectors.select(
         F.col(id_col).cast("long").alias(id_col), q.alias("_e")
-    )
+    ).localCheckpoint(eager=True)
     cents = [
         (int(r[id_col]), [int(x) for x in r["_e"]])
         for r in v.filter(F.col(id_col) < k).collect()
