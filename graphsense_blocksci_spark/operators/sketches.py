@@ -350,13 +350,23 @@ def bloom_decontaminate(
         [(words,)], "bloom_words array<bigint>"
     )
 
-    th = hashes_of(train)
+    # r13: probe the bitmap BEFORE the (doc_id, h) distinct — the old
+    # order ran the distinct's full-stream shuffle first, which is
+    # exactly the shuffle the Bloom bitmap exists to avoid. The probe
+    # is row-deterministic on h, so filter-then-distinct is identical
+    # to distinct-then-filter; the shuffle now carries only candidate
+    # pairs (guide §2.3 — shuffle fewer bytes).
+    th = spread(train).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(shingle_hashes(F.col(text_col))).alias("h"),
+    )
     candidates = (
         th.crossJoin(F.broadcast(bloom_df))
         .filter(
             bloom_member(F.col("h"), F.col("bloom_words"), n_bits, n_hashes)
         )
         .drop("bloom_words")
+        .distinct()
     )
     confirmed = candidates.join(eh, "h")  # exact false-positive removal
     return confirmed.groupBy("doc_id").agg(
