@@ -593,16 +593,21 @@ def cosine_topk_ivf_exact(
             )
         )
 
-    phase1 = score(
-        qcells.filter(F.col("prank") <= n_probe).select("vec_id", "cell")
-    ).localCheckpoint(eager=False)
     wk = Window.partitionBy("vec_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    tau = (
-        phase1.withColumn("_rk", F.row_number().over(wk))
-        .filter(F.col("_rk") == k)
-        .select("vec_id", F.col("cos_sim").alias("tau"))
+    # r13 optimization (guide §2.4): rank phase 1 ONCE, inside the
+    # checkpointed frame, so the tau extraction below is a plain filter
+    # over the pin instead of a second window pass (exchange + sort)
+    # over the full phase-1 candidate frame. Same wk total order, same
+    # k-th score — output unchanged (strict gate re-verified).
+    phase1 = (
+        score(qcells.filter(F.col("prank") <= n_probe).select("vec_id", "cell"))
+        .withColumn("_rk", F.row_number().over(wk))
+        .localCheckpoint(eager=False)
+    )
+    tau = phase1.filter(F.col("_rk") == k).select(
+        "vec_id", F.col("cos_sim").alias("tau")
     )
     survivors = (
         qcells.filter(F.col("prank") > n_probe)
@@ -614,7 +619,7 @@ def cosine_topk_ivf_exact(
         )
         .select("vec_id", "cell")
     )
-    scored = phase1.unionByName(score(survivors))
+    scored = phase1.drop("_rk").unionByName(score(survivors))
     return (
         scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
