@@ -124,7 +124,7 @@ def global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
     rank_col: str = "rank",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """DISTRIBUTED dense global row_number over a total order — the
     scale-safe replacement for ``row_number().over(Window.orderBy(...))``,
@@ -144,6 +144,14 @@ def global_rank(
     dependent.
     """
     cols = list(order_cols)
+    # r13: derive the range width from the session's shuffle parallelism
+    # instead of a literal 32 (scale-adaptive per guide §2; rank depends
+    # only on the total order, so ANY width is bit-identical — the qd46
+    # treatment applied to the shared operator)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
