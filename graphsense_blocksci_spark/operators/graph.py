@@ -42,8 +42,78 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Below this node count the per-round join sides are broadcast-sized and
+# pre-partitioning the static frames is pure overhead (measured: q84-shaped
+# sf0.01 graph, cache-partitioned statics 9.2 s vs 5.6 s shipped, because
+# AQE already broadcasts the edge frame locally). Above it the joins are
+# sort-merge and the static edge frame would otherwise be RE-SHUFFLED EVERY
+# ROUND — pre-partitioning on the join key and persisting (cached plans
+# keep their partitioning under AQE; localCheckpoint does not) removes that
+# per-round exchange outright (guide §2.4). Env-overridable so clusters can
+# tune the crossover without touching code.
+_PREPARTITION_MIN_NODES = int(
+    os.environ.get("SPARK_GRAFT_PREPARTITION_MIN_NODES", "2000000")
+)
+
+
+def _shuffle_width(df: DataFrame) -> int:
+    """The session's shuffle width — the scale-adaptive partition count
+    used when pinning a static frame's partitioning across iterations."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _prepartition_static_enabled(df: DataFrame) -> bool:
+    """Cluster-profile switch for `_pin_static`: session conf
+    ``spark.graphsense.prepartitionStatic`` (shipped in
+    ``session.cluster_conf()``) or env ``SPARK_GRAFT_PREPARTITION_STATIC``.
+    Local default OFF: at bench scale the loop-static frames are
+    broadcast-sized, so pre-partitioning them is pure overhead (measured
+    on the q84 graph: 9.2 s vs 5.6 s) — the local plans stay exactly the
+    shipped ones."""
+    try:
+        v = df.sparkSession.conf.get(
+            "spark.graphsense.prepartitionStatic",
+            os.environ.get("SPARK_GRAFT_PREPARTITION_STATIC", ""),
+        )
+    except Exception:
+        v = ""
+    return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+
+def _pin_static(
+    df: DataFrame, key: str, local: str | None = "ckpt"
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Materialize a frame that an iterative loop equi-joins on ``key``
+    EVERY round (guide §2.4 — remove shuffles outright).
+
+    Cluster profile (`_prepartition_static_enabled`): repartition on the
+    join key once and persist. Cached plans keep their partitioning
+    under AQE (localCheckpoint does not — pinned in
+    tests/test_round13_opt.py), so every round's sort-merge join reads
+    the static side exchange-free: the frame is shuffled ONCE at setup
+    instead of once per round. Callers must ``unpersist`` the returned
+    pins once the loop's result is materialized.
+
+    Local default: ``local='ckpt'`` reproduces the shipped eager
+    localCheckpoint; ``local=None`` leaves the frame as-is (for loops
+    that deliberately never materialized it). Results are unchanged
+    either way — partitioning only moves rows between tasks.
+    """
+    if _prepartition_static_enabled(df):
+        out = df.repartition(_shuffle_width(df), key).persist()
+        out.count()
+        return out, [out]
+    if local == "ckpt":
+        return df.localCheckpoint(eager=True), []
+    return df, []
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -250,6 +320,7 @@ def bfs_reachability(
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
     ).distinct()
+    e, _pins = _pin_static(e, "_src", local=None)
     visited = (
         seeds.select(F.col(id_col).cast("long").alias("node"))
         .distinct()
@@ -270,6 +341,8 @@ def bfs_reachability(
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    for _f in _pins:
+        _f.unpersist(False)
     return visited
 
 
@@ -314,11 +387,9 @@ def label_propagation(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
     )
-    sym = (
-        sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # per-round join key is the neighbor id v (labels ⋈ sym on v)
+    sym, _pins = _pin_static(sym, "v")
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -343,6 +414,8 @@ def label_propagation(
             .select(F.col("u").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+    for _f in _pins:
+        _f.unpersist(False)
     return labels
 
 
@@ -444,10 +517,14 @@ def pagerank(
     each round every node ships rank/out_degree along its out-edges,
     contributions are summed per target, and the damping mixes in the
     uniform teleport. Plan per round: one join of ranks against the
-    (static) out-degree-annotated edges + one groupBy — both shuffle
-    on node id, so pre-partitioning ranks and edges on the same key
-    makes the join co-located and leaves ONE shuffle (the aggregate)
-    per round.
+    (static) out-degree-annotated edges + one groupBy. Above
+    ``_PREPARTITION_MIN_NODES`` the static edge/node frames are
+    repartitioned on their per-round join keys ONCE and persisted
+    (cached plans keep their partitioning under AQE), so the static
+    side of every round's join is exchange-free — the edge frame is
+    shuffled once at setup instead of once per round; below it the
+    sides are broadcast-sized and the frames stay plain checkpoints
+    (measured: pre-partitioning is pure overhead there).
 
     The dangling-mass correction stays fully distributed: nodes carry a
     precomputed ``_has_out`` flag, the per-round dangling sum is a 1-row
@@ -507,7 +584,25 @@ def pagerank(
     n_tele = n if seeds is None else nodes.filter(F.col("_is_seed")).count()
     if n_tele == 0:
         raise ValueError("personalized pagerank: no seed appears in the graph")
-    ed = e.join(out_deg, "_src").localCheckpoint(eager=True)
+    # Scale-adaptive static-frame layout (guide §2.4): at cluster scale the
+    # per-round ranks⋈ed join is a sort-merge join, so the STATIC edge frame
+    # is re-shuffled every round; pre-partitioning ed on the join key (_src)
+    # and nodes on node, persisted so the partitioning survives AQE, makes
+    # the static side of every round's join exchange-free. Below the
+    # threshold the frames are broadcast-sized and this is pure overhead
+    # (measured — see _PREPARTITION_MIN_NODES), so the local plan is kept
+    # bit-identical. Rank values are unchanged either way: partitioning
+    # only reorders float summation within the same per-node groups, and
+    # the parity test pins both paths to the dense reference.
+    _pinned: list[DataFrame] = []
+    if _prepartition_static_enabled(edges) or n >= max(_PREPARTITION_MIN_NODES, 1):
+        width = _shuffle_width(edges)
+        nodes = nodes.repartition(width, "node").persist()
+        ed = e.join(out_deg, "_src").repartition(width, "_src").persist()
+        ed.count()
+        _pinned = [nodes, ed]
+    else:
+        ed = e.join(out_deg, "_src").localCheckpoint(eager=True)
     ranks = nodes.withColumn(
         "rank",
         F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(F.lit(0.0)),
@@ -545,6 +640,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # every iteration's ranks frame is materialized (checkpointed), so the
+    # result no longer depends on the pinned statics
+    for _f in _pinned:
+        _f.unpersist(False)
     return ranks.select("node", "rank")
 
 
@@ -585,8 +684,8 @@ def shortest_paths(
         )
         .groupBy("_src", "_dst")
         .agg(F.min("_w").alias("_w"))  # parallel edges: keep the cheapest
-        .localCheckpoint(eager=True)
     )
+    e, _pins = _pin_static(e, "_src")
     dist = (
         seeds.select(F.col(id_col).cast("long").alias("node"))
         .distinct()
@@ -618,6 +717,8 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+    for _f in _pins:
+        _f.unpersist(False)
     return dist
 
 
@@ -714,7 +815,8 @@ def random_walks(
     """
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    e, _pins = _pin_static(e, "_src")
     walks = (
         seeds.select(F.col(id_col).cast("long").alias("seed"))
         .distinct()
@@ -775,6 +877,8 @@ def random_walks(
             )
             .localCheckpoint(eager=True)
         )
+    for _f in _pins:
+        _f.unpersist(False)
     return walks.select("seed", "walk_id", "path")
 
 
@@ -803,6 +907,7 @@ def multi_source_bfs(
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
     ).distinct()
+    e, _pins = _pin_static(e, "_src", local=None)
     visited = (
         seeds.select(F.col(id_col).cast("long").alias("source"))
         .distinct()
@@ -824,6 +929,8 @@ def multi_source_bfs(
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    for _f in _pins:
+        _f.unpersist(False)
     return visited
 
 
@@ -1222,7 +1329,8 @@ def bfs_path_counts(
     e = edges.select(
         F.col(src).cast("long").alias("_src"),
         F.col(dst).cast("long").alias("_dst"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    e, _pins = _pin_static(e, "_src")
     visited = (
         seeds.select(F.col(id_col).cast("long").alias("source"))
         .distinct()
@@ -1253,6 +1361,8 @@ def bfs_path_counts(
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    for _f in _pins:
+        _f.unpersist(False)
     return visited
 
 
@@ -1289,7 +1399,9 @@ def betweenness_sampled(
     e = edges.select(
         F.col(src).cast("long").alias("_src"),
         F.col(dst).cast("long").alias("_dst"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    # the backward pass joins on the edge HEAD (w == _dst) every level
+    e, _pins = _pin_static(e, "_dst")
     deepest = paths.agg(F.max("dist")).first()[0] or 0
     # delta starts 0 everywhere; accumulate level by level, deep first
     delta = paths.select(
@@ -1344,6 +1456,8 @@ def betweenness_sampled(
     n_sources = seeds.select(
         F.col(id_col).cast("long").alias("s")
     ).distinct().count()
+    for _f in _pins:
+        _f.unpersist(False)
     return (
         delta.filter(F.col("node") != F.col("source"))
         .groupBy("node")
@@ -1803,11 +1917,22 @@ def strongly_connected_components(
         # (same-window A/B: 9.2 s -> 5.1 s for q223 at sf0.1).
         from concurrent.futures import ThreadPoolExecutor
 
+        fwd_edges = active_edges
         rev_edges = active_edges.select(
             F.col("v").alias("u"), F.col("u").alias("v")
         )
+        # Cluster profile (guide §2.4): each propagation step joins its
+        # static direction frame on v; pinning both directions
+        # partitioned by v makes every step's edge side exchange-free
+        # (the propagation runs O(diameter) steps per peel round).
+        _round_pins: list[DataFrame] = []
+        if _prepartition_static_enabled(active_edges):
+            width = _shuffle_width(active_edges)
+            fwd_edges = fwd_edges.repartition(width, "v").persist()
+            rev_edges = rev_edges.repartition(width, "v").persist()
+            _round_pins = [fwd_edges, rev_edges]
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_fut = pool.submit(_minreach, active_edges)
+            f_fut = pool.submit(_minreach, fwd_edges)
             b_fut = pool.submit(_minreach, rev_edges)
             f = f_fut.result()  # min id reachable FORWARD from v
             b = b_fut.result()
@@ -1831,6 +1956,10 @@ def strongly_connected_components(
             .join(done.select(F.col("node").alias("v")), "v", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # labeled and the next round's frames are materialized above, so
+        # this round's direction pins can go
+        for _f in _round_pins:
+            _f.unpersist(False)
     else:
         raise RuntimeError(
             f"strongly_connected_components: {max_rounds} peel rounds exceeded"

@@ -82,4 +82,12 @@ def cluster_conf(
         ),
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # iterative graph operators: shuffle each loop-static frame ONCE
+        # (repartition on its per-round join key + persist) instead of
+        # once per round — at cluster scale those joins are sort-merge,
+        # so this removes the static side's exchange from every round.
+        # Local bench scale keeps this off: the frames are
+        # broadcast-sized there and pre-partitioning is measured pure
+        # overhead (operators/graph.py:_pin_static).
+        "spark.graphsense.prepartitionStatic": "true",
     }
