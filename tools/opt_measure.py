@@ -1,9 +1,9 @@
-"""Round-13 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1; rounds 13+).
 
 For each named bench query: time the noop-sink materialization
 (min of N passes, labeled via setJobDescription / setJobGroup so the
 job count per query is recoverable), and dump `.explain("formatted")`
-to plans/r13/<query>_<tag>.txt.
+to plans/<round>/<query>_<tag>.txt (--plan-round, default r14).
 
 Usage:
     python tools/opt_measure.py --tag before [--passes 2] q160_louvain q111_kmeans_lloyd ...
@@ -33,6 +33,7 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--plan-round", default="r14")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -43,7 +44,9 @@ def main() -> None:
             prev = json.load(fh)["queries"]
         names += [k for k, _ in sorted(prev.items(), key=lambda kv: -kv[1])[: args.top] if k not in names]
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plan_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plan_round
+    )
     os.makedirs(plan_dir, exist_ok=True)
 
     spark = get_spark(app_name=f"opt-measure-{args.tag}")
