@@ -316,33 +316,44 @@ def bfs_reachability(
     localCheckpoint keeps the lineage flat across hops. Early-exits
     when a frontier drains, so the loop runs min(max_hops, eccentricity)
     rounds.
+
+    r14 (guide §2.4): the visited set is a LAZY union of the per-level
+    checkpointed frontiers instead of being re-checkpointed (= fully
+    re-copied, one extra job) every level — each level's rows are
+    materialized exactly once, the anti-join scans the union of those
+    checkpoints, and the lineage depth stays bounded by ``max_hops``.
+    (A two-levels-per-plan unroll was A/B-measured ~35% SLOWER here:
+    the level-h subtree is referenced three times by level h+1 and AQE
+    does not reuse its exchanges across the union branches.)
     """
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
     ).distinct()
     e, _pins = _pin_static(e, "_src", local=None)
-    visited = (
-        seeds.select(F.col(id_col).cast("long").alias("node"))
-        .distinct()
-        .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e._src)
-            .select(F.col("_dst").alias("node"))
+    try:
+        visited = (
+            seeds.select(F.col(id_col).cast("long").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h).cast("long"))
+            .withColumn("hops", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True)
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    for _f in _pins:
-        _f.unpersist(False)
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e._src)
+                .select(F.col("_dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("long"))
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt)
+            frontier = nxt
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return visited
 
 
@@ -675,6 +686,13 @@ def shortest_paths(
     drains), and the dist frame stays 2 longs/row. localCheckpoint per
     round keeps lineage flat; only the empty-frontier probe reaches
     the driver.
+
+    r14 note: a two-rounds-per-plan unroll and a lazy dist-merge were
+    both considered and NOT shipped — the BFS-family A/B showed the
+    unrolled level-h subtree recomputes across its union branches, and
+    unlike the BFS visited set the dist map REPLACES rows per round
+    (an anti-join), so a lazy merge would re-execute the whole merge
+    chain every round. The per-round dist checkpoint stays.
     """
     e = (
         edges.select(
@@ -686,15 +704,9 @@ def shortest_paths(
         .agg(F.min("_w").alias("_w"))  # parallel edges: keep the cheapest
     )
     e, _pins = _pin_static(e, "_src")
-    dist = (
-        seeds.select(F.col(id_col).cast("long").alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = dist
-    for _ in range(max_hops):
-        relaxed = (
+
+    def _relax(frontier: DataFrame) -> DataFrame:
+        return (
             frontier.join(e, frontier.node == e._src)
             .select(
                 F.col("_dst").alias("node"),
@@ -703,22 +715,36 @@ def shortest_paths(
             .groupBy("node")
             .agg(F.min("cand").alias("cand"))
         )
-        improved = (
-            relaxed.join(dist, "node", "left")
+
+    def _improvements(relaxed: DataFrame, cur: DataFrame) -> DataFrame:
+        return (
+            relaxed.join(cur, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
-            break
+
+    def _merge(cur: DataFrame, imp: DataFrame) -> DataFrame:
+        return cur.join(imp.select("node"), "node", "left_anti").union(imp)
+
+    try:
         dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
-            .union(improved)
+            seeds.select(F.col(id_col).cast("long").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
             .localCheckpoint(eager=True)
         )
-        frontier = improved
-    for _f in _pins:
-        _f.unpersist(False)
+        frontier = dist
+        for _ in range(max_hops):
+            improved = _improvements(_relax(frontier), dist).localCheckpoint(
+                eager=True
+            )
+            if improved.isEmpty():
+                break
+            dist = _merge(dist, improved).localCheckpoint(eager=True)
+            frontier = improved
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return dist
 
 
@@ -903,34 +929,45 @@ def multi_source_bfs(
     state is (source, node) pairs: bounded by k · reachable-set, the
     price of per-source distances (an unlabeled union would lose the
     per-seed attribution harmonic/closeness centrality divides by).
+
+    r14 (guide §2.4): visited is a LAZY union of the per-hop
+    checkpointed frontiers (see `bfs_reachability` — the re-copy
+    checkpoint per hop bought nothing; the two-level unroll variant
+    was A/B-measured slower and rejected).
     """
     e = edges.select(
         F.col(src).cast("long").alias("_src"), F.col(dst).cast("long").alias("_dst")
     ).distinct()
     e, _pins = _pin_static(e, "_src", local=None)
-    visited = (
-        seeds.select(F.col(id_col).cast("long").alias("source"))
-        .distinct()
-        .select("source", F.col("source").alias("node"))
-        .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e._src)
-            .select("source", F.col("_dst").alias("node"))
+    try:
+        visited = (
+            seeds.select(F.col(id_col).cast("long").alias("source"))
             .distinct()
-            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
-            .withColumn("hops", F.lit(h).cast("long"))
+            .select("source", F.col("source").alias("node"))
+            .withColumn("hops", F.lit(0).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    for _f in _pins:
-        _f.unpersist(False)
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e._src)
+                .select("source", F.col("_dst").alias("node"))
+                .distinct()
+                .join(
+                    visited.select("source", "node"),
+                    ["source", "node"],
+                    "left_anti",
+                )
+                .withColumn("hops", F.lit(h).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt)
+            frontier = nxt
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return visited
 
 
@@ -1324,6 +1361,10 @@ def bfs_path_counts(
     set — the `multi_source_bfs` plan plus a σ column riding the
     aggregate. State is (source, node) pairs with two longs.
 
+    r14 (guide §2.4): visited is a LAZY union of the per-hop
+    checkpointed frontiers (see `bfs_reachability`; the two-level
+    unroll variant was A/B-measured slower and rejected).
+
     Returns (source, node, dist, sigma) including (s, s, 0, 1).
     """
     e = edges.select(
@@ -1331,38 +1372,40 @@ def bfs_path_counts(
         F.col(dst).cast("long").alias("_dst"),
     ).distinct()
     e, _pins = _pin_static(e, "_src")
-    visited = (
-        seeds.select(F.col(id_col).cast("long").alias("source"))
-        .distinct()
-        .select(
-            "source",
-            F.col("source").alias("node"),
-            F.lit(0).cast("long").alias("dist"),
-            F.lit(1).cast("long").alias("sigma"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e._src)
-            .groupBy("source", F.col("_dst").alias("node"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-            .join(
-                visited.select("source", "node"),
-                ["source", "node"],
-                "left_anti",
+    try:
+        visited = (
+            seeds.select(F.col(id_col).cast("long").alias("source"))
+            .distinct()
+            .select(
+                "source",
+                F.col("source").alias("node"),
+                F.lit(0).cast("long").alias("dist"),
+                F.lit(1).cast("long").alias("sigma"),
             )
-            .withColumn("dist", F.lit(h).cast("long"))
-            .select("source", "node", "dist", "sigma")
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    for _f in _pins:
-        _f.unpersist(False)
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e._src)
+                .groupBy("source", F.col("_dst").alias("node"))
+                .agg(F.sum("sigma").cast("long").alias("sigma"))
+                .join(
+                    visited.select("source", "node"),
+                    ["source", "node"],
+                    "left_anti",
+                )
+                .withColumn("dist", F.lit(h).cast("long"))
+                .select("source", "node", "dist", "sigma")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt)
+            frontier = nxt
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return visited
 
 
