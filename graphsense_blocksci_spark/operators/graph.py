@@ -55,7 +55,9 @@ from pyspark.sql import functions as F
 # ROUND — pre-partitioning on the join key and persisting (cached plans
 # keep their partitioning under AQE; localCheckpoint does not) removes that
 # per-round exchange outright (guide §2.4). Env-overridable so clusters can
-# tune the crossover without touching code.
+# tune the crossover without touching code; <= 0 disables the adaptive
+# path entirely (an explicit spark.graphsense.prepartitionStatic true or
+# false overrides the adaptive decision in both directions).
 _PREPARTITION_MIN_NODES = int(
     os.environ.get("SPARK_GRAFT_PREPARTITION_MIN_NODES", "2000000")
 )
@@ -70,11 +72,13 @@ def _shuffle_width(df: DataFrame) -> int:
         return df.sparkSession.sparkContext.defaultParallelism
 
 
-def _prepartition_static_enabled(df: DataFrame) -> bool:
-    """Cluster-profile switch for `_pin_static`: session conf
-    ``spark.graphsense.prepartitionStatic`` (shipped in
+def _prepartition_tristate(df: DataFrame) -> bool | None:
+    """Cluster-profile switch for `_pin_static`, three-valued: session
+    conf ``spark.graphsense.prepartitionStatic`` (shipped in
     ``session.cluster_conf()``) or env ``SPARK_GRAFT_PREPARTITION_STATIC``.
-    Local default OFF: at bench scale the loop-static frames are
+    Returns True for an explicit on, False for an explicit off (a hard
+    veto — adaptive thresholds may not override it), None when unset.
+    Local default unset→off: at bench scale the loop-static frames are
     broadcast-sized, so pre-partitioning them is pure overhead (measured
     on the q84 graph: 9.2 s vs 5.6 s) — the local plans stay exactly the
     shipped ones."""
@@ -85,16 +89,28 @@ def _prepartition_static_enabled(df: DataFrame) -> bool:
         )
     except Exception:
         v = ""
-    return str(v).strip().lower() in ("1", "true", "yes", "on")
+    v = str(v).strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    return None
+
+
+def _prepartition_static_enabled(df: DataFrame) -> bool:
+    return _prepartition_tristate(df) is True
 
 
 def _pin_static(
-    df: DataFrame, key: str, local: str | None = "ckpt"
+    df: DataFrame,
+    key: str,
+    local: str | None = "ckpt",
+    adaptive: bool | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Materialize a frame that an iterative loop equi-joins on ``key``
     EVERY round (guide §2.4 — remove shuffles outright).
 
-    Cluster profile (`_prepartition_static_enabled`): repartition on the
+    Cluster profile (`_prepartition_tristate`): repartition on the
     join key once and persist. Cached plans keep their partitioning
     under AQE (localCheckpoint does not — pinned in
     tests/test_round13_opt.py), so every round's sort-merge join reads
@@ -102,12 +118,20 @@ def _pin_static(
     instead of once per round. Callers must ``unpersist`` the returned
     pins once the loop's result is materialized.
 
+    ``adaptive``: a caller-computed pin decision (e.g. pagerank's
+    node-count threshold) used only when the profile switch is UNSET —
+    an explicit conf/env true or false always wins, so setting
+    ``spark.graphsense.prepartitionStatic=false`` hard-disables pinning
+    everywhere.
+
     Local default: ``local='ckpt'`` reproduces the shipped eager
     localCheckpoint; ``local=None`` leaves the frame as-is (for loops
     that deliberately never materialized it). Results are unchanged
     either way — partitioning only moves rows between tasks.
     """
-    if _prepartition_static_enabled(df):
+    ts = _prepartition_tristate(df)
+    pin = ts if ts is not None else bool(adaptive)
+    if pin:
         out = df.repartition(_shuffle_width(df), key).persist()
         out.count()
         return out, [out]
@@ -401,32 +425,35 @@ def label_propagation(
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     # per-round join key is the neighbor id v (labels ⋈ sym on v)
     sym, _pins = _pin_static(sym, "v")
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(iterations):
-        freq = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+    try:
+        labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
-        # tie-break pick (max count, then min label) as ONE aggregate:
-        # max_by over the struct (c, -label) orders lexicographically to
-        # exactly the window's (c DESC, label ASC) — but aggregates get
-        # map-side partial merge, where a window would add a full sort
-        # shuffle per round.
-        labels = (
-            freq.groupBy("u")
-            .agg(
-                F.max_by(
-                    "label", F.struct(F.col("c"), (-F.col("label")).alias("_nl"))
-                ).alias("label")
+        for _ in range(iterations):
+            freq = (
+                sym.join(labels, sym.v == labels.node)
+                .groupBy("u", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            .select(F.col("u").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
-    for _f in _pins:
-        _f.unpersist(False)
+            # tie-break pick (max count, then min label) as ONE aggregate:
+            # max_by over the struct (c, -label) orders lexicographically
+            # to exactly the window's (c DESC, label ASC) — but aggregates
+            # get map-side partial merge, where a window would add a full
+            # sort shuffle per round.
+            labels = (
+                freq.groupBy("u")
+                .agg(
+                    F.max_by(
+                        "label",
+                        F.struct(F.col("c"), (-F.col("label")).alias("_nl")),
+                    ).alias("label")
+                )
+                .select(F.col("u").alias("node"), "label")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return labels
 
 
@@ -605,56 +632,61 @@ def pagerank(
     # bit-identical. Rank values are unchanged either way: partitioning
     # only reorders float summation within the same per-node groups, and
     # the parity test pins both paths to the dense reference.
-    _pinned: list[DataFrame] = []
-    if _prepartition_static_enabled(edges) or n >= max(_PREPARTITION_MIN_NODES, 1):
-        width = _shuffle_width(edges)
-        nodes = nodes.repartition(width, "node").persist()
-        ed = e.join(out_deg, "_src").repartition(width, "_src").persist()
-        ed.count()
-        _pinned = [nodes, ed]
-    else:
-        ed = e.join(out_deg, "_src").localCheckpoint(eager=True)
-    ranks = nodes.withColumn(
-        "rank",
-        F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(F.lit(0.0)),
+    # Adaptive pin decision: above the node threshold the per-round join
+    # sides are sort-merge and pinning pays; _PREPARTITION_MIN_NODES <= 0
+    # means "adaptive path disabled", and an explicit conf/env setting
+    # (true OR false) always wins — see _pin_static.
+    adaptive = 0 < _PREPARTITION_MIN_NODES <= n
+    nodes, _pins_n = _pin_static(nodes, "node", local=None, adaptive=adaptive)
+    ed, _pins_e = _pin_static(
+        e.join(out_deg, "_src"), "_src", local="ckpt", adaptive=adaptive
     )
-    for _ in range(iterations):
-        contrib = (
-            ranks.join(ed, ranks.node == ed._src)
-            .select(
-                F.col("_dst").alias("node"),
-                (F.col("rank") / F.col("_deg")).alias("c"),
+    _pinned = _pins_n + _pins_e
+    try:
+        ranks = nodes.withColumn(
+            "rank",
+            F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(F.lit(0.0)),
+        )
+        for _ in range(iterations):
+            contrib = (
+                ranks.join(ed, ranks.node == ed._src)
+                .select(
+                    F.col("_dst").alias("node"),
+                    (F.col("rank") / F.col("_deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_rank"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_rank"))
-        )
-        # dangling mass: rank held by nodes with no out-edges, summed in
-        # the same job and broadcast back as a single row
-        dangling = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
-            ).alias("_dangling")
-        )
-        tele = F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(F.lit(0.0))
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "_has_out",
-                "_is_seed",
-                (
-                    F.lit(1.0 - damping) * tele
-                    + F.lit(damping) * F.col("_dangling") * tele
-                    + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
-                ).alias("rank"),
+            # dangling mass: rank held by nodes with no out-edges, summed
+            # in the same job and broadcast back as a single row
+            dangling = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
+                ).alias("_dangling")
             )
-            .localCheckpoint(eager=True)
-        )
-    # every iteration's ranks frame is materialized (checkpointed), so the
-    # result no longer depends on the pinned statics
-    for _f in _pinned:
-        _f.unpersist(False)
+            tele = F.when(F.col("_is_seed"), F.lit(1.0 / n_tele)).otherwise(
+                F.lit(0.0)
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    "_has_out",
+                    "_is_seed",
+                    (
+                        F.lit(1.0 - damping) * tele
+                        + F.lit(damping) * F.col("_dangling") * tele
+                        + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # every iteration's ranks frame is materialized (checkpointed), so
+        # the result no longer depends on the pinned statics
+        for _f in _pinned:
+            _f.unpersist(False)
     return ranks.select("node", "rank")
 
 
@@ -860,51 +892,53 @@ def random_walks(
             F.col("seed").cast("string").alias("path"),
         )
     )
-    for step in range(1, walk_length + 1):
-        hk = (
-            F.conv(
-                F.substring(
-                    F.md5(
+    try:
+        for step in range(1, walk_length + 1):
+            hk = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("walk_id").cast("string"),
+                                F.lit(step).cast("string"),
+                                F.col("_dst").cast("string"),
+                            )
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * node_space
+                + F.col("_dst")
+            )
+            walks = (
+                walks.join(e, walks.cur == e._src, "left")
+                .groupBy("seed", "walk_id")
+                .agg(
+                    F.first("path").alias("_path"),
+                    F.min(hk).alias("_hk"),
+                )
+                .select(
+                    "seed",
+                    "walk_id",
+                    (F.col("_hk") % node_space).alias("cur"),
+                    F.when(
+                        F.col("_hk").isNotNull(),
                         F.concat_ws(
-                            "|",
-                            F.col("walk_id").cast("string"),
-                            F.lit(step).cast("string"),
-                            F.col("_dst").cast("string"),
-                        )
-                    ),
-                    1,
-                    7,
-                ),
-                16,
-                10,
-            ).cast("long")
-            * node_space
-            + F.col("_dst")
-        )
-        walks = (
-            walks.join(e, walks.cur == e._src, "left")
-            .groupBy("seed", "walk_id")
-            .agg(
-                F.first("path").alias("_path"),
-                F.min(hk).alias("_hk"),
+                            ",",
+                            F.col("_path"),
+                            (F.col("_hk") % node_space).cast("string"),
+                        ),
+                    ).otherwise(F.col("_path")).alias("path"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .select(
-                "seed",
-                "walk_id",
-                (F.col("_hk") % node_space).alias("cur"),
-                F.when(
-                    F.col("_hk").isNotNull(),
-                    F.concat_ws(
-                        ",",
-                        F.col("_path"),
-                        (F.col("_hk") % node_space).cast("string"),
-                    ),
-                ).otherwise(F.col("_path")).alias("path"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    for _f in _pins:
-        _f.unpersist(False)
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return walks.select("seed", "walk_id", "path")
 
 
@@ -1445,62 +1479,64 @@ def betweenness_sampled(
     ).distinct()
     # the backward pass joins on the edge HEAD (w == _dst) every level
     e, _pins = _pin_static(e, "_dst")
-    deepest = paths.agg(F.max("dist")).first()[0] or 0
-    # delta starts 0 everywhere; accumulate level by level, deep first
-    delta = paths.select(
-        "source", "node", F.lit(0.0).alias("delta")
-    ).localCheckpoint(eager=True)
-    for h in range(int(deepest), 0, -1):
-        w_level = (
-            paths.filter(F.col("dist") == h)
-            .join(delta, ["source", "node"])
-            .select(
-                F.col("source").alias("src_w"),
-                F.col("node").alias("w"),
-                F.col("sigma").alias("sigma_w"),
-                F.col("delta").alias("delta_w"),
+    try:
+        deepest = paths.agg(F.max("dist")).first()[0] or 0
+        # delta starts 0 everywhere; accumulate level by level, deep first
+        delta = paths.select(
+            "source", "node", F.lit(0.0).alias("delta")
+        ).localCheckpoint(eager=True)
+        for h in range(int(deepest), 0, -1):
+            w_level = (
+                paths.filter(F.col("dist") == h)
+                .join(delta, ["source", "node"])
+                .select(
+                    F.col("source").alias("src_w"),
+                    F.col("node").alias("w"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                )
             )
-        )
-        v_level = paths.filter(F.col("dist") == h - 1).select(
-            F.col("source").alias("src_v"),
-            F.col("node").alias("v"),
-            F.col("sigma").alias("sigma_v"),
-        )
-        contribs = (
-            w_level.join(e, F.col("w") == F.col("_dst"))
-            .join(
-                v_level,
-                (F.col("_src") == F.col("v"))
-                & (F.col("src_w") == F.col("src_v")),
+            v_level = paths.filter(F.col("dist") == h - 1).select(
+                F.col("source").alias("src_v"),
+                F.col("node").alias("v"),
+                F.col("sigma").alias("sigma_v"),
             )
-            .select(
-                F.col("src_v").alias("source"),
-                F.col("v").alias("node"),
-                (
-                    F.col("sigma_v").cast("double")
-                    / F.col("sigma_w").cast("double")
-                    * (F.lit(1.0) + F.col("delta_w"))
-                ).alias("c"),
+            contribs = (
+                w_level.join(e, F.col("w") == F.col("_dst"))
+                .join(
+                    v_level,
+                    (F.col("_src") == F.col("v"))
+                    & (F.col("src_w") == F.col("src_v")),
+                )
+                .select(
+                    F.col("src_v").alias("source"),
+                    F.col("v").alias("node"),
+                    (
+                        F.col("sigma_v").cast("double")
+                        / F.col("sigma_w").cast("double")
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("c"),
+                )
+                .groupBy("source", "node")
+                .agg(F.sum("c").alias("c"))
             )
-            .groupBy("source", "node")
-            .agg(F.sum("c").alias("c"))
-        )
-        delta = (
-            delta.join(contribs, ["source", "node"], "left")
-            .select(
-                "source",
-                "node",
-                (F.col("delta") + F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "delta"
-                ),
+            delta = (
+                delta.join(contribs, ["source", "node"], "left")
+                .select(
+                    "source",
+                    "node",
+                    (F.col("delta") + F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                        "delta"
+                    ),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-    n_sources = seeds.select(
-        F.col(id_col).cast("long").alias("s")
-    ).distinct().count()
-    for _f in _pins:
-        _f.unpersist(False)
+        n_sources = seeds.select(
+            F.col(id_col).cast("long").alias("s")
+        ).distinct().count()
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return (
         delta.filter(F.col("node") != F.col("source"))
         .groupBy("node")
@@ -1812,43 +1848,60 @@ def hits(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    h = nodes.select("node", F.lit(1).cast("long").alias("hub"))
-    a = None
-    for _ in range(iterations):
-        a = (
-            e.join(h.select(F.col("node").alias("u"), "hub"), "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("hub").cast("long").alias("authority"))
-        )
-        a = (
-            nodes.join(a, "node", "left")
-            .select(
-                "node",
-                F.coalesce("authority", F.lit(0)).cast("long").alias(
-                    "authority"
-                ),
-            )
+    # r14 (guide §2.4): the a-step joins the static edge frame on u and
+    # the h-step on v EVERY iteration — under the cluster profile pin
+    # one copy per join key so neither half-round re-exchanges the edge
+    # frame. hits returns a lazy composition, so when pins exist the
+    # final a/h are eagerly materialized before the pins are released
+    # (the materialize-and-release contract); the local plans stay
+    # exactly the shipped lazy ones (pins are no-ops there).
+    eu, _pins_u = _pin_static(e, "u", local=None)
+    ev, _pins_v = _pin_static(e, "v", local=None)
+    _pins = _pins_u + _pins_v
+    try:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        h = (
-            e.join(a.select(F.col("node").alias("v"), "authority"), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.sum("authority").cast("long").alias("hub"))
-        )
-        h = (
-            nodes.join(h, "node", "left")
-            .select(
-                "node",
-                F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        h = nodes.select("node", F.lit(1).cast("long").alias("hub"))
+        a = None
+        for _ in range(iterations):
+            a = (
+                eu.join(h.select(F.col("node").alias("u"), "hub"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum("hub").cast("long").alias("authority"))
             )
-            .localCheckpoint(eager=False)
-        )
+            a = (
+                nodes.join(a, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("authority", F.lit(0)).cast("long").alias(
+                        "authority"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
+            h = (
+                ev.join(a.select(F.col("node").alias("v"), "authority"), "v")
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.sum("authority").cast("long").alias("hub"))
+            )
+            h = (
+                nodes.join(h, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        if _pins:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+    finally:
+        for _f in _pins:
+            _f.unpersist(False)
     return nodes.join(a, "node").join(h, "node").select(
         "node", "authority", "hub"
     )
@@ -1974,35 +2027,37 @@ def strongly_connected_components(
             fwd_edges = fwd_edges.repartition(width, "v").persist()
             rev_edges = rev_edges.repartition(width, "v").persist()
             _round_pins = [fwd_edges, rev_edges]
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_fut = pool.submit(_minreach, fwd_edges)
-            b_fut = pool.submit(_minreach, rev_edges)
-            f = f_fut.result()  # min id reachable FORWARD from v
-            b = b_fut.result()
-        labeled = (
-            f.select("node", F.col("m").alias("f"))
-            .join(b.select("node", F.col("m").alias("b")), "node")
-            .filter(F.col("f") == F.col("b"))
-            .select("node", F.col("f").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        result = result.unionByName(labeled)
-        done = labeled.select("node")
-        active_nodes = active_nodes.join(
-            done, "node", "left_anti"
-        ).localCheckpoint(eager=False)
-        n_active = active_nodes.count()  # materializes the checkpoint
-        active_edges = (
-            active_edges.join(
-                done.select(F.col("node").alias("u")), "u", "left_anti"
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_fut = pool.submit(_minreach, fwd_edges)
+                b_fut = pool.submit(_minreach, rev_edges)
+                f = f_fut.result()  # min id reachable FORWARD from v
+                b = b_fut.result()
+            labeled = (
+                f.select("node", F.col("m").alias("f"))
+                .join(b.select("node", F.col("m").alias("b")), "node")
+                .filter(F.col("f") == F.col("b"))
+                .select("node", F.col("f").alias("component"))
+                .localCheckpoint(eager=True)
             )
-            .join(done.select(F.col("node").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        # labeled and the next round's frames are materialized above, so
-        # this round's direction pins can go
-        for _f in _round_pins:
-            _f.unpersist(False)
+            result = result.unionByName(labeled)
+            done = labeled.select("node")
+            active_nodes = active_nodes.join(
+                done, "node", "left_anti"
+            ).localCheckpoint(eager=False)
+            n_active = active_nodes.count()  # materializes the checkpoint
+            active_edges = (
+                active_edges.join(
+                    done.select(F.col("node").alias("u")), "u", "left_anti"
+                )
+                .join(done.select(F.col("node").alias("v")), "v", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            # labeled and the next round's frames are materialized above
+            # (or the round failed) — this round's direction pins can go
+            for _f in _round_pins:
+                _f.unpersist(False)
     else:
         raise RuntimeError(
             f"strongly_connected_components: {max_rounds} peel rounds exceeded"

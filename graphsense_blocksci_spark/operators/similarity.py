@@ -542,12 +542,18 @@ def cosine_topk_ivf_exact(
     C = _train_centroids(vectors, n_centroids, id_col, vec_col, seed=seed)
     C = np.asarray(C, dtype=np.float64)
     m = len(C)
-    cent_lits = [
-        F.array(*[F.lit(float(x)) for x in C[j]]) for j in range(m)
-    ]
+    # r14 (guide §1.2 per-task work, applied to the DRIVER): one 2-D
+    # centroid literal + one transform lambda instead of m separate
+    # aggregate/zip_with trees — the array of per-cell dots is
+    # element-identical (same fixed-order fold per centroid, evaluated
+    # in cell order), but the expression tree Catalyst analyzes per
+    # call site shrinks ~m-fold.
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in C[j]]) for j in range(m)]
+    )
 
     def cell_dots(ucol: Column) -> Column:
-        return F.array(*[dot(ucol, cent_lits[j]) for j in range(m)])
+        return F.transform(cents_lit, lambda c: dot(ucol, c))
 
     corpus = vectors.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
@@ -572,13 +578,33 @@ def cosine_topk_ivf_exact(
         F.col(id_col).cast("long").alias("vec_id"),
         unit_vector(F.col(vec_col)).alias("_qv"),
     ).localCheckpoint(eager=False)
-    wprobe = Window.partitionBy("vec_id").orderBy(F.desc("dq"), F.asc("cell"))
-    qcells = (
-        qs.select(
-            "vec_id", F.posexplode(cell_dots(F.col("_qv"))).alias("cell", "dq")
-        )
-        .withColumn("prank", F.row_number().over(wprobe))
-        .localCheckpoint(eager=False)
+    # r14 (guide §2.4): the probe ranking orders a BOUNDED m-element
+    # array per query, so it runs IN-ROW — array_sort with an explicit
+    # (dq DESC, cell ASC) comparator, then posexplode — instead of a
+    # vec_id-keyed row_number window. Spark's binary double comparison
+    # is the same total order the window sort used (SQLOrderingUtil:
+    # NaN largest, NaN = NaN, -0.0 = 0.0), so prank is bit-identical
+    # while the Q·m window exchange+sort and the qcells checkpoint
+    # disappear; both consumers recompute the narrow in-row projection
+    # from the pinned qs instead.
+    _probe_order = F.array_sort(
+        F.transform(
+            cell_dots(F.col("_qv")),
+            lambda d, i: F.struct(d.alias("dq"), i.alias("cell")),
+        ),
+        lambda l, r: (
+            F.when(l["dq"] > r["dq"], F.lit(-1))
+            .when(l["dq"] < r["dq"], F.lit(1))
+            .otherwise(l["cell"] - r["cell"])
+        ),
+    )
+    qcells = qs.select(
+        "vec_id", F.posexplode(_probe_order).alias("_pos", "_pc")
+    ).select(
+        "vec_id",
+        F.col("_pc.cell").alias("cell"),
+        F.col("_pc.dq").alias("dq"),
+        (F.col("_pos") + 1).alias("prank"),
     )
 
     def score(cell_pairs: DataFrame) -> DataFrame:
